@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session config so Verify / Bench / tests agree.
+  *
+  * - shuffle partitions sized for local[N] (not the 200 default);
+  * - AQE on (runtime coalescing + skew-join handling — the knobs that
+  *   matter unchanged on a real cluster);
+  * - UTC session tz for oracle parity;
+  * - nanosAsLong because the testdata `events.ts` is TIMESTAMP(NANOS)
+  *   which Spark 4 refuses to read as a timestamp (Tables.events converts).
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operators over the star schema.
+  *
+  * Covers SURVEY.md §2 items: J1/J4 (lookup-join enrichment, reference
+  * `internal/parser/parser.go:118-130`), J5 (multi-way equi join,
+  * `analytics/stable_eth_meanrevert_bot.py:120-127`), A9/A10 (grouped and
+  * global aggregates, `stable_eth_meanrevert_bot.py:255-266,314`), A12
+  * (dedup, pyc `stable_fee_ml_bot.py:97-98`), O1-O5 (sort / limit / top-k /
+  * union), P8 (numeric coercion, `stable_eth_meanrevert_bot.py:63-69`),
+  * P15 (date parts, `stable_eth_meanrevert_bot.py:261-262`).
+  *
+  * Scale notes: dimension tables (region/nation/supplier) are broadcast —
+  * at 100 TB the fact side never shuffles for these joins. Aggregates are
+  * partial (map-side combine) by construction. Float aggregates are
+  * rounded so results are order-independent and oracle-stable.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: grouped sums/avgs/counts (A9/A10, P8). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multi-way equi join across the star schema → revenue per nation (J5).
+    * nation/region are broadcast; orders⋈lineitem shuffles once on the
+    * order key; customer⋈orders shuffles on custkey. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n  = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r  = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum("rev"), 4).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Broadcast lookup enrichment: supplier rows stamped with nation/region
+    * names — the Spark form of the reference's per-row cached lookups
+    * (`internal/parser/parser.go:118-160` → distinct+broadcast join, J1/J4). */
+  def enrichSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"),
+        col("r_name").as("region"), round(col("s_acctbal"), 4).as("acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Top-1 row per group via row_number (O3 — pyc `stable_fee_ml_bot.py`
+    * NOW-signal best-per-pair). Deterministic tie-break on the key. */
+  def topOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("best_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** Global sort + limit (O2 — `monthly.tail(24)` report slice). */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(24)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+
+  /** Union of two filtered scans (O4 — `indexer.go:222,234,249` appends the
+    * filtered and unfiltered log batches). Both filters push to parquet. */
+  def unionScans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.filter(col("event_type") === "purchase").withColumn("batch", lit("filtered"))
+    val b = e.filter(col("event_type") === "signup").withColumn("batch", lit("unfiltered"))
+    a.unionByName(b)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("batch"))
+      .orderBy("event_id")
+  }
+
+  /** Dedup keeping the deterministic first row per key (A12 —
+    * `drop_duplicates(subset=["tx_hash"])`, pyc `:97-98`). dropDuplicates
+    * itself keeps an arbitrary row; for oracle stability we dedup with a
+    * row_number over a total order, which is also the scalable form (one
+    * shuffle on the key, no global sort). */
+  def dedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), round(col("value"), 4).as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Numeric coercion with null-on-garbage (P8 — `to_numeric(errors=
+    * "coerce")`): pull the digits out of the props payload, try_cast, drop
+    * failures, downcast to int. */
+  def coerceProps(spark: SparkSession, dir: String): DataFrame = {
+    val digits = regexp_extract(col("props"), "(\\d+)", 1)
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        when(digits === "", lit(null)).otherwise(digits).cast("int").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** Date-part aggregation (P15/A9 — monthly/yearly return sums,
+    * `stable_eth_meanrevert_bot.py:255-266`). */
+  def monthlySales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(round(sum("o_totalprice"), 4).as("total"), count(lit(1)).as("n_orders"))
+      .orderBy("month")
+}
