@@ -28,7 +28,39 @@ object SparkEntry {
     "q_dedup_first"       -> ((s, d) => Relational.dedupFirstEvent(s, d)),
     "q_coerce_props"      -> ((s, d) => Relational.coerceProps(s, d)),
     "q_monthly_sales"     -> ((s, d) => Relational.monthlySales(s, d)),
+    // ---- time series (SURVEY §2.4, §2.2) ----
+    "q_resample_last"     -> ((s, d) => SeriesQueries.resampleLast(s, d)),
+    "q_resample_ffill"    -> ((s, d) => SeriesQueries.resampleFfill(s, d)),
+    "q_pivot_consensus"   -> ((s, d) => SeriesQueries.pivotConsensus(s, d)),
+    "q_rolling_zscore"    -> ((s, d) => SeriesQueries.rollingZscore(s, d)),
+    "q_ewm_bias"          -> ((s, d) => SeriesQueries.ewmBias(s, d)),
+    "q_fwd_label"         -> ((s, d) => SeriesQueries.forwardLabel(s, d)),
+    "q_polarity_price"    -> ((s, d) => SeriesQueries.polarityPrice(s, d)),
+    "q_canonical_pair"    -> ((s, d) => SeriesQueries.canonicalPair(s, d)),
   )
+
+  /** Shared oracle CTE: hourly resample (last per bucket, deterministic
+    * tie-break) → per-key dense grid → forward fill. Mirrors
+    * TimeSeries.resampleFfill exactly. */
+  private val FILLED_CTE =
+    """b AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events),
+       lastb AS (SELECT event_type, bucket, value FROM b WHERE rn = 1),
+       span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM lastb GROUP BY 1),
+       grid AS (SELECT event_type,
+                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                FROM span),
+       filled AS (
+         SELECT g.event_type, g.bucket,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         FROM grid g
+         LEFT JOIN lastb l ON g.event_type = l.event_type AND g.bucket = l.bucket)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -92,5 +124,106 @@ object SparkEntry {
          CAST(year(o_orderdate) AS INT) AS yr,
          round(sum(o_totalprice), 4) AS total, count(*) AS n_orders
          FROM orders GROUP BY 1, 2 ORDER BY 1""",
+    "q_resample_last" ->
+      s"""WITH b AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT event_type, bucket, round(value, 4) AS value
+         FROM b WHERE rn = 1 ORDER BY 1, 2""",
+    "q_resample_ffill" ->
+      s"""WITH $FILLED_CTE
+         SELECT event_type, bucket, round(value, 4) AS value
+         FROM filled ORDER BY 1, 2""",
+    "q_pivot_consensus" ->
+      s"""WITH $FILLED_CTE,
+         wide AS (SELECT bucket,
+           max(value) FILTER (event_type = 'click') AS click,
+           max(value) FILTER (event_type = 'error') AS error,
+           max(value) FILTER (event_type = 'purchase') AS purchase,
+           max(value) FILTER (event_type = 'signup') AS signup,
+           max(value) FILTER (event_type = 'view') AS view
+           FROM filled GROUP BY bucket),
+         m AS (SELECT *,
+           list_filter([click, error, purchase, signup, view],
+                       x -> x IS NOT NULL) AS arr
+           FROM wide),
+         m2 AS (SELECT *, list_sort(arr) AS sarr, len(arr) AS n FROM m)
+         SELECT bucket,
+           round(click, 4) AS click, round(error, 4) AS error,
+           round(purchase, 4) AS purchase, round(signup, 4) AS signup,
+           round(view, 4) AS view,
+           round(CASE WHEN n > 0 THEN list_sum(arr) / n END, 6) AS c_mean,
+           round(CASE WHEN n > 0
+             THEN (sarr[(n + 1) // 2] + sarr[(n + 2) // 2]) / 2.0 END, 6) AS c_median,
+           round(click - CASE WHEN n > 0 THEN list_sum(arr) / n END, 6) AS dev_click
+         FROM m2 ORDER BY bucket""",
+    "q_rolling_zscore" ->
+      s"""WITH $FILLED_CTE,
+         r AS (SELECT event_type, bucket, value,
+           avg(value) OVER w AS m, stddev_pop(value) OVER w AS sp,
+           stddev_samp(value) OVER w AS ss, count(value) OVER w AS cnt
+           FROM filled
+           WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT event_type, bucket,
+           round(CASE WHEN cnt >= 24 THEN m END, 6) AS m24,
+           round(CASE WHEN cnt >= 24 THEN sp END, 6) AS s24,
+           round(CASE WHEN cnt >= 8 THEN ss END, 6) AS s_samp,
+           round(CASE WHEN cnt >= 24
+             THEN (value - m) / greatest(coalesce(sp, 0.5), 0.5) END, 6) AS z
+         FROM r ORDER BY 1, 2""",
+    "q_ewm_bias" ->
+      s"""WITH $FILLED_CTE,
+         i AS (SELECT event_type, bucket, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS t
+           FROM filled),
+         w AS (SELECT *,
+           CASE WHEN t = 0 THEN value
+                ELSE (1.0 - pow(0.5, 1.0/12.0)) * pow(pow(0.5, 1.0/12.0), -t) * value
+           END AS uv FROM i),
+         s AS (SELECT event_type, bucket, t,
+           sum(uv) OVER (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+           FROM w)
+         SELECT event_type, bucket,
+           round(CASE WHEN t + 1 >= 5 THEN pow(pow(0.5, 1.0/12.0), t) * acc END, 6) AS bias
+         FROM s ORDER BY 1, 2""",
+    "q_fwd_label" ->
+      s"""WITH $FILLED_CTE,
+         c AS (SELECT bucket, avg(value) AS c_mean FROM filled GROUP BY bucket),
+         dv AS (SELECT f.event_type, f.bucket, f.value - c.c_mean AS dev
+                FROM filled f JOIN c USING (bucket)),
+         fw AS (SELECT event_type, bucket, dev,
+           max(dev) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS fmax
+           FROM dv)
+         SELECT event_type, bucket, round(dev, 6) AS dev, round(fmax, 6) AS fmax,
+           CAST(fmax - dev >= 50.0 AS INT) AS y
+         FROM fw WHERE dev < 0 AND fmax IS NOT NULL ORDER BY 1, 2""",
+    "q_polarity_price" ->
+      """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+         s AS (SELECT event_id, e.event_type,
+                 CASE WHEN med >= 0 THEN -value ELSE value END AS signed
+               FROM events e JOIN med USING (event_type))
+         SELECT event_id, event_type, round(signed, 4) AS signed,
+           round(pow(1.0001, signed), 6) AS price
+         FROM s ORDER BY event_id""",
+    "q_canonical_pair" ->
+      """WITH p AS (SELECT
+           CASE user_id % 3 WHEN 0 THEN 'DAI' WHEN 1 THEN 'USDC' ELSE 'USDT' END AS a,
+           CASE (user_id // 7) % 3 WHEN 0 THEN 'DAI' WHEN 1 THEN 'USDC' ELSE 'USDT' END AS b
+           FROM events),
+         f AS (SELECT a, b,
+                 ((a = 'DAI' AND b = 'USDC') OR (a = 'DAI' AND b = 'USDT')
+                  OR (a = 'USDC' AND b = 'USDT')) AS ok
+               FROM p WHERE a <> b),
+         q AS (SELECT CASE WHEN ok THEN a ELSE b END AS pair_a,
+                      CASE WHEN ok THEN b ELSE a END AS pair_b,
+                      CASE WHEN ok THEN 1 ELSE -1 END AS sign
+               FROM f)
+         SELECT pair_a, pair_b, sign, count(*) AS n
+         FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-checked query wiring for the TimeSeries operator family over the
+  * `events` table (key = event_type, tick = value, hourly grid). Each query
+  * has a DuckDB twin in SparkEntry.oracleSql with identical column names,
+  * rounding, and total order.
+  */
+object SeriesQueries {
+
+  private val keys = Seq("click", "error", "purchase", "signup", "view")
+
+  private def filled(s: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleFfill(Tables.events(s, d),
+      "event_type", "ts", "value", "hour", "event_id")
+
+  /** A1 bucket step. */
+  def resampleLast(s: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleLast(Tables.events(s, d),
+        "event_type", "ts", "value", "hour", "event_id")
+      .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"), round(col("value"), 4).as("value"))
+      .orderBy("event_type", "bucket")
+
+  /** A1 full: dense grid + ffill. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame =
+    filled(s, d)
+      .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"), round(col("value"), 4).as("value"))
+      .orderBy("event_type", "bucket")
+
+  /** A2+A3+A4+P13: pivot wide, row-wise consensus mean/median, deviation. */
+  def pivotConsensus(s: SparkSession, d: String): DataFrame = {
+    val wide = TimeSeries.pivotWide(filled(s, d), "bucket", "event_type", "value", keys)
+    val kc = keys.map(col)
+    val cMean = TimeSeries.rowMean(kc)
+    wide.select(
+        Seq(col("bucket").cast("timestamp_ntz").as("bucket")) ++
+        keys.map(k => round(col(k), 4).as(k)) ++
+        Seq(round(cMean, 6).as("c_mean"),
+            round(TimeSeries.rowMedian(kc), 6).as("c_median"),
+            round(col("click") - cMean, 6).as("dev_click")): _*)
+      .orderBy("bucket")
+  }
+
+  /** A5+A6+P14: rolling mean/std (pop + samp, min_periods) and floored z. */
+  def rollingZscore(s: SparkSession, d: String): DataFrame = {
+    val pop = TimeSeries.rollingStats(filled(s, d), "event_type", "bucket", "value",
+      n = 24, minPeriods = 24, ddofZero = true, meanCol = "m24", stdCol = "s24")
+    val both = TimeSeries.rollingStats(pop, "event_type", "bucket", "value",
+      n = 24, minPeriods = 8, ddofZero = false, meanCol = "m_relaxed", stdCol = "s_samp")
+    both.select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"),
+        round(col("m24"), 6).as("m24"),
+        round(col("s24"), 6).as("s24"),
+        round(col("s_samp"), 6).as("s_samp"),
+        round(when(col("m24").isNotNull,
+          (col("value") - col("m24")) / TimeSeries.sigmaFloor(col("s24"), 0.5)), 6).as("z"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** A7: EWM bias, halflife 12 buckets, min_periods 5. */
+  def ewmBias(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ewmMean(filled(s, d), "event_type", "bucket", "value",
+        halflife = 12.0, minPeriods = 5, out = "bias")
+      .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"), round(col("bias"), 6).as("bias"))
+      .orderBy("event_type", "bucket")
+
+  /** A8+P13: deviation vs cross-key consensus, forward-horizon max label. */
+  def forwardLabel(s: SparkSession, d: String): DataFrame = {
+    val f = filled(s, d)
+    val consensus = f.groupBy("bucket").agg(avg("value").as("c_mean"))
+    val dev = f.join(consensus, Seq("bucket"))
+      .withColumn("dev", col("value") - col("c_mean"))
+    TimeSeries.forwardLabel(dev, "event_type", "bucket", "dev",
+        horizon = 24, target = 50.0)
+      .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"),
+        round(col("dev"), 6).as("dev"), round(col("fmax"), 6).as("fmax"), col("y"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** P10+P12: polarity flip by per-key median sign, tick→price. */
+  def polarityPrice(s: SparkSession, d: String): DataFrame =
+    TimeSeries.polarity(Tables.events(s, d), "event_type", "value")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("signed"),
+        round(TimeSeries.tickToPrice(col("value")), 6).as("price"))
+      .orderBy("event_id")
+
+  /** P11: canonical pair + sign truth table, derived deterministically. */
+  def canonicalPair(s: SparkSession, d: String): DataFrame = {
+    val names = Seq("DAI", "USDC", "USDT")
+    def nameOf(c: org.apache.spark.sql.Column) =
+      when(c === 0, names(0)).when(c === 1, names(1)).otherwise(names(2))
+    val allowed = Seq(("DAI", "USDC"), ("DAI", "USDT"), ("USDC", "USDT"))
+    val e = Tables.events(s, d)
+      .withColumn("a", nameOf(pmod(col("user_id"), lit(3))))
+      .withColumn("b", nameOf(pmod(expr("user_id div 7"), lit(3))))
+      .filter(col("a") =!= col("b"))
+    e.withColumn("c", TimeSeries.canonizePair(col("a"), col("b"), allowed))
+      .groupBy(col("c.a").as("pair_a"), col("c.b").as("pair_b"), col("c.sign").as("sign"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pair_a", "pair_b", "sign")
+  }
+}
