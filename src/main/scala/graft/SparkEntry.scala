@@ -37,6 +37,10 @@ object SparkEntry {
     "q_fwd_label"         -> ((s, d) => SeriesQueries.forwardLabel(s, d)),
     "q_polarity_price"    -> ((s, d) => SeriesQueries.polarityPrice(s, d)),
     "q_canonical_pair"    -> ((s, d) => SeriesQueries.canonicalPair(s, d)),
+    // ---- stateful FSM backtests (SURVEY §2.6) ----
+    "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
+    "q_fsm_zscore"        -> ((s, d) => SeriesQueries.fsmZscore(s, d)),
+    "q_trade_monthly"     -> ((s, d) => SeriesQueries.tradeReturnsMonthly(s, d)),
   )
 
   /** Shared oracle CTE: hourly resample (last per bucket, deterministic
@@ -225,5 +229,116 @@ object SparkEntry {
                FROM f)
          SELECT pair_a, pair_b, sign, count(*) AS n
          FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_fsm_meanrev" ->
+      s"""WITH RECURSIVE $FILLED_CTE,
+         $MEANREV_WALK
+         SELECT pool, t_side AS side, t_ets AS entry_ts, t_xts AS exit_ts,
+           round(t_epx, 4) AS entry_price, round(t_xpx, 4) AS exit_price,
+           round(CASE WHEN t_side = 'long' THEN (t_xpx - t_epx) / t_epx
+                      ELSE (t_epx - t_xpx) / t_epx END, 6) AS pct_return
+         FROM walk WHERE t_side IS NOT NULL ORDER BY pool, entry_ts""",
+    "q_trade_monthly" ->
+      s"""WITH RECURSIVE $FILLED_CTE,
+         $MEANREV_WALK,
+         trades AS (
+           SELECT pool, t_xts AS exit_ts,
+             round(CASE WHEN t_side = 'long' THEN (t_xpx - t_epx) / t_epx
+                        ELSE (t_epx - t_xpx) / t_epx END, 6) AS pct_return
+           FROM walk WHERE t_side IS NOT NULL)
+         SELECT pool, CAST(date_trunc('month', exit_ts) AS DATE) AS month,
+           round(sum(pct_return), 6) AS pct_return, count(*) AS n_trades
+         FROM trades GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_fsm_zscore" ->
+      s"""WITH RECURSIVE $FILLED_CTE,
+         c AS (SELECT bucket, avg(value) AS c_mean FROM filled GROUP BY bucket),
+         zt AS (SELECT f.event_type AS pool, f.bucket AS ts, f.value AS price,
+                  f.value - c.c_mean AS dev
+                FROM filled f JOIN c USING (bucket)),
+         r AS (SELECT pool, ts, price,
+           CASE WHEN count(dev) OVER w >= 24
+             THEN (dev - avg(dev) OVER w) / stddev_pop(dev) OVER w END AS z,
+           row_number() OVER (PARTITION BY pool ORDER BY ts) AS rn
+           FROM zt
+           WINDOW w AS (PARTITION BY pool ORDER BY ts
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         walk AS (
+           SELECT pool, 0 AS rn, CAST(NULL AS VARCHAR) AS side,
+             CAST(NULL AS INT) AS e_rn, CAST(NULL AS TIMESTAMP) AS e_ts,
+             CAST(NULL AS DOUBLE) AS e_px, CAST(NULL AS DOUBLE) AS e_z,
+             CAST(NULL AS VARCHAR) AS t_side, CAST(NULL AS TIMESTAMP) AS t_ets,
+             CAST(NULL AS TIMESTAMP) AS t_xts, CAST(NULL AS DOUBLE) AS t_epx,
+             CAST(NULL AS DOUBLE) AS t_xpx, CAST(NULL AS DOUBLE) AS t_ez,
+             CAST(NULL AS DOUBLE) AS t_xz, CAST(NULL AS INT) AS t_held
+           FROM (SELECT DISTINCT pool FROM r)
+           UNION ALL
+           SELECT pool, rn,
+             CASE WHEN xc THEN NULL
+                  WHEN en THEN CASE WHEN z <= -2.0 THEN 'long' ELSE 'short' END
+                  ELSE side END,
+             CASE WHEN xc THEN NULL WHEN en THEN rn ELSE e_rn END,
+             CASE WHEN xc THEN NULL WHEN en THEN ts ELSE e_ts END,
+             CASE WHEN xc THEN NULL WHEN en THEN price ELSE e_px END,
+             CASE WHEN xc THEN NULL WHEN en THEN z ELSE e_z END,
+             CASE WHEN xc THEN side END,
+             CASE WHEN xc THEN e_ts END,
+             CASE WHEN xc THEN ts END,
+             CASE WHEN xc THEN e_px END,
+             CASE WHEN xc THEN price END,
+             CASE WHEN xc THEN e_z END,
+             CASE WHEN xc THEN z END,
+             CASE WHEN xc THEN rn - e_rn END
+           FROM (
+             SELECT s.pool, s.rn, s.ts, s.price, s.z,
+               w.side, w.e_rn, w.e_ts, w.e_px, w.e_z,
+               (w.side IS NOT NULL AND s.z IS NOT NULL AND NOT isnan(s.z)
+                AND ((w.side = 'long' AND s.z >= -0.2)
+                     OR (w.side = 'short' AND s.z <= 0.2)
+                     OR s.rn - w.e_rn >= 48)) AS xc,
+               (w.side IS NULL AND s.z IS NOT NULL AND NOT isnan(s.z)
+                AND (s.z <= -2.0 OR s.z >= 2.0)) AS en
+             FROM walk w JOIN r s ON s.pool = w.pool AND s.rn = w.rn + 1))
+         SELECT pool, t_side AS side, t_ets AS entry_ts, t_xts AS exit_ts,
+           round(t_epx, 4) AS entry_price, round(t_xpx, 4) AS exit_price,
+           round(t_ez, 6) AS entry_z, round(t_xz, 6) AS exit_z,
+           round(CASE WHEN t_side = 'long' THEN (t_xpx - t_epx) / t_epx
+                      ELSE (t_epx - t_xpx) / t_epx END, 6) AS pct_return,
+           t_held AS held_rows
+         FROM walk WHERE t_side IS NOT NULL ORDER BY pool, entry_ts""",
   )
+
+  /** Shared oracle walk: the F1 mean-reversion FSM as a recursive CTE
+    * (exact mirror of Backtest.meanReversion; validated against the
+    * reference's own simulate_mean_reversion on the same series). */
+  private val MEANREV_WALK =
+    """c AS (SELECT bucket, avg(value) AS c_mean FROM filled GROUP BY bucket),
+       s AS (SELECT f.event_type AS pool, f.bucket AS ts, f.value AS price,
+               (f.value - c.c_mean) / c.c_mean AS dev,
+               row_number() OVER (PARTITION BY f.event_type ORDER BY f.bucket) AS rn
+             FROM filled f JOIN c USING (bucket)),
+       walk AS (
+         SELECT pool, 0 AS rn, CAST(NULL AS VARCHAR) AS side,
+           CAST(NULL AS TIMESTAMP) AS e_ts, CAST(NULL AS DOUBLE) AS e_px,
+           CAST(NULL AS VARCHAR) AS t_side, CAST(NULL AS TIMESTAMP) AS t_ets,
+           CAST(NULL AS TIMESTAMP) AS t_xts, CAST(NULL AS DOUBLE) AS t_epx,
+           CAST(NULL AS DOUBLE) AS t_xpx
+         FROM (SELECT DISTINCT pool FROM s)
+         UNION ALL
+         SELECT pool, rn,
+           CASE WHEN xc THEN NULL
+                WHEN en THEN CASE WHEN dev <= -0.5 THEN 'long' ELSE 'short' END
+                ELSE side END,
+           CASE WHEN xc THEN NULL WHEN en THEN ts ELSE e_ts END,
+           CASE WHEN xc THEN NULL WHEN en THEN price ELSE e_px END,
+           CASE WHEN xc THEN side END,
+           CASE WHEN xc THEN e_ts END,
+           CASE WHEN xc THEN ts END,
+           CASE WHEN xc THEN e_px END,
+           CASE WHEN xc THEN price END
+         FROM (
+           SELECT s.pool, s.rn, s.ts, s.price, s.dev,
+             w.side, w.e_ts, w.e_px,
+             (w.side IS NOT NULL AND ((w.side = 'long' AND s.dev >= 0)
+                                      OR (w.side = 'short' AND s.dev <= 0))) AS xc,
+             (w.side IS NULL AND (s.dev <= -0.5 OR s.dev >= 0.5)) AS en
+           FROM walk w JOIN s ON s.pool = w.pool AND s.rn = w.rn + 1))"""
 }

@@ -79,6 +79,56 @@ object SeriesQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** F1: mean-reversion FSM over the hourly grid. dev = fractional
+    * deviation vs cross-key consensus; threshold 0.5 (50%). */
+  def fsmMeanrev(s: SparkSession, d: String): DataFrame = {
+    val f = filled(s, d)
+    val consensus = f.groupBy("bucket").agg(avg("value").as("c_mean"))
+    val dev = f.join(consensus, Seq("bucket"))
+      .withColumn("dev", (col("value") - col("c_mean")) / col("c_mean"))
+    Backtest.meanReversion(dev, "event_type", "bucket", "value", "dev", thr = 0.5)
+      .select(col("pool"), col("side"),
+        col("entry_ts").cast("timestamp_ntz").as("entry_ts"),
+        col("exit_ts").cast("timestamp_ntz").as("exit_ts"),
+        round(col("entry_price"), 4).as("entry_price"),
+        round(col("exit_price"), 4).as("exit_price"),
+        round(col("pct_return"), 6).as("pct_return"))
+      .orderBy("pool", "entry_ts")
+  }
+
+  /** F2: z-score reversion FSM with one-sided exits + time stop.
+    * z from rolling(24, min_periods=24, ddof=0) of absolute deviation. */
+  def fsmZscore(s: SparkSession, d: String): DataFrame = {
+    val f = filled(s, d)
+    val consensus = f.groupBy("bucket").agg(avg("value").as("c_mean"))
+    val dev = f.join(consensus, Seq("bucket"))
+      .withColumn("dev", col("value") - col("c_mean"))
+    val withZ = TimeSeries.rollingStats(dev, "event_type", "bucket", "dev",
+        n = 24, minPeriods = 24, ddofZero = true, meanCol = "rm", stdCol = "rs")
+      .withColumn("z", (col("dev") - col("rm")) / col("rs"))
+    Backtest.zscoreReversion(withZ, "event_type", "bucket", "value", "z",
+        entryZ = 2.0, exitZ = 0.2, maxHold = 48)
+      .select(col("pool"), col("side"),
+        col("entry_ts").cast("timestamp_ntz").as("entry_ts"),
+        col("exit_ts").cast("timestamp_ntz").as("exit_ts"),
+        round(col("entry_price"), 4).as("entry_price"),
+        round(col("exit_price"), 4).as("exit_price"),
+        round(col("entry_z"), 6).as("entry_z"),
+        round(col("exit_z"), 6).as("exit_z"),
+        round(col("pct_return"), 6).as("pct_return"), col("held_rows"))
+      .orderBy("pool", "entry_ts")
+  }
+
+  /** A9 on F1 output: monthly aggregated returns of the trades table
+    * (`aggregate_returns`, ref `:255-266`). */
+  def tradeReturnsMonthly(s: SparkSession, d: String): DataFrame =
+    fsmMeanrev(s, d)
+      .groupBy(col("pool"),
+        to_date(date_trunc("month", col("exit_ts"))).as("month"))
+      .agg(round(sum("pct_return"), 6).as("pct_return"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("pool", "month")
+
   /** P10+P12: polarity flip by per-key median sign, tick→price. */
   def polarityPrice(s: SparkSession, d: String): DataFrame =
     TimeSeries.polarity(Tables.events(s, d), "event_type", "value")
