@@ -18,15 +18,15 @@ import org.apache.spark.sql.types._
   */
 object Backtest {
 
-  private val tradeSchema = StructType(Seq(
+  private def tradeSchema(tsType: DataType) = StructType(Seq(
     StructField("pool", StringType), StructField("side", StringType),
-    StructField("entry_ts", TimestampType), StructField("exit_ts", TimestampType),
+    StructField("entry_ts", tsType), StructField("exit_ts", tsType),
     StructField("entry_price", DoubleType), StructField("exit_price", DoubleType),
     StructField("pct_return", DoubleType)))
 
-  private val zTradeSchema = StructType(Seq(
+  private def zTradeSchema(tsType: DataType) = StructType(Seq(
     StructField("pool", StringType), StructField("side", StringType),
-    StructField("entry_ts", TimestampType), StructField("exit_ts", TimestampType),
+    StructField("entry_ts", tsType), StructField("exit_ts", tsType),
     StructField("entry_price", DoubleType), StructField("exit_price", DoubleType),
     StructField("entry_z", DoubleType), StructField("exit_z", DoubleType),
     StructField("pct_return", DoubleType), StructField("held_rows", IntegerType)))
@@ -51,7 +51,7 @@ object Backtest {
     */
   def meanReversion(df: DataFrame, key: String, ts: String, price: String,
                     dev: String, thr: Double): DataFrame = {
-    implicit val enc = Encoders.row(tradeSchema)
+    implicit val enc = Encoders.row(tradeSchema(df.schema(ts).dataType))
     implicit val keyEnc = Encoders.STRING
     import org.apache.spark.sql.functions.col
     df.select(col(key).cast("string"), col(ts), col(price).cast("double"),
@@ -94,7 +94,7 @@ object Backtest {
   def zscoreReversion(df: DataFrame, key: String, ts: String, price: String,
                       z: String, entryZ: Double, exitZ: Double,
                       maxHold: Int): DataFrame = {
-    implicit val enc = Encoders.row(zTradeSchema)
+    implicit val enc = Encoders.row(zTradeSchema(df.schema(ts).dataType))
     implicit val keyEnc = Encoders.STRING
     import org.apache.spark.sql.functions.col
     df.select(col(key).cast("string"), col(ts), col(price).cast("double"),
