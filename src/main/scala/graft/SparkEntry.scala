@@ -41,7 +41,38 @@ object SparkEntry {
     "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
     "q_fsm_zscore"        -> ((s, d) => SeriesQueries.fsmZscore(s, d)),
     "q_trade_monthly"     -> ((s, d) => SeriesQueries.tradeReturnsMonthly(s, d)),
+    // ---- training-data pipeline: text / dedup / similarity ----
+    "q_text_stats"        -> ((s, d) => DataQueries.textStats(s, d)),
+    "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
+    "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
+    "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
+    "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
+    "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
+    "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
+    "q_simhash_pairs"     -> ((s, d) => DataQueries.simhashPairs(s, d)),
+    "q_cosine_topk"       -> ((s, d) => DataQueries.cosineTopK(s, d)),
+    "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
+    "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
   )
+
+  /** Shared oracle fragments for the text/dedup family. */
+  private val H64 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+  private val TOKS_CTE =
+    """toks AS (SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+       FROM documents)"""
+  private val SHING_CTE =
+    """shing AS (SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+           THEN list_distinct(list_transform(range(len(tk) - 2),
+                  i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+           ELSE [] END AS shs
+       FROM toks)"""
+  private val SIG_CTE =
+    """sh AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+       sig AS (SELECT doc_id AS doc, i,
+                 min(('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT) AS sigv
+               FROM sh, range(32) AS r(i) GROUP BY 1, 2)"""
 
   /** Shared oracle CTE: hourly resample (last per bucket, deterministic
     * tie-break) → per-key dense grid → forward fill. Mirrors
@@ -304,6 +335,157 @@ object SparkEntry {
                       ELSE (t_epx - t_xpx) / t_epx END, 6) AS pct_return,
            t_held AS held_rows
          FROM walk WHERE t_side IS NOT NULL ORDER BY pool, entry_ts""",
+    "q_text_stats" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         st AS (SELECT t.doc_id, t.text, t.tk, g.shs,
+                  len(t.tk) AS n_tokens,
+                  CASE WHEN len(t.tk) > 0 THEN
+                    list_sum(list_transform(t.tk, x -> len(x)))::DOUBLE / len(t.tk) END AS mtl,
+                  CASE WHEN len(t.tk) > 0 THEN
+                    len(list_filter(t.tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                      / len(t.tk) END AS stop_r,
+                  CASE WHEN len(t.text) > 0 THEN
+                    (len(t.text) - len(regexp_replace(t.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                      / len(t.text) END AS punct_r
+                FROM toks t JOIN shing g USING (doc_id))
+         SELECT doc_id, n_tokens,
+           round(mtl, 6) AS mean_tok_len,
+           round(stop_r, 6) AS stop_ratio,
+           round(punct_r, 6) AS punct_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (1.0 - coalesce(punct_r, 0.0))
+               + 0.3 * least(coalesce(stop_r, 0.0) * 5.0, 1.0), 6) AS quality,
+           ${H64.format("text")} AS content_hash,
+           list_min(list_transform(shs,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingle_fp
+         FROM st ORDER BY doc_id""",
+    "q_lang_id" ->
+      s"""WITH $TOKS_CTE,
+         sc AS (SELECT doc_id,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('der','die','und','das','ist')))::DOUBLE / len(tk) ELSE 0 END AS s_de,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('the','a','of','and','is')))::DOUBLE / len(tk) ELSE 0 END AS s_en,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('el','la','de','que','y')))::DOUBLE / len(tk) ELSE 0 END AS s_es,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('le','la','et','les','des')))::DOUBLE / len(tk) ELSE 0 END AS s_fr
+           FROM toks)
+         SELECT doc_id, round(s_de, 6) AS s_de, round(s_en, 6) AS s_en,
+           round(s_es, 6) AS s_es, round(s_fr, 6) AS s_fr,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                ELSE 'und' END AS pred
+         FROM sc ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      s"""SELECT ${H64.format("text")} AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q_jaccard_pairs" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, inter,
+                 inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
+         FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    "q_minhash_sig" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE
+         SELECT doc, i, sigv FROM sig ORDER BY doc, i""",
+    "q_lsh_pairs" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         bands AS (SELECT doc, i // 2 AS band,
+                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc)
+         SELECT doc_a, doc_b,
+           round(count(*) FILTER (x.sigv = y.sigv) / 32.0, 6) AS est_jaccard
+         FROM cand JOIN sig x ON x.doc = doc_a
+                   JOIN sig y ON y.doc = doc_b AND x.i = y.i
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_simhash" ->
+      s"""WITH $TOKS_CTE,
+         tt AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+         th AS (SELECT doc_id, ${H64.format("t")} AS h FROM tt),
+         bits AS (SELECT doc_id, j,
+                    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+                  FROM th, range(48) AS r(j) GROUP BY 1, 2)
+         SELECT doc_id AS doc,
+           sum(CASE WHEN sc > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+         FROM bits GROUP BY 1 ORDER BY 1""",
+    "q_simhash_pairs" ->
+      s"""WITH $TOKS_CTE,
+         tt AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+         th AS (SELECT doc_id, ${H64.format("t")} AS h FROM tt),
+         bits AS (SELECT doc_id, j,
+                    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+                  FROM th, range(48) AS r(j) GROUP BY 1, 2),
+         simh AS (SELECT doc_id AS doc,
+                    sum(CASE WHEN sc > 0 THEN 1::BIGINT << j ELSE 0 END) AS sh48
+                  FROM bits GROUP BY 1)
+         SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.sh48, b.sh48)) AS hamming
+         FROM simh a JOIN simh b ON a.doc < b.doc
+         WHERE bit_count(xor(a.sh48, b.sh48)) <= 4
+         ORDER BY 1, 2""",
+    "q_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "q_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))) AS cos
+               FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos
+         FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    "q_ann_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         ex AS (SELECT vec_id, p, d, ve[d + 1] AS x
+                FROM v, range(8) AS rp(p), range(64) AS rd(d)),
+         pw AS (SELECT vec_id, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5(p || ',' || d), 1, 15))::BIGINT % 2000001)
+                       - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2),
+         bk AS (SELECT vec_id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                        ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1),
+         wb AS (SELECT v.vec_id, v.ve, bk.bucket FROM v JOIN bk USING (vec_id)),
+         sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM wb q JOIN wb c ON q.bucket = c.bucket
+                  AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
   )
 
   /** Shared oracle walk: the F1 mean-reversion FSM as a recursive CTE

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-checked query wiring for the training-data-pipeline operator
+  * families (TextOps / DedupOps / VectorOps) over `documents` and
+  * `embeddings`. Column names, rounding and ordering mirror the DuckDB
+  * twins in SparkEntry.oracleSql.
+  */
+object DataQueries {
+
+  /** Text quality + fingerprint stats per document. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(t).as("n_tokens"),
+        round(TextOps.meanTokenLen(t), 6).as("mean_tok_len"),
+        round(TextOps.wordRatio(t, TextOps.EnStop), 6).as("stop_ratio"),
+        round(TextOps.punctRatio(t), 6).as("punct_ratio"),
+        round(TextOps.qualityScore(t), 6).as("quality"),
+        TextOps.h64(t).as("content_hash"),
+        TextOps.minShingleFingerprint(t, 3).as("shingle_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: per-language stopword scores + prediction. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val scores = TextOps.langScores(t)
+    Tables.documents(s, d).select(
+        Seq(col("doc_id")) ++
+        scores.map { case (l, c) => round(c, 6).as(s"s_$l") } ++
+        Seq(TextOps.langId(t).as("pred")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup by content hash. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .select("content_hash", "keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  /** n-gram Jaccard near-dup pairs, 3-gram shingles, threshold 0.1. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash signatures, k=32, long format. */
+  def minhashSig(s: SparkSession, d: String): DataFrame =
+    DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", k = 32)
+      .orderBy("doc", "i")
+
+  /** LSH candidate pairs (b=16, r=2) with estimated Jaccard. */
+  def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", k = 32)
+    DedupOps.lshCandidates(sig, k = 32, r = 2)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 48-bit SimHash fingerprints. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc")
+
+  /** SimHash near-dup pairs (Hamming ≤ 4) via the banded scale path —
+    * pigeonhole-exact, so it must equal the oracle's plain pairwise scan. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhashPairsBanded(
+        DedupOps.simhash(Tables.documents(s, d), "doc_id", "text"),
+        bits = 48, maxHamming = 4)
+      .orderBy("doc_a", "doc_b")
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    VectorOps.cosineTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding near-dup pairs, cosine ≥ 0.4. */
+  def cosineNearDup(s: SparkSession, d: String): DataFrame =
+    VectorOps.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+
+  /** ANN top-3 via sign-random-projection LSH (8 planes), queries vec_id<10. */
+  def annTopK(s: SparkSession, d: String): DataFrame =
+    VectorOps.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 8, k = 3, queryPred = col("vec_id") < 10)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+}

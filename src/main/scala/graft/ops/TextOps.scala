@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * pure column expressions (whole-stage codegen'd, no UDFs), so they
+  * scale linearly with the scan and push no state to the driver.
+  */
+object TextOps {
+
+  /** Deterministic 60-bit content hash: first 15 hex chars of md5 as a
+    * bigint. Stable across engines (the DuckDB oracle computes the same
+    * bytes), which is what a reproducible dedup pipeline needs — never
+    * hash with partition-dependent seeds. */
+  def h64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles. Empty array when the document has
+    * fewer than n tokens (guard needed: Spark `sequence` with start >
+    * stop would count backwards). */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) > 0,
+      aggregate(tk, lit(0.0), (acc, t) => acc + length(t)) / size(tk))
+  }
+
+  /** Fraction of tokens that are in `words` (e.g. stopword ratio —
+    * a classic quality / language signal). */
+  def wordRatio(text: Column, words: Seq[String]): Column = {
+    val tk = tokens(text)
+    val hits = size(filter(tk, t => words.map(t === _).reduce(_ || _)))
+    when(size(tk) > 0, hits.cast("double") / size(tk))
+  }
+
+  /** Fraction of characters that are not [a-zA-Z0-9 ] (punctuation /
+    * symbol density). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text))
+
+  val EnStop = Seq("the", "a", "of", "and", "is")
+
+  /** Composite quality score in [0,1]: length saturation + low symbol
+    * density + stopword presence — the shape of a fastText-style
+    * heuristic filter, fully columnar. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(tokenCount(text).cast("double") / 100.0, lit(1.0)) +
+    lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(0.0))) +
+    lit(0.3) * least(coalesce(wordRatio(text, EnStop), lit(0.0)) * 5.0, lit(1.0))
+
+  /** Language profiles for the n-gram/stopword language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Language ID: per-language stopword hit ratio, argmax with a
+    * deterministic first-wins tie-break in profile order. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, words) =>
+      lang -> coalesce(wordRatio(text, words), lit(0.0))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Document fingerprint: min shingle hash (winnowing-style selection
+    * of a representative n-gram hash; robust to small edits, unlike the
+    * whole-content hash). Null when no shingles. */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(shingles(text, n), s => h64(s)))
+}
