@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,6 +54,17 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => DataQueries.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
+    // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
+    "q_evm_decode"        -> ((s, d) => {
+      import graft.evm.LogPipeline
+      LogPipeline.decodeTransfers(LogPipeline.synthesizeLogs(graft.Tables.events(s, d)))
+        .select(col("tx_hash"), col("block_number"),
+          col("from_addr"), col("to_addr"),
+          col("value").cast("long").as("value"), col("value_or_hex"))
+        .orderBy("tx_hash")
+    }),
+    "q_evm_daily"         -> ((s, d) => graft.evm.LogPipeline.dailyVolume(s, d)
+      .orderBy("day")),
   )
 
   /** Shared oracle fragments for the text/dedup family. */
@@ -486,6 +498,31 @@ object SparkEntry {
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
          FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    // The oracle computes the pipeline's EXPECTED output straight from
+    // `events` — a pass proves the Spark-side ABI encode → keccak topic
+    // dispatch → decode → enrich loop is lossless.
+    "q_evm_decode" ->
+      """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
+           event_id // 10 AS block_number,
+           '0x' || lpad(printf('%x', user_id), 40, '0') AS from_addr,
+           '0x' || lpad(printf('%x', (user_id * 7 + 1) % 1000), 40, '0') AS to_addr,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) END AS value,
+           CASE WHEN event_id % 97 = 0 THEN '0xdead'
+                ELSE CAST(round(value * 100) AS BIGINT)::VARCHAR END AS value_or_hex
+         FROM events WHERE event_type IN ('click', 'purchase', 'view')
+         ORDER BY tx_hash""",
+    "q_evm_daily" ->
+      """WITH logs AS (SELECT event_id // 10 AS block_number, ts, event_type,
+                         value, event_id FROM events),
+         bts AS (SELECT block_number, min(ts) AS block_ts FROM logs GROUP BY 1),
+         tr AS (SELECT l.*, b.block_ts FROM logs l JOIN bts b USING (block_number)
+                WHERE l.event_type IN ('click', 'purchase', 'view')
+                  AND l.event_id % 97 <> 0)
+         SELECT CAST(date_trunc('day', block_ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume,
+           count(*) AS n_transfers
+         FROM tr GROUP BY 1 ORDER BY 1""",
   )
 
   /** Shared oracle walk: the F1 mean-reversion FSM as a recursive CTE

@@ -1,0 +1,89 @@
+package graft.evm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** End-to-end EVM log pipeline (SURVEY.md §3.1 re-expressed on Spark):
+  * raw logs → topic0 dispatch → ABI decode → block-timestamp enrichment
+  * (distinct + broadcast join, replacing the reference's per-row RPC
+  * cache, parser.go:118-130) → daily aggregation.
+  *
+  * Offline logs are *synthesized deterministically* from the `events`
+  * test table and then decoded back — the DuckDB oracle computes the
+  * expected result directly from `events`, so a correctness pass proves
+  * the whole encode→keccak-dispatch→decode→enrich→aggregate loop is
+  * lossless. On a real chain the same pipeline hangs off a log dump
+  * (parquet) or an RPC source; nothing below depends on the synthesis.
+  */
+object LogPipeline {
+
+  val TransferSig = "Transfer(address,address,uint256)"
+  val ApprovalSig = "Approval(address,address,uint256)"
+
+  /** Deterministic raw-log synthesis from `events`: Transfer logs for
+    * click/purchase/view, Approval for error/signup; every 97th event's
+    * payload is truncated garbage (exercises P7 malformed-row skip).
+    * Layout matches real `eth_getLogs` rows: address, 0..3 topics
+    * (binary words), ABI-encoded data, tx/block metadata. */
+  def synthesizeLogs(events: DataFrame): DataFrame = {
+    val t0 = lit(Keccak.eventTopic0(TransferSig))
+    val a0 = lit(Keccak.eventTopic0(ApprovalSig))
+    val isTransfer = col("event_type").isin("click", "purchase", "view")
+    val fromWord = lpad(lower(hex(col("user_id"))), 64, "0")
+    val toWord = lpad(lower(hex(pmod(col("user_id") * 7 + 1, lit(1000)))), 64, "0")
+    val valueCents = round(col("value") * 100).cast("long")
+    events.select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      expr("event_id div 10").cast("long").as("block_number"),
+      concat(lit("0x"), lpad(lower(hex(pmod(col("user_id"), lit(3)))), 40, "0"))
+        .as("address"),
+      when(isTransfer, t0).otherwise(a0).as("topic0"),
+      unhex(fromWord).as("topic1"),
+      unhex(toWord).as("topic2"),
+      when(pmod(col("event_id"), lit(97)) === 0, unhex(lit("dead")))
+        .otherwise(unhex(lpad(lower(hex(valueCents)), 64, "0"))).as("data"),
+      col("ts"))
+  }
+
+  /** Per-block timestamps: the enrichment dimension (stand-in for
+    * `HeaderByNumber`), built once and broadcast — the Spark form of the
+    * reference's per-block memo cache (J1). */
+  def blockTimestamps(logs: DataFrame): DataFrame =
+    logs.groupBy("block_number").agg(min("ts").as("block_ts"))
+
+  /** Decode Transfer logs: plan-time topic0 filter (P1/P3), indexed
+    * topics via abi_decode_word (P5), payload via abi_decode_data (P4),
+    * metadata projection (P6), raw-hex fallback for malformed payloads
+    * (P5/P7). */
+  def decodeTransfers(logs: DataFrame): DataFrame = {
+    val t0 = Keccak.eventTopic0(TransferSig) // plan-time constant
+    logs.filter(col("topic0") === lit(t0))
+      .select(
+        col("tx_hash"), col("block_number"), col("address").as("contract"),
+        lit("Token").as("contract_name"), lit("Transfer").as("event_name"),
+        lit("1").as("chain_id"),
+        expr("abi_decode_word(topic1, 'address')").as("from_addr"),
+        expr("abi_decode_word(topic2, 'address')").as("to_addr"),
+        expr("abi_decode_data(data, 'uint256')").getField("arg0").as("value"),
+        coalesce(expr("abi_decode_data(data, 'uint256')").getField("arg0").cast("string"),
+          concat(lit("0x"), lower(hex(col("data"))))).as("value_or_hex"))
+  }
+
+  /** Decoded + enriched Transfer rows (block timestamp joined broadcast). */
+  def enrichedTransfers(spark: SparkSession, dir: String): DataFrame = {
+    val logs = synthesizeLogs(Tables.events(spark, dir))
+    decodeTransfers(logs)
+      .join(broadcast(blockTimestamps(logs)), Seq("block_number"), "left")
+  }
+
+  /** Daily transfer volume: the §7.2 flagship slice — decode, enrich,
+    * date_trunc aggregate. Malformed payloads (null value) are dropped
+    * and counted separately upstream (P7). */
+  def dailyVolume(spark: SparkSession, dir: String): DataFrame =
+    enrichedTransfers(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(date_trunc("day", col("block_ts"))).as("day"))
+      .agg(sum(col("value")).cast("long").as("volume"),
+        count(lit(1)).as("n_transfers"))
+}

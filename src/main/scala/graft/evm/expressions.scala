@@ -1,0 +1,152 @@
+package graft.evm
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.expressions.ExpressionDescription
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the EVM surface (SURVEY.md §4:
+  * `keccak256`, `abi_decode_*`, `event_signature_hash`). Registered
+  * through SparkSessionExtensions (see [[GraftExtensions]]) so they are
+  * available both from the Column API and in SQL text.
+  */
+
+/** keccak256(binary) → 32-byte binary. Whole-stage-codegen'd via a
+  * static call — stays inside the generated loop, no virtual dispatch. */
+case class Keccak256Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs binary input")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "keccak256"
+  override protected def nullSafeEval(input: Any): Any =
+    Keccak.hash256(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.evm.Keccak.hash256($c)")
+  override protected def withNewChildInternal(newChild: Expression): Keccak256Expr =
+    copy(child = newChild)
+}
+
+/** evm_topic0(signature string) → "0x…" topic hash string. Constant-
+  * folds when the signature is a literal (the plan-time precomputation
+  * the reference does in `indexer.go:54-88`). */
+case class EventTopic0Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string input")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "evm_topic0"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Keccak.eventTopic0(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.evm.Keccak.eventTopic0($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): EventTopic0Expr =
+    copy(child = newChild)
+}
+
+/** abi_decode_word(word binary, 'type') → typed value (P5). The type
+  * argument must be a foldable string; output type derives from it:
+  * numeric → decimal(38,0), bool → boolean, else string. Decode failure
+  * or overflow → null (compose `coalesce(abi_decode_word(t, …), hex(t))`
+  * for the reference's raw-hex fallback, parser.go:100-102). */
+case class AbiDecodeWordExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, foldable string)")
+  override def prettyName: String = "abi_decode_word"
+
+  private lazy val abiType: String =
+    right.eval(null).asInstanceOf[UTF8String].toString
+
+  override def foldable: Boolean = left.foldable
+  override lazy val dataType: DataType = abiType match {
+    case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
+    case "bool" => BooleanType
+    case _ => StringType
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = left.eval(input)
+    if (w == null) null
+    else AbiCodec.decodeWord(w.asInstanceOf[Array[Byte]], abiType) match {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+      case d: java.math.BigDecimal => Decimal(d, 38, 0)
+      case b: java.lang.Boolean => b
+      case o => o
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** abi_decode_data(data binary, 'type1,type2,…') → struct<arg0 …> (P4).
+  * Static types are word-indexed; string/bytes follow head offsets.
+  * Malformed fields decode to null instead of failing the row (P7). */
+case class AbiDecodeDataExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, foldable string)")
+  override def prettyName: String = "abi_decode_data"
+
+  private lazy val types: Seq[String] =
+    right.eval(null).asInstanceOf[UTF8String].toString.split(",").map(_.trim).toSeq
+
+  private def fieldType(t: String): DataType = t match {
+    case x if x.startsWith("uint") || x.startsWith("int") => DecimalType(38, 0)
+    case "bool" => BooleanType
+    case _ => StringType
+  }
+
+  override lazy val dataType: DataType = StructType(
+    types.zipWithIndex.map { case (t, i) => StructField(s"arg$i", fieldType(t)) })
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = left.eval(input)
+    if (d == null) return null
+    val vals = AbiCodec.decodeData(d.asInstanceOf[Array[Byte]], types).map {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+      case bd: java.math.BigDecimal => Decimal(bd, 38, 0)
+      case o => o
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SparkSessionExtensions installer: `GraftSession` wires this in, so
+  * `expr("keccak256(x)")`, `evm_topic0`, `abi_decode_word`,
+  * `abi_decode_data` work in SQL and the Column API alike. */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("keccak256"),
+      new ExpressionInfo(classOf[Keccak256Expr].getName, "keccak256"),
+      (args: Seq[Expression]) => Keccak256Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("evm_topic0"),
+      new ExpressionInfo(classOf[EventTopic0Expr].getName, "evm_topic0"),
+      (args: Seq[Expression]) => EventTopic0Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("abi_decode_word"),
+      new ExpressionInfo(classOf[AbiDecodeWordExpr].getName, "abi_decode_word"),
+      (args: Seq[Expression]) => AbiDecodeWordExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("abi_decode_data"),
+      new ExpressionInfo(classOf[AbiDecodeDataExpr].getName, "abi_decode_data"),
+      (args: Seq[Expression]) => AbiDecodeDataExpr(args(0), args(1))))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.evm.{AbiCodec, AbiSchema, Keccak}
+import org.scalatest.funsuite.AnyFunSuite
+import java.math.BigInteger
+
+/** Keccak + ABI codec against public test vectors (no Spark needed). */
+class EvmSpec extends AnyFunSuite {
+
+  test("keccak256 standard vectors") {
+    assert(Keccak.hex(Keccak.hash256(Array.emptyByteArray)) ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(Keccak.hex(Keccak.hash256("abc".getBytes("UTF-8"))) ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    // > one rate block (136 bytes) to exercise multi-block absorb
+    val long = Array.fill[Byte](200)('a'.toByte)
+    assert(Keccak.hash256(long).length == 32)
+  }
+
+  test("canonical event topic0 hashes (ERC-20 / Ownable)") {
+    assert(Keccak.eventTopic0("Transfer(address,address,uint256)") ==
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(Keccak.eventTopic0("Approval(address,address,uint256)") ==
+      "0x8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925")
+    assert(Keccak.eventTopic0("OwnershipTransferred(address,address)") ==
+      "0x8be0079c531659141344cd1fd0a4f28419497f9722a3daafe3b4186f6b6457e0")
+  }
+
+  test("abi word decode: address, uint, negative int, bool") {
+    val addr = AbiCodec.encodeWord("0x00000000000000000000000000000000000000ff", "address")
+    assert(AbiCodec.decodeWord(addr, "address") ==
+      "0x00000000000000000000000000000000000000ff")
+    val u = AbiCodec.encodeWord(BigInteger.valueOf(123456789L), "uint256")
+    assert(AbiCodec.decodeWord(u, "uint256").asInstanceOf[java.math.BigDecimal]
+      .longValueExact() == 123456789L)
+    val n = AbiCodec.encodeWord(BigInteger.valueOf(-42), "int24")
+    assert(AbiCodec.decodeWord(n, "int24").asInstanceOf[java.math.BigDecimal]
+      .longValueExact() == -42L)
+    val b = AbiCodec.encodeWord(true, "bool")
+    assert(AbiCodec.decodeWord(b, "bool") == java.lang.Boolean.TRUE)
+  }
+
+  test("uint256 overflow policy: >38 digits decodes to null (hex fallback upstream)") {
+    val max = new BigInteger("2").pow(256).subtract(BigInteger.ONE) // 78 digits
+    val w = AbiCodec.encodeWord(max, "uint256")
+    assert(AbiCodec.decodeWord(w, "uint256") == null)
+    // but a 38-digit value still fits
+    val fit = new BigInteger("9" * 38)
+    assert(AbiCodec.decodeWord(AbiCodec.encodeWord(fit, "uint256"), "uint256") != null)
+  }
+
+  test("abi data decode: static words + dynamic string tail") {
+    // (uint256=7, string="hi"): head = [7, offset=64], tail = [len=2, "hi" padded]
+    val head = AbiCodec.encodeWord(BigInteger.valueOf(7), "uint256") ++
+      AbiCodec.encodeWord(BigInteger.valueOf(64), "uint256")
+    val tail = AbiCodec.encodeWord(BigInteger.valueOf(2), "uint256") ++
+      java.util.Arrays.copyOf("hi".getBytes("UTF-8"), 32)
+    val out = AbiCodec.decodeData(head ++ tail, Seq("uint256", "string"))
+    assert(out(0).asInstanceOf[java.math.BigDecimal].longValueExact() == 7L)
+    assert(out(1) == "hi")
+  }
+
+  test("malformed data decodes to nulls, not failure (P7)") {
+    val out = AbiCodec.decodeData(Array[Byte](1, 2, 3), Seq("uint256", "address"))
+    assert(out.forall(_ == null))
+  }
+
+  test("ABI JSON → event schema, signature, topic0") {
+    val json =
+      """[{"type":"event","name":"Transfer","anonymous":false,"inputs":[
+           {"indexed":true,"name":"from","type":"address"},
+           {"indexed":true,"name":"to","type":"address"},
+           {"indexed":false,"name":"value","type":"uint256"}]},
+          {"type":"function","name":"transfer","inputs":[]}]"""
+    val events = AbiSchema.parse(json)
+    assert(events.length == 1)
+    val t = events.head
+    assert(t.signature == "Transfer(address,address,uint256)")
+    assert(t.topic0 == "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(t.indexedParams.map(_.name) == Seq("from", "to"))
+    assert(t.structType.fieldNames.take(6).toSeq ==
+      Seq("tx_hash", "block_number", "contract", "contract_name", "event_name", "chain_id"))
+    assert(AbiSchema.topicIndex(events).contains(t.topic0))
+  }
+}
+
+/** Registered SQL functions through a real session. */
+class EvmSqlSpec extends SparkSpec {
+  test("keccak256 / evm_topic0 / abi_decode_* are callable from SQL") {
+    val r = spark.sql(
+      """SELECT evm_topic0('Transfer(address,address,uint256)') AS t0,
+           hex(keccak256(cast('abc' AS BINARY))) AS k,
+           abi_decode_word(unhex(repeat('0', 62) || '2a'), 'uint256') AS v,
+           abi_decode_data(unhex(repeat('0', 62) || '07'), 'uint256').arg0 AS d0
+      """).collect()(0)
+    assert(r.getString(0) ==
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(r.getString(1).toLowerCase ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    assert(r.getDecimal(2).longValueExact() == 42L)
+    assert(r.getDecimal(3).longValueExact() == 7L)
+  }
+}
