@@ -65,6 +65,19 @@ object SparkEntry {
     }),
     "q_evm_daily"         -> ((s, d) => graft.evm.LogPipeline.dailyVolume(s, d)
       .orderBy("day")),
+    // ---- ML surface (SURVEY §2.7) ----
+    "q_ml_dataset"        -> ((s, d) => graft.ml.MlPipeline.dataset(s, d)
+      .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"),
+        org.apache.spark.sql.functions.round(col("z"), 6).as("z"),
+        org.apache.spark.sql.functions.round(col("devdt"), 6).as("devdt"),
+        org.apache.spark.sql.functions.round(col("bias"), 6).as("bias"),
+        org.apache.spark.sql.functions.round(col("sigma"), 6).as("sigma"),
+        col("pair_id"), col("y"))
+      .orderBy("event_type", "bucket")),
+    // model-dependent → no SQL oracle (driver records rows-only checks)
+    "q_ml_train_eval"     -> ((s, d) => graft.ml.MlPipeline.trainEval(s, d)),
+    "q_ml_signals"        -> ((s, d) => graft.ml.MlPipeline.nowSignals(s, d)
+      .orderBy("event_type")),
   )
 
   /** Shared oracle fragments for the text/dedup family. */
@@ -523,6 +536,45 @@ object SparkEntry {
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume,
            count(*) AS n_transfers
          FROM tr GROUP BY 1 ORDER BY 1""",
+    "q_ml_dataset" ->
+      s"""WITH $FILLED_CTE,
+         cons AS (SELECT bucket, median(value) AS consensus
+                  FROM filled GROUP BY bucket),
+         dv AS (SELECT f.event_type, f.bucket, f.value - c.consensus AS dev
+                FROM filled f JOIN cons c USING (bucket)),
+         i AS (SELECT event_type, bucket, dev,
+                 row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS t
+               FROM dv),
+         wgt AS (SELECT *, CASE WHEN t = 0 THEN dev
+                   ELSE (1.0 - pow(0.5, 1.0/12.0)) * pow(pow(0.5, 1.0/12.0), -t) * dev
+                 END AS uv FROM i),
+         acc AS (SELECT event_type, bucket, dev, t,
+                   sum(uv) OVER (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+                 FROM wgt),
+         bs AS (SELECT event_type, bucket, dev,
+                  CASE WHEN t + 1 >= 5 THEN pow(pow(0.5, 1.0/12.0), t) * s END AS bias
+                FROM acc),
+         dt AS (SELECT event_type, bucket, bias, dev - bias AS devdt FROM bs),
+         sg AS (SELECT *, stddev_samp(devdt) OVER w AS sraw,
+                  count(devdt) OVER w AS cnt
+                FROM dt WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         feat AS (SELECT event_type, bucket, bias, devdt,
+                    greatest(coalesce(CASE WHEN cnt >= 8 THEN sraw END, 0.5), 0.5) AS sigma
+                  FROM sg),
+         zt AS (SELECT *, devdt / sigma AS z,
+                  CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                    WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                    WHEN 'view' THEN 4 ELSE -1 END AS pair_id
+                FROM feat WHERE devdt IS NOT NULL),
+         fw AS (SELECT *, max(devdt) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS fmax FROM zt)
+         SELECT event_type, bucket, round(z, 6) AS z, round(devdt, 6) AS devdt,
+           round(bias, 6) AS bias, round(sigma, 6) AS sigma, pair_id,
+           CAST(fmax - devdt >= 50.0 AS INT) AS y
+         FROM fw WHERE devdt < 0 AND fmax IS NOT NULL
+         ORDER BY event_type, bucket""",
   )
 
   /** Shared oracle walk: the F1 mean-reversion FSM as a recursive CTE

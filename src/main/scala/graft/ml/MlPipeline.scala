@@ -1,0 +1,128 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TimeSeries
+
+/** ML surface (SURVEY.md §2.7) — the fee-bot's detrended-deviation
+  * feature chain, forward label, time-ordered split, scale+logistic
+  * pipeline, evaluation and NOW-signal scoring, re-expressed on
+  * spark.ml. Feature construction mirrors `add_devs_detrended` /
+  * `build_ml_dataset` (pyc stable_fee_ml_bot.py:115-169): consensus =
+  * row median across keys, bias = EWM of deviation, devdt = dev − bias,
+  * sigma = relaxed-min_periods rolling std of devdt (floored), z =
+  * devdt / sigma, label = forward-horizon max gain ≥ target.
+  */
+object MlPipeline {
+
+  val Horizon = 24
+  val Target = 50.0
+  val EwmHalflife = 12.0
+  val StdWin = 24
+  val SigmaMin = 0.5
+
+  /** Deterministic feature/label dataset from the hourly events grid.
+    * Everything here is oracle-checkable (no model involved). */
+  def dataset(spark: SparkSession, dir: String): DataFrame = {
+    val filled = TimeSeries.resampleFfill(Tables.events(spark, dir),
+      "event_type", "ts", "value", "hour", "event_id")
+    // consensus: row-median across keys present at the bucket (A4)
+    val consensus = filled.groupBy("bucket")
+      .agg(median(col("value")).as("consensus"))
+    val dev = filled.join(consensus, Seq("bucket"))
+      .withColumn("dev", col("value") - col("consensus"))
+    val withBias = TimeSeries.ewmMean(dev, "event_type", "bucket", "dev",
+        EwmHalflife, minPeriods = math.max(5, (EwmHalflife / 3).toInt), out = "bias")
+      .withColumn("devdt", col("dev") - col("bias"))
+    val withSigma = TimeSeries.rollingStats(withBias, "event_type", "bucket", "devdt",
+        n = StdWin, minPeriods = math.max(5, StdWin / 3), ddofZero = false,
+        meanCol = "m_unused", stdCol = "sigma_raw")
+      .withColumn("sigma", TimeSeries.sigmaFloor(col("sigma_raw"), SigmaMin))
+      .withColumn("z", col("devdt") / col("sigma"))
+    // pair_id: ordinal key id (M1's {DAI/USDC:0,…} map); fee: synthetic tier
+    val pairId = when(col("event_type") === "click", 0)
+      .when(col("event_type") === "error", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .when(col("event_type") === "view", 4).otherwise(-1)
+    TimeSeries.forwardLabel(
+        withSigma.filter(col("devdt").isNotNull), "event_type", "bucket", "devdt",
+        Horizon, Target)
+      .select(col("event_type"), col("bucket"),
+        col("z"), col("devdt"), col("bias"), col("sigma"),
+        pairId.as("pair_id"), col("y"))
+  }
+
+  /** M2: chronological 70/30 split — NOT randomSplit; train is the first
+    * 70% of rows ordered by time (global row_number / count). */
+  def timeSplit(df: DataFrame, frac: Double, ts: String): (DataFrame, DataFrame) = {
+    val n = df.count()
+    val cut = (n * frac).toLong
+    val w = Window.orderBy(col(ts), col("event_type"))
+    val idx = df.withColumn("__rn", row_number().over(w))
+    (idx.filter(col("__rn") <= cut).drop("__rn"),
+     idx.filter(col("__rn") > cut).drop("__rn"))
+  }
+
+  def pipeline(): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("z", "devdt", "bias", "sigma", "pair_id"))
+      .setOutputCol("rawFeatures")
+    val scaler = new StandardScaler()
+      .setInputCol("rawFeatures").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LogisticRegression()
+      .setMaxIter(1000).setLabelCol("y").setFeaturesCol("features")
+    new Pipeline().setStages(Array(assembler, scaler, lr))
+  }
+
+  /** M3+M4: train on the chronological 70%, evaluate accuracy + AUC on
+    * the 30% (single-class guard → NaN AUC, like the reference). */
+  def trainEval(spark: SparkSession, dir: String): DataFrame = {
+    val ds = dataset(spark, dir)
+      .withColumn("pair_id", col("pair_id").cast("double")).cache()
+    val (train, test) = timeSplit(ds, 0.7, "bucket")
+    val model = pipeline().fit(train)
+    val scored = model.transform(test)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("y").setMetricName("accuracy").evaluate(scored)
+    val auc =
+      if (test.select("y").distinct().count() < 2) Double.NaN
+      else new BinaryClassificationEvaluator()
+        .setLabelCol("y").setMetricName("areaUnderROC").evaluate(scored)
+    val base = train.agg(avg("y")).head().getDouble(0)
+    import spark.implicits._
+    Seq((train.count(), test.count(), acc, auc, base))
+      .toDF("n_train", "n_test", "accuracy", "auc", "train_base_rate")
+  }
+
+  /** M5+O3: NOW signals — score the latest row per key, fire when
+    * P(y=1) ≥ thr and devdt < 0, keep the best per pair (top-1 by
+    * probability), emit LONG / NO TRADE. */
+  def nowSignals(spark: SparkSession, dir: String, probThr: Double = 0.6): DataFrame = {
+    val ds = dataset(spark, dir)
+      .withColumn("pair_id", col("pair_id").cast("double")).cache()
+    val (train, _) = timeSplit(ds, 0.7, "bucket")
+    val model = pipeline().fit(train)
+    val wLatest = Window.partitionBy("event_type").orderBy(col("bucket").desc)
+    val latest = ds.withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn")
+    val scored = model.transform(latest)
+      .withColumn("prob", element_at(vector_to_array(col("probability")), 2))
+    val wBest = Window.partitionBy("pair_id").orderBy(col("prob").desc)
+    scored.withColumn("__rk", row_number().over(wBest)).filter(col("__rk") === 1)
+      .withColumn("fire", col("prob") >= probThr && col("devdt") < 0)
+      .select(col("event_type"), col("bucket"), round(col("prob"), 6).as("prob"),
+        round(col("devdt"), 6).as("devdt"),
+        when(col("fire"), "LONG").otherwise("NO TRADE").as("signal"))
+  }
+
+  private def vector_to_array(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.vector_to_array(c)
+}
