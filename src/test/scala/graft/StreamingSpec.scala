@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{TickIn, TradeOut}
+import graft.ops.Backtest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resampleLastStream matches batch resampleLast after watermark close") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
+    val df = input.toDF().toDF("k", "t", "v", "id")
+    val agg = StreamOps.resampleLastStream(df, "k", "t", "v", "hour", "id")
+    val q = agg.writeStream.format("memory").queryName("resample_out")
+      .outputMode("append").start()
+    input.addData(
+      ("a", ts("2024-01-01 00:10:00"), 1.0, 1L),
+      ("a", ts("2024-01-01 00:50:00"), 2.0, 2L),
+      ("a", ts("2024-01-01 01:20:00"), 3.0, 3L))
+    q.processAllAvailable()
+    // advance watermark past hour 01 so buckets 00 and 01 close
+    input.addData(("a", ts("2024-01-01 03:30:00"), 9.0, 4L))
+    q.processAllAvailable()
+    val got = spark.table("resample_out").orderBy("bucket")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2)))
+    q.stop()
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 2.0), ("2024-01-01 01:00:00.0", 3.0)))
+  }
+
+  test("meanReversionStream emits the same trades as the batch FSM, across batches") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      TickIn("p", 1L, 10.0, -0.6), TickIn("p", 2L, 11.0, -0.1),
+      TickIn("p", 3L, 12.0, 0.2), TickIn("p", 4L, 13.0, 0.7),
+      TickIn("p", 5L, 14.0, -0.1))
+    val input = MemoryStream[TickIn]
+    val q = StreamOps.meanReversionStream(input.toDS(), thr = 0.5)
+      .writeStream.format("memory").queryName("fsm_out")
+      .outputMode("append").start()
+    // split across micro-batches to prove state carries over
+    input.addData(rows.take(2): _*); q.processAllAvailable()
+    input.addData(rows.drop(2): _*); q.processAllAvailable()
+    val got = spark.table("fsm_out").as[TradeOut].collect().sortBy(_.entry_ts)
+    q.stop()
+    val batch = Backtest.meanReversion(
+        rows.toDF("k", "ts", "px", "dev"), "k", "ts", "px", "dev", 0.5)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6)))
+    assert(got.length == batch.length && got.length == 2)
+    assert(got.map(t => (t.side, t.entry_ts, t.exit_ts, t.pct_return)).toSeq
+      == batch.toSeq)
+  }
+}
