@@ -38,7 +38,10 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    // join on the 60-bit shingle hash, not the string — smaller shuffle
+    // keys, cheaper equality; 60 bits ⇒ collisions are negligible
     val sh = shingleRows(df, id, text, n)
+      .select(col("doc"), h64(col("s")).as("s"))
     val filtered = maxDocFreq match {
       case Some(cap) =>
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -82,14 +85,17 @@ object DedupOps {
   /** Candidate pairs from LSH buckets + estimated Jaccard (fraction of
     * matching signature components). */
   def lshCandidates(sig: DataFrame, k: Int, r: Int): DataFrame = {
-    val bands = lshBands(sig, r)
+    // sig and bands each feed two join sides — cache them, or the full
+    // shingle→md5 signature DAG is recomputed four times
+    val sigC = sig.cache()
+    val bands = lshBands(sigC, r).cache()
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(sig.toDF("doc_a", "i", "sig_a"), Seq("doc_a"))
-      .join(sig.toDF("doc_b", "i", "sig_b"), Seq("doc_b", "i"))
+      .join(sigC.toDF("doc_a", "i", "sig_a"), Seq("doc_a"))
+      .join(sigC.toDF("doc_b", "i", "sig_b"), Seq("doc_b", "i"))
       .groupBy("doc_a", "doc_b")
       .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / k.toDouble)
         .as("est_jaccard"))

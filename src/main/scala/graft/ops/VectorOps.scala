@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * the exact baseline, and sign-random-projection LSH bucketing as the
   * scale path (candidates from a bucket equi-join, then exact re-rank).
   *
-  * Vectors are `array<float>` columns cast to double for the math; dot
-  * products are `aggregate(zip_with(...))` — pure Catalyst expressions,
-  * codegen'd, no UDFs.
+  * Vectors are `array<float>` columns cast to double. Dot products go
+  * through the custom codegen'd `vec_dot` expression (a tight primitive
+  * loop; the built-in aggregate/zip_with higher-order route is
+  * interpreted and an order of magnitude slower on pairwise scans).
+  * Norms are computed once per vector *before* any pair join, so each
+  * pair costs exactly one dot product.
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -23,18 +25,23 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** id + vector + precomputed norm, ready for a pair join. */
+  private def withNorm(df: DataFrame, id: String, vec: String, idOut: String,
+                       vecOut: String, nOut: String): DataFrame =
+    df.select(col(id).as(idOut), asDouble(col(vec)).as(vecOut))
+      .withColumn(nOut, norm(col(vecOut)))
+
   /** Brute-force cosine top-k: each query row is scored against every
-    * candidate. The query side is broadcast (queries are the small
-    * side), candidates stream by partition, and the per-query top-k is
-    * a window rank — so the heavy side never shuffles beyond the rank's
-    * hash partitioning on query id. Exact; O(|Q|·|C|) compute. */
+    * candidate. Queries are broadcast (the small side); candidates
+    * stream by partition; per-query top-k is a window rank. Exact,
+    * O(|Q|·|C|) dots — one per pair, norms precomputed. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, id: String,
                  vec: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
-    val c = candidates.select(col(id).as("cand_id"), asDouble(col(vec)).as("cv"))
+    val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
+    val c = withNorm(candidates, id, vec, "cand_id", "cv", "cn")
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -46,10 +53,10 @@ object VectorOps {
     * for scale, run `lshBuckets` first and only pair within buckets). */
   def cosineNearDup(df: DataFrame, id: String, vec: String,
                     threshold: Double): DataFrame = {
-    val a = df.select(col(id).as("vec_a"), asDouble(col(vec)).as("va"))
-    val b = df.select(col(id).as("vec_b"), asDouble(col(vec)).as("vb"))
+    val a = withNorm(df, id, vec, "vec_a", "va", "na")
+    val b = withNorm(df, id, vec, "vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -84,20 +91,26 @@ object VectorOps {
 
   /** ANN top-k via LSH buckets: candidates share the query's bucket,
     * then exact cosine re-rank. Trades recall for a linear candidate
-    * join — the 100 TB path (brute force is the correctness oracle). */
+    * join — the 100 TB path (brute force is the correctness oracle).
+    * `queryPred` is evaluated against the input columns (e.g.
+    * `col("vec_id") < 10`). */
   def annTopK(df: DataFrame, id: String, vec: String, planes: Int,
               k: Int, queryPred: Column): DataFrame = {
     val buckets = lshBuckets(df, id, vec, planes)
-    val withB = df.select(col(id), asDouble(col(vec)).as("v"))
-      .join(buckets, col(id) === col("vid")).drop("vid")
-    val q = withB.filter(queryPred)
-      .select(col(id).as("query_id"), col("v").as("qv"), col("bucket"))
-    val c = withB.select(col(id).as("cand_id"), col("v").as("cv"), col("bucket"))
+    val base = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
+        queryPred.as("__isq"))
+      .join(buckets, Seq("vid"))
+      .withColumn("__n", norm(col("v")))
+    val q = base.filter(col("__isq"))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("__n").as("qn"), col("bucket"))
+    val c = base.select(col("vid").as("cand_id"), col("v").as("cv"),
+      col("__n").as("cn"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")
