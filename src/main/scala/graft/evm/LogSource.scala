@@ -1,0 +1,180 @@
+package graft.evm
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** `evm-logs` DataSource V2 (SURVEY.md §2.1 S1 + §2.2 P1/P2, §4):
+  * the reference's chunked `eth_getLogs` scan re-expressed as a Spark
+  * source. One InputPartition per block window (chunk_size, default
+  * 1000 — `internal/indexer/indexer.go:23,172-189`; the worker pool C4
+  * becomes Spark's task scheduler), with address/topic0 predicates
+  * pushed INTO the source (the node-side filter of
+  * `indexer.go:209-235`).
+  *
+  * This offline build replays JSON-lines log dumps from `path`; a live
+  * variant swaps the partition reader's file scan for one RPC call per
+  * block window and nothing else changes — the plan shape, pushdown and
+  * partitioning are the contract.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.evm.LogSourceProvider")
+  *   .option("path", dir).option("startBlock", 0)
+  *   .option("endBlock", 999).option("chunkSize", 100)
+  *   .load().filter($"topic0" === lit(t0))   // pushed to the source
+  * }}}
+  */
+class LogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new LogTable(properties.asScala.toMap)
+}
+
+object LogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("block_number", LongType),
+    StructField("tx_hash", StringType),
+    StructField("address", StringType),
+    StructField("topic0", StringType),
+    StructField("topic1", StringType),
+    StructField("topic2", StringType),
+    StructField("topic3", StringType),
+    StructField("data", StringType)))
+}
+
+class LogTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"evm_logs(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = LogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LogScanBuilder(props ++ options.asScala)
+}
+
+/** Pushdown contract (P1/P2): EqualTo / In on `address` and `topic0`
+  * are consumed by the source (the "node" evaluates them); everything
+  * else is left for Spark to evaluate after the scan. */
+class LogScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var addressSet: Option[Set[String]] = None
+  private var topic0Set: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(a, _: String) => a == "address" || a == "topic0"
+      case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
+        a == "address" || a == "topic0"
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("address", v: String) => addressSet = Some(Set(v))
+      case EqualTo("topic0", v: String) => topic0Set = Some(Set(v))
+      case In("address", vs) => addressSet = Some(vs.map(_.toString).toSet)
+      case In("topic0", vs) => topic0Set = Some(vs.map(_.toString).toSet)
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LogScan(props, addressSet, topic0Set)
+}
+
+class LogScan(props: Map[String, String], addresses: Option[Set[String]],
+              topics: Option[Set[String]]) extends Scan with Batch {
+  override def readSchema(): StructType = LogSource.schema
+  override def description(): String =
+    s"evm-logs addresses=${addresses.map(_.size).getOrElse(-1)} " +
+      s"topics=${topics.map(_.size).getOrElse(-1)}"
+  override def toBatch: Batch = this
+
+  /** S1: one partition per chunk_size block window. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val start = props.getOrElse("startBlock", "0").toLong
+    val end = props.getOrElse("endBlock", "0").toLong
+    val chunk = props.getOrElse("chunkSize", "1000").toLong
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException("evm-logs: path option required"))
+    (start to end by chunk).map { lo =>
+      LogRangePartition(path, lo, math.min(lo + chunk - 1, end))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory(addresses, topics)
+}
+
+case class LogRangePartition(path: String, fromBlock: Long, toBlock: Long)
+    extends InputPartition
+
+class LogReaderFactory(addresses: Option[Set[String]],
+                       topics: Option[Set[String]])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LogPartitionReader(p.asInstanceOf[LogRangePartition], addresses, topics)
+}
+
+/** Replays JSON-lines dumps for one block window, applying the pushed
+  * address/topic0 sets — exactly what the node does for one
+  * `eth_getLogs(fromBlock, toBlock, {address, topics})` call. */
+class LogPartitionReader(part: LogRangePartition,
+                         addresses: Option[Set[String]],
+                         topics: Option[Set[String]])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val files: Iterator[java.io.File] = {
+    val dir = new java.io.File(part.path)
+    val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+    fs.sortBy(_.getName).iterator
+  }
+  private var lines: Iterator[String] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def parse(line: String): Option[InternalRow] = {
+    if (line.isEmpty) return None
+    val n = mapper.readTree(line)
+    val blk = n.path("block_number").asLong()
+    if (blk < part.fromBlock || blk > part.toBlock) return None
+    val addr = n.path("address").asText(null)
+    if (addresses.exists(s => addr == null || !s.contains(addr))) return None
+    val t0 = n.path("topic0").asText(null)
+    if (topics.exists(s => t0 == null || !s.contains(t0))) return None
+    def str(f: String): UTF8String = {
+      val v = n.path(f)
+      if (v.isMissingNode || v.isNull) null else UTF8String.fromString(v.asText())
+    }
+    Some(InternalRow(blk, str("tx_hash"), str("address"), str("topic0"),
+      str("topic1"), str("topic2"), str("topic3"), str("data")))
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      while (lines.hasNext) {
+        parse(lines.next()) match {
+          case Some(r) => current = r; return true
+          case None =>
+        }
+      }
+      if (!files.hasNext) return false
+      lines = scala.io.Source.fromFile(files.next(), "UTF-8").getLines()
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -40,8 +40,9 @@ object DedupOps {
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
     // join on the 60-bit shingle hash, not the string — smaller shuffle
     // keys, cheaper equality; 60 bits ⇒ collisions are negligible
+    // cached: feeds sizes + both sides of the candidate self-join
     val sh = shingleRows(df, id, text, n)
-      .select(col("doc"), h64(col("s")).as("s"))
+      .select(col("doc"), h64(col("s")).as("s")).cache()
     val filtered = maxDocFreq match {
       case Some(cap) =>
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
