@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Backtest, TimeSeries}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5). Each property runs a real
+  * Spark job on the shared local session, so counts are kept small. */
+abstract class SparkProps(name: String) extends Properties(name) {
+  lazy val spark = SparkSpec.session
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+}
+
+object FsmProps extends SparkProps("FSM") {
+  import org.apache.spark.sql.functions._
+
+  private val devSeq: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.chooseNum(-1.0, 1.0))
+
+  property("trades alternate and respect entry/exit thresholds") =
+    forAll(devSeq) { devs =>
+      val sp = spark
+      import sp.implicits._
+      val df = devs.zipWithIndex
+        .map { case (d, i) => ("p", i.toLong, 10.0 + i, d) }
+        .toDF("k", "t", "px", "dev")
+      val trades = Backtest.meanReversion(df, "k", "t", "px", "dev", thr = 0.5)
+        .orderBy("entry_ts").collect()
+      val nonOverlapping = trades.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) < b.getLong(2) // exit_a < entry_b
+        case _ => true
+      }
+      val entryOk = trades.forall { tr =>
+        val d = devs(tr.getLong(2).toInt)
+        if (tr.getString(1) == "long") d <= -0.5 else d >= 0.5
+      }
+      val exitOk = trades.forall { tr =>
+        val d = devs(tr.getLong(3).toInt)
+        if (tr.getString(1) == "long") d >= 0 else d <= 0
+      }
+      Prop(nonOverlapping && entryOk && exitOk)
+    }
+
+  property("zscore time stop bounds held_rows when z is dense") =
+    forAll(Gen.listOfN(40, Gen.chooseNum(-3.0, 3.0))) { zs =>
+      val sp = spark
+      import sp.implicits._
+      val df = zs.zipWithIndex
+        .map { case (z, i) => ("p", i.toLong, 10.0 + i, z) }
+        .toDF("k", "t", "px", "z")
+      val trades = Backtest.zscoreReversion(df, "k", "t", "px", "z",
+        entryZ = 2.0, exitZ = 0.2, maxHold = 5).collect()
+      Prop(trades.forall(_.getInt(9) <= 5))
+    }
+}
+
+object SeriesProps extends SparkProps("TimeSeries") {
+  import org.apache.spark.sql.functions._
+
+  private val series: Gen[List[(Int, Double)]] = for {
+    n <- Gen.chooseNum(1, 15)
+    hours <- Gen.pick(n, 0 until 48)
+    vals <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+  } yield hours.toList.zip(vals)
+
+  property("resampleFfill yields a dense grid with no nulls after the first bucket") =
+    forAll(series) { pts =>
+      val sp = spark
+      import sp.implicits._
+      val df = pts.zipWithIndex.map { case ((h, v), i) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), v, i.toLong)
+      }.toDF("k", "t", "v", "id")
+      val out = TimeSeries.resampleFfill(df, "k", "t", "v", "hour", "id")
+        .orderBy("bucket").collect()
+      val hours = pts.map(_._1)
+      val expectedLen = hours.max - hours.min + 1
+      Prop(out.length == expectedLen && out.forall(!_.isNullAt(2)))
+    }
+
+  property("resample of an already-regular grid is the identity") =
+    forAll(Gen.listOfN(10, Gen.chooseNum(-50.0, 50.0))) { vals =>
+      val sp = spark
+      import sp.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00"), v, i.toLong)
+      }.toDF("k", "t", "v", "id")
+      val out = TimeSeries.resampleFfill(df, "k", "t", "v", "hour", "id")
+        .orderBy("bucket").collect().map(_.getDouble(2))
+      Prop(out.toSeq == vals)
+    }
+
+  property("ewm bias stays within the running min/max envelope") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(-10.0, 10.0))) { vals =>
+      val sp = spark
+      import sp.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "t", "v")
+      val out = TimeSeries.ewmMean(df, "k", "t", "v", halflife = 4.0,
+          minPeriods = 1, out = "b")
+        .orderBy("t").collect().map(_.getDouble(3))
+      val ok = out.zipWithIndex.forall { case (b, i) =>
+        val seen = vals.take(i + 1)
+        b >= seen.min - 1e-9 && b <= seen.max + 1e-9
+      }
+      Prop(ok)
+    }
+}
