@@ -131,6 +131,41 @@ case class AbiDecodeDataExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** ecrecover_sender(msg_hash binary, r binary, s binary, rec_id int) →
+  * "0x…" signer address string, null on any invalid input (J2: the
+  * best-effort tx_from enrichment, parser.go:152-159). CodegenFallback
+  * is fine — the scalable usage recovers once per DISTINCT transaction
+  * and broadcast-joins the result, keeping this off the per-log hot
+  * path (the same restructuring as the block-timestamp cache, J1). */
+case class EcRecoverExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ecrecover_sender"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length == 4 &&
+        children.take(3).forall(_.dataType == BinaryType) &&
+        children(3).dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, binary, binary, int)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    try {
+      val addr = Secp256k1.recoverAddress(
+        vs(0).asInstanceOf[Array[Byte]],
+        new java.math.BigInteger(1, vs(1).asInstanceOf[Array[Byte]]),
+        new java.math.BigInteger(1, vs(2).asInstanceOf[Array[Byte]]),
+        vs(3).asInstanceOf[Int])
+      if (addr == null) null else UTF8String.fromString(addr)
+    } catch { case _: Exception => null }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EcRecoverExpr =
+    copy(children = newChildren)
+}
+
 /** vec_dot(array<double>, array<double>) → double. The built-in route
   * (`aggregate(zip_with(...))`) is a CodegenFallback higher-order
   * function — interpreted per row, which dominates pairwise similarity
@@ -200,5 +235,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDotExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("ecrecover_sender"),
+      new ExpressionInfo(classOf[EcRecoverExpr].getName, "ecrecover_sender"),
+      (args: Seq[Expression]) => EcRecoverExpr(args)))
   }
 }

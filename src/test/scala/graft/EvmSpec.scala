@@ -86,6 +86,26 @@ class EvmSpec extends AnyFunSuite {
 
 /** Registered SQL functions through a real session. */
 class EvmSqlSpec extends SparkSpec {
+
+  test("ecrecover_sender recovers the tx signer via SQL (J2)") {
+    import graft.evm.{Keccak, Secp256k1}
+    import java.math.BigInteger
+    val priv = new BigInteger("1234567890abcdef", 16)
+    val expected = Secp256k1.address(Secp256k1.mul(priv, Secp256k1.G).get)
+    val msg = Keccak.hash256("payload".getBytes("UTF-8"))
+    val (r, s, recId) = Secp256k1.sign(msg, priv,
+      new BigInteger("deadbeefcafe1234", 16))
+    def hex(b: Array[Byte]) = Keccak.hex(b)
+    def pad32(b: BigInteger) = f"${b.toString(16)}%64s".replace(' ', '0')
+    val got = spark.sql(
+      s"""SELECT ecrecover_sender(unhex('${hex(msg)}'),
+            unhex('${pad32(r)}'), unhex('${pad32(s)}'), $recId) AS sender,
+          ecrecover_sender(unhex('${hex(msg)}'),
+            unhex('${"0" * 64}'), unhex('${pad32(s)}'), $recId) AS bad
+        """).head()
+    assert(got.getString(0) == expected)
+    assert(got.isNullAt(1)) // invalid r → null, row survives (best-effort)
+  }
   test("keccak256 / evm_topic0 / abi_decode_* are callable from SQL") {
     val r = spark.sql(
       """SELECT evm_topic0('Transfer(address,address,uint256)') AS t0,
