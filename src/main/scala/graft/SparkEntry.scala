@@ -93,11 +93,19 @@ object SparkEntry {
                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
            ELSE [] END AS shs
        FROM toks)"""
+  /** MinHash affine-rehash parameters shared with DedupOps (same Scala
+    * source of truth, injected as literals into the oracle SQL). */
+  private val MINHASH_PRM = DedupOps.minhashParams(32).zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
   private val SIG_CTE =
-    """sh AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+    s"""sh AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+       hb AS (SELECT doc_id,
+                (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+              FROM sh),
+       prm(i, a, b) AS (SELECT * FROM (VALUES $MINHASH_PRM)),
        sig AS (SELECT doc_id AS doc, i,
-                 min(('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT) AS sigv
-               FROM sh, range(32) AS r(i) GROUP BY 1, 2)"""
+                 min((a * h + b) % 2147483647) AS sigv
+               FROM hb, prm GROUP BY 1, 2)"""
 
   /** Shared oracle CTE: hourly resample (last per bucket, deterministic
     * tie-break) → per-key dense grid → forward fill. Mirrors

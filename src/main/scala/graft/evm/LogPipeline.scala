@@ -70,6 +70,34 @@ object LogPipeline {
           concat(lit("0x"), lower(hex(col("data"))))).as("value_or_hex"))
   }
 
+  /** Generic event decode: given a parsed ABI event, build the full
+    * decoded projection — plan-time topic0 filter (P3), indexed params
+    * from topics (P5), payload struct decoded once (P4), fixed metadata
+    * columns (P6, parser.go:45-52). Every decoded row also keeps
+    * `data_hex`, the lossless raw payload (uint256/uint160 values
+    * beyond 38 digits decode to null per SURVEY §7.4 — the hex column
+    * is the shadow). This is the API a reference user calls per
+    * (contract, event) pair. */
+  def decodeEvent(logs: DataFrame, ev: AbiSchema.Event, contractName: String,
+                  chainId: String): DataFrame = {
+    val dataTypes = ev.dataParams.map(_.abiType).mkString(",")
+    val meta = Seq(
+      col("tx_hash"), col("block_number"), col("address").as("contract"),
+      lit(contractName).as("contract_name"), lit(ev.name).as("event_name"),
+      lit(chainId).as("chain_id"))
+    val indexed = ev.indexedParams.zipWithIndex.map { case (p, i) =>
+      expr(s"abi_decode_word(topic${i + 1}, '${p.abiType}')").as(p.name)
+    }
+    val withStruct = logs.filter(col("topic0") === lit(ev.topic0))
+      .withColumn("__d",
+        if (ev.dataParams.isEmpty) lit(null) else expr(s"abi_decode_data(data, '$dataTypes')"))
+    val payload = ev.dataParams.zipWithIndex.map { case (p, i) =>
+      col("__d").getField(s"arg$i").as(p.name)
+    }
+    withStruct.select(meta ++ indexed ++ payload :+
+      concat(lit("0x"), lower(hex(col("data")))).as("data_hex"): _*)
+  }
+
   /** Decoded + enriched Transfer rows (block timestamp joined broadcast). */
   def enrichedTransfers(spark: SparkSession, dir: String): DataFrame = {
     val logs = synthesizeLogs(Tables.events(spark, dir))

@@ -62,15 +62,35 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** MinHash signatures, k components: sig_i(doc) = min over shingles of
-    * h64(i ++ ":" ++ shingle). Long format (doc, i, sigv) — one shuffle
-    * on (doc, i) with map-side partial min. */
+  /** MinHash signatures, k components, via a universal-hash family:
+    * one md5-derived base hash per shingle, then k affine rehashes
+    * sig_i = (a_i·h + b_i) mod (2³¹−1) with content-derived odd a_i —
+    * k× fewer cryptographic hashes than hashing (i, shingle) pairs
+    * (the dominant cost at scale). 31-bit components keep the affine
+    * arithmetic exactly representable in 64-bit on every engine.
+    * Long format (doc, i, sigv) — one shuffle on (doc, i) with
+    * map-side partial min. */
+  val MinhashMod = 2147483647L // 2^31 - 1, prime
+
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = math.abs(("a:" + i).hashCode.toLong) % (MinhashMod - 2) + 1
+      val b = math.abs(("b:" + i).hashCode.toLong) % MinhashMod
+      (a, b)
+    }
+
   def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
-                       shingleN: Int = 3): DataFrame =
+                       shingleN: Int = 3): DataFrame = {
+    val params = minhashParams(k)
+    val abPairs = array(params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
     shingleRows(df, id, text, shingleN)
-      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy("doc", "i")
-      .agg(min(h64(concat(col("i"), lit(":"), col("s")))).as("sigv"))
+      .withColumn("h", pmod(h64(col("s")), lit(MinhashMod)))
+      .withColumn("p", explode(abPairs))
+      .groupBy(col("doc"), col("p.i").as("i"))
+      .agg(min(pmod(col("p.a") * col("h") + col("p.b"), lit(MinhashMod))).as("sigv"))
+  }
 
   /** LSH banding over a minhash signature: band hash = h64 of the
     * concatenated r signature components. Docs sharing any (band,
