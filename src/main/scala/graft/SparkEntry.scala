@@ -383,6 +383,8 @@ object SparkEntry {
                       / len(t.text) END AS punct_r
                 FROM toks t JOIN shing g USING (doc_id))
          SELECT doc_id, n_tokens,
+           len(regexp_extract_all(text,
+             '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +', 0)) AS n_bpe,
            round(mtl, 6) AS mean_tok_len,
            round(stop_r, 6) AS stop_ratio,
            round(punct_r, 6) AS punct_ratio,

@@ -17,6 +17,7 @@ object DataQueries {
     Tables.documents(s, d).select(
         col("doc_id"),
         TextOps.tokenCount(t).as("n_tokens"),
+        TextOps.bpeTokenCount("text").as("n_bpe"),
         round(TextOps.meanTokenLen(t), 6).as("mean_tok_len"),
         round(TextOps.wordRatio(t, TextOps.EnStop), 6).as("stop_ratio"),
         round(TextOps.punctRatio(t), 6).as("punct_ratio"),

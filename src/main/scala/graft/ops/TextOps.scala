@@ -35,6 +35,18 @@ object TextOps {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation regex (GPT-2-style word/number/punct
+    * classes with common English contractions), restricted to syntax
+    * both Java regex and RE2 accept (no lookahead) so the DuckDB oracle
+    * tokenizes identically. */
+  val BpePattern = "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** BPE-ish token count — the pre-tokenization segment count a byte-
+    * pair encoder would start from (a standard cost estimate for LLM
+    * training data). */
+  def bpeTokenCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all($textCol, \"$BpePattern\", 0)"))
+
   /** Mean token length in characters. */
   def meanTokenLen(text: Column): Column = {
     val tk = tokens(text)

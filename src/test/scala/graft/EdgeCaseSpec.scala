@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Backtest, DedupOps, TextOps, TimeSeries, VectorOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input hardening: empty frames, single rows, k > |C|. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyTicks = Seq.empty[(String, Long, Double, Double)]
+    .toDF("k", "t", "px", "dev")
+
+  test("FSMs and resample handle empty input") {
+    assert(Backtest.meanReversion(emptyTicks, "k", "t", "px", "dev", 0.5).count() == 0)
+    assert(Backtest.zscoreReversion(emptyTicks, "k", "t", "px", "dev",
+      2.0, 0.2, 10).count() == 0)
+    val emptyTs = Seq.empty[(String, java.sql.Timestamp, Double, Long)]
+      .toDF("k", "t", "v", "id")
+    assert(TimeSeries.resampleFfill(emptyTs, "k", "t", "v", "hour", "id").count() == 0)
+  }
+
+  test("single-observation series: grid of one, ewm equals the value") {
+    val df = Seq(("k", ts("2024-01-01 05:30:00"), 7.5, 1L)).toDF("k", "t", "v", "id")
+    val filled = TimeSeries.resampleFfill(df, "k", "t", "v", "hour", "id").collect()
+    assert(filled.length == 1 && filled(0).getDouble(2) == 7.5)
+    val ewm = TimeSeries.ewmMean(df.select(col("k"), col("t"), col("v")),
+      "k", "t", "v", 12.0, 1, "b").collect()
+    assert(ewm(0).getDouble(3) == 7.5)
+  }
+
+  test("cosineTopK with k larger than the candidate set returns all candidates") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.cosineTopK(vecs.filter(col("vec_id") === 1), vecs,
+      "vec_id", "embedding", k = 10)
+    assert(got.count() == 2) // self excluded
+  }
+
+  test("documents shorter than the shingle width produce no pairs but survive") {
+    val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1).count() == 0)
+    // exact dedup still sees the short duplicates
+    val exact = DedupOps.exactDedup(docs, "doc_id", "text")
+      .filter(col("n_dups") > 1).collect()
+    assert(exact.length == 1 && exact(0).getLong(1) == 1L)
+  }
+
+  test("bpe-ish token count segments words, numbers, punctuation") {
+    val df = Seq("hello world 42!!").toDF("text")
+    // "hello", " world", " 42", "!!" → 4 segments
+    assert(df.select(TextOps.bpeTokenCount("text")).head().getInt(0) == 4)
+    assert(Seq("").toDF("text")
+      .select(TextOps.bpeTokenCount("text")).head().getInt(0) == 0)
+  }
+
+  test("empty text: quality/fingerprint columns are null-safe") {
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.minShingleFingerprint(col("text"), 3).as("fp")).head()
+    assert(r.getInt(0) == 0)
+    assert(!r.isNullAt(1)) // quality degrades to the length/punct terms
+    assert(r.isNullAt(2))  // no shingles → null fingerprint
+  }
+}
