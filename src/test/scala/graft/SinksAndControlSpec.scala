@@ -108,20 +108,25 @@ class ControlPlaneSpec extends SparkSpec {
     val reg = new JobRegistry(spark)
     val id = reg.submit("slow") { s =>
       import s.implicits._
-      // a genuinely long Spark job: cartesian-ish work across partitions
-      s.range(0, 1000000000L, 1, 64)
+      // a genuinely long Spark job: many slow partitions
+      s.range(0, 1000000000L, 1, 256)
         .mapPartitions { it => Thread.sleep(200); it }
-        .selectExpr("sum(id)").collect()
+        .selectExpr("sum(value)").collect()
       ()
     }
+    // wait until the Spark job is actually registered and running, so
+    // cancelJobGroup has something to interrupt
     val deadline = System.currentTimeMillis() + 30000
     while (System.currentTimeMillis() < deadline &&
-      !reg.status(id).exists(_.state == reg.Running)) Thread.sleep(50)
-    assert(reg.cancel(id))
+      !(reg.status(id).exists(_.state == reg.Running) &&
+        spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty))
+      Thread.sleep(50)
+    assert(reg.cancel(id), s"cancel rejected; state=${reg.status(id).map(_.state)}")
     val dl2 = System.currentTimeMillis() + 60000
     while (System.currentTimeMillis() < dl2 &&
       !reg.status(id).exists(j => j.state == reg.Cancelled)) Thread.sleep(100)
-    assert(reg.status(id).exists(_.state == reg.Cancelled))
+    assert(reg.status(id).exists(_.state == reg.Cancelled),
+      s"state=${reg.status(id).map(_.state)}")
     reg.shutdown()
   }
 }
