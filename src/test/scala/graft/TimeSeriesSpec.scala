@@ -102,6 +102,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2) == Row("USDC", "USDT", -1))
   }
 
+  test("ewmMeanPrefix (distributed closed form) equals the exact fold") {
+    val xs = (1 to 200).map(i => math.sin(i * 0.7) * 50 + i * 0.1)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val fold = TimeSeries.ewmMean(df, "k", "t", "v", 12.0, 5, "b")
+      .orderBy("t").collect()
+    val pref = TimeSeries.ewmMeanPrefix(df, "k", "t", "v", 12.0, 5, "b")
+      .orderBy("t").collect()
+    fold.zip(pref).foreach { case (f, p) =>
+      if (f.isNullAt(3)) assert(p.isNullAt(3))
+      else assert(math.abs(f.getDouble(3) - p.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("polarity flips sign only when median >= 0") {
     val df = Seq(("p", 1.0), ("p", 2.0), ("n", -1.0), ("n", -2.0)).toDF("k", "v")
     val got = TimeSeries.polarity(df, "k", "v").orderBy("k", "v")
