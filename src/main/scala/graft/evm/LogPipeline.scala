@@ -46,6 +46,31 @@ object LogPipeline {
       col("ts"))
   }
 
+  /** J4: contract-registry enrichment — the configured
+    * `map[address]ContractConfig` (`indexer.go:51-62`) as a broadcast
+    * dimension join; unknown addresses keep null contract_name (the
+    * reference's minimal-event path, parser.go:54-61). */
+  def enrichContracts(logs: DataFrame,
+                      contracts: Seq[(String, String)]): DataFrame = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    val dim = contracts.toDF("__addr", "contract_name")
+      .withColumn("__addr", lower(col("__addr")))
+    logs.join(broadcast(dim), lower(col("address")) === col("__addr"), "left")
+      .drop("__addr")
+  }
+
+  /** C6: per-batch progress metrics — the reference's
+    * `[OK] Block a → b | Events: n` chunk log (`indexer.go:160-161`)
+    * becomes an `Observation` on the decoded stream: run any action on
+    * the returned frame, then read `obs.get` for events/blocks counts. */
+  def observed(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, count(lit(1)).as("events"),
+      min(col("block_number")).as("from_block"),
+      max(col("block_number")).as("to_block")), obs)
+  }
+
   /** Per-block timestamps: the enrichment dimension (stand-in for
     * `HeaderByNumber`), built once and broadcast — the Spark form of the
     * reference's per-block memo cache (J1). */
