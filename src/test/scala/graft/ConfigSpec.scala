@@ -57,7 +57,11 @@ class ConfigSpec extends SparkSpec {
   }
 
   test("chunk progress metrics via Observation (C6)") {
-    val logs = LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+    // dedicated session: a registered Observation makes the session's
+    // observation manager non-serializable, which would break later
+    // suites that serialize ML model summaries (Spark-side quirk)
+    val s2 = spark.newSession()
+    val logs = LogPipeline.synthesizeLogs(Tables.events(s2, "/root/testdata/sf0.001"))
     val (df, obs) = LogPipeline.observed(logs, "chunk")
     df.write.mode("overwrite").format("noop").save()
     val m = obs.get
