@@ -41,4 +41,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Register every table as a temp view so the full `spark.sql` text
+    * surface (including the custom keccak256 / abi_decode_* / vec_dot
+    * functions the session extensions install) works against them. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else apply(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+/** The SQL-text surface: registered views + extension functions let a
+  * user run whole analyses as `spark.sql` strings. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("views + custom functions compose in plain SQL") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           evm_topic0('Transfer(address,address,uint256)') AS t0
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""").collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getString(3).startsWith("0xddf252ad")))
+    val docs = spark.sql(
+      """SELECT count(*) AS n FROM documents
+         WHERE size(split(text, '\\s+')) > 50""").head().getLong(0)
+    assert(docs > 0)
+  }
+
+  test("window + rollup SQL over the star schema") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT o_orderpriority, n,
+           rank() OVER (ORDER BY total DESC) AS rnk
+         FROM (SELECT o_orderpriority, count(*) AS n,
+                 sum(o_totalprice) AS total
+               FROM orders GROUP BY 1)
+         ORDER BY rnk""").collect()
+    assert(r.nonEmpty && r.head.getInt(2) == 1)
+  }
+}
