@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -109,7 +109,6 @@ object TimeSeries {
     */
   def ewmMean(df: DataFrame, key: String, ts: String, value: String,
               halflife: Double, minPeriods: Int, out: String): DataFrame = {
-    val spark = df.sparkSession
     val fields = df.select(col(key), col(ts), col(value)).schema.fields
     val outSchema = StructType(fields :+ StructField(out, DoubleType, nullable = true))
     implicit val rowEnc = Encoders.row(outSchema)
