@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Scale
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    // one hot key (90% of rows) + long tail
+    val rows = (1 to 2000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"k${i % 37}"
+      (k, i.toDouble)
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 4).as("s"))
+      .orderBy("k").collect()
+    val salted = Scale.saltedAgg(df, Seq("k"), saltBuckets = 16)(
+        Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+        Seq(sum($"n").as("n"), round(sum($"s"), 4).as("s")))
+      .orderBy("k").collect()
+    assert(direct.map(_.toString).toSeq == salted.map(_.toString).toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_wh")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    val d = "/root/testdata/sf0.001"
+    Scale.writeBucketed(Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_custkey", buckets = 8)
+    Scale.writeBucketed(Tables.customer(spark, d).select("c_custkey", "c_nationkey"),
+      "b_customer", "c_custkey", buckets = 8)
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      assert(joined.count() > 0)
+      assert(Scale.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
