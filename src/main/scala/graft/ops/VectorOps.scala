@@ -89,6 +89,57 @@ object VectorOps {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** Multi-table LSH buckets: `tables` independent hash tables of
+    * `planes` hyperplanes each (plane ids offset per table so every
+    * table draws different hyperplanes). A vector lands in one bucket
+    * per table; near neighbors collide in ≥1 table with probability
+    * 1−(1−p^planes)^tables — the standard recall dial. */
+  def lshBucketsMulti(df: DataFrame, id: String, vec: String, planes: Int,
+                      tables: Int): DataFrame = {
+    val v = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
+    v.select(col("vid"), col("v"),
+        explode(sequence(lit(0), lit(tables * planes - 1))).as("gp"))
+      .select(col("vid"), (col("gp") / planes).cast("int").as("tbl"),
+        pmod(col("gp"), lit(planes)).as("p"),
+        aggregate(zip_with(col("v"),
+            transform(sequence(lit(0), size(col("v")) - 1),
+              d => planeWeight(col("gp"), d)),
+            (x, w) => round(x * 1000000.0).cast("long") * w),
+          lit(0L), (acc, x) => acc + x).as("proj"))
+      .groupBy("vid", "tbl")
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, p)"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** ANN top-k over multiple LSH tables: candidates are the distinct
+    * union of same-(table, bucket) collisions, re-ranked by exact
+    * cosine. Recall grows with `tables` at linear candidate-join cost —
+    * the 100 TB path with a recall dial (brute force stays the
+    * correctness oracle). */
+  def annTopKMulti(df: DataFrame, id: String, vec: String, planes: Int,
+                   tables: Int, k: Int, queryPred: Column): DataFrame = {
+    val buckets = lshBucketsMulti(df, id, vec, planes, tables)
+    val base = df.select(col(id).as("vid0"), asDouble(col(vec)).as("v"),
+        queryPred.as("__isq"))
+      .withColumn("__n", norm(col("v")))
+    val q = base.filter(col("__isq"))
+      .join(buckets, col("vid0") === col("vid")).drop("vid")
+      .select(col("vid0").as("query_id"), col("v").as("qv"),
+        col("__n").as("qn"), col("tbl"), col("bucket"))
+    val c = base.join(buckets, col("vid0") === col("vid")).drop("vid")
+      .select(col("vid0").as("cand_id"), col("v").as("cv"),
+        col("__n").as("cn"), col("tbl"), col("bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "qv", "qn", "cand_id", "cv", "cn").distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
   /** ANN top-k via LSH buckets: candidates share the query's bucket,
     * then exact cosine re-rank. Trades recall for a linear candidate
     * join — the 100 TB path (brute force is the correctness oracle).

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Recall of the LSH ANN paths against the exact brute force — all
+  * deterministic (content-seeded hyperplanes), so the measured recall
+  * is stable across runs. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def truth: Map[Long, Set[Long]] = {
+    val e = Tables.embeddings(spark, d)
+    VectorOps.cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+  }
+
+  private def recallOf(got: Array[org.apache.spark.sql.Row]): Double = {
+    val t = truth
+    val byQ = got.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = t.map { case (q, exp) => (byQ.getOrElse(q, Set.empty) & exp).size }.sum
+    hits.toDouble / t.map(_._2.size).sum
+  }
+
+  test("multi-table ANN recall beats single-table and clears a floor") {
+    val e = Tables.embeddings(spark, d)
+    val single = VectorOps.annTopK(e, "vec_id", "embedding",
+      planes = 8, k = 5, queryPred = col("vec_id") < 20).collect()
+    val multi = VectorOps.annTopKMulti(e, "vec_id", "embedding",
+      planes = 4, tables = 16, k = 5, queryPred = col("vec_id") < 20).collect()
+    val rs = recallOf(single)
+    val rm = recallOf(multi)
+    info(f"recall single-table=$rs%.3f multi-table=$rm%.3f")
+    assert(rm >= rs)
+    assert(rm >= 0.4, f"multi-table recall too low: $rm%.3f")
+  }
+}
