@@ -42,6 +42,14 @@ class LogSourceProvider extends TableProvider {
 }
 
 object LogSource {
+  /** S2: latest-height probe — the replay equivalent of
+    * `eth_blockNumber` (`internal/rpc/client.go:153-177`): max block in
+    * the dump, used to bound a scan before planning it. */
+  def latestBlock(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.max
+    spark.read.json(path).agg(max("block_number")).head().getLong(0)
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("block_number", LongType),
     StructField("tx_hash", StringType),
