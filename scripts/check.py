@@ -41,8 +41,9 @@ for name in sorted(oracle):
                          if not ((isinstance(x, float) and isinstance(y, float)
                                   and math.isnan(x) and math.isnan(y)) or x == y)]
                 if diffs:
-                    mx = max(abs(x - y) for x, y in diffs
-                             if not (math.isnan(x) or math.isnan(y)))
+                    mx = max((abs(x - y) for x, y in diffs
+                              if not (math.isnan(x) or math.isnan(y))),
+                             default=float("nan"))
                     bad.append(f"{c}: {len(diffs)} cells differ, maxabs={mx:.3e} e.g. {diffs[0]}")
             else:
                 neq = e.astype(str) != g.astype(str)

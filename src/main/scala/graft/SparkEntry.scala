@@ -461,7 +461,8 @@ object SparkEntry {
                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sc
                   FROM th, range(48) AS r(j) GROUP BY 1, 2)
          SELECT doc_id AS doc,
-           sum(CASE WHEN sc > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN sc > 0 THEN 1::BIGINT << j ELSE 0 END)
+                AS BIGINT) AS simhash
          FROM bits GROUP BY 1 ORDER BY 1""",
     "q_simhash_pairs" ->
       s"""WITH $TOKS_CTE,

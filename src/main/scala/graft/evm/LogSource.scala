@@ -174,7 +174,12 @@ class LogPartitionReader(part: LogRangePartition,
     fs.sortBy(_.getName).iterator
   }
   private var lines: Iterator[String] = Iterator.empty
+  private var source: scala.io.Source = null
   private var current: InternalRow = _
+
+  private def closeSource(): Unit = {
+    if (source != null) { source.close(); source = null }
+  }
 
   private def parse(line: String): Option[InternalRow] = {
     if (line.isEmpty) return None
@@ -201,11 +206,13 @@ class LogPartitionReader(part: LogRangePartition,
           case None =>
         }
       }
+      closeSource() // previous file's lines are exhausted — release the fd
       if (!files.hasNext) return false
-      lines = scala.io.Source.fromFile(files.next(), "UTF-8").getLines()
+      source = scala.io.Source.fromFile(files.next(), "UTF-8")
+      lines = source.getLines()
     }
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = closeSource()
 }

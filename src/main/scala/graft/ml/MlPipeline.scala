@@ -60,14 +60,20 @@ object MlPipeline {
   }
 
   /** M2: chronological 70/30 split — NOT randomSplit; train is the first
-    * 70% of rows ordered by time (global row_number / count). */
+    * 70% of rows in (ts, event_type) order. Implemented as a distributed
+    * range-partitioned sort + `zipWithIndex` (per-partition offsets from
+    * one small count job), NOT a global-window `row_number` — the window
+    * form funnels every row through a single partition, which is the
+    * classic 100 TB deadlock. (ts, event_type) is unique on the feature
+    * grid, so the total order — and the split — is deterministic. */
   def timeSplit(df: DataFrame, frac: Double, ts: String): (DataFrame, DataFrame) = {
-    val n = df.count()
-    val cut = (n * frac).toLong
-    val w = Window.orderBy(col(ts), col("event_type"))
-    val idx = df.withColumn("__rn", row_number().over(w))
-    (idx.filter(col("__rn") <= cut).drop("__rn"),
-     idx.filter(col("__rn") > cut).drop("__rn"))
+    val spark = df.sparkSession
+    val schema = df.schema
+    val sorted = df.orderBy(col(ts), col("event_type"))
+    val cut = (sorted.count() * frac).toLong
+    val indexed = sorted.rdd.zipWithIndex()
+    (spark.createDataFrame(indexed.filter(_._2 < cut).map(_._1), schema),
+     spark.createDataFrame(indexed.filter(_._2 >= cut).map(_._1), schema))
   }
 
   def pipeline(): Pipeline = {
@@ -82,23 +88,46 @@ object MlPipeline {
     new Pipeline().setStages(Array(assembler, scaler, lr))
   }
 
+  /** Feature dataset + fitted model, computed once per (session, dir):
+    * trainEval and nowSignals train the SAME chronological-70% model, so
+    * a second LBFGS run would be pure waste. Entries are keyed by the
+    * session (a new session re-fits; a stopped session's entry is a few
+    * dead object handles, its cached blocks die with the session). */
+  private case class Fitted(ds: DataFrame, train: DataFrame, test: DataFrame,
+                            model: org.apache.spark.ml.PipelineModel)
+
+  private val fittedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Fitted]
+
+  private def fitted(spark: SparkSession, dir: String): Fitted =
+    fittedCache.computeIfAbsent((spark, dir), _ => {
+      val ds = dataset(spark, dir)
+        .withColumn("pair_id", col("pair_id").cast("double")).cache()
+      val (train0, test0) = timeSplit(ds, 0.7, "bucket")
+      // LBFGS runs one treeAggregate job per iteration; right-size the
+      // train partitioning to the data (~100k rows/task) or per-task
+      // scheduling overhead dominates the fit on small feature sets.
+      val parts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong, train0.count() / 100000L)).toInt
+      val train = train0.coalesce(parts).cache()
+      val test = test0.cache()
+      Fitted(ds, train, test, pipeline().fit(train))
+    })
+
   /** M3+M4: train on the chronological 70%, evaluate accuracy + AUC on
     * the 30% (single-class guard → NaN AUC, like the reference). */
   def trainEval(spark: SparkSession, dir: String): DataFrame = {
-    val ds = dataset(spark, dir)
-      .withColumn("pair_id", col("pair_id").cast("double")).cache()
-    val (train, test) = timeSplit(ds, 0.7, "bucket")
-    val model = pipeline().fit(train)
-    val scored = model.transform(test)
+    val f = fitted(spark, dir)
+    val scored = f.model.transform(f.test)
     val acc = new MulticlassClassificationEvaluator()
       .setLabelCol("y").setMetricName("accuracy").evaluate(scored)
     val auc =
-      if (test.select("y").distinct().count() < 2) Double.NaN
+      if (f.test.select("y").distinct().count() < 2) Double.NaN
       else new BinaryClassificationEvaluator()
         .setLabelCol("y").setMetricName("areaUnderROC").evaluate(scored)
-    val base = train.agg(avg("y")).head().getDouble(0)
+    val base = f.train.agg(avg("y")).head().getDouble(0)
     import spark.implicits._
-    Seq((train.count(), test.count(), acc, auc, base))
+    Seq((f.train.count(), f.test.count(), acc, auc, base))
       .toDF("n_train", "n_test", "accuracy", "auc", "train_base_rate")
   }
 
@@ -106,10 +135,9 @@ object MlPipeline {
     * P(y=1) ≥ thr and devdt < 0, keep the best per pair (top-1 by
     * probability), emit LONG / NO TRADE. */
   def nowSignals(spark: SparkSession, dir: String, probThr: Double = 0.6): DataFrame = {
-    val ds = dataset(spark, dir)
-      .withColumn("pair_id", col("pair_id").cast("double")).cache()
-    val (train, _) = timeSplit(ds, 0.7, "bucket")
-    val model = pipeline().fit(train)
+    val f = fitted(spark, dir)
+    val ds = f.ds
+    val model = f.model
     val wLatest = Window.partitionBy("event_type").orderBy(col("bucket").desc)
     val latest = ds.withColumn("__rn", row_number().over(wLatest))
       .filter(col("__rn") === 1).drop("__rn")

@@ -110,7 +110,7 @@ object Backtest {
         val out = Array.newBuilder[Row]
         var idx = 0
         for (r <- sorted) {
-          if (!r.isNullAt(3) && !r.getDouble(3).isNaN) {
+          if (!r.isNullAt(2) && !r.isNullAt(3) && !r.getDouble(3).isNaN) {
             val zv = r.getDouble(3); val p = r.getDouble(2)
             if (side == null) {
               if (zv <= -entryZ) {

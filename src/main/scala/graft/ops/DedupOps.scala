@@ -12,6 +12,25 @@ import TextOps.h64
   */
 object DedupOps {
 
+  /** Caches handed out by the candidate generators below, drained
+    * (unpersisted) at the start of the next invocation so a long-lived
+    * session doesn't accumulate executor storage memory. Unpersisting a
+    * result another consumer still holds is safe — Spark recomputes —
+    * so the worst case for interleaved use is lost caching, not
+    * wrong answers. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def cacheTracked(df: DataFrame): DataFrame = {
+    val c = df.cache(); liveCaches.add(c); c
+  }
+
+  /** Release caches created by prior jaccardPairs/lshCandidates calls. */
+  def releaseCaches(): Unit = {
+    var prev = liveCaches.poll()
+    while (prev != null) { prev.unpersist(false); prev = liveCaches.poll() }
+  }
+
   /** Exact dedup by content hash: one representative (min id) per
     * distinct text, with the duplicate count. A single hash-aggregate
     * with map-side partial combine — the 100 TB-safe form of
@@ -40,8 +59,9 @@ object DedupOps {
     // join on the 60-bit shingle hash, not the string — smaller shuffle
     // keys, cheaper equality; 60 bits ⇒ collisions are negligible
     // cached: feeds sizes + both sides of the candidate self-join
-    val sh = shingleRows(df, id, text, n)
-      .select(col("doc"), h64(col("s")).as("s")).cache()
+    releaseCaches()
+    val sh = cacheTracked(shingleRows(df, id, text, n)
+      .select(col("doc"), h64(col("s")).as("s")))
     val filtered = maxDocFreq match {
       case Some(cap) =>
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -107,8 +127,9 @@ object DedupOps {
   def lshCandidates(sig: DataFrame, k: Int, r: Int): DataFrame = {
     // sig and bands each feed two join sides — cache them, or the full
     // shingle→md5 signature DAG is recomputed four times
-    val sigC = sig.cache()
-    val bands = lshBands(sigC, r).cache()
+    releaseCaches()
+    val sigC = cacheTracked(sig)
+    val bands = cacheTracked(lshBands(sigC, r))
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
