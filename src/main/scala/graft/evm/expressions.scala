@@ -236,5 +236,17 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("ecrecover_sender"),
       new ExpressionInfo(classOf[EcRecoverExpr].getName, "ecrecover_sender"),
       (args: Seq[Expression]) => EcRecoverExpr(args)))
+    ext.injectFunction((FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[graft.ops.VecDotLongExpr].getName, "vec_dot_long"),
+      (args: Seq[Expression]) => graft.ops.VecDotLongExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_h64s"),
+      new ExpressionInfo(classOf[graft.ops.ShingleH64sExpr].getName, "shingle_h64s"),
+      (args: Seq[Expression]) => graft.ops.ShingleH64sExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.ops.MinhashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => graft.ops.MinhashSigExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.ops.Simhash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => graft.ops.Simhash64Expr(args(0), args(1))))
   }
 }

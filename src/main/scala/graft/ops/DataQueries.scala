@@ -59,7 +59,7 @@ object DataQueries {
 
   /** LSH candidate pairs (b=16, r=2) with estimated Jaccard. */
   def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", k = 32)
+    val sig = DedupOps.minhashSigWide(Tables.documents(s, d), "doc_id", "text", k = 32)
     DedupOps.lshCandidates(sig, k = 32, r = 2)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")

@@ -2,34 +2,24 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import TextOps.h64
 
 /** Deduplication operator family for training-data pipelines: exact
   * (content hash), n-gram Jaccard, MinHash+LSH, SimHash. All stay
   * DataFrame-native — candidate generation is always a key-equality
-  * join (shingle / band bucket / simhash prefix), never an O(n²)
+  * join (shingle / band bucket / simhash segment), never an O(n²)
   * cross join, so the plans scale to billions of documents.
+  *
+  * Fingerprints (minhash signature, simhash) are computed by one-pass
+  * custom expressions ([[MinhashSigExpr]], [[Simhash64Expr]]) during
+  * the scan — map-only, no explode/shuffle/regroup — which is both the
+  * fast local form and the only sane 100 TB form (the long-format
+  * explode multiplies every shuffle by k). All derived values are
+  * bit-exact with the exploded column pipelines the DuckDB oracles
+  * replay.
   */
 object DedupOps {
-
-  /** Caches handed out by the candidate generators below, drained
-    * (unpersisted) at the start of the next invocation so a long-lived
-    * session doesn't accumulate executor storage memory. Unpersisting a
-    * result another consumer still holds is safe — Spark recomputes —
-    * so the worst case for interleaved use is lost caching, not
-    * wrong answers. */
-  private val liveCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-
-  private def cacheTracked(df: DataFrame): DataFrame = {
-    val c = df.cache(); liveCaches.add(c); c
-  }
-
-  /** Release caches created by prior jaccardPairs/lshCandidates calls. */
-  def releaseCaches(): Unit = {
-    var prev = liveCaches.poll()
-    while (prev != null) { prev.unpersist(false); prev = liveCaches.poll() }
-  }
 
   /** Exact dedup by content hash: one representative (min id) per
     * distinct text, with the duplicate count. A single hash-aggregate
@@ -40,55 +30,54 @@ object DedupOps {
       .groupBy("content_hash")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Per-document distinct shingle sets, exploded long. */
-  private def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id).as("doc"), explode(TextOps.shingles(col(text), n)).as("s"))
-
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 shingle (an
     * equi-join on the shingle — inverted-index semantics), exact
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from distinct-shingle counts.
     *
-    * Scale notes: the shingle join is the standard candidate generator;
-    * the skew risk is ultra-common shingles — `maxDocFreq` drops
-    * shingles appearing in more than that many documents (boilerplate
-    * stop-shingles), which both de-skews the join and removes
-    * meaningless candidates. AQE skew-join handles the residual.
+    * The set size rides along with each exploded shingle row (it is
+    * known columnar, before the explode), so the plan is exactly two
+    * shuffles: the candidate self-join on the shingle hash and the
+    * pair aggregation — no separate sizes aggregate, no post-joins.
+    *
+    * Scale notes: the skew risk is ultra-common shingles — `maxDocFreq`
+    * drops shingles appearing in more than that many documents
+    * (boilerplate stop-shingles), which both de-skews the join and
+    * removes meaningless candidates; sizes are then re-counted over the
+    * filtered set (one extra shuffle on doc). AQE handles the residual.
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
     // join on the 60-bit shingle hash, not the string — smaller shuffle
     // keys, cheaper equality; 60 bits ⇒ collisions are negligible
-    // cached: feeds sizes + both sides of the candidate self-join
-    releaseCaches()
-    val sh = cacheTracked(shingleRows(df, id, text, n)
-      .select(col("doc"), h64(col("s")).as("s")))
+    val arr = df.select(col(id).as("doc"), TextOps.shingleHashes(col(text), n).as("arr"))
     val filtered = maxDocFreq match {
+      case None =>
+        arr.select(col("doc"), size(col("arr")).as("sz"), explode(col("arr")).as("s"))
       case Some(cap) =>
+        val sh = arr.select(col("doc"), explode(col("arr")).as("s"))
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
         sh.join(freq.filter(col("df") <= cap).select("s"), Seq("s"))
-      case None => sh
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc")))
+          .select("doc", "sz", "s")
     }
-    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val a = filtered.toDF("doc_a", "s")
-    val b = filtered.toDF("doc_b", "s")
+    val a = filtered.toDF("doc_a", "sz_a", "s")
+    val b = filtered.toDF("doc_b", "sz_b", "s")
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** MinHash signatures, k components, via a universal-hash family:
-    * one md5-derived base hash per shingle, then k affine rehashes
+  /** MinHash component count modulus and universal-hash family: one
+    * md5-derived base hash per shingle, then k affine rehashes
     * sig_i = (a_i·h + b_i) mod (2³¹−1) with content-derived odd a_i —
     * k× fewer cryptographic hashes than hashing (i, shingle) pairs
     * (the dominant cost at scale). 31-bit components keep the affine
-    * arithmetic exactly representable in 64-bit on every engine.
-    * Long format (doc, i, sigv) — one shuffle on (doc, i) with
-    * map-side partial min. */
+    * arithmetic exactly representable in 64-bit on every engine. */
   val MinhashMod = 2147483647L // 2^31 - 1, prime
 
   def minhashParams(k: Int): Seq[(Long, Long)] =
@@ -98,64 +87,62 @@ object DedupOps {
       (a, b)
     }
 
-  def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
-                       shingleN: Int = 3): DataFrame = {
-    val params = minhashParams(k)
-    val abPairs = array(params.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    shingleRows(df, id, text, shingleN)
-      .withColumn("h", pmod(h64(col("s")), lit(MinhashMod)))
-      .withColumn("p", explode(abPairs))
-      .groupBy(col("doc"), col("p.i").as("i"))
-      .agg(min(pmod(col("p.a") * col("h") + col("p.b"), lit(MinhashMod))).as("sigv"))
-  }
+  /** Wide-form MinHash: (doc, sig array<long>[k]), one row per document
+    * with ≥1 shingle. Map-only — the signature is computed during the
+    * scan by [[MinhashSigExpr]]; nothing shuffles until a consumer
+    * joins or bands. */
+  def minhashSigWide(df: DataFrame, id: String, text: String, k: Int,
+                     shingleN: Int = 3): DataFrame =
+    df.select(col(id).as("doc"), TextOps.shingleHashes(col(text), shingleN).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .select(col("doc"), call_function("minhash_sig", col("arr"), lit(k)).as("sig"))
 
-  /** LSH banding over a minhash signature: band hash = h64 of the
-    * concatenated r signature components. Docs sharing any (band,
-    * band_hash) bucket are candidates — the join is on the bucket key,
-    * never all-pairs. */
-  def lshBands(sig: DataFrame, r: Int): DataFrame =
-    sig.withColumn("band", floor(col("i") / r))
-      .groupBy("doc", "band")
-      .agg(h64(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("sigv")))),
-          p => p.getField("sigv")))).as("bh"))
+  /** Long-form signature (doc, i, sigv) — the wide form exploded; kept
+    * as the interchange/inspection format. */
+  def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
+                       shingleN: Int = 3): DataFrame =
+    minhashSigWide(df, id, text, k, shingleN)
+      .select(col("doc"), posexplode(col("sig")).as(Seq("i", "sigv")))
+
+  /** LSH banding over a wide minhash signature: band b's hash = h64 of
+    * the comma-joined signature components [b·r, b·r+r). Docs sharing
+    * any (band, band_hash) bucket are candidates — the join is on the
+    * bucket key, never all-pairs. Map-only (array slices, no regroup). */
+  def lshBands(sigWide: DataFrame, k: Int, r: Int): DataFrame =
+    sigWide.select(col("doc"),
+        explode(sequence(lit(0), lit(k / r - 1))).as("band"), col("sig"))
+      .select(col("doc"), col("band"),
+        h64(concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r))))
+          .as("bh"))
 
   /** Candidate pairs from LSH buckets + estimated Jaccard (fraction of
-    * matching signature components). */
-  def lshCandidates(sig: DataFrame, k: Int, r: Int): DataFrame = {
-    // sig and bands each feed two join sides — cache them, or the full
-    // shingle→md5 signature DAG is recomputed four times
-    releaseCaches()
-    val sigC = cacheTracked(sig)
-    val bands = cacheTracked(lshBands(sigC, r))
+    * matching signature components, compared columnar on the two wide
+    * signatures — no per-component join). */
+  def lshCandidates(sigWide: DataFrame, k: Int, r: Int): DataFrame = {
+    val bands = lshBands(sigWide, k, r)
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(sigC.toDF("doc_a", "i", "sig_a"), Seq("doc_a"))
-      .join(sigC.toDF("doc_b", "i", "sig_b"), Seq("doc_b", "i"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / k.toDouble)
-        .as("est_jaccard"))
+      .join(sigWide.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sigWide.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / k.toDouble)
+      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   /** 48-bit SimHash over tokens (with multiplicity): bit j is 1 when the
     * sum over token hashes of ±1 (by bit j of h64(token)) is positive.
-    * 48 bits keeps every shift inside a positive bigint. Fully
-    * aggregate-based: explode(tokens × bits) → sum → reassemble. */
+    * 48 bits keeps every shift inside a positive bigint. One-pass
+    * [[Simhash64Expr]] during the scan; docs without tokens are dropped
+    * (parity with the aggregate form, where they produce no groups). */
   def simhash(df: DataFrame, id: String, text: String, bits: Int = 48): DataFrame =
-    df.select(col(id).as("doc"), explode(TextOps.tokens(col(text))).as("t"))
-      .withColumn("h", h64(col("t")))
-      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-      .groupBy("doc", "j")
-      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1)
-        .otherwise(-1)).as("sc"))
-      .groupBy("doc")
-      .agg(sum(when(col("sc") > 0, expr("shiftleft(1L, j)"))
-        .otherwise(0L)).as("simhash"))
+    df.select(col(id).as("doc"), TextOps.tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc"),
+        call_function("simhash64", col("tk"), lit(bits)).as("simhash"))
 
   /** SimHash near-dup pairs by Hamming distance. Candidate generation
     * here is the plain self-join for oracle parity; the scale path is

@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM twins of the SQL-level hash primitives, bit-exact with the
+  * column expressions the DuckDB oracles replay:
+  * `h64(s)` == `conv(substring(md5(s),1,15),16,10)` — md5 of the UTF-8
+  * bytes, first 15 lowercase hex chars parsed base-16 (< 2^60, always
+  * positive). Centralizing them here lets whole fingerprint pipelines
+  * (minhash, simhash, LSH plane weights) run as single tight-loop
+  * expressions instead of explode → shuffle → re-group plans.
+  */
+object Hashing {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5-derived 60-bit hash of a string — equals TextOps.h64. */
+  def h64(s: String): Long = h64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def h64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xf0L) >> 4)
+  }
+
+  /** Hex MD5 (lowercase) — used by tests to cross-check h64. */
+  def md5Hex(s: String): String = {
+    val d = md.get(); d.reset()
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .flatMap(b => Array(HexChars((b >> 4) & 0xf), HexChars(b & 0xf))).mkString
+  }
+
+  /** Deterministic LSH hyperplane weight for (plane, dim), identical to
+    * VectorOps.planeWeight's column form: uniform in [-1e6, 1e6]. */
+  def planeWeight(plane: Int, dim: Int): Long =
+    h64(s"$plane,$dim") % 2000001L - 1000000L
+
+  /** One hyperplane's weight vector, driver-precomputed (the column form
+    * recomputed an md5 per (plane, dim) per ROW — a 512-entry constant). */
+  def planeWeights(plane: Int, dims: Int): Array[Long] =
+    Array.tabulate(dims)(d => planeWeight(plane, d))
+}
+
+/** shingle_h64s(tokens array<string>, n) → array<long>: h64 hashes of
+  * the DISTINCT word n-gram shingles (space-joined), in first-occurrence
+  * order. One tight JVM pass — the column form (`transform(sequence, i →
+  * concat_ws(slice))` + `array_distinct` + md5) walks interpreted
+  * higher-order-function trees per element, and Catalyst's collapsed
+  * projections re-evaluate it per consumer; at 260k shingles that was
+  * seconds, this is milliseconds. Distinctness is by shingle STRING
+  * (then hashed), bit-exact with the oracle's order of operations. */
+case class ShingleH64sExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_h64s"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = Hashing.h64(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** minhash_sig(shingle_hashes array<long>, k) → array<long>: the full
+  * k-wide MinHash signature in one pass over the pre-hashed shingle set
+  * (see [[ShingleH64sExpr]]). Bit-exact with the exploded column
+  * pipeline (h = h64(s) mod M; sig_i = min (a_i·h + b_i) mod M) but
+  * map-only: no explode, no (doc, i) shuffle — the signature a 100 TB
+  * dedup run computes per document during the scan. An empty set yields
+  * an all-null signature (callers filter empties first). */
+case class MinhashSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<long>, foldable int)")
+    }
+  private lazy val k: Int = right.eval(null).asInstanceOf[Int]
+  private lazy val paramA: Array[Long] = DedupOps.minhashParams(k).map(_._1).toArray
+  private lazy val paramB: Array[Long] = DedupOps.minhashParams(k).map(_._2).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = arr.getLong(i) % DedupOps.MinhashMod
+        var j = 0
+        while (j < k) {
+          val v = (paramA(j) * h + paramB(j)) % DedupOps.MinhashMod
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(Array.fill[Any](k)(null))
+    else new GenericArrayData(sig.map(Long.box(_): Any))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** simhash64(tokens array<string>, bits) → long: SimHash fingerprint in
+  * one pass (tokens with multiplicity; bit j set when Σ ±1 over token
+  * hashes' bit j is positive). Bit-exact with the explode(tokens × bits)
+  * aggregate pipeline but map-only. Empty token set → 0 sums → all bits
+  * off → 0, matching the aggregate form's empty-group absence semantics
+  * only when the caller filters empties — callers keep their guards. */
+case class Simhash64Expr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val bits: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.h64(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < bits) {
+          counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** vec_dot_long(array<long>, array<long>) → long: exact integer dot
+  * product, whole-stage-codegen'd. The LSH projection hot path — fixed-
+  * point quantized vectors against precomputed integer hyperplane
+  * weights — where exactness makes bucket ids reproducible across
+  * engines and summation orders. Null elements count as 0. */
+case class VecDotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<long> inputs")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         long $s = 0L;
+         for (int $i = 0; $i < $n; $i++) {
+           if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+             $s += $a.getLong($i) * $b.getLong($i);
+           }
+         }
+         ${ev.value} = $s;
+       """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

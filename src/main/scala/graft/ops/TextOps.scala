@@ -101,9 +101,16 @@ object TextOps {
     }
   }
 
+  /** h64 hashes of the distinct word n-gram shingles, one tight-loop
+    * expression ([[ShingleH64sExpr]]) — the scan-time form every dedup
+    * fingerprint builds on. Bit-exact with
+    * `transform(shingles(text, n), h64)`. */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("shingle_h64s", tokens(text), lit(n))
+
   /** Document fingerprint: min shingle hash (winnowing-style selection
     * of a representative n-gram hash; robust to small edits, unlike the
     * whole-content hash). Null when no shingles. */
   def minShingleFingerprint(text: Column, n: Int): Column =
-    array_min(transform(shingles(text, n), s => h64(s)))
+    array_min(shingleHashes(text, n))
 }

@@ -65,51 +65,66 @@ object VectorOps {
     * md5-derived integer uniform in [-1e6, 1e6]. Integer weights (and a
     * fixed-point vector quantization below) make the projection sign an
     * exact integer computation — identical across engines, partitionings
-    * and summation orders, which a reproducible bucketing needs. */
+    * and summation orders, which a reproducible bucketing needs. Column
+    * form kept for the oracle SQL twin; the Scala plans precompute the
+    * same values driver-side ([[graft.ops.Hashing.planeWeights]]) — the
+    * weights are a (planes × dims) CONSTANT, recomputing an md5 per
+    * (plane, dim) per row was the dominant ANN cost. */
   def planeWeight(plane: Column, dim: Column): Column =
     TextOps.h64(concat(plane, lit(","), dim)) % 2000001L - 1000000L
+
+  /** Fixed-point quantized copy of the vector: round(x·1e6) as bigint,
+    * Spark `round` (HALF_UP) semantics — the exact form the oracle SQL
+    * computes. */
+  private def quantized(v: Column): Column =
+    transform(v, x => round(x * 1000000.0).cast("long"))
+
+  /** Bucket id column: bit p = (vq · w_p > 0), hyperplane weights
+    * baked in as array literals, dot via the codegen'd vec_dot_long —
+    * a pure projection, no explode / regroup. `planeIdOf` maps the
+    * local bit position to the global plane id the weights derive from. */
+  private def bucketCol(vq: Column, dims: Int, planes: Int,
+                        planeIdOf: Int => Int): Column =
+    (0 until planes).map { p =>
+      val w = typedLit(Hashing.planeWeights(planeIdOf(p), dims).toSeq)
+      when(call_function("vec_dot_long", vq, w) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Sign-random-projection LSH bucket id: bit p = (v · r_p > 0) for
     * `planes` hyperplanes → an integer bucket. The dot product runs in
     * fixed point: round(x·1e6) · w, summed as bigints (exact, order-
     * independent). Vectors in the same bucket are cosine-similar
-    * candidates; the bucket join is linear. */
+    * candidates; the bucket join is linear. Map-only: quantize once,
+    * then `planes` codegen'd integer dots per row. `dims` is sampled
+    * from the first row (embedding width is a table constant). */
   def lshBuckets(df: DataFrame, id: String, vec: String, planes: Int): DataFrame = {
-    val v = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
-    v.select(col("vid"), col("v"),
-        explode(sequence(lit(0), lit(planes - 1))).as("p"))
-      .select(col("vid"), col("p"),
-        aggregate(zip_with(col("v"),
-            transform(sequence(lit(0), size(col("v")) - 1),
-              d => planeWeight(col("p"), d)),
-            (x, w) => round(x * 1000000.0).cast("long") * w),
-          lit(0L), (acc, x) => acc + x).as("proj"))
-      .groupBy("vid")
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, p)"))
-        .otherwise(0L)).as("bucket"))
+    val dims = vecDims(df, vec)
+    df.select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
+      .select(col("vid"), bucketCol(col("vq"), dims, planes, p => p).as("bucket"))
   }
 
   /** Multi-table LSH buckets: `tables` independent hash tables of
     * `planes` hyperplanes each (plane ids offset per table so every
     * table draws different hyperplanes). A vector lands in one bucket
     * per table; near neighbors collide in ≥1 table with probability
-    * 1−(1−p^planes)^tables — the standard recall dial. */
+    * 1−(1−p^planes)^tables — the standard recall dial. One row per
+    * (vector, table), built columnar and exploded — no regroup. */
   def lshBucketsMulti(df: DataFrame, id: String, vec: String, planes: Int,
                       tables: Int): DataFrame = {
-    val v = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
-    v.select(col("vid"), col("v"),
-        explode(sequence(lit(0), lit(tables * planes - 1))).as("gp"))
-      .select(col("vid"), (col("gp") / planes).cast("int").as("tbl"),
-        pmod(col("gp"), lit(planes)).as("p"),
-        aggregate(zip_with(col("v"),
-            transform(sequence(lit(0), size(col("v")) - 1),
-              d => planeWeight(col("gp"), d)),
-            (x, w) => round(x * 1000000.0).cast("long") * w),
-          lit(0L), (acc, x) => acc + x).as("proj"))
-      .groupBy("vid", "tbl")
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, p)"))
-        .otherwise(0L)).as("bucket"))
+    val dims = vecDims(df, vec)
+    val perTable = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucketCol(col("vq"), dims, planes, p => t * planes + p).as("bucket"))
+    }
+    df.select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
+      .select(col("vid"), explode(array(perTable: _*)).as("tb"))
+      .select(col("vid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
+
+  /** Embedding width, probed from one row (constant per table). */
+  private def vecDims(df: DataFrame, vec: String): Int =
+    df.select(size(col(vec))).head().getInt(0)
 
   /** ANN top-k over multiple LSH tables: candidates are the distinct
     * union of same-(table, bucket) collisions, re-ranked by exact
