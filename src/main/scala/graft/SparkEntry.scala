@@ -54,6 +54,8 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => DataQueries.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
+    "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
+    "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -522,6 +524,48 @@ object SparkEntry {
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
          FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    "q_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         cent AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),
+         ac AS (SELECT v.vec_id, cent.cid,
+                  list_dot_product(v.ve, cent.cv) /
+                    (sqrt(list_dot_product(v.ve, v.ve)) *
+                     sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+                FROM v CROSS JOIN cent),
+         asg AS (SELECT vec_id, cid AS list_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid ASC) AS rn FROM ac)
+                 WHERE rn = 1),
+         probe AS (SELECT vec_id, cid AS list_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid ASC) AS rn
+                    FROM ac WHERE vec_id < 10)
+                 WHERE rn <= 2),
+         sc AS (SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM probe p JOIN asg a ON p.list_id = a.list_id
+                  AND p.vec_id <> a.vec_id
+                JOIN v q ON q.vec_id = p.vec_id
+                JOIN v c ON c.vec_id = a.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    // Independent oracle: DuckDB's native ASOF JOIN (not a window
+    // re-spelling of our plan) — a pass proves the union+window form
+    // implements the standard backward as-of semantics.
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts::TIMESTAMP AS p_ts, value AS p_value
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts, p.p_ts,
+           round(p.p_value, 4) AS p_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND p.p_ts <= c.ts
+         ORDER BY c.event_id""",
     // The oracle computes the pipeline's EXPECTED output straight from
     // `events` — a pass proves the Spark-side ABI encode → keccak topic
     // dispatch → decode → enrich loop is lossless.

@@ -35,7 +35,9 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // `div`, not `/`: long/long is DOUBLE division in Spark, and at
+        // ~1.7e18 ns doubles lose sub-microsecond precision
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => raw
     }
   }

@@ -100,4 +100,29 @@ object DataQueries {
       .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
+
+  /** IVF ANN top-3: 16 inverted lists, 2 probed per query, vec_id<10. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    VectorOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        nlists = 16, nprobe = 2, k = 3, queryPred = col("vec_id") < 10)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+
+  /** As-of join: each click event picks up the user's latest purchase
+    * at-or-before the click (value + its timestamp). */
+  def asofPurchase(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    TimeSeries.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+        rightVals = Seq("value"), prefix = "p_")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"),
+        round(col("p_value"), 4).as("p_value"))
+      .orderBy("event_id")
+  }
 }

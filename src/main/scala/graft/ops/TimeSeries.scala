@@ -206,4 +206,43 @@ object TimeSeries {
     when(isCanonical, struct(a.as("a"), b.as("b"), lit(1).as("sign")))
       .otherwise(struct(b.as("a"), a.as("b"), lit(-1).as("sign")))
   }
+
+  /** As-of (backward) join: for every left row, attach the single latest
+    * right row with `right.ts <= left.ts` on the same key — the
+    * time-series join pandas spells `merge_asof` and DuckDB spells
+    * `ASOF JOIN`. Left rows with no prior right row keep nulls.
+    *
+    * Implemented as union + one partitioned window (right rows sort
+    * before left rows at equal ts, then `last(ignoreNulls)` carries the
+    * packed right struct forward) — ONE shuffle on the key, never the
+    * range cross-join that quadratically explodes at scale. Right rows
+    * must be unique per (key, ts); when they are not, pass `tiebreak`
+    * (a right column) — the greatest tiebreak value wins, making the
+    * result deterministic.
+    *
+    * Returns all left columns plus `prefix + v` for each right value
+    * column v. Left column names must not collide with the prefixed
+    * right names. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               prefix: String = "r_", tiebreak: Option[String] = None): DataFrame = {
+    val rv = struct((rightVals.map(col) :+ col(rightTs).as("__rts")): _*)
+    val tb = tiebreak.map(col).getOrElse(lit(0))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      lit(0).as("__side"), tb.as("__tb"), rv.as("__rv"))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(0))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u.withColumn("__filled", last(col("__rv"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        Seq(col("__filled").getField("__rts").as(prefix + rightTs)) ++
+        rightVals.map(v => col("__filled").getField(v).as(prefix + v)): _*)
+  }
 }

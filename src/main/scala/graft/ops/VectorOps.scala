@@ -126,6 +126,57 @@ object VectorOps {
   private def vecDims(df: DataFrame, vec: String): Int =
     df.select(size(col(vec))).head().getInt(0)
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
+    *
+    * Coarse centroids: the `nlists` lowest-id vectors (deterministic
+    * sampling; production swaps in k-means centroids without changing
+    * the plan shape — they are a plan-time constant either way, like a
+    * broadcast dim table). Every vector is assigned to its nearest
+    * centroid's inverted list by argmax cosine (ties → lowest centroid
+    * id), computed as a pure projection against centroid literals —
+    * map-only, whole-stage-codegen'd, no join or shuffle. Queries probe
+    * the `nprobe` nearest lists and exact-cosine re-rank inside them,
+    * cutting the scored fraction to ~nprobe/nlists of brute force.
+    * With thousands of lists, assignment should become a broadcast
+    * join; at literal-friendly list counts this form keeps the whole
+    * assignment inside codegen. */
+  def ivfTopK(df: DataFrame, id: String, vec: String, nlists: Int, nprobe: Int,
+              k: Int, queryPred: Column): DataFrame = {
+    val base = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
+      queryPred.as("__isq"))
+    val cents: Array[(Long, Seq[Double])] =
+      base.orderBy("vid").limit(nlists).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val vn = norm(col("v"))
+    // norm(lit(centroid)) constant-folds at plan time
+    def cosTo(cv: Seq[Double]): Column = {
+      val c = typedLit(cv)
+      dot(col("v"), c) / (vn * norm(c))
+    }
+    // struct ordering does the argmax; negated id makes ties pick the
+    // lowest centroid id
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(cosTo(cv).as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = base.withColumn("list_id",
+      -array_max(scored).getField("ncid"))
+    // probe lists: top-nprobe centroids by (cos desc, cid asc)
+    val probes = slice(reverse(array_sort(scored)), 1, nprobe)
+    val q = base.filter(col("__isq"))
+      .select(col("vid").as("query_id"), col("v").as("qv"), vn.as("qn"),
+        explode(transform(probes, s => -s.getField("ncid"))).as("list_id"))
+    val c = assigned.select(col("vid").as("cand_id"), col("v").as("cv"),
+      vn.as("cn"), col("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
   /** ANN top-k over multiple LSH tables: candidates are the distinct
     * union of same-(table, bucket) collisions, re-ranked by exact
     * cosine. Recall grows with `tables` at linear candidate-join cost —

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Hashing, TextOps, TimeSeries, VectorOps}
+
+/** As-of join semantics, IVF ANN sanity, and JVM↔SQL hash parity. */
+class AsofIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: backward match, equal-ts inclusive, no prior → null") {
+    val left = Seq(
+      (1L, "a", 10L), // before any right row
+      (2L, "a", 20L), // equal ts matches (<=)
+      (3L, "a", 35L), // latest prior (30) wins over 20
+      (4L, "b", 25L)  // other key, isolated
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("a", 20L, 2.0), ("a", 30L, 3.0), ("b", 40L, 9.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .orderBy("event_id")
+      .select("event_id", "r_t", "r_v").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).getLong(1) == 20L && out(1).getDouble(2) == 2.0)
+    assert(out(2).getLong(1) == 30L && out(2).getDouble(2) == 3.0)
+    assert(out(3).isNullAt(1)) // b@25 precedes b@40
+  }
+
+  test("asofJoin: duplicate right (key, ts) resolved by tiebreak (greatest wins)") {
+    val left = Seq((1L, "a", 10L)).toDF("event_id", "k", "t")
+    val right = Seq(("a", 10L, 1.0, 7L), ("a", 10L, 2.0, 9L), ("a", 10L, 3.0, 8L))
+      .toDF("k", "t", "v", "seq")
+    val out = TimeSeries.asofJoin(left, right, "k", "t", "t", Seq("v"),
+      tiebreak = Some("seq")).select("r_v").head()
+    assert(out.getDouble(0) == 2.0) // seq=9 row
+  }
+
+  test("ivfTopK: self-list hit rate is sane and ranks are exact cosine order") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = VectorOps.ivfTopK(e, "vec_id", "embedding",
+      nlists = 8, nprobe = 4, k = 5, queryPred = col("vec_id") < 20)
+    val brute = VectorOps.cosineTopK(
+      e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+    val ivfTop = ivf.filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val bruteTop = brute.filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    // probing half the lists must recover the true top-1 for most queries
+    val hits = ivfTop.count { case (q, c) => bruteTop.get(q).contains(c) }
+    assert(hits >= ivfTop.size / 2, s"recall@1 too low: $hits/${ivfTop.size}")
+    // within a query, ranks strictly follow descending cosine
+    val byQuery = ivf.select("query_id", "rank", "cos")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("Hashing.h64 / planeWeight match the SQL column forms exactly") {
+    val samples = Seq("", "a", "the quick brown fox", "0,63", "τok unicode ☃")
+    val fromSql = samples.toDF("s")
+      .select(TextOps.h64(col("s")).as("h")).as[Long].collect()
+    samples.zip(fromSql).foreach { case (s, expected) =>
+      assert(Hashing.h64(s) == expected, s"h64 mismatch for '$s'")
+    }
+    // plane weights: JVM precompute vs the column expression
+    val pw = (0 until 4).flatMap(p => (0 until 8).map(d => (p, d)))
+    val sqlW = pw.toDF("p", "d")
+      .select(VectorOps.planeWeight(col("p"), col("d")).as("w"))
+      .as[Long].collect()
+    pw.zip(sqlW).foreach { case ((p, d), expected) =>
+      assert(Hashing.planeWeight(p, d) == expected, s"weight mismatch ($p,$d)")
+    }
+  }
+
+  test("shingleHashes matches transform(shingles, h64) and minhash parity") {
+    val docs = Seq((1L, "a b c d e a b c"), (2L, "x y"), (3L, "one two three"))
+      .toDF("id", "text")
+    val fast = docs.select(col("id"),
+      TextOps.shingleHashes(col("text"), 3).as("hs"))
+    val slow = docs.select(col("id"),
+      transform(TextOps.shingles(col("text"), 3), s => TextOps.h64(s)).as("hs"))
+    val f = fast.as[(Long, Seq[Long])].collect().toMap
+    val s = slow.as[(Long, Seq[Long])].collect().toMap
+    assert(f == s)
+  }
+}
