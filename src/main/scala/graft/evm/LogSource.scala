@@ -65,7 +65,7 @@ class LogTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"evm_logs(${props.getOrElse("path", "?")})"
   override def schema(): StructType = LogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(props ++ options.asScala)
 }
@@ -128,6 +128,9 @@ class LogScan(props: Map[String, String], addresses: Option[Set[String]],
       s"topics=${topics.map(_.size).getOrElse(-1)} " +
       s"blocks=[${blockLo.getOrElse("-")},${blockHi.getOrElse("-")}]"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LogMicroBatchStream(props, addresses, topics)
 
   /** S1: one partition per chunk_size block window, pruned by any
     * pushed block_number bounds (partition pruning at the source). */
@@ -150,6 +153,80 @@ class LogScan(props: Map[String, String], addresses: Option[Set[String]],
 
 case class LogRangePartition(path: String, fromBlock: Long, toBlock: Long)
     extends InputPartition
+
+/** Block-height offset for the streaming source: "everything up to and
+  * including block `block` has been emitted". */
+case class LogOffset(block: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"block":$block}"""
+}
+
+/** Chain-tip following (the reference's roadmap promise, README.md:202-
+  * 208, never implemented there): each trigger scans the dump for the
+  * latest block height — the replay stand-in for `eth_blockNumber`
+  * (`internal/rpc/client.go:153-177`) — and emits the new block window
+  * as chunked partitions, exactly the batch scan's shape. Offsets are
+  * block heights, so restart/recovery replays from the last committed
+  * block; `maxBlocksPerTrigger` rate-limits catch-up (the chunked
+  * backfill the reference does with its worker pool).
+  *
+  * Logs arrive in block order per chain, so late data cannot occur;
+  * reorgs are out of scope, as in the reference (SURVEY.md §7.4). */
+class LogMicroBatchStream(props: Map[String, String],
+                          addresses: Option[Set[String]],
+                          topics: Option[Set[String]])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val path = props.getOrElse("path",
+    throw new IllegalArgumentException("evm-logs: path option required"))
+  private val chunk = props.getOrElse("chunkSize", "1000").toLong
+  private val startBlock = props.getOrElse("startBlock", "0").toLong
+  private val maxPerTrigger = props.get("maxBlocksPerTrigger").map(_.toLong)
+  private val mapper = new ObjectMapper()
+  @volatile private var lastPlanned: Long = startBlock - 1
+
+  /** Latest height in the dump (live variant: one eth_blockNumber). */
+  private def tip(): Long = {
+    val dir = new java.io.File(path)
+    val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+    var mx = startBlock - 1
+    for (f <- fs) {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().foreach { line =>
+        if (line.nonEmpty) {
+          val b = mapper.readTree(line).path("block_number").asLong(Long.MinValue)
+          if (b > mx) mx = b
+        }
+      } finally src.close()
+    }
+    mx
+  }
+
+  override def initialOffset(): Offset = LogOffset(startBlock - 1)
+  override def deserializeOffset(json: String): Offset =
+    LogOffset(mapper.readTree(json).path("block").asLong())
+  override def latestOffset(): Offset = {
+    val t = tip()
+    val capped = maxPerTrigger.fold(t)(m => math.min(t, lastPlanned + m))
+    lastPlanned = math.max(lastPlanned, capped)
+    LogOffset(math.max(capped, startBlock - 1))
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[LogOffset].block + 1
+    val hi = end.asInstanceOf[LogOffset].block
+    (lo to hi by chunk).map { l =>
+      LogRangePartition(path, l, math.min(l + chunk - 1, hi))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory(addresses, topics)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class LogReaderFactory(addresses: Option[Set[String]],
                        topics: Option[Set[String]])

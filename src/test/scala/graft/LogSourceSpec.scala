@@ -71,4 +71,45 @@ class LogSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(blocks.head >= 10 && blocks.last <= 19 && blocks.nonEmpty)
   }
+
+  test("streaming: chain-tip following emits only new blocks per trigger") {
+    val dir = dumpDir
+    val stream = spark.readStream.format("graft.evm.LogSourceProvider")
+      .option("path", dir).option("startBlock", 0)
+      .option("chunkSize", 10).option("maxBlocksPerTrigger", 40).load()
+    val query = stream.writeStream.format("memory")
+      .queryName("tip_follow").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // dump covers blocks 0..99 → full catch-up across rate-limited batches
+      val got = spark.table("tip_follow")
+      assert(got.count() == 1000)
+      assert(got.select(max(col("block_number"))).head().getLong(0) == 99)
+      // rate limit: no micro-batch may span more than 40 blocks
+      val perBatch = query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(perBatch.length >= 3, s"expected >=3 rate-limited batches, got ${perBatch.mkString(",")}")
+    } finally query.stop()
+  }
+
+  test("streaming: appended dump files advance the tip") {
+    val dir = Files.createTempDirectory("evm_tip").toString
+    def line(b: Long) =
+      s"""{"block_number":$b,"tx_hash":"0x$b","address":"0xa","topic0":"0xt","data":""}"""
+    Files.write(java.nio.file.Paths.get(dir, "part1.json"),
+      (0L to 4L).map(line).mkString("\n").getBytes)
+    val stream = spark.readStream.format("graft.evm.LogSourceProvider")
+      .option("path", dir).option("startBlock", 0).option("chunkSize", 3).load()
+    val query = stream.writeStream.format("memory")
+      .queryName("tip_append").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("tip_append").count() == 5)
+      Files.write(java.nio.file.Paths.get(dir, "part2.json"),
+        (5L to 8L).map(line).mkString("\n").getBytes)
+      query.processAllAvailable()
+      assert(spark.table("tip_append").count() == 9)
+      assert(spark.table("tip_append").select(max(col("block_number")))
+        .head().getLong(0) == 8)
+    } finally query.stop()
+  }
 }
