@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{DataQueries, Relational}
+
+/** Physical-plan assertions — the `.explain`-driven checks that keep
+  * the 100 TB posture honest as code evolves: filters and projections
+  * must reach the parquet scan, small dims must broadcast, aggregates
+  * must partial-combine map-side, and fingerprint pipelines must stay
+  * map-only up to their first legitimate shuffle.
+  */
+class PlanQualitySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan gets pushed filters and a pruned ReadSchema") {
+    val df = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"filter not pushed:\n$p")
+    // 6-column table, 3-column read (the filter column stays in ReadSchema)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string"),
+      s"schema not pruned:\n$p")
+  }
+
+  test("dimension enrichment joins broadcast (no fact-side shuffle)") {
+    val p = plan(Relational.enrichSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("aggregations partial-combine map-side") {
+    val p = plan(Relational.revenueByNation(spark, sf))
+    // two HashAggregates per grouping (partial + final)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("fingerprint pipelines are map-only before their first shuffle") {
+    import graft.ops.DedupOps
+    // wide minhash signature: scan → project → filter, zero exchanges
+    val sig = DedupOps.minhashSigWide(
+      Tables.documents(spark, sf), "doc_id", "text", k = 32)
+    assert(!plan(sig).contains("Exchange"),
+      s"signature computation should not shuffle:\n${plan(sig)}")
+    // simhash fingerprint: same
+    val sh = DedupOps.simhash(Tables.documents(spark, sf), "doc_id", "text")
+    assert(!plan(sh).contains("Exchange"))
+  }
+
+  test("LSH bucket assignment is a pure projection (no shuffle, no join)") {
+    import graft.ops.VectorOps
+    val b = VectorOps.lshBuckets(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", planes = 8)
+    val p = plan(b)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"bucket assignment should be map-only:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→project hot path") {
+    val df = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+    assert(plan(df).contains("*(1) Project"), s"no codegen span:\n${plan(df)}")
+  }
+
+  test("ANN candidate generation joins on buckets, never cross-joins") {
+    val p = plan(DataQueries.annTopK(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"quadratic candidate join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"candidate join not an equi-join:\n$p")
+  }
+}
