@@ -91,6 +91,27 @@ class LogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: decode pipeline over the stream equals the batch decode") {
+    val dir = dumpDir
+    def decoded(df: org.apache.spark.sql.DataFrame) =
+      LogPipeline.decodeTransfers(df
+        .withColumn("topic1", unhex(col("topic1")))
+        .withColumn("topic2", unhex(col("topic2")))
+        .withColumn("data", unhex(col("data"))))
+    val stream = spark.readStream.format("graft.evm.LogSourceProvider")
+      .option("path", dir).option("startBlock", 0).option("chunkSize", 25).load()
+    val query = decoded(stream).writeStream.format("memory")
+      .queryName("decode_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("decode_stream")
+        .orderBy("tx_hash").collect()
+      val batch = decoded(read(dir)).orderBy("tx_hash").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      assert(streamed.sameElements(batch))
+    } finally query.stop()
+  }
+
   test("streaming: appended dump files advance the tip") {
     val dir = Files.createTempDirectory("evm_tip").toString
     def line(b: Long) =
