@@ -43,6 +43,71 @@ object StreamOps {
   case class TradeOut(pool: String, side: String, entry_ts: Long, exit_ts: Long,
                       entry_price: Double, exit_price: Double, pct_return: Double)
 
+  /** F2 streaming state: open position plus the running grid-row index
+    * (`idx` must advance on warm-up rows too, so the hold clock matches
+    * the batch FSM across micro-batch boundaries). `side` is null when
+    * flat. */
+  case class ZState(idx: Long, side: String, entryIdx: Long, entryTs: Long,
+                    entryPrice: Double, entryZ: Double)
+  case class ZTickIn(key: String, ts: Long, price: Double, z: Double)
+  case class ZTradeOut(pool: String, side: String, entry_ts: Long, exit_ts: Long,
+                       entry_price: Double, exit_price: Double, entry_z: Double,
+                       exit_z: Double, pct_return: Double, held_rows: Long)
+
+  /** F2, streaming: the z-score FSM as flatMapGroupsWithState — same
+    * transition rules as Backtest.zscoreReversion (entry at |z| ≥
+    * entryZ, exit when z re-enters ±exitZ or the max-hold time stop
+    * fires), with the open position AND the row-index clock persisted
+    * in GroupState between micro-batches. Warm-up rows (NaN z or price)
+    * are skipped but still advance the clock, exactly like the batch
+    * fold. */
+  def zscoreReversionStream(ticks: org.apache.spark.sql.Dataset[ZTickIn],
+                            entryZ: Double, exitZ: Double, maxHold: Int)
+      : org.apache.spark.sql.Dataset[ZTradeOut] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.key)
+      .flatMapGroupsWithState[ZState, ZTradeOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[ZTickIn], state: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var st = state.getOption.getOrElse(ZState(0L, null, 0L, 0L, 0.0, 0.0))
+          var idx = st.idx
+          var side = st.side
+          var entryIdx = st.entryIdx
+          var entryTs = st.entryTs
+          var entryPrice = st.entryPrice
+          var entryZv = st.entryZ
+          val out = Seq.newBuilder[ZTradeOut]
+          for (r <- sorted) {
+            if (!r.price.isNaN && !r.z.isNaN) {
+              if (side == null) {
+                if (r.z <= -entryZ) {
+                  side = "long"; entryIdx = idx; entryTs = r.ts
+                  entryPrice = r.price; entryZv = r.z
+                } else if (r.z >= entryZ) {
+                  side = "short"; entryIdx = idx; entryTs = r.ts
+                  entryPrice = r.price; entryZv = r.z
+                }
+              } else {
+                val held = idx - entryIdx
+                val exit = (side == "long" && r.z >= -exitZ) ||
+                           (side == "short" && r.z <= exitZ) || held >= maxHold
+                if (exit) {
+                  val ret = if (side == "long") (r.price - entryPrice) / entryPrice
+                            else (entryPrice - r.price) / entryPrice
+                  out += ZTradeOut(key, side, entryTs, r.ts, entryPrice, r.price,
+                    entryZv, r.z, ret, held)
+                  side = null
+                }
+              }
+            }
+            idx += 1
+          }
+          state.update(ZState(idx, side, entryIdx, entryTs, entryPrice, entryZv))
+          out.result().iterator
+      }
+  }
+
   /** F1, streaming: the mean-reversion FSM as flatMapGroupsWithState —
     * the same transition rules as Backtest.meanReversion, with the open
     * position persisted in GroupState between micro-batches. Rows within

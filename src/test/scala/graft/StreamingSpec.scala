@@ -31,6 +31,37 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", 2.0), ("2024-01-01 01:00:00.0", 3.0)))
   }
 
+  test("zscoreReversionStream matches batch FSM incl. warm-up clock and time stop") {
+    import graft.streaming.StreamOps.{ZTickIn, ZTradeOut}
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      ZTickIn("p", 1L, 10.0, Double.NaN), // warm-up: skipped, clock advances
+      ZTickIn("p", 2L, 10.0, -2.5),       // open long
+      ZTickIn("p", 3L, 10.5, -1.0),       // held, no exit (z < -0.2)
+      ZTickIn("p", 4L, 11.0, -0.1),       // exit: z back inside ±0.2
+      ZTickIn("p", 5L, 12.0, 2.6),        // open short
+      ZTickIn("p", 6L, 12.5, 2.4),        // held 1
+      ZTickIn("p", 7L, 13.0, 2.2),        // held 2
+      ZTickIn("p", 8L, 13.5, 2.1))        // held 3 >= maxHold → time stop
+    val input = MemoryStream[ZTickIn]
+    val q = StreamOps.zscoreReversionStream(input.toDS(),
+        entryZ = 2.0, exitZ = 0.2, maxHold = 3)
+      .writeStream.format("memory").queryName("zfsm_out")
+      .outputMode("append").start()
+    input.addData(rows.take(3): _*); q.processAllAvailable()
+    input.addData(rows.drop(3): _*); q.processAllAvailable()
+    val got = spark.table("zfsm_out").as[ZTradeOut].collect().sortBy(_.entry_ts)
+    q.stop()
+    val batch = Backtest.zscoreReversion(
+        rows.map(r => (r.key, r.ts, r.price, r.z)).toDF("k", "ts", "px", "z"),
+        "k", "ts", "px", "z", entryZ = 2.0, exitZ = 0.2, maxHold = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(8), r.getInt(9).toLong))
+    assert(got.length == 2 && batch.length == 2)
+    assert(got.map(t => (t.side, t.entry_ts, t.exit_ts, t.pct_return, t.held_rows))
+      .toSeq == batch.toSeq)
+  }
+
   test("meanReversionStream emits the same trades as the batch FSM, across batches") {
     implicit val sc = spark.sqlContext
     val rows = Seq(
