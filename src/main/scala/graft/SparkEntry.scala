@@ -47,6 +47,7 @@ object SparkEntry {
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
     "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
+    "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -435,6 +436,32 @@ object SparkEntry {
                           JOIN sizes sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
          FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    // Components via a recursive reachability CTE (label set of a node =
+    // everything with a path to it over symmetric edges; min = the
+    // component representative) — independent of the Spark side's
+    // iterative min-label propagation.
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         near AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+                   UNION SELECT doc_b, doc_a FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+         SELECT node AS doc, comp, comp_size
+         FROM comps JOIN sz USING (comp) ORDER BY doc""",
     "q_minhash_sig" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

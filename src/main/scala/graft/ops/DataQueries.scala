@@ -52,6 +52,19 @@ object DataQueries {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Near-dup clusters: Jaccard pairs → connected components → one
+    * group id (min doc) + size per clustered document. */
+  def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1)
+      .select("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    cc.join(sizes, Seq("comp"))
+      .select(col("node").as("doc"), col("comp"), col("comp_size"))
+      .orderBy("doc")
+  }
+
   /** MinHash signatures, k=32, long format. */
   def minhashSig(s: SparkSession, d: String): DataFrame =
     DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", k = 32)

@@ -133,6 +133,44 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Connected components over an undirected edge list — the cluster
+    * step that turns near-dup PAIRS into dedup GROUPS (one component =
+    * one duplicate cluster; keep the min-id representative). Iterative
+    * min-label propagation: every round each node adopts the minimum
+    * label in its closed neighborhood; terminates when a round changes
+    * nothing. Rounds = component diameter — small for near-dup
+    * clusters, which are dense by construction. (Adversarially long
+    * path-graphs would want the large-star/small-star contraction;
+    * the propagation step and plan shape are the same.)
+    *
+    * Each round is one shuffle on the node id with map-side partial
+    * min; lineage is cut per round with localCheckpoint so the plan
+    * does not grow with iterations. Output: (node, comp) where comp is
+    * the component's minimum node id. Nodes not present in any edge
+    * are absent (singletons are the caller's union). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst").as("nb")).agg(min("label").as("nl"))
+      val updated = labels.join(nbrMin, labels("node") === nbrMin("nb"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("newl"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("newl") < col("label")).count()
+      labels = updated.select(col("node"), col("newl").as("label"))
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("comp"))
+  }
+
   /** 48-bit SimHash over tokens (with multiplicity): bit j is 1 when the
     * sum over token hashes of ±1 (by bit j of h64(token)) is positive.
     * 48 bits keeps every shift inside a positive bigint. One-pass

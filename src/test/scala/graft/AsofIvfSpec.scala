@@ -57,6 +57,19 @@ class AsofIvfSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: path graph, disjoint components, min labels") {
+    import graft.ops.DedupOps
+    // path 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
+    // and edge order/orientation mixed
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc.size == 6)
+  }
+
   test("Hashing.h64 / planeWeight match the SQL column forms exactly") {
     val samples = Seq("", "a", "the quick brown fox", "0,63", "τok unicode ☃")
     val fromSql = samples.toDF("s")
