@@ -48,6 +48,8 @@ object SparkEntry {
     "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
+    "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
+    "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -462,6 +464,44 @@ object SparkEntry {
          sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
          SELECT node AS doc, comp, comp_size
          FROM comps JOIN sz USING (comp) ORDER BY doc""",
+    "q_clean_docs" ->
+      s"""WITH $TOKS_CTE,
+         st AS (SELECT doc_id, text, tk, len(tk) AS n_tokens,
+                  CASE WHEN len(tk) > 0 THEN
+                    len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                      / len(tk) END AS stop_r,
+                  CASE WHEN len(text) > 0 THEN
+                    (len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                      / len(text) END AS punct_r,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('der','die','und','das','ist')))::DOUBLE / len(tk) ELSE 0 END AS s_de,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('the','a','of','and','is')))::DOUBLE / len(tk) ELSE 0 END AS s_en,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('el','la','de','que','y')))::DOUBLE / len(tk) ELSE 0 END AS s_es,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('le','la','et','les','des')))::DOUBLE / len(tk) ELSE 0 END AS s_fr
+                FROM toks),
+         q AS (SELECT doc_id, n_tokens,
+                 round(0.4 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - coalesce(punct_r, 0.0))
+                     + 0.3 * least(coalesce(stop_r, 0.0) * 5.0, 1.0), 6) AS quality,
+                 CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+                      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                      ELSE 'und' END AS pred,
+                 ${H64.format("text")} AS ch
+               FROM st),
+         rep AS (SELECT ch, min(doc_id) AS keep_id FROM q GROUP BY ch)
+         SELECT doc_id, n_tokens, quality
+         FROM q JOIN rep ON q.ch = rep.ch AND q.doc_id = rep.keep_id
+         WHERE quality >= 0.35 AND pred = 'en' ORDER BY doc_id""",
+    "q_sales_rollup" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+         FROM orders GROUP BY ROLLUP(yr, mo)
+         ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""",
     "q_minhash_sig" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

@@ -52,6 +52,26 @@ object DataQueries {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Composed training-data cleaning pass — the pipeline shape a corpus
+    * build runs: quality floor + language filter + exact-dedup
+    * representative, one scan plus one hash-aggregate for the
+    * representative set. */
+  def cleanDocs(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), t.as("text"),
+      TextOps.tokenCount(t).as("n_tokens"),
+      round(TextOps.qualityScore(t), 6).as("quality"),
+      TextOps.langId(t).as("lang"),
+      TextOps.h64(t).as("ch"))
+    val rep = scored.groupBy("ch").agg(min("doc_id").as("keep_id"))
+    scored.filter(col("quality") >= 0.35 && col("lang") === "en")
+      .join(rep, scored("ch") === rep("ch") &&
+        scored("doc_id") === rep("keep_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clusters: Jaccard pairs → connected components → one
     * group id (min doc) + size per clustered document. */
   def dedupGroups(s: SparkSession, d: String): DataFrame = {

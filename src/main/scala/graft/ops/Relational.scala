@@ -137,4 +137,17 @@ object Relational {
         year(col("o_orderdate")).as("yr"))
       .agg(round(sum("o_totalprice"), 4).as("total"), count(lit(1)).as("n_orders"))
       .orderBy("month")
+
+  /** A9, one-pass form: monthly + yearly + grand-total revenue from a
+    * single ROLLUP scan — the reference runs two separate groupbys
+    * (`stable_eth_meanrevert_bot.py:255-266`); grouping sets compute
+    * all levels with one shuffle (partial aggregates are shared). */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("mo", month(col("o_orderdate")))
+      .rollup("yr", "mo")
+      .agg(round(sum("o_totalprice"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("yr").asc_nulls_first, col("mo").asc_nulls_first)
 }
