@@ -149,9 +149,13 @@ object DedupOps {
     * the component's minimum node id. Nodes not present in any edge
     * are absent (singletons are the caller's union). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the edge list once — every propagation round joins
+    // against it, and without the checkpoint each round would re-run
+    // the full upstream candidate-generation DAG
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
