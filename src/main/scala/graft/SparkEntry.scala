@@ -59,6 +59,7 @@ object SparkEntry {
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
+    "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -497,6 +498,20 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality
          FROM q JOIN rep ON q.ch = rep.ch AND q.doc_id = rep.keep_id
          WHERE quality >= 0.35 AND pred = 'en' ORDER BY doc_id""",
+    // DuckDB has no BLOB substring — slice the hex image of the payload
+    // instead (one 64-byte frame = 128 hex chars); Spark slices the real
+    // bytes and hexes per frame, which is the same string.
+    "q_frame_sample" ->
+      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS n FROM documents),
+         fr AS (SELECT doc_id,
+                  [substring(h, i * 128 + 1, 128)
+                   for i in range(0, greatest(cast(ceil(n / 64.0) AS INT), 1))
+                   if i % 2 = 0] AS fhex
+                FROM b)
+         SELECT doc_id, len(fhex) AS n_frames,
+           ${H64.format("array_to_string(fhex, ',')")} AS frames_hash
+         FROM fr ORDER BY doc_id""",
     "q_sales_rollup" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
            round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders

@@ -142,6 +142,21 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** Multimodal frame sampling, oracled: documents' text bytes stand in
+    * for an opaque media payload; slice into 64-byte frames, keep every
+    * 2nd, emit the kept-frame count and a content hash over the kept
+    * frames — the byte-offset plumbing is what a real video sampler
+    * keeps, the codec is external (Multimodal.scala). */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .select(col("doc_id"),
+        Multimodal.frameSample("content", frameSize = 64, stride = 2).as("frames"))
+      .select(col("doc_id"), size(col("frames")).as("n_frames"),
+        TextOps.h64(concat_ws(",",
+          transform(col("frames"), f => lower(hex(f))))).as("frames_hash"))
+      .orderBy("doc_id")
+
   /** As-of join: each click event picks up the user's latest purchase
     * at-or-before the click (value + its timestamp). */
   def asofPurchase(s: SparkSession, d: String): DataFrame = {
