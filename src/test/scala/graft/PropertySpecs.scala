@@ -106,3 +106,70 @@ object SeriesProps extends SparkProps("TimeSeries") {
       Prop(ok)
     }
 }
+
+object AsofProps extends SparkProps("AsofJoin") {
+  import org.scalacheck.Prop
+
+  private val leftG = Gen.listOfN(15,
+    Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 30L)))
+  private val rightG = Gen.listOfN(12,
+    Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 30L), Gen.chooseNum(-9.0, 9.0)))
+
+  property("equals the naive latest-prior lookup on random series") =
+    forAll(leftG, rightG) { (ls, rs0) =>
+      val sp = spark
+      import sp.implicits._
+      // right rows unique per (key, ts) — the operator's contract
+      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.toDF("k", "t", "v")
+      val got = TimeSeries.asofJoin(left, right, "k", "t", "t", Seq("v"))
+        .select("id", "r_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> rs.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      Prop(got == want)
+    }
+}
+
+object CcProps extends SparkProps("ConnectedComponents") {
+  import org.scalacheck.Prop
+  import graft.ops.DedupOps
+
+  private val edgesG = Gen.listOfN(14,
+    Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+    .map(_.filter { case (a, b) => a != b })
+    .suchThat(_.nonEmpty)
+
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  property("equals union-find on random graphs") =
+    forAll(edgesG) { edges =>
+      val sp = spark
+      import sp.implicits._
+      val got = DedupOps.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      // canonicalize union-find roots to the component MIN, like CC does
+      val uf = unionFind(edges)
+      val minOfComp = uf.groupBy(_._2).map { case (root, m) =>
+        root -> m.keys.min
+      }
+      val want = uf.map { case (n, root) => n -> minOfComp(root) }
+      Prop(got == want)
+    }
+}
