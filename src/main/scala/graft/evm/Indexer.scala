@@ -1,0 +1,63 @@
+package graft.evm
+
+import graft.api.Config
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's CLI entry point end-to-end (SURVEY.md §3.1:
+  * `go run cmd/indexer.go --config=config.yaml`), composed from the
+  * library pieces: validated config → `evm-logs` scan with address +
+  * topic0 predicates pushed into the source (P1; the per-contract
+  * filter is in the plan, so Catalyst ANDs it into the pushed scan) →
+  * per-(contract, event) ABI decode projection (P3–P6) → partitioned
+  * CSV sink `<outDir>/contract_name=…/event_name=…` (S4, the stable-
+  * schema replacement for the reference's first-row-inferred headers) →
+  * retry decorator around the write (S6).
+  *
+  * Contracts with an empty event filter index every ABI event (the
+  * address-only fallback, P2, `indexer.go:211-222`); unknown event
+  * names in the filter are skipped with a warn, `indexer.go:70-77`.
+  * Returns the per-event row counts — the `[OK] … Events: n` progress
+  * surface (C6). The scan replays dumps; a live build swaps the
+  * source's reader for RPC fetches and nothing here changes.
+  */
+object Indexer {
+
+  final case class EventCount(contract: String, event: String, rows: Long)
+
+  /** Hex-string topics/data from the dump → binary words for decode. */
+  private def binaryTopics(logs: DataFrame): DataFrame =
+    logs.withColumn("topic1", unhex(col("topic1")))
+      .withColumn("topic2", unhex(col("topic2")))
+      .withColumn("topic3", unhex(col("topic3")))
+      .withColumn("data", unhex(col("data")))
+
+  def run(spark: SparkSession, job: Config.Job, dumpPath: String,
+          endBlock: Long, outDir: String, chainId: String = "1"): Seq[EventCount] = {
+    val logs = spark.read.format("graft.evm.LogSourceProvider")
+      .option("path", dumpPath)
+      .option("startBlock", job.startBlock)
+      .option("endBlock", endBlock)
+      .option("chunkSize", job.chunkSize)
+      .load()
+    for {
+      c <- job.contracts
+      ev <- c.parsedAbi
+      if c.events.isEmpty || c.events.contains(ev.name)
+    } yield {
+      val scoped = logs.filter(lower(col("address")) === c.address &&
+        col("topic0") === ev.topic0)
+      val decoded = LogPipeline.decodeEvent(binaryTopics(scoped), ev, c.name, chainId)
+        .cache()
+      val n = decoded.count()
+      Sinks.withRetries(job.retry.attempts, job.retry.delayMs) {
+        // append: each (contract, event) lands in its own partition dir;
+        // static overwrite would wipe the siblings written before it
+        Sinks.writeEventsCsv(decoded, outDir, mode = "append")
+      }
+      decoded.unpersist(false)
+      EventCount(c.name, ev.name, n)
+    }
+  }
+}
