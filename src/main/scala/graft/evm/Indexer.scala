@@ -60,4 +60,43 @@ object Indexer {
       EventCount(c.name, ev.name, n)
     }
   }
+
+  /** Streaming indexer: the same config-driven decode fan-out over the
+    * source's chain-tip-following mode. Each micro-batch decodes every
+    * configured (contract, event) and appends to the same partitioned
+    * layout via foreachBatch (idempotence per batch is the sink's
+    * append contract; offsets make restart resume from the last
+    * committed block). Returns the running query — caller owns its
+    * lifecycle. */
+  def runStream(spark: SparkSession, job: Config.Job, dumpPath: String,
+                outDir: String, checkpointDir: String, chainId: String = "1",
+                maxBlocksPerTrigger: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val logs = spark.readStream.format("graft.evm.LogSourceProvider")
+      .option("path", dumpPath)
+      .option("startBlock", job.startBlock)
+      .option("chunkSize", job.chunkSize)
+      .option("maxBlocksPerTrigger", maxBlocksPerTrigger)
+      .load()
+    logs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bin = binaryTopics(batch).cache()
+        try {
+          for {
+            c <- job.contracts
+            ev <- c.parsedAbi
+            if c.events.isEmpty || c.events.contains(ev.name)
+          } {
+            val scoped = bin.filter(lower(col("address")) === c.address &&
+              col("topic0") === ev.topic0)
+            val decoded = LogPipeline.decodeEvent(scoped, ev, c.name, chainId)
+            Sinks.withRetries(job.retry.attempts, job.retry.delayMs) {
+              Sinks.writeEventsCsv(decoded, outDir, mode = "append")
+            }
+          }
+        } finally bin.unpersist(false)
+      }
+      .start()
+  }
 }

@@ -79,4 +79,30 @@ class IndexerSpec extends SparkSpec {
       col("contract_name") === "TokenA")
     assert(vals.filter(col("value").isNotNull).count() > 0)
   }
+
+  test("streaming indexer: tip-follow + per-batch partitioned sink equals batch run") {
+    val dump = Files.createTempDirectory("idxs_dump").toString
+    LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+      .coalesce(1).write.mode("overwrite").json(dump)
+    val outB = Files.createTempDirectory("idxs_batch").toString
+    val outS = Files.createTempDirectory("idxs_stream").toString
+    val ckpt = Files.createTempDirectory("idxs_ckpt").toString
+
+    val job = Config.load(yaml, _ => tokenAbi)
+    val batchTotal = Indexer.run(spark, job, dump, endBlock = 99, outDir = outB)
+      .map(_.rows).sum
+
+    // rate-limited: the 100-block dump takes several micro-batches
+    val q = Indexer.runStream(spark, job, dump, outS, ckpt,
+      maxBlocksPerTrigger = 40L)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.option("header", "true")
+      .option("basePath", outS).csv(outS)
+    assert(streamed.count() == batchTotal)
+    assert(streamed.select("contract_name", "event_name").distinct().count() == 3)
+  }
 }
