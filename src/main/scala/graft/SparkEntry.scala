@@ -60,6 +60,7 @@ object SparkEntry {
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
+    "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -498,6 +499,20 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality
          FROM q JOIN rep ON q.ch = rep.ch AND q.doc_id = rep.keep_id
          WHERE quality >= 0.35 AND pred = 'en' ORDER BY doc_id""",
+    "q_winnow" ->
+      s"""WITH $TOKS_CTE,
+         ps AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+                  [${H64.format("array_to_string(tk[i+1:i+3], ' ')")}
+                   for i in range(0, len(tk) - 2)]
+                ELSE [] END AS hs FROM toks),
+         wm AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+                  ELSE list_sort(list_distinct(
+                    [list_min(hs[i+1:i+least(4, len(hs))])
+                     for i in range(0, len(hs) - least(4, len(hs)) + 1)]))
+                  END AS fps FROM ps)
+         SELECT doc_id, len(fps) AS n_fps,
+           ${H64.format("array_to_string(fps, ',')")} AS fps_hash
+         FROM wm ORDER BY doc_id""",
     // DuckDB has no BLOB substring — slice the hex image of the payload
     // instead (one 64-byte frame = 128 hex chars); Spark slices the real
     // bytes and hexes per frame, which is the same string.

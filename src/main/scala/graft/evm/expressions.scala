@@ -245,6 +245,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.ops.MinhashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) => graft.ops.MinhashSigExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.ops.WinnowFpsExpr].getName, "winnow_fps"),
+      (args: Seq[Expression]) => graft.ops.WinnowFpsExpr(args(0), args(1), args(2))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.ops.Simhash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => graft.ops.Simhash64Expr(args(0), args(1))))

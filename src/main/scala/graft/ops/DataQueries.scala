@@ -142,6 +142,16 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** Winnowing fingerprints (MOSS), w=4 over 3-gram hashes: count +
+    * content hash of the ascending fingerprint set per document. */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.winnowingFingerprints(col("text"), n = 3, w = 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        TextOps.h64(concat_ws(",", col("fps"))).as("fps_hash"))
+      .orderBy("doc_id")
+
   /** Multimodal frame sampling, oracled: documents' text bytes stand in
     * for an opaque media payload; slice into 64-byte frames, keep every
     * 2nd, emit the kept-frame count and a content hash over the kept

@@ -107,6 +107,71 @@ case class ShingleH64sExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** winnow_fps(tokens array<string>, n, w) → array<long>: winnowing
+  * fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) in one
+  * pass: positional word n-gram shingles → h64 → min hash of every
+  * w-length sliding window (monotone deque, O(len)) → distinct,
+  * ascending. Guarantees a shared fingerprint for any common run of
+  * ≥ w+n−1 tokens while keeping ~2/(w+1) of the hashes — the document
+  * fingerprint that is robust to partial overlap, unlike the
+  * whole-content hash. Fewer than n tokens → empty. */
+case class WinnowFpsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "winnow_fps"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int, foldable int)")
+    }
+  private lazy val n: Int = second.eval(null).asInstanceOf[Int]
+  private lazy val w: Int = third.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any, nv: Any, wv: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val len = m - n + 1
+    val hs = new Array[Long](len)
+    i = 0
+    while (i < len) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      hs(i) = Hashing.h64(sb.toString)
+      i += 1
+    }
+    val win = math.min(w, len)
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]() // monotone min-deque
+    i = 0
+    while (i < len) {
+      while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - win) deque.pollFirst()
+      if (i >= win - 1) fps.add(hs(deque.peekFirst()))
+      i += 1
+    }
+    val out = new Array[Any](fps.size)
+    val it = fps.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** minhash_sig(shingle_hashes array<long>, k) → array<long>: the full
   * k-wide MinHash signature in one pass over the pre-hashed shingle set
   * (see [[ShingleH64sExpr]]). Bit-exact with the exploded column

@@ -113,4 +113,12 @@ object TextOps {
     * whole-content hash). Null when no shingles. */
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(shingleHashes(text, n))
+
+  /** Winnowing fingerprint set (MOSS): distinct ascending window-min
+    * hashes over the POSITIONAL n-gram hash sequence with window w —
+    * guarantees a shared fingerprint for any common run of ≥ w+n−1
+    * tokens. One-pass [[WinnowFpsExpr]] (shingle → hash → deque
+    * window-min), no interpreted HOFs. */
+  def winnowingFingerprints(text: Column, n: Int, w: Int): Column =
+    call_function("winnow_fps", tokens(text), lit(n), lit(w))
 }

@@ -57,6 +57,28 @@ class AsofIvfSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: shared run of >= w+n-1 tokens shares a fingerprint") {
+    import graft.ops.TextOps
+    // n=3, w=4 → any common run of 6+ tokens must yield a common fp
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared totally different tail here"),
+      (3L, "no overlap with anything at all okay")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextOps.winnowingFingerprints(col("text"), 3, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    assert(fps(3L).toSet.intersect(fps(1L).toSet).isEmpty)
+    // ascending distinct
+    assert(fps.values.forall(f => f == f.distinct.sorted))
+    // fewer than n tokens → empty
+    val tiny = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(TextOps.winnowingFingerprints(col("text"), 3, 4).as("fps"))
+      .as[Seq[Long]].head()
+    assert(tiny.isEmpty)
+  }
+
   test("connectedComponents: path graph, disjoint components, min labels") {
     import graft.ops.DedupOps
     // path 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
