@@ -22,6 +22,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(docs > 0)
   }
 
+  test("fingerprint + vector expressions callable from SQL text") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT doc_id,
+           size(shingle_h64s(filter(split(text, '\\s+'), t -> length(t) > 0), 3)) AS n_sh,
+           simhash64(filter(split(text, '\\s+'), t -> length(t) > 0), 48) AS sh,
+           size(minhash_sig(shingle_h64s(filter(split(text, '\\s+'), t -> length(t) > 0), 3), 16)) AS k,
+           size(winnow_fps(filter(split(text, '\\s+'), t -> length(t) > 0), 3, 4)) AS n_fp,
+           vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dp
+         FROM documents WHERE doc_id < 5 ORDER BY doc_id""").collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getLong(5) == 32L)) // 4+10+18
+    assert(r.forall(x => x.getInt(3) == 16))
+    assert(r.forall(x => x.getInt(1) > 0 && x.getInt(4) > 0))
+  }
+
   test("window + rollup SQL over the star schema") {
     Tables.registerViews(spark, "/root/testdata/sf0.001")
     val r = spark.sql(
