@@ -61,6 +61,7 @@ object SparkEntry {
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
+    "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -499,6 +500,34 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality
          FROM q JOIN rep ON q.ch = rep.ch AND q.doc_id = rep.keep_id
          WHERE quality >= 0.35 AND pred = 'en' ORDER BY doc_id""",
+    "q_sample_docs" ->
+      s"""WITH $TOKS_CTE,
+         lang AS (SELECT doc_id,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('der','die','und','das','ist')))::DOUBLE / len(tk) ELSE 0 END AS s_de,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('the','a','of','and','is')))::DOUBLE / len(tk) ELSE 0 END AS s_en,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('el','la','de','que','y')))::DOUBLE / len(tk) ELSE 0 END AS s_es,
+                  CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                    x -> x IN ('le','la','et','les','des')))::DOUBLE / len(tk) ELSE 0 END AS s_fr
+                FROM toks),
+         pred AS (SELECT doc_id,
+                  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+                       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                       ELSE 'und' END AS lang
+                FROM lang),
+         sampled AS (SELECT doc_id, 'hash20' AS via FROM documents
+                     WHERE ${H64.format("doc_id::VARCHAR")} % 100 < 20),
+         rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                  ORDER BY ${H64.format("doc_id::VARCHAR")}, doc_id) AS rn
+                FROM pred),
+         quota AS (SELECT doc_id, 'quota_' || lang AS via FROM rk WHERE rn <= 3)
+         SELECT doc_id, via FROM
+           (SELECT * FROM sampled UNION ALL SELECT * FROM quota)
+         ORDER BY via, doc_id""",
     "q_winnow" ->
       s"""WITH $TOKS_CTE,
          ps AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN

@@ -142,6 +142,20 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** Deterministic 20% hash sample of documents + per-language quota
+    * sample (3 per language, hash-ordered) — the reproducible subset
+    * selection a corpus export runs. */
+  def sampleDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sampled = SamplingOps.hashSample(docs, "doc_id", pct = 20)
+      .select(col("doc_id"), lit("hash20").as("via"))
+    val quota = SamplingOps.stratifiedQuota(
+        docs.withColumn("lang", TextOps.langId(col("text"))),
+        stratum = "lang", key = "doc_id", quota = 3)
+      .select(col("doc_id"), concat(lit("quota_"), col("lang")).as("via"))
+    sampled.unionByName(quota).orderBy("via", "doc_id")
+  }
+
   /** Winnowing fingerprints (MOSS), w=4 over 3-gram hashes: count +
     * content hash of the ascending fingerprint set per document. */
   def winnow(s: SparkSession, d: String): DataFrame =

@@ -57,6 +57,28 @@ class AsofIvfSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling: deterministic under repartition, disjoint bucket ranges") {
+    import graft.ops.SamplingOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = SamplingOps.hashSample(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = SamplingOps.hashSample(docs.repartition(7), "doc_id", 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty) // partition-layout independent
+    // disjoint ranges → disjoint samples (the train/val split contract)
+    val lo = a.toSet
+    val hi = docs.filter(
+        SamplingOps.hashBucket(col("doc_id"), 100) >= 20 &&
+        SamplingOps.hashBucket(col("doc_id"), 100) < 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.intersect(hi).isEmpty && hi.nonEmpty)
+    // quota sample: exactly `quota` rows per stratum (when available)
+    val q = SamplingOps.stratifiedQuota(
+        docs.withColumn("parity", col("doc_id") % 2), "parity", "doc_id", 5)
+    assert(q.groupBy("parity").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+  }
+
   test("winnowing guarantee: shared run of >= w+n-1 tokens shares a fingerprint") {
     import graft.ops.TextOps
     // n=3, w=4 → any common run of 6+ tokens must yield a common fp
