@@ -175,8 +175,9 @@ case class LogOffset(block: Long)
 class LogMicroBatchStream(props: Map[String, String],
                           addresses: Option[Set[String]],
                           topics: Option[Set[String]])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val path = props.getOrElse("path",
     throw new IllegalArgumentException("evm-logs: path option required"))
@@ -184,7 +185,6 @@ class LogMicroBatchStream(props: Map[String, String],
   private val startBlock = props.getOrElse("startBlock", "0").toLong
   private val maxPerTrigger = props.get("maxBlocksPerTrigger").map(_.toLong)
   private val mapper = new ObjectMapper()
-  @volatile private var lastPlanned: Long = startBlock - 1
 
   /** Latest height in the dump (live variant: one eth_blockNumber). */
   private def tip(): Long = {
@@ -208,12 +208,20 @@ class LogMicroBatchStream(props: Map[String, String],
   override def initialOffset(): Offset = LogOffset(startBlock - 1)
   override def deserializeOffset(json: String): Offset =
     LogOffset(mapper.readTree(json).path("block").asLong())
-  override def latestOffset(): Offset = {
+  /** Rate limiting goes through SupportsAdmissionControl: the cap is
+    * computed from the START offset Spark hands us, so it is stateless
+    * and restart-safe (a mutable "last planned" height here desyncs
+    * from the checkpoint on recovery and regresses offsets). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LogOffset].block
     val t = tip()
-    val capped = maxPerTrigger.fold(t)(m => math.min(t, lastPlanned + m))
-    lastPlanned = math.max(lastPlanned, capped)
-    LogOffset(math.max(capped, startBlock - 1))
+    val capped = maxPerTrigger.fold(t)(m => math.min(t, from + m))
+    LogOffset(math.max(capped, from))
   }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[LogOffset].block + 1
     val hi = end.asInstanceOf[LogOffset].block

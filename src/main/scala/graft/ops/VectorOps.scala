@@ -142,8 +142,8 @@ object VectorOps {
     * assignment inside codegen. */
   def ivfTopK(df: DataFrame, id: String, vec: String, nlists: Int, nprobe: Int,
               k: Int, queryPred: Column): DataFrame = {
-    val base = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
-      queryPred.as("__isq"))
+    val base = df.select(col(id).cast("long").as("vid"),
+      asDouble(col(vec)).as("v"), queryPred.as("__isq"))
     val cents: Array[(Long, Seq[Double])] =
       base.orderBy("vid").limit(nlists).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))

@@ -112,6 +112,31 @@ class LogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: restart from checkpoint resumes at committed height, no dups") {
+    val dir = Files.createTempDirectory("evm_restart").toString
+    val out = Files.createTempDirectory("evm_restart_out").toString
+    val ckpt = Files.createTempDirectory("evm_restart_ckpt").toString
+    def line(b: Long) =
+      s"""{"block_number":$b,"tx_hash":"0x$b","address":"0xa","topic0":"0xt","data":""}"""
+    Files.write(java.nio.file.Paths.get(dir, "part1.json"),
+      (0L to 4L).map(line).mkString("\n").getBytes)
+    def start() = spark.readStream.format("graft.evm.LogSourceProvider")
+      .option("path", dir).option("startBlock", 0).option("chunkSize", 2)
+      .option("maxBlocksPerTrigger", 3).load()
+      .writeStream.format("csv").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // new data lands while the query is down
+    Files.write(java.nio.file.Paths.get(dir, "part2.json"),
+      (5L to 8L).map(line).mkString("\n").getBytes)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.schema(graft.evm.LogSource.schema).csv(out)
+      .select("block_number").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L to 8L), s"expected exactly blocks 0..8 once, got $got")
+  }
+
   test("streaming: appended dump files advance the tip") {
     val dir = Files.createTempDirectory("evm_tip").toString
     def line(b: Long) =
