@@ -63,11 +63,14 @@ object Indexer {
 
   /** Streaming indexer: the same config-driven decode fan-out over the
     * source's chain-tip-following mode. Each micro-batch decodes every
-    * configured (contract, event) and appends to the same partitioned
-    * layout via foreachBatch (idempotence per batch is the sink's
-    * append contract; offsets make restart resume from the last
-    * committed block). Returns the running query — caller owns its
-    * lifecycle. */
+    * configured (contract, event) and lands under
+    * `<outDir>/contract_name=…/event_name=…/batch=<id>` with OVERWRITE
+    * mode — a replayed batch rewrites exactly its own directories, so
+    * the sink is idempotent (exactly-once end to end with the
+    * checkpointed offsets); a plain append would duplicate rows on
+    * replay. Readers scan `outDir` with a basePath; the partition
+    * values come from the directory names. Returns the running query —
+    * caller owns its lifecycle. */
   def runStream(spark: SparkSession, job: Config.Job, dumpPath: String,
                 outDir: String, checkpointDir: String, chainId: String = "1",
                 maxBlocksPerTrigger: Long = 1000L)
@@ -80,7 +83,7 @@ object Indexer {
       .load()
     logs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bin = binaryTopics(batch).cache()
         try {
           for {
@@ -91,8 +94,11 @@ object Indexer {
             val scoped = bin.filter(lower(col("address")) === c.address &&
               col("topic0") === ev.topic0)
             val decoded = LogPipeline.decodeEvent(scoped, ev, c.name, chainId)
+              .drop("contract_name", "event_name") // encoded in the path
             Sinks.withRetries(job.retry.attempts, job.retry.delayMs) {
-              Sinks.writeEventsCsv(decoded, outDir, mode = "append")
+              decoded.write.mode("overwrite").option("header", "true")
+                .csv(s"$outDir/contract_name=${c.name}/event_name=${ev.name}" +
+                  s"/batch=$batchId")
             }
           }
         } finally bin.unpersist(false)
