@@ -46,15 +46,22 @@ object Indexer {
       ev <- c.parsedAbi
       if c.events.isEmpty || c.events.contains(ev.name)
     } yield {
-      val scoped = logs.filter(lower(col("address")) === c.address &&
+      // bare-column equality so BOTH predicates convert to V2 Filters
+      // and push into the source (wrapping address in lower() would
+      // silently keep it post-scan); dumps carry lowercase addresses,
+      // the same normalization Config applies to the configured side
+      val scoped = logs.filter(col("address") === c.address &&
         col("topic0") === ev.topic0)
       val decoded = LogPipeline.decodeEvent(binaryTopics(scoped), ev, c.name, chainId)
         .cache()
       val n = decoded.count()
       Sinks.withRetries(job.retry.attempts, job.retry.delayMs) {
-        // append: each (contract, event) lands in its own partition dir;
-        // static overwrite would wipe the siblings written before it
-        Sinks.writeEventsCsv(decoded, outDir, mode = "append")
+        // one overwrite per (contract, event) directory: idempotent
+        // under retry — a half-visible failed attempt is replaced, not
+        // appended to (the partition identity lives in the path)
+        decoded.drop("contract_name", "event_name")
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/contract_name=${c.name}/event_name=${ev.name}")
       }
       decoded.unpersist(false)
       EventCount(c.name, ev.name, n)
@@ -91,7 +98,7 @@ object Indexer {
             ev <- c.parsedAbi
             if c.events.isEmpty || c.events.contains(ev.name)
           } {
-            val scoped = bin.filter(lower(col("address")) === c.address &&
+            val scoped = bin.filter(col("address") === c.address &&
               col("topic0") === ev.topic0)
             val decoded = LogPipeline.decodeEvent(scoped, ev, c.name, chainId)
               .drop("contract_name", "event_name") // encoded in the path

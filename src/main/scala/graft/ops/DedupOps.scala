@@ -108,12 +108,17 @@ object DedupOps {
     * the comma-joined signature components [b·r, b·r+r). Docs sharing
     * any (band, band_hash) bucket are candidates — the join is on the
     * bucket key, never all-pairs. Map-only (array slices, no regroup). */
-  def lshBands(sigWide: DataFrame, k: Int, r: Int): DataFrame =
+  def lshBands(sigWide: DataFrame, k: Int, r: Int): DataFrame = {
+    require(r >= 1 && k >= 1, s"lshBands needs k >= 1, r >= 1 (got k=$k, r=$r)")
+    // ceil(k/r) bands: a trailing partial band still buckets its
+    // components (slice truncates at the array end)
+    val bands = (k + r - 1) / r
     sigWide.select(col("doc"),
-        explode(sequence(lit(0), lit(k / r - 1))).as("band"), col("sig"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("doc"), col("band"),
         h64(concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r))))
           .as("bh"))
+  }
 
   /** Candidate pairs from LSH buckets + estimated Jaccard (fraction of
     * matching signature components, compared columnar on the two wide
@@ -172,6 +177,11 @@ object DedupOps {
       labels = updated.select(col("node"), col("newl").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIter; raise it (or contract with large-star/small-star)")
     labels.select(col("node"), col("label").as("comp"))
   }
 

@@ -228,8 +228,11 @@ object TimeSeries {
                prefix: String = "r_", tiebreak: Option[String] = None): DataFrame = {
     val rv = struct((rightVals.map(col) :+ col(rightTs).as("__rts")): _*)
     val tb = tiebreak.map(col).getOrElse(lit(0))
-    val r = right.select(col(key), col(rightTs).as("__ts"),
-      lit(0).as("__side"), tb.as("__tb"), rv.as("__rv"))
+    // a null right timestamp would sort FIRST under asc and match every
+    // left row; ASOF semantics exclude it (null ts <= t is never true)
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("__ts"),
+        lit(0).as("__side"), tb.as("__tb"), rv.as("__rv"))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))

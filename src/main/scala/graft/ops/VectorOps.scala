@@ -98,11 +98,14 @@ object VectorOps {
     * candidates; the bucket join is linear. Map-only: quantize once,
     * then `planes` codegen'd integer dots per row. `dims` is sampled
     * from the first row (embedding width is a table constant). */
-  def lshBuckets(df: DataFrame, id: String, vec: String, planes: Int): DataFrame = {
-    val dims = vecDims(df, vec)
-    df.select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
-      .select(col("vid"), bucketCol(col("vq"), dims, planes, p => p).as("bucket"))
-  }
+  def lshBuckets(df: DataFrame, id: String, vec: String, planes: Int): DataFrame =
+    vecDims(df, vec) match {
+      case None => // empty input: keep the (vid, bucket) shape, lazily
+        df.select(col(id).as("vid"), lit(0L).as("bucket")).limit(0)
+      case Some(dims) =>
+        df.select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
+          .select(col("vid"), bucketCol(col("vq"), dims, planes, p => p).as("bucket"))
+    }
 
   /** Multi-table LSH buckets: `tables` independent hash tables of
     * `planes` hyperplanes each (plane ids offset per table so every
@@ -111,20 +114,26 @@ object VectorOps {
     * 1−(1−p^planes)^tables — the standard recall dial. One row per
     * (vector, table), built columnar and exploded — no regroup. */
   def lshBucketsMulti(df: DataFrame, id: String, vec: String, planes: Int,
-                      tables: Int): DataFrame = {
-    val dims = vecDims(df, vec)
-    val perTable = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        bucketCol(col("vq"), dims, planes, p => t * planes + p).as("bucket"))
+                      tables: Int): DataFrame =
+    vecDims(df, vec) match {
+      case None =>
+        df.select(col(id).as("vid"), lit(0).as("tbl"), lit(0L).as("bucket"))
+          .limit(0)
+      case Some(dims) =>
+        val perTable = (0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            bucketCol(col("vq"), dims, planes, p => t * planes + p).as("bucket"))
+        }
+        df.select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
+          .select(col("vid"), explode(array(perTable: _*)).as("tb"))
+          .select(col("vid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     }
-    df.select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
-      .select(col("vid"), explode(array(perTable: _*)).as("tb"))
-      .select(col("vid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
 
-  /** Embedding width, probed from one row (constant per table). */
-  private def vecDims(df: DataFrame, vec: String): Int =
-    df.select(size(col(vec))).head().getInt(0)
+  /** Embedding width, probed from one row (constant per table); None
+    * when the input is empty or has no non-null vector. */
+  private def vecDims(df: DataFrame, vec: String): Option[Int] =
+    df.select(size(col(vec)).as("__d")).filter(col("__d").isNotNull)
+      .head(1).headOption.map(_.getInt(0))
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
     *
@@ -145,8 +154,11 @@ object VectorOps {
     val base = df.select(col(id).cast("long").as("vid"),
       asDouble(col(vec)).as("v"), queryPred.as("__isq"))
     val cents: Array[(Long, Seq[Double])] =
-      base.orderBy("vid").limit(nlists).collect()
+      base.filter(col("v").isNotNull).orderBy("vid").limit(nlists).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (cents.isEmpty) // empty input: keep the output shape, lazily
+      return base.select(col("vid").as("query_id"), col("vid").as("cand_id"),
+        lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
     val vn = norm(col("v"))
     // norm(lit(centroid)) constant-folds at plan time
     def cosTo(cv: Seq[Double]): Column = {

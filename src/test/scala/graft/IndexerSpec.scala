@@ -78,6 +78,29 @@ class IndexerSpec extends SparkSpec {
     val vals = back.filter(col("event_name") === "Transfer" &&
       col("contract_name") === "TokenA")
     assert(vals.filter(col("value").isNotNull).count() > 0)
+
+    // re-running the same job is idempotent (overwrite per event dir)
+    Indexer.run(spark, job, dump, endBlock = 99, outDir = out)
+    val again = spark.read.option("header", "true")
+      .option("basePath", out).csv(out)
+    assert(again.count() == counts.values.sum)
+  }
+
+  test("indexer scan pushes BOTH address and topic0 into the source") {
+    val dump = Files.createTempDirectory("idx_push").toString
+    LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+      .coalesce(1).write.mode("overwrite").json(dump)
+    val logs = spark.read.format("graft.evm.LogSourceProvider")
+      .option("path", dump).option("startBlock", 0)
+      .option("endBlock", 99).option("chunkSize", 25).load()
+    val scoped = logs.filter(col("address") === addr(0) &&
+      col("topic0") === Keccak.eventTopic0(LogPipeline.TransferSig))
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("addresses=1") && plan.contains("topics=1"),
+      s"expected both predicates pushed:\n$plan")
   }
 
   test("streaming indexer: tip-follow + per-batch partitioned sink equals batch run") {

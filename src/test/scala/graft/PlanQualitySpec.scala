@@ -71,7 +71,7 @@ class PlanQualitySpec extends SparkSpec {
   test("ANN candidate generation joins on buckets, never cross-joins") {
     val p = plan(DataQueries.annTopK(spark, sf))
     assert(!p.contains("CartesianProduct"), s"quadratic candidate join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+    assert(!p.contains("BroadcastNestedLoopJoin"),
       s"candidate join not an equi-join:\n$p")
   }
 }
