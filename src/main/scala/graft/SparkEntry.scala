@@ -47,6 +47,7 @@ object SparkEntry {
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
     "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
+    "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
     "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
@@ -434,6 +435,24 @@ object SparkEntry {
          ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, inter,
+                 inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
+         FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    // Capped variant: stop-shingles (doc-freq > 5) removed before the
+    // candidate join, sizes re-counted over the filtered shingle set.
+    "q_jaccard_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+         fx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM fx a JOIN fx b ON a.s = b.s AND a.doc_id < b.doc_id
                    GROUP BY 1, 2),
          j AS (SELECT doc_a, doc_b, inter,
                  inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac

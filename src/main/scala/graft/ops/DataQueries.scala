@@ -52,6 +52,17 @@ object DataQueries {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Jaccard pairs with the stop-shingle cap engaged (maxDocFreq=5):
+    * shingles in more than 5 documents are dropped and set sizes
+    * re-counted over the survivors — the de-skew lever the 10×-dup
+    * benchmark shows is mandatory at scale (DedupOps scale notes). */
+  def jaccardCapped(s: SparkSession, d: String): DataFrame =
+    DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1, maxDocFreq = Some(5L))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Composed training-data cleaning pass — the pipeline shape a corpus
     * build runs: quality floor + language filter + exact-dedup
     * representative, one scan plus one hash-aggregate for the

@@ -47,6 +47,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(exact.length == 1 && exact(0).getLong(1) == 1L)
   }
 
+  test("jaccardPairs maxDocFreq drops stop-shingles and recounts sizes") {
+    // "x y z" is boilerplate in all three docs (doc-freq 3); nothing
+    // else is shared, so every pair exists only through it
+    val docs = Seq((1L, "x y z a b c"), (2L, "x y z d e f"),
+      (3L, "x y z g h i")).toDF("doc_id", "text")
+    val open = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1).collect()
+    assert(open.length == 3 && open.forall(_.getLong(2) == 1L)) // inter = 1
+    // cap 2 < doc-freq 3 → the boilerplate shingle is dropped → no pairs
+    assert(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDocFreq = Some(2L)).count() == 0)
+    // cap at the doc-freq keeps it; sizes still recount over survivors
+    val kept = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDocFreq = Some(3L)).collect()
+    assert(kept.length == 3 && kept.forall(_.getDouble(3) == 1.0 / 7.0))
+  }
+
   test("bpe-ish token count segments words, numbers, punctuation") {
     val df = Seq("hello world 42!!").toDF("text")
     // "hello", " world", " 42", "!!" → 4 segments
