@@ -190,6 +190,76 @@ object DedupOps {
     labels.select(col("node"), col("label").as("comp"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the scale path for adversarial topologies. Where
+    * min-label propagation needs diameter rounds (a 10⁶-node path graph
+    * = 10⁶ shuffles), contraction converges in O(log² n) rounds (a
+    * handful in practice) regardless of diameter:
+    *
+    *   large-star: every node links its LARGER neighbors to the minimum
+    *     of its closed neighborhood — m = min(N(u) ∪ {u}), emit (v, m)
+    *     for v ∈ N(u), v > u;
+    *   small-star: edges oriented (big ← small); every node links its
+    *     smaller neighbors AND itself to their minimum.
+    *
+    * Both phases are one hash-aggregate (per-node neighborhood min,
+    * map-side combined) plus one re-join per round — no neighborhood
+    * collect, so a hub node of any degree never materializes its
+    * adjacency list in memory. Fixpoint = canonical edge-set fingerprint
+    * (count + xor of xxhash64 — overflow-free under ANSI) unchanged; at the fixpoint the
+    * graph is a disjoint union of stars, root = component min.
+    *
+    * Output matches [[connectedComponents]]: (node, comp) for every
+    * node incident to ≥1 edge. */
+  def connectedComponentsContract(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val canon = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("s"),
+        greatest(col("a"), col("b")).as("l"))
+      .distinct()
+    var e = canon.localCheckpoint(true)
+    // (node, comp) pairs frozen for components that are already stars;
+    // the star test keeps the working edge set shrinking
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        bit_xor(xxhash64(col("s"), col("l")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: per-node min over the symmetric neighborhood
+      val sym = e.select(col("s").as("u"), col("l").as("v"))
+        .union(e.select(col("l").as("u"), col("s").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("s"), col("v").as("l"))  // m ≤ u < v
+        .distinct().localCheckpoint(true)
+      // small-star: edges oriented big←small; link smalls + self to min
+      val bigSide = large.select(col("l").as("u"), col("s").as("v"))
+      val smins = bigSide.groupBy("u").agg(min("v").as("m"))
+      val small = bigSide.join(smins, "u")
+        .select(col("m").as("s"),
+          explode(array(col("v"), col("u"))).as("l"))
+        .filter(col("s") =!= col("l"))
+        .distinct().localCheckpoint(true)
+      val nfp = fingerprint(small)
+      converged = nfp == fp
+      fp = nfp
+      e = small
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsContract did not converge in $maxIter rounds")
+    // fixpoint: stars rooted at the component min — (l, s) IS (node,
+    // comp); roots map to themselves
+    e.select(col("l").as("node"), col("s").as("comp"))
+      .union(e.select(col("s"), col("s")).distinct())
+  }
+
   /** 48-bit SimHash over tokens (with multiplicity): bit j is 1 when the
     * sum over token hashes of ±1 (by bit j of h64(token)) is positive.
     * 48 bits keeps every shift inside a positive bigint. One-pass

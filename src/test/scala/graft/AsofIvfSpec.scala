@@ -114,6 +114,20 @@ class AsofIvfSpec extends SparkSpec {
     assert(cc.size == 6)
   }
 
+  test("contraction CC solves a path deeper than propagation's round budget") {
+    import graft.ops.DedupOps
+    // 61-node path: diameter 60. Label propagation pays one round per
+    // hop and overruns its default 25-round budget; large-star /
+    // small-star contraction collapses it in O(log n) rounds.
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(path)
+    }
+    val cc = DedupOps.connectedComponentsContract(path)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 61 && cc.values.forall(_ == 0L))
+  }
+
   test("Hashing.h64 / planeWeight match the SQL column forms exactly") {
     val samples = Seq("", "a", "the quick brown fox", "0,63", "τok unicode ☃")
     val fromSql = samples.toDF("s")

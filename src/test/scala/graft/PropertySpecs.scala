@@ -172,4 +172,18 @@ object CcProps extends SparkProps("ConnectedComponents") {
       val want = uf.map { case (n, root) => n -> minOfComp(root) }
       Prop(got == want)
     }
+
+  property("contraction CC equals union-find on random graphs") =
+    forAll(edgesG) { edges =>
+      val sp = spark
+      import sp.implicits._
+      val got = DedupOps.connectedComponentsContract(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val uf = unionFind(edges)
+      val minOfComp = uf.groupBy(_._2).map { case (root, m) =>
+        root -> m.keys.min
+      }
+      val want = uf.map { case (n, root) => n -> minOfComp(root) }
+      Prop(got == want)
+    }
 }
