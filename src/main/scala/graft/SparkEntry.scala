@@ -58,6 +58,7 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => DataQueries.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
+    "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
@@ -665,6 +666,33 @@ object SparkEntry {
                      sqrt(list_dot_product(c.ve, c.ve))) AS cos
                 FROM wb q JOIN wb c ON q.bucket = c.bucket
                   AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    // Multi-table variant: global plane id = t*6 + p picks each table's
+    // hyperplanes; candidates = distinct union of per-table collisions.
+    "q_ann_multi" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM v, range(3) AS rt(t), range(6) AS rp(p), range(64) AS rd(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 6 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+                  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+                    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         sc AS (SELECT cand.query_id, cand.cand_id,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM cand JOIN v q ON q.vec_id = cand.query_id
+                          JOIN v c ON c.vec_id = cand.cand_id),
          rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk

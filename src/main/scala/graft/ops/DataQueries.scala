@@ -145,6 +145,15 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** Multi-table ANN top-3: 3 independent LSH tables × 6 planes each —
+    * the recall dial (collide in ≥1 table ⇒ candidate). */
+  def annMulti(s: SparkSession, d: String): DataFrame =
+    VectorOps.annTopKMulti(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 6, tables = 3, k = 3, queryPred = col("vec_id") < 10)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+
   /** IVF ANN top-3: 16 inverted lists, 2 probed per query, vec_id<10. */
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     VectorOps.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
