@@ -69,9 +69,15 @@ object MlPipeline {
   def timeSplit(df: DataFrame, frac: Double, ts: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val schema = df.schema
-    val sorted = df.orderBy(col(ts), col("event_type"))
-    val cut = (sorted.count() * frac).toLong
-    val indexed = sorted.rdd.zipWithIndex()
+    // The sorted base is consumed three times (count for the cut,
+    // zipWithIndex's offsets job, the filtered reads) — persist it so
+    // the range-shuffle sort runs once. Lifecycle: the blocks are
+    // reachable only through the returned frames' lineage, so the
+    // ContextCleaner unpersists them once callers drop the split.
+    val base = df.orderBy(col(ts), col("event_type")).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = (base.count() * frac).toLong
+    val indexed = base.zipWithIndex()
     (spark.createDataFrame(indexed.filter(_._2 < cut).map(_._1), schema),
      spark.createDataFrame(indexed.filter(_._2 >= cut).map(_._1), schema))
   }
@@ -90,29 +96,48 @@ object MlPipeline {
 
   /** Feature dataset + fitted model, computed once per (session, dir):
     * trainEval and nowSignals train the SAME chronological-70% model, so
-    * a second LBFGS run would be pure waste. Entries are keyed by the
-    * session (a new session re-fits; a stopped session's entry is a few
-    * dead object handles, its cached blocks die with the session). */
+    * a second LBFGS run would be pure waste. LRU-bounded: past
+    * [[MaxFitted]] entries the least-recently-used fit is dropped and
+    * its cached blocks unpersisted, so a long-lived session scoring many
+    * datasets can't accumulate executor storage without bound. */
   private case class Fitted(ds: DataFrame, train: DataFrame, test: DataFrame,
                             model: org.apache.spark.ml.PipelineModel)
 
+  private val MaxFitted = 4
+
   private val fittedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Fitted]
+    new java.util.LinkedHashMap[(SparkSession, String), Fitted](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), Fitted]): Boolean =
+        size > MaxFitted && {
+          val f = e.getValue
+          // blocking=false: eviction must not stall the caller's fit
+          f.ds.unpersist(false); f.train.unpersist(false); f.test.unpersist(false)
+          true
+        }
+    }
 
   private def fitted(spark: SparkSession, dir: String): Fitted =
-    fittedCache.computeIfAbsent((spark, dir), _ => {
-      val ds = dataset(spark, dir)
-        .withColumn("pair_id", col("pair_id").cast("double")).cache()
-      val (train0, test0) = timeSplit(ds, 0.7, "bucket")
-      // LBFGS runs one treeAggregate job per iteration; right-size the
-      // train partitioning to the data (~100k rows/task) or per-task
-      // scheduling overhead dominates the fit on small feature sets.
-      val parts = math.max(1L, math.min(
-        spark.sparkContext.defaultParallelism.toLong, train0.count() / 100000L)).toInt
-      val train = train0.coalesce(parts).cache()
-      val test = test0.cache()
-      Fitted(ds, train, test, pipeline().fit(train))
-    })
+    // one lock for lookup AND build: concurrent callers of the same key
+    // wait for the first fit instead of racing duplicate LBFGS runs
+    fittedCache.synchronized {
+      val key = (spark, dir)
+      Option(fittedCache.get(key)).getOrElse {
+        val ds = dataset(spark, dir)
+          .withColumn("pair_id", col("pair_id").cast("double")).cache()
+        val (train0, test0) = timeSplit(ds, 0.7, "bucket")
+        // LBFGS runs one treeAggregate job per iteration; right-size the
+        // train partitioning to the data (~100k rows/task) or per-task
+        // scheduling overhead dominates the fit on small feature sets.
+        val parts = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong, train0.count() / 100000L)).toInt
+        val train = train0.coalesce(parts).cache()
+        val test = test0.cache()
+        val f = Fitted(ds, train, test, pipeline().fit(train))
+        fittedCache.put(key, f)
+        f
+      }
+    }
 
   /** M3+M4: train on the chronological 70%, evaluate accuracy + AUC on
     * the 30% (single-class guard → NaN AUC, like the reference). */
