@@ -143,6 +143,56 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Edge count below which connected components short-circuits to a
+    * driver-side union-find: 4M symmetric edges ≈ 64 MB of longs — far
+    * under any driver heap, and orders of magnitude under the driver
+    * traffic a broadcast join ships. The distributed loops pay several
+    * scheduler round-trips PER ROUND regardless of data size (~3 s for
+    * a 260-edge graph at local[32]); below this size the graph is not a
+    * distributed problem. Pass 0 to force the distributed path. */
+  val DefaultLocalEdgeLimit: Long = 4L << 20
+
+  /** The small-graph fast path shared by both CC variants: when the
+    * materialized symmetric edge list is under `limit` rows and ids are
+    * integral, collect and run union-find (path-halving) on the driver.
+    * Output is identical to the distributed loops: (node, comp=min id),
+    * in the input's id type. None → caller runs the distributed loop. */
+  private def localComponents(sym: DataFrame, limit: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val integral = sym.schema.fields.forall(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    // sym is localCheckpoint'ed by the caller — count reads cached blocks
+    if (!integral || limit <= 0 || sym.count() > limit) return None
+    val idType = sym.schema.fields.head.dataType
+    val rows = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      // union by min keeps roots = component minima with no relabel pass
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(r.getLong(0), find(r.getLong(0)))
+    }
+    val spark = sym.sparkSession
+    import spark.implicits._
+    // materialize the key set before the final find pass — find()
+    // path-halves (mutates) while we iterate
+    val out = parent.keysIterator.toArray.toSeq.map(n => (n, find(n)))
+      .toDF("node", "comp")
+    Some(out.select(col("node").cast(idType), col("comp").cast(idType)))
+  }
+
   /** Connected components over an undirected edge list — the cluster
     * step that turns near-dup PAIRS into dedup GROUPS (one component =
     * one duplicate cluster; keep the min-id representative). Iterative
@@ -158,7 +208,8 @@ object DedupOps {
     * does not grow with iterations. Output: (node, comp) where comp is
     * the component's minimum node id. Nodes not present in any edge
     * are absent (singletons are the caller's union). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          localEdgeLimit: Long = DefaultLocalEdgeLimit): DataFrame = {
     // materialize the edge list once — every propagation round joins
     // against it, and without the checkpoint each round would re-run
     // the full upstream candidate-generation DAG
@@ -166,6 +217,10 @@ object DedupOps {
       .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct()
       .localCheckpoint(true)
+    localComponents(sym, localEdgeLimit) match {
+      case Some(local) => return local
+      case None =>
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -212,12 +267,18 @@ object DedupOps {
     *
     * Output matches [[connectedComponents]]: (node, comp) for every
     * node incident to ≥1 edge. */
-  def connectedComponentsContract(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponentsContract(edges: DataFrame, maxIter: Int = 50,
+                                  localEdgeLimit: Long = DefaultLocalEdgeLimit): DataFrame = {
     val canon = edges.toDF("a", "b").filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("s"),
         greatest(col("a"), col("b")).as("l"))
       .distinct()
     var e = canon.localCheckpoint(true)
+    localComponents(e.select(col("s").as("src"), col("l").as("dst"))
+        .union(e.select(col("l"), col("s"))), localEdgeLimit) match {
+      case Some(local) => return local
+      case None =>
+    }
     // (node, comp) pairs frozen for components that are already stars;
     // the star test keeps the working edge set shrinking
     def fingerprint(d: DataFrame): (Long, Long) = {

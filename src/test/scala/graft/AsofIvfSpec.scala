@@ -119,13 +119,19 @@ class AsofIvfSpec extends SparkSpec {
     // 61-node path: diameter 60. Label propagation pays one round per
     // hop and overruns its default 25-round budget; large-star /
     // small-star contraction collapses it in O(log n) rounds.
+    // localEdgeLimit=0 forces the distributed loops (the default would
+    // short-circuit a graph this small to the driver fast path).
     val path = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      DedupOps.connectedComponents(path)
+      DedupOps.connectedComponents(path, localEdgeLimit = 0)
     }
-    val cc = DedupOps.connectedComponentsContract(path)
+    val cc = DedupOps.connectedComponentsContract(path, localEdgeLimit = 0)
       .as[(Long, Long)].collect().toMap
     assert(cc.size == 61 && cc.values.forall(_ == 0L))
+    // the driver fast path (default limit) agrees
+    val local = DedupOps.connectedComponents(path)
+      .as[(Long, Long)].collect().toMap
+    assert(local == cc)
   }
 
   test("Hashing.h64 / planeWeight match the SQL column forms exactly") {

@@ -162,7 +162,11 @@ object CcProps extends SparkProps("ConnectedComponents") {
     forAll(edgesG) { edges =>
       val sp = spark
       import sp.implicits._
-      val got = DedupOps.connectedComponents(edges.toDF("a", "b"))
+      // limit 0 forces the distributed propagation loop (the driver
+      // fast path IS union-find — testing it against itself proves
+      // nothing)
+      val got = DedupOps.connectedComponents(edges.toDF("a", "b"),
+          localEdgeLimit = 0)
         .as[(Long, Long)].collect().toMap
       // canonicalize union-find roots to the component MIN, like CC does
       val uf = unionFind(edges)
@@ -177,7 +181,8 @@ object CcProps extends SparkProps("ConnectedComponents") {
     forAll(edgesG) { edges =>
       val sp = spark
       import sp.implicits._
-      val got = DedupOps.connectedComponentsContract(edges.toDF("a", "b"))
+      val got = DedupOps.connectedComponentsContract(edges.toDF("a", "b"),
+          localEdgeLimit = 0)
         .as[(Long, Long)].collect().toMap
       val uf = unionFind(edges)
       val minOfComp = uf.groupBy(_._2).map { case (root, m) =>
