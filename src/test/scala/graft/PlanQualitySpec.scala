@@ -73,5 +73,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"quadratic candidate join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"candidate join not an equi-join:\n$p")
+    // multi-table variant: same invariant across all tables
+    val pm = plan(DataQueries.annMulti(spark, sf))
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      s"multi-table candidate join degraded:\n$pm")
+  }
+
+  test("capped-Jaccard pair join is an equi-join on the shingle hash") {
+    val p = plan(DataQueries.jaccardCapped(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded from the shingle equi-join:\n$p")
   }
 }
