@@ -146,37 +146,77 @@ object VectorOps {
     * map-only, whole-stage-codegen'd, no join or shuffle. Queries probe
     * the `nprobe` nearest lists and exact-cosine re-rank inside them,
     * cutting the scored fraction to ~nprobe/nlists of brute force.
-    * With thousands of lists, assignment should become a broadcast
-    * join; at literal-friendly list counts this form keeps the whole
-    * assignment inside codegen. */
+    *
+    * Two assignment strategies, switched on `nlists`:
+    *   - ≤ `broadcastThreshold`: centroids collected and baked in as
+    *     array literals — the whole assignment is one codegen'd
+    *     projection, zero shuffles (the local-fast form; codegen cost
+    *     grows linearly with nlists so it stops scaling past dozens);
+    *   - above it: centroids stay a DataFrame, assignment is a
+    *     broadcast cross join + per-vector max_by argmax — map-side
+    *     partial combine collapses the nlists-way expansion before the
+    *     single shuffle, so thousands of lists ship one row per vector.
+    * Both compute bit-identical cosines (same expression shape), so the
+    * probe/re-rank tail — and the result — is the same either way. */
   def ivfTopK(df: DataFrame, id: String, vec: String, nlists: Int, nprobe: Int,
-              k: Int, queryPred: Column): DataFrame = {
+              k: Int, queryPred: Column,
+              broadcastThreshold: Int = 64): DataFrame = {
     val base = df.select(col(id).cast("long").as("vid"),
       asDouble(col(vec)).as("v"), queryPred.as("__isq"))
-    val cents: Array[(Long, Seq[Double])] =
-      base.filter(col("v").isNotNull).orderBy("vid").limit(nlists).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    if (cents.isEmpty) // empty input: keep the output shape, lazily
-      return base.select(col("vid").as("query_id"), col("vid").as("cand_id"),
-        lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
     val vn = norm(col("v"))
-    // norm(lit(centroid)) constant-folds at plan time
-    def cosTo(cv: Seq[Double]): Column = {
-      val c = typedLit(cv)
-      dot(col("v"), c) / (vn * norm(c))
-    }
-    // struct ordering does the argmax; negated id makes ties pick the
-    // lowest centroid id
-    val scored = array(cents.map { case (cid, cv) =>
-      struct(cosTo(cv).as("cos"), lit(-cid).as("ncid"))
-    }: _*)
-    val assigned = base.withColumn("list_id",
-      -array_max(scored).getField("ncid"))
-    // probe lists: top-nprobe centroids by (cos desc, cid asc)
-    val probes = slice(reverse(array_sort(scored)), 1, nprobe)
-    val q = base.filter(col("__isq"))
-      .select(col("vid").as("query_id"), col("v").as("qv"), vn.as("qn"),
-        explode(transform(probes, s => -s.getField("ncid"))).as("list_id"))
+    // (assigned: vid,v,vn,__isq,list_id) and (probes: query rows ×
+    // their top-nprobe list_ids), by either strategy
+    val (assigned, q) =
+      if (nlists <= broadcastThreshold) {
+        val cents: Array[(Long, Seq[Double])] =
+          base.filter(col("v").isNotNull).orderBy("vid").limit(nlists).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        if (cents.isEmpty) // empty input: keep the output shape, lazily
+          return base.select(col("vid").as("query_id"), col("vid").as("cand_id"),
+            lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+        // norm(lit(centroid)) constant-folds at plan time
+        def cosTo(cv: Seq[Double]): Column = {
+          val c = typedLit(cv)
+          dot(col("v"), c) / (vn * norm(c))
+        }
+        // struct ordering does the argmax; negated id makes ties pick
+        // the lowest centroid id
+        val scored = array(cents.map { case (cid, cv) =>
+          struct(cosTo(cv).as("cos"), lit(-cid).as("ncid"))
+        }: _*)
+        val assigned = base.withColumn("list_id",
+          -array_max(scored).getField("ncid"))
+        // probe lists: top-nprobe centroids by (cos desc, cid asc)
+        val probes = slice(reverse(array_sort(scored)), 1, nprobe)
+        val q = base.filter(col("__isq"))
+          .select(col("vid").as("query_id"), col("v").as("qv"), vn.as("qn"),
+            explode(transform(probes, s => -s.getField("ncid"))).as("list_id"))
+        (assigned, q)
+      } else {
+        val cents = base.filter(col("v").isNotNull).orderBy("vid").limit(nlists)
+          .select(col("vid").as("cid"), col("v").as("cv"))
+          .withColumn("cn", norm(col("cv")))
+        val scored = base.withColumn("vn", vn)
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+        // argmax via max_by on (cos, -cid): ties pick the lowest cid.
+        // first() carries the vector through the same aggregate, so the
+        // nlists-way expansion collapses map-side — one shuffled row
+        // per vector, no join-back.
+        val assigned = scored.groupBy("vid").agg(
+            max_by(col("cid"), struct(col("cos"), (-col("cid")).as("n")))
+              .as("list_id"),
+            first(col("v")).as("v"), first(col("vn")).as("vn"),
+            first(col("__isq")).as("__isq"))
+        val wp = Window.partitionBy("vid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        val q = scored.filter(col("__isq"))
+          .withColumn("__rn", row_number().over(wp))
+          .filter(col("__rn") <= nprobe)
+          .select(col("vid").as("query_id"), col("v").as("qv"),
+            col("vn").as("qn"), col("cid").as("list_id"))
+        (assigned, q)
+      }
     val c = assigned.select(col("vid").as("cand_id"), col("v").as("cv"),
       vn.as("cn"), col("list_id"))
     val w = Window.partitionBy("query_id")

@@ -35,6 +35,20 @@ class AsofIvfSpec extends SparkSpec {
     assert(out.getDouble(0) == 2.0) // seq=9 row
   }
 
+  test("ivfTopK: broadcast-assignment path equals the literal path") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // threshold 0 forces the broadcast cross-join + max_by strategy;
+    // cosines are bit-identical between paths, so so are the results
+    val lit = VectorOps.ivfTopK(e, "vec_id", "embedding",
+        nlists = 8, nprobe = 4, k = 5, queryPred = col("vec_id") < 20)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bcast = VectorOps.ivfTopK(e, "vec_id", "embedding",
+        nlists = 8, nprobe = 4, k = 5, queryPred = col("vec_id") < 20,
+        broadcastThreshold = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(bcast == lit)
+  }
+
   test("ivfTopK: self-list hit rate is sane and ranks are exact cosine order") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivf = VectorOps.ivfTopK(e, "vec_id", "embedding",
