@@ -59,6 +59,7 @@ object SparkEntry {
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
+    "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
@@ -647,6 +648,25 @@ object SparkEntry {
                FROM v a JOIN v b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(cos, 6) AS cos
          FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    // Embedding near-dup groups: same recursive min-reachability CC
+    // oracle as q_dedup_groups, over the cosine pair edges.
+    "q_embed_groups" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         near AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id
+                  WHERE list_dot_product(a.ve, b.ve) /
+                    (sqrt(list_dot_product(a.ve, a.ve)) *
+                     sqrt(list_dot_product(b.ve, b.ve))) >= 0.4),
+         edges AS (SELECT va AS src, vb AS dst FROM near
+                   UNION SELECT vb, va FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+         SELECT node AS vec, comp, comp_size
+         FROM comps JOIN sz USING (comp) ORDER BY vec""",
     "q_ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
          ex AS (SELECT vec_id, p, d, ve[d + 1] AS x

@@ -137,6 +137,21 @@ object DataQueries {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
 
+  /** Embedding near-duplicate GROUPS: cosine ≥ 0.4 pairs → connected
+    * components → cluster id + size — the embedding-side analog of
+    * dedupGroups (at 100 TB the pair stage gates candidates through
+    * lshBuckets first; the cluster step is identical). */
+  def embedGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = VectorOps.cosineNearDup(Tables.embeddings(s, d),
+        "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b")
+    val cc = DedupOps.connectedComponents(pairs)
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    cc.join(sizes, Seq("comp"))
+      .select(col("node").as("vec"), col("comp"), col("comp_size"))
+      .orderBy("vec")
+  }
+
   /** ANN top-3 via sign-random-projection LSH (8 planes), queries vec_id<10. */
   def annTopK(s: SparkSession, d: String): DataFrame =
     VectorOps.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
