@@ -67,19 +67,29 @@ object MlPipeline {
     * classic 100 TB deadlock. (ts, event_type) is unique on the feature
     * grid, so the total order — and the split — is deterministic. */
   def timeSplit(df: DataFrame, frac: Double, ts: String): (DataFrame, DataFrame) = {
+    val (train, test, _) = timeSplitWithBase(df, frac, ts)
+    (train, test)
+  }
+
+  /** timeSplit plus the persisted sorted base RDD, so callers that cache
+    * the split (the fitted-model cache) can release the base explicitly
+    * on eviction instead of waiting for the ContextCleaner. */
+  private def timeSplitWithBase(df: DataFrame, frac: Double, ts: String)
+      : (DataFrame, DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val spark = df.sparkSession
     val schema = df.schema
     // The sorted base is consumed three times (count for the cut,
     // zipWithIndex's offsets job, the filtered reads) — persist it so
-    // the range-shuffle sort runs once. Lifecycle: the blocks are
-    // reachable only through the returned frames' lineage, so the
-    // ContextCleaner unpersists them once callers drop the split.
+    // the range-shuffle sort runs once. Lifecycle: released by the
+    // caller via the returned handle, or by the ContextCleaner once
+    // the split's lineage becomes unreachable.
     val base = df.orderBy(col(ts), col("event_type")).rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cut = (base.count() * frac).toLong
     val indexed = base.zipWithIndex()
     (spark.createDataFrame(indexed.filter(_._2 < cut).map(_._1), schema),
-     spark.createDataFrame(indexed.filter(_._2 >= cut).map(_._1), schema))
+     spark.createDataFrame(indexed.filter(_._2 >= cut).map(_._1), schema),
+     base)
   }
 
   def pipeline(): Pipeline = {
@@ -98,46 +108,67 @@ object MlPipeline {
     * trainEval and nowSignals train the SAME chronological-70% model, so
     * a second LBFGS run would be pure waste. LRU-bounded: past
     * [[MaxFitted]] entries the least-recently-used fit is dropped and
-    * its cached blocks unpersisted, so a long-lived session scoring many
-    * datasets can't accumulate executor storage without bound. */
+    * its cached blocks (frames AND timeSplit's sorted base) unpersisted,
+    * so a long-lived session scoring many datasets can't accumulate
+    * executor storage without bound. Same-key dedup comes from
+    * computeIfAbsent's per-key blocking — different keys fit
+    * concurrently and cache hits never wait on a fit; the LRU order
+    * lives in a separate, briefly-locked structure. */
   private case class Fitted(ds: DataFrame, train: DataFrame, test: DataFrame,
+                            base: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
                             model: org.apache.spark.ml.PipelineModel)
 
   private val MaxFitted = 4
 
   private val fittedCache =
-    new java.util.LinkedHashMap[(SparkSession, String), Fitted](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), Fitted]): Boolean =
-        size > MaxFitted && {
-          val f = e.getValue
-          // blocking=false: eviction must not stall the caller's fit
-          f.ds.unpersist(false); f.train.unpersist(false); f.test.unpersist(false)
-          true
-        }
-    }
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Fitted]
+  // access-ordered key set guarded by its own monitor; values unused
+  private val fittedLru =
+    new java.util.LinkedHashMap[(SparkSession, String), Unit](8, 0.75f, true)
 
-  private def fitted(spark: SparkSession, dir: String): Fitted =
-    // one lock for lookup AND build: concurrent callers of the same key
-    // wait for the first fit instead of racing duplicate LBFGS runs
-    fittedCache.synchronized {
-      val key = (spark, dir)
-      Option(fittedCache.get(key)).getOrElse {
-        val ds = dataset(spark, dir)
-          .withColumn("pair_id", col("pair_id").cast("double")).cache()
-        val (train0, test0) = timeSplit(ds, 0.7, "bucket")
-        // LBFGS runs one treeAggregate job per iteration; right-size the
-        // train partitioning to the data (~100k rows/task) or per-task
-        // scheduling overhead dominates the fit on small feature sets.
-        val parts = math.max(1L, math.min(
-          spark.sparkContext.defaultParallelism.toLong, train0.count() / 100000L)).toInt
-        val train = train0.coalesce(parts).cache()
-        val test = test0.cache()
-        val f = Fitted(ds, train, test, pipeline().fit(train))
-        fittedCache.put(key, f)
-        f
-      }
+  private def fitted(spark: SparkSession, dir: String): Fitted = {
+    val key = (spark, dir)
+    val f = fittedCache.computeIfAbsent(key, _ => {
+      val ds = dataset(spark, dir)
+        .withColumn("pair_id", col("pair_id").cast("double")).cache()
+      val (train0, test0, base) = timeSplitWithBase(ds, 0.7, "bucket")
+      // LBFGS runs one treeAggregate job per iteration; right-size the
+      // train partitioning to the data (~100k rows/task) or per-task
+      // scheduling overhead dominates the fit on small feature sets.
+      val parts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong, train0.count() / 100000L)).toInt
+      val train = train0.coalesce(parts).cache()
+      val test = test0.cache()
+      Fitted(ds, train, test, base, pipeline().fit(train))
+    })
+    recordUse(key)
+    f
+  }
+
+  /** Bump `key` in the LRU and release whatever falls off the end. */
+  private def recordUse(key: (SparkSession, String)): Unit = {
+    val evicted = fittedLru.synchronized {
+      fittedLru.put(key, ())
+      if (fittedLru.size > MaxFitted) {
+        val it = fittedLru.keySet().iterator()
+        val eldest = it.next(); it.remove()
+        Some(eldest)
+      } else None
     }
+    evicted.foreach(k => Option(fittedCache.remove(k)).foreach(release))
+  }
+
+  /** Unpersist an evicted fit's blocks. The entry's session may already
+    * be stopped (its blocks died with it) — never let that failure
+    * propagate into the healthy caller that triggered the eviction. */
+  private def release(f: Fitted): Unit =
+    try {
+      if (!f.ds.sparkSession.sparkContext.isStopped) {
+        // blocking=false: eviction must not stall the caller's fit
+        f.ds.unpersist(false); f.train.unpersist(false); f.test.unpersist(false)
+        f.base.unpersist(false)
+      }
+    } catch { case _: Exception => () }
 
   /** M3+M4: train on the chronological 70%, evaluate accuracy + AUC on
     * the 30% (single-class guard → NaN AUC, like the reference). */

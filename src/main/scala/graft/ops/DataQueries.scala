@@ -85,15 +85,20 @@ object DataQueries {
 
   /** Near-dup clusters: Jaccard pairs → connected components → one
     * group id (min doc) + size per clustered document. */
-  def dedupGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+  def dedupGroups(s: SparkSession, d: String): DataFrame =
+    groupsOf(DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.1)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b"), nodeOut = "doc")
+
+  /** Shared pairs→groups tail: connected components, component sizes,
+    * join-back, total order — kept in one place so the document and
+    * embedding group queries cannot diverge. */
+  private def groupsOf(pairs: DataFrame, nodeOut: String): DataFrame = {
     val cc = DedupOps.connectedComponents(pairs)
     val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
     cc.join(sizes, Seq("comp"))
-      .select(col("node").as("doc"), col("comp"), col("comp_size"))
-      .orderBy("doc")
+      .select(col("node").as(nodeOut), col("comp"), col("comp_size"))
+      .orderBy(nodeOut)
   }
 
   /** MinHash signatures, k=32, long format. */
@@ -141,16 +146,10 @@ object DataQueries {
     * components → cluster id + size — the embedding-side analog of
     * dedupGroups (at 100 TB the pair stage gates candidates through
     * lshBuckets first; the cluster step is identical). */
-  def embedGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = VectorOps.cosineNearDup(Tables.embeddings(s, d),
+  def embedGroups(s: SparkSession, d: String): DataFrame =
+    groupsOf(VectorOps.cosineNearDup(Tables.embeddings(s, d),
         "vec_id", "embedding", 0.4)
-      .select("vec_a", "vec_b")
-    val cc = DedupOps.connectedComponents(pairs)
-    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
-    cc.join(sizes, Seq("comp"))
-      .select(col("node").as("vec"), col("comp"), col("comp_size"))
-      .orderBy("vec")
-  }
+      .select("vec_a", "vec_b"), nodeOut = "vec")
 
   /** ANN top-3 via sign-random-projection LSH (8 planes), queries vec_id<10. */
   def annTopK(s: SparkSession, d: String): DataFrame =

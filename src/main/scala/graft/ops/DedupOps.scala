@@ -269,18 +269,26 @@ object DedupOps {
     * node incident to ≥1 edge. */
   def connectedComponentsContract(edges: DataFrame, maxIter: Int = 50,
                                   localEdgeLimit: Long = DefaultLocalEdgeLimit): DataFrame = {
-    val canon = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    val raw = edges.toDF("a", "b")
+    val canon = raw.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("s"),
         greatest(col("a"), col("b")).as("l"))
       .distinct()
     var e = canon.localCheckpoint(true)
+    // parity with connectedComponents: a node whose only edge is a
+    // self-loop still gets (n, n) — contraction drops self-loops up
+    // front, so re-attach those nodes at the end
+    val selfOnly = raw.filter(col("a") === col("b"))
+      .select(col("a").as("node")).distinct()
+      .join(e.select(col("s").as("node"))
+          .union(e.select(col("l"))).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("comp"))
     localComponents(e.select(col("s").as("src"), col("l").as("dst"))
         .union(e.select(col("l"), col("s"))), localEdgeLimit) match {
-      case Some(local) => return local
+      case Some(local) => return local.union(selfOnly)
       case None =>
     }
-    // (node, comp) pairs frozen for components that are already stars;
-    // the star test keeps the working edge set shrinking
     def fingerprint(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)),
         bit_xor(xxhash64(col("s"), col("l")))).head()
@@ -319,6 +327,7 @@ object DedupOps {
     // comp); roots map to themselves
     e.select(col("l").as("node"), col("s").as("comp"))
       .union(e.select(col("s"), col("s")).distinct())
+      .union(selfOnly)
   }
 
   /** 48-bit SimHash over tokens (with multiplicity): bit j is 1 when the

@@ -148,6 +148,18 @@ class AsofIvfSpec extends SparkSpec {
     assert(local == cc)
   }
 
+  test("self-loop-only nodes survive both CC variants identically") {
+    import graft.ops.DedupOps
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    for (limit <- Seq(0L, DedupOps.DefaultLocalEdgeLimit)) {
+      assert(DedupOps.connectedComponents(edges, localEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap == want)
+      assert(DedupOps.connectedComponentsContract(edges, localEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap == want)
+    }
+  }
+
   test("Hashing.h64 / planeWeight match the SQL column forms exactly") {
     val samples = Seq("", "a", "the quick brown fox", "0,63", "τok unicode ☃")
     val fromSql = samples.toDF("s")
