@@ -65,8 +65,14 @@ object DedupOps {
           .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc")))
           .select("doc", "sz", "s")
     }
-    val a = filtered.toDF("doc_a", "sz_a", "s")
-    val b = filtered.toDF("doc_b", "sz_b", "s")
+    // one explicit shuffle by shingle, shared by BOTH join sides: the
+    // two repartition exchanges canonicalize identically, so
+    // ReuseExchange computes the scan→tokenize→shingle→explode pipeline
+    // once (without it, each side re-scans and re-fingerprints the
+    // corpus — 2× the dominant cost at scale)
+    val byShingle = filtered.repartition(col("s"))
+    val a = byShingle.toDF("doc_a", "sz_a", "s")
+    val b = byShingle.toDF("doc_b", "sz_b", "s")
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"),
@@ -129,7 +135,10 @@ object DedupOps {
     * matching signature components, compared columnar on the two wide
     * signatures — no per-component join). */
   def lshCandidates(sigWide: DataFrame, k: Int, r: Int): DataFrame = {
-    val bands = lshBands(sigWide, k, r)
+    // explicit shuffle on the bucket key shared by both join sides
+    // (canonically-equal exchanges → ReuseExchange): the signature +
+    // banding pipeline runs once instead of once per side
+    val bands = lshBands(sigWide, k, r).repartition(col("band"), col("bh"))
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -365,6 +374,9 @@ object DedupOps {
         explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
       .withColumn("segbits",
         expr(s"shiftright(simhash, seg * $segLen) & ${(1L << segLen) - 1}"))
+      // shared shuffle for both sides of the segment equi-join (see
+      // lshCandidates) — upstream fingerprinting runs once
+      .repartition(col("seg"), col("segbits"))
     val cand = segs.select(col("doc").as("doc_a"), col("simhash").as("sh_a"),
         col("seg"), col("segbits"))
       .join(segs.select(col("doc").as("doc_b"), col("simhash").as("sh_b"),
