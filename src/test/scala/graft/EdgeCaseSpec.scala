@@ -29,6 +29,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ewm(0).getDouble(3) == 7.5)
   }
 
+  test("vector ops keep their output shape on empty input, both ivf paths") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val b = VectorOps.lshBuckets(empty, "vec_id", "embedding", planes = 4)
+    assert(b.columns.toSeq == Seq("vid", "bucket") && b.count() == 0)
+    val bm = VectorOps.lshBucketsMulti(empty, "vec_id", "embedding", 4, 2)
+    assert(bm.columns.toSeq == Seq("vid", "tbl", "bucket") && bm.count() == 0)
+    for (thr <- Seq(64, 0)) { // literal and broadcast assignment paths
+      val ivf = VectorOps.ivfTopK(empty, "vec_id", "embedding", 8, 2, 3,
+        queryPred = col("vec_id") < 5, broadcastThreshold = thr)
+      assert(ivf.columns.toSeq == Seq("query_id", "cand_id", "cos", "rank")
+        && ivf.count() == 0)
+    }
+    assert(VectorOps.annTopK(empty, "vec_id", "embedding", 4, 3,
+      col("vec_id") < 5).count() == 0)
+  }
+
   test("cosineTopK with k larger than the candidate set returns all candidates") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
       (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
