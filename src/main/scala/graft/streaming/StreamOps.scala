@@ -37,6 +37,20 @@ object StreamOps {
       .agg(avg(col(value)).as("mean"), count(lit(1)).as("n"))
       .select(col(key), col("w.start").as("bucket"), col("mean"), col("n"))
 
+  /** Streaming exact dedup: emit the FIRST arrival of each content hash
+    * and drop later duplicates, with state bounded by the watermark — a
+    * duplicate arriving within `watermark` of the original is dropped,
+    * after that the hash's state has expired (the deliberate trade that
+    * keeps state finite on an unbounded corpus stream; batch
+    * [[graft.ops.DedupOps.exactDedup]] remains the exhaustive form).
+    * Map-only until the stateful dedup — the hash is computed during
+    * the scan, full text never enters state. */
+  def dedupExactStream(df: DataFrame, id: String, text: String, ts: String,
+                       watermark: String = "1 hour"): DataFrame =
+    df.select(col(id), col(ts), graft.ops.TextOps.h64(col(text)).as("content_hash"))
+      .withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** FSM position state carried across micro-batches. */
   case class Position(side: String, entryTs: Long, entryPrice: Double)
   case class TickIn(key: String, ts: Long, price: Double, dev: Double)

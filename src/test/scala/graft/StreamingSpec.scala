@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", 2.0), ("2024-01-01 01:00:00.0", 3.0)))
   }
 
+  test("dedupExactStream keeps first arrival, drops in-watermark duplicates") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.dedupExactStream(df, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), "alpha"),
+      (2L, ts("2024-01-01 00:05:00"), "beta"),
+      (3L, ts("2024-01-01 00:10:00"), "alpha")) // dup of 1 within watermark
+    q.processAllAvailable()
+    // next batch: another in-watermark dup, plus a new text
+    input.addData(
+      (4L, ts("2024-01-01 00:20:00"), "beta"),  // dup of 2 across batches
+      (5L, ts("2024-01-01 00:30:00"), "gamma"))
+    q.processAllAvailable()
+    val kept = spark.table("dedup_out").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("zscoreReversionStream matches batch FSM incl. warm-up clock and time stop") {
     import graft.streaming.StreamOps.{ZTickIn, ZTradeOut}
     implicit val sc = spark.sqlContext
