@@ -174,24 +174,7 @@ object VectorOps {
         if (cents.isEmpty) // empty input: keep the output shape, lazily
           return base.select(col("vid").as("query_id"), col("vid").as("cand_id"),
             lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
-        // norm(lit(centroid)) constant-folds at plan time
-        def cosTo(cv: Seq[Double]): Column = {
-          val c = typedLit(cv)
-          dot(col("v"), c) / (vn * norm(c))
-        }
-        // struct ordering does the argmax; negated id makes ties pick
-        // the lowest centroid id
-        val scored = array(cents.map { case (cid, cv) =>
-          struct(cosTo(cv).as("cos"), lit(-cid).as("ncid"))
-        }: _*)
-        val assigned = base.withColumn("list_id",
-          -array_max(scored).getField("ncid"))
-        // probe lists: top-nprobe centroids by (cos desc, cid asc)
-        val probes = slice(reverse(array_sort(scored)), 1, nprobe)
-        val q = base.filter(col("__isq"))
-          .select(col("vid").as("query_id"), col("v").as("qv"), vn.as("qn"),
-            explode(transform(probes, s => -s.getField("ncid"))).as("list_id"))
-        (assigned, q)
+        literalAssignment(base, cents, nprobe)
       } else {
         val cents = base.filter(col("v").isNotNull).orderBy("vid").limit(nlists)
           .select(col("vid").as("cid"), col("v").as("cv"))
@@ -217,8 +200,14 @@ object VectorOps {
             col("vn").as("qn"), col("cid").as("list_id"))
         (assigned, q)
       }
+    rerankLists(assigned, q, k)
+  }
+
+  /** Shared IVF tail: candidates stream by inverted list, probing
+    * queries broadcast, exact cosine re-rank to top-k. */
+  private def rerankLists(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val c = assigned.select(col("vid").as("cand_id"), col("v").as("cv"),
-      vn.as("cn"), col("list_id"))
+      norm(col("v")).as("cn"), col("list_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     c.join(broadcast(q), Seq("list_id"))
@@ -227,6 +216,64 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  /** Literal-centroid assignment + probe lists, shared by ivfTopK's
+    * small-nlists path and the k-means variant: centroids baked in as
+    * array literals, the whole assignment one codegen'd projection. */
+  private def literalAssignment(base: DataFrame, cents: Array[(Long, Seq[Double])],
+                                nprobe: Int): (DataFrame, DataFrame) = {
+    val vn = norm(col("v"))
+    // norm(lit(centroid)) constant-folds at plan time
+    def cosTo(cv: Seq[Double]): Column = {
+      val c = typedLit(cv)
+      dot(col("v"), c) / (vn * norm(c))
+    }
+    // struct ordering does the argmax; negated id makes ties pick the
+    // lowest centroid id
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(cosTo(cv).as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = base.withColumn("list_id",
+      -array_max(scored).getField("ncid"))
+    // probe lists: top-nprobe centroids by (cos desc, cid asc)
+    val probes = slice(reverse(array_sort(scored)), 1, nprobe)
+    val q = base.filter(col("__isq"))
+      .select(col("vid").as("query_id"), col("v").as("qv"), vn.as("qn"),
+        explode(transform(probes, s => -s.getField("ncid"))).as("list_id"))
+    (assigned, q)
+  }
+
+  /** IVF top-k with k-means coarse centroids — the production
+    * quantizer (`ivfTopK`'s lowest-id centroids are a deterministic
+    * stand-in; Lloyd's iterations place lists where the density is,
+    * which is what recall at a fixed nprobe/nlists ratio buys).
+    * Centroids come from spark.ml KMeans (seeded; deterministic for a
+    * fixed input partitioning) fitted on `trainFraction` of the
+    * vectors — at 100 TB the quantizer trains on a sample, never the
+    * corpus. Assignment/probe/re-rank reuse the ivfTopK machinery. */
+  def ivfTopKKmeans(df: DataFrame, id: String, vec: String, nlists: Int,
+                    nprobe: Int, k: Int, queryPred: Column,
+                    maxIter: Int = 10, seed: Long = 42L,
+                    trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = df.select(col(id).cast("long").as("vid"),
+      asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+    val train0 = base.filter(col("v").isNotNull)
+    val train = if (trainFraction < 1.0) train0.sample(trainFraction, seed)
+                else train0
+    val fitInput = train.select(array_to_vector(col("v")).as("fv"))
+    if (fitInput.isEmpty)
+      return base.select(col("vid").as("query_id"), col("vid").as("cand_id"),
+        lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+    val model = new KMeans().setK(nlists).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("fv").fit(fitInput)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq)
+    }
+    val (assigned, q) = literalAssignment(base, cents, nprobe)
+    rerankLists(assigned, q, k)
   }
 
   /** ANN top-k over multiple LSH tables: candidates are the distinct

@@ -49,6 +49,20 @@ class AsofIvfSpec extends SparkSpec {
     assert(bcast == lit)
   }
 
+  test("ivfTopKKmeans: k-means lists recover the brute-force top-1 for most queries") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = VectorOps.ivfTopKKmeans(e, "vec_id", "embedding",
+      nlists = 8, nprobe = 4, k = 5, queryPred = col("vec_id") < 20)
+    val brute = VectorOps.cosineTopK(
+      e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+    val ivfTop = ivf.filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val bruteTop = brute.filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val hits = ivfTop.count { case (q, c) => bruteTop.get(q).contains(c) }
+    assert(hits >= ivfTop.size / 2, s"recall@1 too low: $hits/${ivfTop.size}")
+  }
+
   test("ivfTopK: self-list hit rate is sane and ranks are exact cosine order") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivf = VectorOps.ivfTopK(e, "vec_id", "embedding",
