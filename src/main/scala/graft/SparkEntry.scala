@@ -23,6 +23,7 @@ object SparkEntry {
     "q_pricing_summary"   -> ((s, d) => Relational.pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
     "q_enrich_supplier"   -> ((s, d) => Relational.enrichSupplier(s, d)),
+    "q_promo_share"       -> ((s, d) => Relational.promoShare(s, d)),
     "q_top_order_per_cust"-> ((s, d) => Relational.topOrderPerCustomer(s, d)),
     "q_sort_limit"        -> ((s, d) => Relational.topOrders(s, d)),
     "q_union_scans"       -> ((s, d) => Relational.unionScans(s, d)),
@@ -198,6 +199,15 @@ object SparkEntry {
            SELECT CAST(NULLIF(regexp_extract(props, '(\d+)', 1), '') AS INT) AS k
            FROM events)
          WHERE k IS NOT NULL GROUP BY k ORDER BY k""",
+    "q_promo_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END) * 100.0
+               / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share_pct,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
     "q_monthly_sales" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          CAST(year(o_orderdate) AS INT) AS yr,

@@ -55,6 +55,23 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** Monthly revenue share of PROMO parts (TPC-H Q14 flavor): the
+    * fact⋈dim join on partkey with the part dimension broadcast — the
+    * fact side never re-shuffles for the dimension at any scale. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"),
+      date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(round(sum(when(col("is_promo"), col("rev")).otherwise(0.0)) * 100.0
+          / sum(col("rev")), 6).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+      .orderBy("month")
+  }
+
   /** Broadcast lookup enrichment: supplier rows stamped with nation/region
     * names — the Spark form of the reference's per-row cached lookups
     * (`internal/parser/parser.go:118-160` → distinct+broadcast join, J1/J4). */
