@@ -65,6 +65,7 @@ object SparkEntry {
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
+    "q_winnow_pairs"      -> ((s, d) => DataQueries.winnowPairs(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -105,6 +106,20 @@ object SparkEntry {
                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
            ELSE [] END AS shs
        FROM toks)"""
+  /** Winnowing fingerprint set (n=3, w=4), shared by q_winnow and
+    * q_winnow_pairs: positional 3-gram hashes, window-4 minima,
+    * distinct + sorted. */
+  private lazy val WINNOW_CTE =
+    s"""ps AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+            [${H64.format("array_to_string(tk[i+1:i+3], ' ')")}
+             for i in range(0, len(tk) - 2)]
+          ELSE [] END AS hs FROM toks),
+       wm AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+            ELSE list_sort(list_distinct(
+              [list_min(hs[i+1:i+least(4, len(hs))])
+               for i in range(0, len(hs) - least(4, len(hs)) + 1)]))
+            END AS fps FROM ps)"""
+
   /** MinHash affine-rehash parameters shared with DedupOps (same Scala
     * source of truth, injected as literals into the oracle SQL). */
   private val MINHASH_PRM = DedupOps.minhashParams(32).zipWithIndex
@@ -561,18 +576,26 @@ object SparkEntry {
          ORDER BY via, doc_id""",
     "q_winnow" ->
       s"""WITH $TOKS_CTE,
-         ps AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-                  [${H64.format("array_to_string(tk[i+1:i+3], ' ')")}
-                   for i in range(0, len(tk) - 2)]
-                ELSE [] END AS hs FROM toks),
-         wm AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
-                  ELSE list_sort(list_distinct(
-                    [list_min(hs[i+1:i+least(4, len(hs))])
-                     for i in range(0, len(hs) - least(4, len(hs)) + 1)]))
-                  END AS fps FROM ps)
+         $WINNOW_CTE
          SELECT doc_id, len(fps) AS n_fps,
            ${H64.format("array_to_string(fps, ',')")} AS fps_hash
          FROM wm ORDER BY doc_id""",
+    // Pairs over the winnow fingerprints: inverted-index equi-join on
+    // the fingerprint, set Jaccard from distinct-fingerprint counts.
+    "q_winnow_pairs" ->
+      s"""WITH $TOKS_CTE,
+         $WINNOW_CTE,
+         ex AS (SELECT doc_id, unnest(fps) AS f FROM wm WHERE len(fps) > 0),
+         sizes AS (SELECT doc_id, len(fps) AS sz FROM wm WHERE len(fps) > 0),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, inter,
+                 inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
+         FROM j WHERE inter >= 3 ORDER BY doc_a, doc_b""",
     // DuckDB has no BLOB substring — slice the hex image of the payload
     // instead (one 64-byte frame = 128 hex chars); Spark slices the real
     // bytes and hexes per frame, which is the same string.

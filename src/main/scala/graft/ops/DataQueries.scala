@@ -200,6 +200,14 @@ object DataQueries {
         TextOps.h64(concat_ws(",", col("fps"))).as("fps_hash"))
       .orderBy("doc_id")
 
+  /** Winnowing near-dup pairs: ≥3 shared window-min fingerprints. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, w = 4, minShared = 3L)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Multimodal frame sampling, oracled: documents' text bytes stand in
     * for an opaque media payload; slice into 64-byte frames, keep every
     * 2nd, emit the kept-frame count and a content hash over the kept

@@ -254,6 +254,33 @@ object DedupOps {
     labels.select(col("node"), col("label").as("comp"))
   }
 
+  /** Winnowing (MOSS) near-dup pairs: documents sharing ≥ `minShared`
+    * window-min fingerprints, with the fingerprint-set Jaccard.
+    * Winnowing guarantees a shared fingerprint for any common run of
+    * ≥ w+n−1 tokens, so unlike bag-of-shingles Jaccard this targets
+    * VERBATIM shared passages (plagiarism / boilerplate detection).
+    * Candidate generation is the fingerprint equi-join — inverted-index
+    * semantics, linear, with the exchange shared by both sides like
+    * the other fingerprint self-joins. */
+  def winnowPairs(df: DataFrame, id: String, text: String, n: Int, w: Int,
+                  minShared: Long): DataFrame = {
+    val ex = df.select(col(id).as("doc"),
+        TextOps.winnowingFingerprints(col(text), n, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
+      .repartition(col("f"))
+    val a = ex.toDF("doc_a", "sz_a", "f")
+    val b = ex.toDF("doc_b", "sz_b", "f")
+    a.join(b, Seq("f")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("inter") >= minShared)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond") — the scale path for adversarial topologies. Where

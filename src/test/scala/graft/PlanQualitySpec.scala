@@ -34,6 +34,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
   }
 
+  test("promo share: part dimension broadcasts, fact side never re-shuffles") {
+    val p = plan(Relational.promoShare(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
   test("aggregations partial-combine map-side") {
     val p = plan(Relational.revenueByNation(spark, sf))
     // two HashAggregates per grouping (partial + final)
