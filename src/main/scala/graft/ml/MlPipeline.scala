@@ -118,7 +118,9 @@ object MlPipeline {
                             base: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
                             model: org.apache.spark.ml.PipelineModel)
 
-  private val MaxFitted = 4
+  /** LRU capacity; var only so tests can exercise eviction with a
+    * small cap. */
+  private[graft] var MaxFitted = 4
 
   private val fittedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Fitted]

@@ -37,4 +37,20 @@ class MlSpec extends SparkSpec {
     assert(s.nonEmpty && s.length <= 5)
     assert(s.forall(r => Set("LONG", "NO TRADE").contains(r.getString(4))))
   }
+
+  test("fitted-model LRU eviction releases executor storage") {
+    // cap 1: the second fit must evict (and unpersist) the first.
+    // Each fit persists ~4 blocks (ds/train/test frames + the sorted
+    // base RDD); without eviction the persistent-RDD count grows by
+    // that much per fit, with eviction it stays flat.
+    val old = MlPipeline.MaxFitted
+    MlPipeline.MaxFitted = 1
+    try {
+      MlPipeline.trainEval(spark, sf).count()
+      val n1 = spark.sparkContext.getPersistentRDDs.size
+      MlPipeline.trainEval(spark, "/root/testdata/sf0.01").count()
+      val n2 = spark.sparkContext.getPersistentRDDs.size
+      assert(n2 <= n1 + 1, s"eviction leaked storage: $n1 -> $n2")
+    } finally MlPipeline.MaxFitted = old
+  }
 }
