@@ -147,15 +147,18 @@ object MlPipeline {
     f
   }
 
-  /** Bump `key` in the LRU and release whatever falls off the end. */
+  /** Bump `key` in the LRU and release whatever falls off the end
+    * (everything over capacity — the cap can shrink at runtime). */
   private def recordUse(key: (SparkSession, String)): Unit = {
     val evicted = fittedLru.synchronized {
       fittedLru.put(key, ())
-      if (fittedLru.size > MaxFitted) {
-        val it = fittedLru.keySet().iterator()
-        val eldest = it.next(); it.remove()
-        Some(eldest)
-      } else None
+      val out = Seq.newBuilder[(SparkSession, String)]
+      val it = fittedLru.keySet().iterator()
+      var over = fittedLru.size - MaxFitted
+      while (over > 0 && it.hasNext) {
+        out += it.next(); it.remove(); over -= 1
+      }
+      out.result()
     }
     evicted.foreach(k => Option(fittedCache.remove(k)).foreach(release))
   }

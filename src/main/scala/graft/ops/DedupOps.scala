@@ -261,14 +261,27 @@ object DedupOps {
     * VERBATIM shared passages (plagiarism / boilerplate detection).
     * Candidate generation is the fingerprint equi-join — inverted-index
     * semantics, linear, with the exchange shared by both sides like
-    * the other fingerprint self-joins. */
+    * the other fingerprint self-joins. `maxDocFreq` is the same
+    * mandatory-at-scale control as jaccardPairs': winnowing targets
+    * boilerplate corpora, where a passage shared verbatim by D docs
+    * yields a fingerprint with docFreq D and ~D²/2 candidate rows —
+    * cap it (sizes are re-counted over the surviving fingerprints). */
   def winnowPairs(df: DataFrame, id: String, text: String, n: Int, w: Int,
-                  minShared: Long): DataFrame = {
-    val ex = df.select(col(id).as("doc"),
+                  minShared: Long, maxDocFreq: Option[Long] = None): DataFrame = {
+    val fps = df.select(col(id).as("doc"),
         TextOps.winnowingFingerprints(col(text), n, w).as("fps"))
       .filter(size(col("fps")) > 0)
-      .select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
-      .repartition(col("f"))
+    val exploded = maxDocFreq match {
+      case None =>
+        fps.select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
+      case Some(cap) =>
+        val sh = fps.select(col("doc"), explode(col("fps")).as("f"))
+        val freq = sh.groupBy("f").agg(count(lit(1)).as("df"))
+        sh.join(freq.filter(col("df") <= cap).select("f"), Seq("f"))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc")))
+          .select("doc", "sz", "f")
+    }
+    val ex = exploded.repartition(col("f"))
     val a = ex.toDF("doc_a", "sz_a", "f")
     val b = ex.toDF("doc_b", "sz_b", "f")
     a.join(b, Seq("f")).filter(col("doc_a") < col("doc_b"))

@@ -178,29 +178,36 @@ object VectorOps {
       } else {
         val cents = base.filter(col("v").isNotNull).orderBy("vid").limit(nlists)
           .select(col("vid").as("cid"), col("v").as("cv"))
-          .withColumn("cn", norm(col("cv")))
-        val scored = base.withColumn("vn", vn)
-          .crossJoin(broadcast(cents))
-          .withColumn("cos", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
-        // argmax via max_by on (cos, -cid): ties pick the lowest cid.
-        // first() carries the vector through the same aggregate, so the
-        // nlists-way expansion collapses map-side — one shuffled row
-        // per vector, no join-back.
-        val assigned = scored.groupBy("vid").agg(
-            max_by(col("cid"), struct(col("cos"), (-col("cid")).as("n")))
-              .as("list_id"),
-            first(col("v")).as("v"), first(col("vn")).as("vn"),
-            first(col("__isq")).as("__isq"))
-        val wp = Window.partitionBy("vid")
-          .orderBy(col("cos").desc, col("cid").asc)
-        val q = scored.filter(col("__isq"))
-          .withColumn("__rn", row_number().over(wp))
-          .filter(col("__rn") <= nprobe)
-          .select(col("vid").as("query_id"), col("v").as("qv"),
-            col("vn").as("qn"), col("cid").as("list_id"))
-        (assigned, q)
+        broadcastAssignment(base, cents, nprobe)
       }
     rerankLists(assigned, q, k)
+  }
+
+  /** Broadcast-join assignment for large list counts: centroids stay a
+    * (cid, cv) DataFrame, assignment is a broadcast cross join +
+    * max_by argmax — the nlists-way expansion collapses map-side into
+    * one shuffled row per vector (first() carries the vector through
+    * the aggregate, no join-back). Ties pick the lowest cid, same as
+    * the literal path. */
+  private def broadcastAssignment(base: DataFrame, centsDf: DataFrame,
+                                  nprobe: Int): (DataFrame, DataFrame) = {
+    val cents = centsDf.withColumn("cn", norm(col("cv")))
+    val scored = base.withColumn("vn", norm(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+    val assigned = scored.groupBy("vid").agg(
+        max_by(col("cid"), struct(col("cos"), (-col("cid")).as("n")))
+          .as("list_id"),
+        first(col("v")).as("v"), first(col("vn")).as("vn"),
+        first(col("__isq")).as("__isq"))
+    val wp = Window.partitionBy("vid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    val q = scored.filter(col("__isq"))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"), col("cid").as("list_id"))
+    (assigned, q)
   }
 
   /** Shared IVF tail: candidates stream by inverted list, probing
@@ -251,11 +258,16 @@ object VectorOps {
     * Centroids come from spark.ml KMeans (seeded; deterministic for a
     * fixed input partitioning) fitted on `trainFraction` of the
     * vectors — at 100 TB the quantizer trains on a sample, never the
-    * corpus. Assignment/probe/re-rank reuse the ivfTopK machinery. */
+    * corpus. Assignment/probe/re-rank reuse the ivfTopK machinery,
+    * including its strategy switch: past `broadcastThreshold` lists
+    * the centers feed the broadcast cross-join + max_by path instead
+    * of a literal projection (which stops codegen-scaling past dozens
+    * of lists). */
   def ivfTopKKmeans(df: DataFrame, id: String, vec: String, nlists: Int,
                     nprobe: Int, k: Int, queryPred: Column,
                     maxIter: Int = 10, seed: Long = 42L,
-                    trainFraction: Double = 1.0): DataFrame = {
+                    trainFraction: Double = 1.0,
+                    broadcastThreshold: Int = 64): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = df.select(col(id).cast("long").as("vid"),
@@ -272,7 +284,15 @@ object VectorOps {
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.toSeq)
     }
-    val (assigned, q) = literalAssignment(base, cents, nprobe)
+    val (assigned, q) =
+      if (cents.length <= broadcastThreshold) literalAssignment(base, cents, nprobe)
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        broadcastAssignment(base,
+          cents.toSeq.toDF("cid", "cv").select(col("cid"),
+            col("cv").cast("array<double>").as("cv")), nprobe)
+      }
     rerankLists(assigned, q, k)
   }
 

@@ -43,11 +43,12 @@ object StreamOps {
     * after that the hash's state has expired (the deliberate trade that
     * keeps state finite on an unbounded corpus stream; batch
     * [[graft.ops.DedupOps.exactDedup]] remains the exhaustive form).
-    * Map-only until the stateful dedup — the hash is computed during
-    * the scan, full text never enters state. */
+    * All input columns pass through — the state store keeps only the
+    * key (the hash) plus an expiry timestamp, so emitting the text
+    * costs shuffle bytes, not state. */
   def dedupExactStream(df: DataFrame, id: String, text: String, ts: String,
                        watermark: String = "1 hour"): DataFrame =
-    df.select(col(id), col(ts), graft.ops.TextOps.h64(col(text)).as("content_hash"))
+    df.withColumn("content_hash", graft.ops.TextOps.h64(col(text)))
       .withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

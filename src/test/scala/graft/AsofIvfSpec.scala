@@ -61,6 +61,14 @@ class AsofIvfSpec extends SparkSpec {
       .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
     val hits = ivfTop.count { case (q, c) => bruteTop.get(q).contains(c) }
     assert(hits >= ivfTop.size / 2, s"recall@1 too low: $hits/${ivfTop.size}")
+    // broadcast-assignment route (threshold 0) agrees with the literal
+    // route given the same seeded centers
+    val bcast = VectorOps.ivfTopKKmeans(e, "vec_id", "embedding",
+        nlists = 8, nprobe = 4, k = 5, queryPred = col("vec_id") < 20,
+        broadcastThreshold = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val lit = ivf.as[(Long, Long, Double, Int)].collect().toSet
+    assert(bcast == lit)
   }
 
   test("ivfTopK: self-list hit rate is sane and ranks are exact cosine order") {

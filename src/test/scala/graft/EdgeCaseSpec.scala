@@ -79,6 +79,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(kept.length == 3 && kept.forall(_.getDouble(3) == 1.0 / 7.0))
   }
 
+  test("winnowPairs maxDocFreq drops boilerplate fingerprints") {
+    // identical docs share every winnow fingerprint (doc-freq 2)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val open = DedupOps.winnowPairs(docs, "doc_id", "text", 3, 4, 1L).collect()
+    assert(open.length == 1 && open(0).getDouble(3) == 1.0)
+    assert(DedupOps.winnowPairs(docs, "doc_id", "text", 3, 4, 1L,
+      maxDocFreq = Some(1L)).count() == 0)
+  }
+
   test("bpe-ish token count segments words, numbers, punctuation") {
     val df = Seq("hello world 42!!").toDF("text")
     // "hello", " world", " 42", "!!" → 4 segments

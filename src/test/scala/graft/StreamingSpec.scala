@@ -48,10 +48,12 @@ class StreamingSpec extends SparkSpec {
       (4L, ts("2024-01-01 00:20:00"), "beta"),  // dup of 2 across batches
       (5L, ts("2024-01-01 00:30:00"), "gamma"))
     q.processAllAvailable()
-    val kept = spark.table("dedup_out").select("doc_id")
-      .as[Long].collect().toSet
+    val out = spark.table("dedup_out")
+    val kept = out.select("doc_id").as[Long].collect().toSet
     q.stop()
     assert(kept == Set(1L, 2L, 5L))
+    // all input columns pass through (only the hash key enters state)
+    assert(out.columns.contains("text"))
   }
 
   test("zscoreReversionStream matches batch FSM incl. warm-up clock and time stop") {
