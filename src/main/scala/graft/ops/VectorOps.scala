@@ -300,55 +300,78 @@ object VectorOps {
     * union of same-(table, bucket) collisions, re-ranked by exact
     * cosine. Recall grows with `tables` at linear candidate-join cost —
     * the 100 TB path with a recall dial (brute force stays the
-    * correctness oracle). */
+    * correctness oracle). Buckets are computed INLINE on the scan
+    * (they derive 1:1 from the row) — no separate bucket frame, no
+    * join-back on the id. */
   def annTopKMulti(df: DataFrame, id: String, vec: String, planes: Int,
-                   tables: Int, k: Int, queryPred: Column): DataFrame = {
-    val buckets = lshBucketsMulti(df, id, vec, planes, tables)
-    val base = df.select(col(id).as("vid0"), asDouble(col(vec)).as("v"),
-        queryPred.as("__isq"))
-      .withColumn("__n", norm(col("v")))
-    val q = base.filter(col("__isq"))
-      .join(buckets, col("vid0") === col("vid")).drop("vid")
-      .select(col("vid0").as("query_id"), col("v").as("qv"),
-        col("__n").as("qn"), col("tbl"), col("bucket"))
-    val c = base.join(buckets, col("vid0") === col("vid")).drop("vid")
-      .select(col("vid0").as("cand_id"), col("v").as("cv"),
-        col("__n").as("cn"), col("tbl"), col("bucket"))
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "qv", "qn", "cand_id", "cv", "cn").distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
-  }
+                   tables: Int, k: Int, queryPred: Column): DataFrame =
+    vecDims(df, vec) match {
+      case None =>
+        df.select(col(id).as("query_id"), col(id).as("cand_id"),
+          lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+      case Some(dims) =>
+        val perTable = (0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            bucketCol(col("vq"), dims, planes, p => t * planes + p).as("bucket"))
+        }
+        val frame = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
+            queryPred.as("__isq"))
+          .withColumn("__n", norm(col("v")))
+          .withColumn("vq", quantized(col("v")))
+          .select(col("vid"), col("v"), col("__isq"), col("__n"),
+            explode(array(perTable: _*)).as("tb"))
+          .select(col("vid"), col("v"), col("__isq"), col("__n"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val q = frame.filter(col("__isq"))
+          .select(col("vid").as("query_id"), col("v").as("qv"),
+            col("__n").as("qn"), col("tbl"), col("bucket"))
+        val c = frame.select(col("vid").as("cand_id"), col("v").as("cv"),
+          col("__n").as("cn"), col("tbl"), col("bucket"))
+        val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .select("query_id", "qv", "qn", "cand_id", "cv", "cn").distinct()
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "cand_id", "cos", "rank")
+    }
 
   /** ANN top-k via LSH buckets: candidates share the query's bucket,
     * then exact cosine re-rank. Trades recall for a linear candidate
     * join — the 100 TB path (brute force is the correctness oracle).
     * `queryPred` is evaluated against the input columns (e.g.
-    * `col("vec_id") < 10`). */
+    * `col("vec_id") < 10`). Bucket computed inline on the scan — no
+    * separate bucket frame, no join-back on the id. */
   def annTopK(df: DataFrame, id: String, vec: String, planes: Int,
-              k: Int, queryPred: Column): DataFrame = {
-    val buckets = lshBuckets(df, id, vec, planes)
-    val base = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
-        queryPred.as("__isq"))
-      .join(buckets, Seq("vid"))
-      .withColumn("__n", norm(col("v")))
-    val q = base.filter(col("__isq"))
-      .select(col("vid").as("query_id"), col("v").as("qv"),
-        col("__n").as("qn"), col("bucket"))
-    val c = base.select(col("vid").as("cand_id"), col("v").as("cv"),
-      col("__n").as("cn"), col("bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
-  }
+              k: Int, queryPred: Column): DataFrame =
+    vecDims(df, vec) match {
+      case None =>
+        df.select(col(id).as("query_id"), col(id).as("cand_id"),
+          lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+      case Some(dims) =>
+        val frame = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
+            queryPred.as("__isq"))
+          .withColumn("__n", norm(col("v")))
+          // alias the quantized copy so the per-plane references share
+          // one evaluation (inlining it would re-run the transform
+          // once per plane)
+          .withColumn("vq", quantized(col("v")))
+          .withColumn("bucket", bucketCol(col("vq"), dims, planes, p => p))
+          .drop("vq")
+        val q = frame.filter(col("__isq"))
+          .select(col("vid").as("query_id"), col("v").as("qv"),
+            col("__n").as("qn"), col("bucket"))
+        val c = frame.select(col("vid").as("cand_id"), col("v").as("cv"),
+          col("__n").as("cn"), col("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        c.join(broadcast(q), Seq("bucket"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "cand_id", "cos", "rank")
+    }
 }
