@@ -197,7 +197,9 @@ class LogMicroBatchStream(props: Map[String, String],
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().foreach { line =>
         if (line.nonEmpty) {
-          val b = mapper.readTree(line).path("block_number").asLong(Long.MinValue)
+          // malformed lines don't stall the height probe (P7)
+          val b = try mapper.readTree(line).path("block_number").asLong(Long.MinValue)
+                  catch { case _: com.fasterxml.jackson.core.JacksonException => Long.MinValue }
           if (b > mx) mx = b
         }
       } finally src.close()
@@ -266,9 +268,14 @@ class LogPartitionReader(part: LogRangePartition,
     if (source != null) { source.close(); source = null }
   }
 
+  /** P7 at the source: a malformed dump line is dropped, the scan
+    * survives — the reference logs at debug and continues
+    * (`internal/indexer/indexer.go:253-259`). */
   private def parse(line: String): Option[InternalRow] = {
     if (line.isEmpty) return None
-    val n = mapper.readTree(line)
+    val n = try mapper.readTree(line)
+            catch { case _: com.fasterxml.jackson.core.JacksonException => return None }
+    if (n == null || !n.isObject) return None
     val blk = n.path("block_number").asLong()
     if (blk < part.fromBlock || blk > part.toBlock) return None
     val addr = n.path("address").asText(null)

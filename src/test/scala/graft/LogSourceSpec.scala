@@ -29,6 +29,16 @@ class LogSourceSpec extends SparkSpec {
     assert(df.count() == 1000) // sf0.001 events
   }
 
+  test("malformed dump lines are skipped, the scan survives (P7)") {
+    val dir = dumpDir
+    // corrupt the dump: invalid JSON, a JSON scalar, and an empty line
+    Files.write(java.nio.file.Paths.get(dir, "corrupt.json"),
+      "{not json\n42\n\n".getBytes("UTF-8"))
+    val df = read(dir)
+    assert(df.count() == 1000) // good rows intact, bad lines dropped
+    assert(graft.evm.LogSource.latestBlock(spark, dir) == 99L)
+  }
+
   test("address/topic0 filters are pushed into the source (P1)") {
     val dir = dumpDir
     val t0 = Keccak.eventTopic0(LogPipeline.TransferSig)
