@@ -135,17 +135,20 @@ object DedupOps {
     * matching signature components, compared columnar on the two wide
     * signatures — no per-component join). */
   def lshCandidates(sigWide: DataFrame, k: Int, r: Int): DataFrame = {
-    // explicit shuffle on the bucket key shared by both join sides
-    // (canonically-equal exchanges → ReuseExchange): the signature +
-    // banding pipeline runs once instead of once per side
-    val bands = lshBands(sigWide, k, r).repartition(col("band"), col("bh"))
+    // ONE materialization of the signature pipeline, shared by all four
+    // consumers via canonically-equal exchanges (ReuseExchange): the
+    // doc-partitioned signatures feed both banding sides (through the
+    // shared (band, bh) exchange) and both estimate-join lookups —
+    // without this, each consumer re-runs scan→tokenize→minhash.
+    val sigByDoc = sigWide.repartition(col("doc"))
+    val bands = lshBands(sigByDoc, k, r).repartition(col("band"), col("bh"))
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(sigWide.toDF("doc_a", "sig_a"), Seq("doc_a"))
-      .join(sigWide.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .join(sigByDoc.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sigByDoc.toDF("doc_b", "sig_b"), Seq("doc_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           m => m)).cast("double") / k.toDouble)
