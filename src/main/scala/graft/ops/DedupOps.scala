@@ -59,7 +59,12 @@ object DedupOps {
       case None =>
         arr.select(col("doc"), size(col("arr")).as("sz"), explode(col("arr")).as("s"))
       case Some(cap) =>
+        // one shuffle by shingle feeds BOTH the doc-frequency aggregate
+        // (already clustered — no second exchange) and the filter join
+        // back against it, so the scan→shingle→explode pipeline
+        // materializes once
         val sh = arr.select(col("doc"), explode(col("arr")).as("s"))
+          .repartition(col("s"))
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
         sh.join(freq.filter(col("df") <= cap).select("s"), Seq("s"))
           .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc")))
@@ -278,7 +283,9 @@ object DedupOps {
       case None =>
         fps.select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
       case Some(cap) =>
+        // shared single shuffle, as in jaccardPairs' capped branch
         val sh = fps.select(col("doc"), explode(col("fps")).as("f"))
+          .repartition(col("f"))
         val freq = sh.groupBy("f").agg(count(lit(1)).as("df"))
         sh.join(freq.filter(col("df") <= cap).select("f"), Seq("f"))
           .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc")))
