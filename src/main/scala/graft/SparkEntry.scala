@@ -51,6 +51,9 @@ object SparkEntry {
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
+    "q_repetition"        -> ((s, d) => DataQueries.repetition(s, d)),
+    "q_decontam"          -> ((s, d) => DataQueries.decontam(s, d)),
+    "q_redact"            -> ((s, d) => DataQueries.redact(s, d)),
     "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
@@ -61,6 +64,7 @@ object SparkEntry {
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
+    "q_semdedup"          -> ((s, d) => DataQueries.semDedup(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
@@ -546,6 +550,83 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality
          FROM q JOIN rep ON q.ch = rep.ch AND q.doc_id = rep.keep_id
          WHERE quality >= 0.35 AND pred = 'en' ORDER BY doc_id""",
+    "q_repetition" ->
+      s"""WITH $TOKS_CTE,
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM
+                   (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+                      THEN [array_to_string(tk[i+1:i+2], ' ')
+                            for i in range(0, len(tk) - 1)]
+                      ELSE [] END) AS g FROM toks)
+                 GROUP BY 1, 2),
+         top AS (SELECT doc_id, g, c FROM
+                   (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, g ASC) AS rn FROM bgc) WHERE rn = 1),
+         tgc AS (SELECT doc_id, sum(c * len(g)) AS dup3 FROM
+                   (SELECT doc_id, g, count(*) AS c FROM
+                      (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+                         THEN [array_to_string(tk[i+1:i+3], ' ')
+                               for i in range(0, len(tk) - 2)]
+                         ELSE [] END) AS g FROM toks)
+                    GROUP BY 1, 2)
+                 WHERE c >= 2 GROUP BY 1),
+         st AS (SELECT t.doc_id, len(t.tk) AS n_tokens,
+                  len(list_distinct(t.tk)) AS n_distinct,
+                  CASE WHEN len(t.tk) > 0 THEN
+                    round(1.0 - len(list_distinct(t.tk))::DOUBLE / len(t.tk), 6)
+                  END AS dup_tok_frac,
+                  top.g AS top_bigram, coalesce(top.c, 0) AS top_bigram_n,
+                  CASE WHEN len(t.text) > 0 AND top.g IS NOT NULL THEN
+                    round(top.c * len(top.g)::DOUBLE / len(t.text), 6)
+                  END AS top2_frac,
+                  CASE WHEN len(t.text) > 0 THEN
+                    round(coalesce(tgc.dup3, 0)::DOUBLE / len(t.text), 6)
+                  END AS dup3_frac
+                FROM toks t LEFT JOIN top USING (doc_id)
+                            LEFT JOIN tgc USING (doc_id))
+         SELECT st.*, (coalesce(dup_tok_frac, 0) > 0.6
+                       OR coalesce(top2_frac, 0) > 0.1
+                       OR coalesce(dup3_frac, 0) > 0.35) AS flagged
+         FROM st ORDER BY doc_id""",
+    "q_decontam" ->
+      s"""WITH $TOKS_CTE,
+         sh5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5
+                   THEN list_distinct([array_to_string(tk[i+1:i+5], ' ')
+                                       for i in range(0, len(tk) - 4)])
+                   ELSE [] END AS shs FROM toks),
+         bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh5
+                   WHERE doc_id % 20 = 0),
+         corpus AS (SELECT doc_id, shs FROM sh5 WHERE doc_id % 20 <> 0),
+         hits AS (SELECT c.doc_id, count(*) AS n_hits
+                  FROM (SELECT doc_id, unnest(shs) AS s FROM corpus) c
+                  JOIN bench USING (s) GROUP BY 1)
+         SELECT c.doc_id AS doc, len(c.shs) AS n_shingles,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CASE WHEN len(c.shs) > 0 THEN
+             round(coalesce(h.n_hits, 0)::DOUBLE / len(c.shs), 6)
+           END AS hit_frac,
+           coalesce(h.n_hits, 0) >= 5 AS contaminated
+         FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY doc""",
+    "q_redact" ->
+      s"""WITH pii AS (SELECT doc_id,
+           text || ' reach me at user' || doc_id::VARCHAR
+                || '@mail.example.com or +1-555-01'
+                || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS p
+           FROM documents),
+         r1 AS (SELECT doc_id, p,
+           regexp_replace(regexp_replace(p,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+           AS p2 FROM pii)
+         SELECT doc_id,
+           len(regexp_extract_all(p,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(p,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
+           len(regexp_extract_all(p2, '\\+?[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
+           ${H64.format("regexp_replace(p2, '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')")}
+             AS redacted_hash
+         FROM r1 ORDER BY doc_id""",
     "q_sample_docs" ->
       s"""WITH $TOKS_CTE,
          lang AS (SELECT doc_id,
@@ -766,7 +847,7 @@ object SparkEntry {
                    (SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY cos DESC, cid ASC) AS rn
                     FROM ac WHERE vec_id < 10)
-                 WHERE rn <= 2),
+                 WHERE rn <= 2), -- (ivf)
          sc AS (SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
                   list_dot_product(q.ve, c.ve) /
                     (sqrt(list_dot_product(q.ve, q.ve)) *
@@ -779,6 +860,31 @@ object SparkEntry {
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
          FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    "q_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         cent AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),
+         ac AS (SELECT v.vec_id, cent.cid,
+                  list_dot_product(v.ve, cent.cv) /
+                    (sqrt(list_dot_product(v.ve, v.ve)) *
+                     sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+                FROM v CROSS JOIN cent),
+         asg AS (SELECT vec_id, cid AS list_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid ASC) AS rn FROM ac)
+                 WHERE rn = 1),
+         pr AS (SELECT b.vec_id AS b_id,
+                  list_dot_product(va.ve, vb.ve) /
+                    (sqrt(list_dot_product(va.ve, va.ve)) *
+                     sqrt(list_dot_product(vb.ve, vb.ve))) AS cos
+                FROM asg a JOIN asg b
+                  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+                JOIN v va ON va.vec_id = a.vec_id
+                JOIN v vb ON vb.vec_id = b.vec_id),
+         dom AS (SELECT b_id, count(*) AS n_dom FROM pr
+                 WHERE cos >= 0.4 GROUP BY 1)
+         SELECT g.vec_id AS vec, g.list_id, coalesce(d.n_dom, 0) AS n_dom,
+           d.b_id IS NULL AS keep
+         FROM asg g LEFT JOIN dom d ON g.vec_id = d.b_id ORDER BY vec""",
     // Independent oracle: DuckDB's native ASOF JOIN (not a window
     // re-spelling of our plan) — a pass proves the union+window form
     // implements the standard backward as-of semantics.

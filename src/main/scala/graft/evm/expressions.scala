@@ -251,5 +251,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.ops.Simhash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => graft.ops.Simhash64Expr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[graft.ops.RepStatsExpr].getName, "rep_stats"),
+      (args: Seq[Expression]) => graft.ops.RepStatsExpr(args.head)))
   }
 }

@@ -83,6 +83,73 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition quality signals per document: duplicate-
+    * token fraction, most-frequent-2-gram character mass, duplicated-
+    * 3-gram character mass, and the composite filter flag. One map-side
+    * pass (`rep_stats`) — per-document stats never leave the row, so
+    * the operator costs exactly one scan at any corpus size. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), length(t).as("n_chars_t"),
+      TextOps.tokenCount(t).as("n_tokens"),
+      TextOps.repetitionStats(t).as("rs"))
+    val frac = scored.select(
+      col("doc_id"), col("n_tokens"),
+      col("rs.n_distinct").as("n_distinct"),
+      when(col("n_tokens") > 0,
+        round(lit(1.0) - col("rs.n_distinct") / col("n_tokens"), 6))
+        .as("dup_tok_frac"),
+      col("rs.top_bigram").as("top_bigram"),
+      col("rs.top_bigram_n").as("top_bigram_n"),
+      when(col("n_chars_t") > 0 && col("rs.top_bigram").isNotNull,
+        round(col("rs.top_bigram_n") * length(col("rs.top_bigram"))
+          / col("n_chars_t"), 6)).as("top2_frac"),
+      when(col("n_chars_t") > 0,
+        round(col("rs.dup3_chars") / col("n_chars_t"), 6)).as("dup3_frac"))
+    frac.withColumn("flagged",
+        coalesce(col("dup_tok_frac"), lit(0.0)) > 0.6 ||
+        coalesce(col("top2_frac"), lit(0.0)) > 0.1 ||
+        coalesce(col("dup3_frac"), lit(0.0)) > 0.35)
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction over a deterministically PII-salted copy of each
+    * document (the synthetic corpus carries no real PII, so the query
+    * plants an email, a phone and an IP derived from doc_id — both
+    * engines build the identical string): per-class match counts and
+    * the content hash of the redacted text. */
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" reach me at user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    val counts = TextOps.piiCounts(col("pii"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), pii.as("pii"))
+      .select(
+        Seq(col("doc_id")) ++
+        counts.map { case (name, c) => c.as(name) } ++
+        Seq(TextOps.h64(TextOps.redactPii(col("pii"))).as("redacted_hash")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: docs with doc_id % 20 == 0 stand in for
+    * the eval set; every other document reports how many of its 5-gram
+    * shingles leak from it. minHits=5 flags only genuine overlap (5-gram
+    * chance collisions are ~0; see DedupOps.decontaminate scale notes). */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5, minHits = 5L)
+      .select(col("doc"), col("n_shingles"), col("n_hits"),
+        round(col("hit_frac"), 6).as("hit_frac"), col("contaminated"))
+      .orderBy("doc")
+  }
+
   /** Near-dup clusters: Jaccard pairs → connected components → one
     * group id (min doc) + size per clustered document. */
   def dedupGroups(s: SparkSession, d: String): DataFrame =
@@ -150,6 +217,14 @@ object DataQueries {
     groupsOf(VectorOps.cosineNearDup(Tables.embeddings(s, d),
         "vec_id", "embedding", 0.4)
       .select("vec_a", "vec_b"), nodeOut = "vec")
+
+  /** SemDeDup over embeddings: 16 coarse lists (lowest-id centroids,
+    * deterministic), drop vectors with a lower-id cosine ≥ 0.4
+    * near-dup in their own list. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    VectorOps.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        nlists = 16, tau = 0.4)
+      .orderBy("vec")
 
   /** ANN top-3 via sign-random-projection LSH (8 planes), queries vec_id<10. */
   def annTopK(s: SparkSession, d: String): DataFrame =

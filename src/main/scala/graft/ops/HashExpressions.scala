@@ -264,6 +264,85 @@ case class Simhash64Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** rep_stats(tokens array<string>) → struct: per-document repetition
+  * statistics in one pass — the Gopher-style repetition quality signals
+  * (duplicate-token fraction, most-frequent-2-gram mass, duplicated-
+  * 3-gram mass) computed map-side with zero shuffles. The equivalent
+  * relational form explodes every n-gram and re-groups by document —
+  * two shuffles whose width is the token count; per-document stats
+  * never need to leave the row.
+  *
+  * Fields (document with m tokens):
+  *   - n_distinct: distinct token count
+  *   - top_bigram: most frequent positional 2-gram (space-joined);
+  *     ties pick the lexicographically smallest; null when m < 2
+  *   - top_bigram_n: its occurrence count (0 when m < 2)
+  *   - dup3_chars: Σ count·len(g) over positional 3-grams with count ≥ 2
+  *     (the character mass inside duplicated 3-grams, overlaps counted
+  *     as the Gopher rule does)
+  */
+case class RepStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rep_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", StringType, nullable = true),
+    StructField("top_bigram_n", IntegerType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val distinct = new java.util.HashSet[String]()
+    i = 0
+    while (i < m) { distinct.add(toks(i)); i += 1 }
+    def gramCounts(n: Int): java.util.HashMap[String, Int] = {
+      val cnt = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j <= m - n) {
+        val sb = new java.lang.StringBuilder(toks(j))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
+        cnt.merge(sb.toString, 1, Integer.sum(_, _))
+        j += 1
+      }
+      cnt
+    }
+    var topBigram: String = null
+    var topN = 0
+    val bi = gramCounts(2).entrySet().iterator()
+    while (bi.hasNext) {
+      val e = bi.next()
+      if (e.getValue > topN ||
+          (e.getValue == topN && topBigram != null &&
+           e.getKey.compareTo(topBigram) < 0)) {
+        topBigram = e.getKey
+        topN = e.getValue
+      }
+    }
+    var dup3 = 0L
+    val tri = gramCounts(3).entrySet().iterator()
+    while (tri.hasNext) {
+      val e = tri.next()
+      if (e.getValue >= 2) dup3 += e.getValue.toLong * e.getKey.length
+    }
+    InternalRow(distinct.size,
+      if (topBigram == null) null else UTF8String.fromString(topBigram),
+      topN, dup3)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** vec_dot_long(array<long>, array<long>) → long: exact integer dot
   * product, whole-stage-codegen'd. The LSH projection hot path — fixed-
   * point quantized vectors against precomputed integer hyperplane

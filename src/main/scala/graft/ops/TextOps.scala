@@ -114,6 +114,41 @@ object TextOps {
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(shingleHashes(text, n))
 
+  /** PII patterns, RE2-safe (no lookahead/backreferences) so the DuckDB
+    * oracle's RE2 engine matches Java's java.util.regex exactly. Phone
+    * deliberately excludes '.' separators — dotted digit runs are IPs,
+    * which get their own tag (order: email → ip → phone). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 -]{6,}[0-9]"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped digit runs with
+    * typed tags. Pure `regexp_replace` chain — codegen'd, map-only, and
+    * byte-identical across engines (both sides are RE2-compatible). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Match counts per PII class (before redaction). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    "n_ips"    -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"), lit(PhonePattern), lit(0))))
+
+  /** Per-document repetition statistics (Gopher-style quality signals)
+    * in one map-side pass ([[RepStatsExpr]]): distinct-token count, the
+    * most frequent positional 2-gram and its count, and the character
+    * mass inside duplicated 3-grams. The relational spelling explodes
+    * every n-gram and re-groups per document — two shuffles the
+    * per-row form never pays. */
+  def repetitionStats(text: Column): Column =
+    call_function("rep_stats", tokens(text))
+
   /** Winnowing fingerprint set (MOSS): distinct ascending window-min
     * hashes over the POSITIONAL n-gram hash sequence with window w —
     * guarantees a shared fingerprint for any common run of ≥ w+n−1

@@ -251,6 +251,53 @@ object VectorOps {
     (assigned, q)
   }
 
+  /** SemDeDup — semantic (embedding-space) deduplication: coarse-
+    * cluster every vector, then drop any vector that has a LOWER-id
+    * near-duplicate (cosine ≥ tau) in its own cluster. The cluster
+    * stage is what makes semantic dedup tractable at corpus scale:
+    * candidate pairs exist only WITHIN a cluster, so the quadratic
+    * pair cost is bounded per-list instead of per-corpus (nlists is
+    * the skew/size dial; production uses thousands of lists and this
+    * plan shape is unchanged). Centroids here are the deterministic
+    * lowest-id vectors, same as [[ivfTopK]] — swap in
+    * [[ivfTopKKmeans]]'s fitted centers for density-placed lists.
+    *
+    * Plan shape: map-only literal assignment (no shuffle), one
+    * repartition on list_id shared by BOTH sides of the within-list
+    * self-join (ReuseExchange materializes the scan+assignment once),
+    * pair filter cos ≥ tau, count dominators per higher id, left
+    * join-back on narrow (vid, list_id) rows — vectors never shuffle
+    * twice. Returns (vec, list_id, n_dom, keep). */
+  def semDedup(df: DataFrame, id: String, vec: String, nlists: Int,
+               tau: Double): DataFrame = {
+    val base = df.select(col(id).cast("long").as("vid"),
+      asDouble(col(vec)).as("v"), lit(false).as("__isq"))
+    val cents: Array[(Long, Seq[Double])] =
+      base.filter(col("v").isNotNull).orderBy("vid").limit(nlists).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (cents.isEmpty)
+      return base.select(col("vid").as("vec"), col("vid").as("list_id"),
+        lit(0L).as("n_dom"), lit(true).as("keep")).limit(0)
+    val (assigned, _) = literalAssignment(base, cents, nprobe = 1)
+    val x = assigned
+      .select(col("vid"), col("v"), norm(col("v")).as("n"), col("list_id"))
+      .repartition(col("list_id"))
+    val a = x.select(col("vid").as("a_id"), col("v").as("av"),
+      col("n").as("an"), col("list_id"))
+    val b = x.select(col("vid").as("b_id"), col("v").as("bv"),
+      col("n").as("bn"), col("list_id"))
+    val dom = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cos") >= tau)
+      .groupBy("b_id").agg(count(lit(1)).as("n_dom"))
+    x.select(col("vid"), col("list_id"))
+      .join(dom, col("vid") === col("b_id"), "left")
+      .select(col("vid").as("vec"), col("list_id"),
+        coalesce(col("n_dom"), lit(0L)).as("n_dom"),
+        col("n_dom").isNull.as("keep"))
+  }
+
   /** IVF top-k with k-means coarse centroids — the production
     * quantizer (`ivfTopK`'s lowest-id centroids are a deterministic
     * stand-in; Lloyd's iterations place lists where the density is,

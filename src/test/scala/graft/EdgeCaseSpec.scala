@@ -79,6 +79,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(kept.length == 3 && kept.forall(_.getDouble(3) == 1.0 / 7.0))
   }
 
+  test("rep_stats: counts, tie-break, duplicated-trigram mass") {
+    val docs = Seq(
+      (1L, "a b a b c"),         // top bigram "a b"×2, no dup trigram
+      (2L, "x x x x"),           // all dup: "x x"×3, "x x x"×2
+      (3L, "c d c d a b a b"),   // bigram tie "a b"/"c d" → lexicographic
+      (4L, "z"),                 // no bigram
+      (5L, "")).toDF("doc_id", "text")
+    val rs = docs.select(col("doc_id"),
+        TextOps.repetitionStats(col("text")).as("rs"))
+      .select(col("doc_id"), col("rs.n_distinct"), col("rs.top_bigram"),
+        col("rs.top_bigram_n"), col("rs.dup3_chars"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.getString(2)), r.getInt(3), r.getLong(4))).toMap
+    assert(rs(1L) == ((3, Some("a b"), 2, 0L)))
+    assert(rs(2L) == ((1, Some("x x"), 3, 10L))) // "x x x" ×2 ×5 chars
+    assert(rs(3L) == ((4, Some("a b"), 2, 0L)))  // tie → smallest gram
+    assert(rs(4L) == ((1, None, 0, 0L)))
+    assert(rs(5L) == ((0, None, 0, 0L)))
+  }
+
+  test("decontaminate counts leaked shingles; short docs stay clean") {
+    val bench = Seq((100L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x one two three four five six seven eight nine y"), // full leak
+      (2L, "one two three four five unrelated tail here"),      // 1 shared 5-gram
+      (3L, "completely different words in this document here"), // clean
+      (4L, "tiny doc")).toDF("doc_id", "text")                  // no shingles
+    val out = DedupOps.decontaminate(corpus, bench, "doc_id", "text",
+        n = 5, minHits = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((7, 5L, true)))  // 9-token run → 5 shared 5-grams
+    assert(out(2L) == ((4, 1L, false)))
+    assert(out(3L) == ((3, 0L, false))) // 7 tokens → 3 clean 5-grams
+    assert(out(4L) == ((0, 0L, false)))
+  }
+
   test("winnowPairs maxDocFreq drops boilerplate fingerprints") {
     // identical docs share every winnow fingerprint (doc-freq 2)
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
