@@ -39,6 +39,8 @@ object SparkEntry {
     "q_fwd_label"         -> ((s, d) => SeriesQueries.forwardLabel(s, d)),
     "q_polarity_price"    -> ((s, d) => SeriesQueries.polarityPrice(s, d)),
     "q_canonical_pair"    -> ((s, d) => SeriesQueries.canonicalPair(s, d)),
+    "q_sessionize"        -> ((s, d) => SeriesQueries.sessionize(s, d)),
+    "q_interval_join"     -> ((s, d) => SeriesQueries.intervalJoin(s, d)),
     // ---- stateful FSM backtests (SURVEY §2.6) ----
     "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
     "q_fsm_zscore"        -> ((s, d) => SeriesQueries.fsmZscore(s, d)),
@@ -55,6 +57,10 @@ object SparkEntry {
     "q_decontam"          -> ((s, d) => DataQueries.decontam(s, d)),
     "q_redact"            -> ((s, d) => DataQueries.redact(s, d)),
     "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
+    "q_sales_cube"        -> ((s, d) => Relational.salesCube(s, d)),
+    "q_gopher_quality"    -> ((s, d) => DataQueries.gopherQuality(s, d)),
+    "q_len_quantiles"     -> ((s, d) => DataQueries.lenQuantiles(s, d)),
+    "q_tfidf"             -> ((s, d) => DataQueries.tfidf(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -696,6 +702,90 @@ object SparkEntry {
            round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
          FROM orders GROUP BY ROLLUP(yr, mo)
          ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""",
+    "q_sales_cube" ->
+      """SELECT yr, o_orderpriority,
+           round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders,
+           CAST(GROUPING(yr) AS TINYINT) AS g_yr,
+           CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_pri
+         FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice
+               FROM orders)
+         GROUP BY CUBE(yr, o_orderpriority)
+         ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_gopher_quality" ->
+      s"""WITH $TOKS_CTE,
+         sig AS (SELECT doc_id, len(tk) AS n_words,
+             CASE WHEN len(tk) > 0 THEN
+               list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+             END AS mean_word_len,
+             CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                 / len(tk)
+             END AS alpha_frac,
+             (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk, 'a')   THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk, 'of')  THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk, 'is')  THEN 1 ELSE 0 END) AS stop_hits
+           FROM toks)
+         SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_frac, 6) AS alpha_frac, stop_hits,
+           (n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND coalesce(alpha_frac >= 0.8, false)
+            AND stop_hits >= 2) AS keep
+         FROM sig ORDER BY doc_id""",
+    "q_len_quantiles" ->
+      """WITH t AS (SELECT lang, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> len(t) > 0)) AS n_toks
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS mean_chars,
+           round(quantile_cont(n_chars, 0.25), 4) AS chars_p25,
+           round(quantile_cont(n_chars, 0.50), 4) AS chars_p50,
+           round(quantile_cont(n_chars, 0.90), 4) AS chars_p90,
+           round(quantile_cont(n_toks, 0.50), 4) AS toks_p50
+         FROM t GROUP BY lang ORDER BY lang""",
+    "q_tfidf" ->
+      s"""WITH $TOKS_CTE,
+         tt AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT doc_id, term, tf, df,
+                  round(tf * ln(n::DOUBLE / df), 6) AS score
+                FROM tf JOIN dfq USING (term), n),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rnk FROM sc)
+         SELECT doc_id, term, tf, df, score, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
+                    FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+                 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               FROM m)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM g GROUP BY user_id, session_no
+         ORDER BY user_id, session_start""",
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+                      ts::TIMESTAMP AS ts FROM events)
+         SELECT p.event_id, p.user_id, p.ts,
+           count(c.value) AS n_clicks,
+           round(coalesce(sum(c.value), 0), 4) AS click_value
+         FROM e p LEFT JOIN e c
+           ON c.user_id = p.user_id AND c.event_type = 'click'
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+           AND epoch_us(c.ts) < epoch_us(p.ts)
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1, 2, 3 ORDER BY 1""",
     "q_minhash_sig" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

@@ -38,6 +38,57 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule gate: the four signals + keep flag per doc. */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val (nWords, meanLen, alphaFrac, stopHits) = TextOps.gopherSignals(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        TextOps.gopherKeep(nWords, meanLen, alphaFrac, stopHits).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus length profile per language: exact linear-interpolated
+    * quantiles of characters and whitespace tokens. Small group count ×
+    * exact percentile is one shuffle; at higher group cardinality swap
+    * in approx_percentile (t-digest, partial-mergeable) — same call
+    * shape. */
+  def lenQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        TextOps.tokenCount(col("text")).as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.25)), 4).as("chars_p25"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("chars_p50"),
+        round(percentile(col("n_chars"), lit(0.9)), 4).as("chars_p90"),
+        round(percentile(col("n_toks"), lit(0.5)), 4).as("toks_p50"))
+      .orderBy("lang")
+
+  /** TF-IDF top-3 terms per document. The document-frequency side is
+    * vocabulary-sized (≪ corpus), aggregated once and broadcast back —
+    * the corpus-sized term-frequency side never reshuffles for the
+    * join. Ranking ties break on the rounded score then term text, so
+    * the result is engine-deterministic. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // metadata-cheap: parquet row count
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Exact dedup by content hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")

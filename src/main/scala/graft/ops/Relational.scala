@@ -167,4 +167,20 @@ object Relational {
       .agg(round(sum("o_totalprice"), 4).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("yr").asc_nulls_first, col("mo").asc_nulls_first)
+
+  /** CUBE over (year, order priority): every subtotal combination in one
+    * shuffle (grouping sets share the partial aggregates exactly like
+    * ROLLUP). `grouping()` flags are emitted explicitly — they
+    * disambiguate "NULL because subtotal" from a genuinely null key, and
+    * unlike bitmask `grouping_id()` their column-per-dimension shape is
+    * engine-portable. */
+  def salesCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube("yr", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("yr")).as("g_yr"),
+        grouping(col("o_orderpriority")).as("g_pri"))
+      .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 }

@@ -129,6 +129,35 @@ object SeriesQueries {
         count(lit(1)).as("n_trades"))
       .orderBy("pool", "month")
 
+  /** Gap-based sessionization of the event stream: per-user sessions
+    * split at >2h of inactivity, aggregated to one row per session. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    TimeSeries.sessionize(Tables.events(s, d), "user_id", "ts",
+        gapSeconds = 7200, tieBreak = "event_id")
+      .groupBy("user_id", "session_no")
+      .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+
+  /** Bucketed interval join: for each purchase, the count and value sum
+    * of the same user's clicks in the preceding hour. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    TimeSeries.intervalJoinAgg(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "value", lookbackSeconds = 3600,
+        nOut = "n_clicks", sumOut = "click_value")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("n_clicks"),
+        round(coalesce(col("click_value"), lit(0.0)), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** P10+P12: polarity flip by per-key median sign, tick→price. */
   def polarityPrice(s: SparkSession, d: String): DataFrame =
     TimeSeries.polarity(Tables.events(s, d), "event_type", "value")

@@ -79,6 +79,34 @@ object TextOps {
     lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(0.0))) +
     lit(0.3) * least(coalesce(wordRatio(text, EnStop), lit(0.0)) * 5.0, lit(1.0))
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    * standard pre-training document filter), columnar per document:
+    * word count bounds, mean word length bounds, minimum fraction of
+    * words containing an alphabetic character, and a minimum number of
+    * distinct required stopwords present. All four signals are emitted
+    * alongside the keep flag so downstream can re-threshold without a
+    * second scan. */
+  def gopherSignals(text: Column): (Column, Column, Column, Column) = {
+    val tk = tokens(text)
+    val nWords = size(tk)
+    val meanLen = meanTokenLen(text)
+    val alphaFrac = when(nWords > 0,
+      size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("double") / nWords)
+    val stopHits = EnStop.map(s => when(array_contains(tk, s), 1).otherwise(0))
+      .reduce(_ + _)
+    (nWords, meanLen, alphaFrac, stopHits)
+  }
+
+  def gopherKeep(nWords: Column, meanLen: Column, alphaFrac: Column,
+                 stopHits: Column,
+                 minWords: Int = 20, maxWords: Int = 100000,
+                 minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                 minAlphaFrac: Double = 0.8, minStopHits: Int = 2): Column =
+    nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      coalesce(alphaFrac >= minAlphaFrac, lit(false)) &&
+      stopHits >= minStopHits
+
   /** Language profiles for the n-gram/stopword language-ID heuristic. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),

@@ -207,6 +207,57 @@ object TimeSeries {
       .otherwise(struct(b.as("a"), a.as("b"), lit(-1).as("sign")))
   }
 
+  /** Gap-based sessionization: per key, a new session starts when the
+    * gap to the previous row exceeds `gapSeconds` (clickstream /
+    * training-log standard). One window per key — the shuffle is on the
+    * session key, so 100 TB of events partition by user and never
+    * funnel through a single task. `tieBreak` makes ordering (and thus
+    * session numbering) deterministic under equal timestamps.
+    *
+    * Returns the input plus `session_no` (1-based per key). */
+  def sessionize(df: DataFrame, key: String, ts: String, gapSeconds: Long,
+                 tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(tieBreak).asc)
+    // micros, not seconds: sub-second gaps must not truncate away
+    val gap = unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(w))
+    df.withColumn("__brk",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
+  /** Interval (range) join, bucketed: for every probe row, aggregate
+    * build rows of the same key with `build.ts` in the half-open window
+    * `[probe.ts − lookbackSeconds, probe.ts)`.
+    *
+    * A naive range join is a per-key cross join (quadratic in key
+    * density, and Spark plans inequality-only joins as nested loops).
+    * Instead both sides bucket by `floor(ts / lookback)`: each build row
+    * lands in exactly one bucket, each probe row is replicated into the
+    * two buckets its window can touch, and the join becomes an EQUI-join
+    * on (key, bucket) — shuffle-partitionable, AQE-skew-splittable —
+    * with the precise range predicate applied as a post-filter. Build
+    * rows match at most one probe replica, so no dedup is needed. */
+  def intervalJoinAgg(probe: DataFrame, build: DataFrame, key: String,
+                      probeTs: String, buildTs: String, valueCol: String,
+                      lookbackSeconds: Long,
+                      nOut: String = "n_prior", sumOut: String = "sum_prior"): DataFrame = {
+    val lookbackUs = lookbackSeconds * 1000000L
+    val pe = unix_micros(col(probeTs))
+    val p = probe.withColumn("__pep", pe)
+      .withColumn("__bkt",
+        explode(array(floor(pe / lookbackUs), floor(pe / lookbackUs) - 1)))
+    val b = build.select(col(key).as("__bkey"),
+      unix_micros(col(buildTs)).as("__bts"), col(valueCol).as("__bval"))
+    val joined = p.join(b,
+      col(key) === col("__bkey") && col("__bkt") === floor(col("__bts") / lookbackUs) &&
+        col("__bts") >= col("__pep") - lookbackUs && col("__bts") < col("__pep"),
+      "left")
+    joined.groupBy(probe.columns.map(col): _*)
+      .agg(count(col("__bval")).as(nOut), sum(col("__bval")).as(sumOut))
+  }
+
   /** As-of (backward) join: for every left row, attach the single latest
     * right row with `right.ts <= left.ts` on the same key — the
     * time-series join pandas spells `merge_asof` and DuckDB spells
