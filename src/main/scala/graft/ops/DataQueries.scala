@@ -27,14 +27,17 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
-  /** Language-ID heuristic: per-language stopword scores + prediction. */
+  /** Language-ID heuristic: per-language stopword scores + prediction.
+    * Tokenizes once into a materialized column — scores and argmax are
+    * then array filters over it, not per-profile re-tokenizations. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val t = col("text")
-    val scores = TextOps.langScores(t)
-    Tables.documents(s, d).select(
+    val scores = TextOps.langScoresFromTokens(col("__tk"))
+    Tables.documents(s, d)
+      .withColumn("__tk", TextOps.tokens(col("text")))
+      .select(
         Seq(col("doc_id")) ++
         scores.map { case (l, c) => round(c, 6).as(s"s_$l") } ++
-        Seq(TextOps.langId(t).as("pred")): _*)
+        Seq(TextOps.langIdFromTokens(col("__tk")).as("pred")): _*)
       .orderBy("doc_id")
   }
 
@@ -120,12 +123,14 @@ object DataQueries {
     * representative set. */
   def cleanDocs(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    val scored = Tables.documents(s, d).select(
-      col("doc_id"), t.as("text"),
-      TextOps.tokenCount(t).as("n_tokens"),
-      round(TextOps.qualityScore(t), 6).as("quality"),
-      TextOps.langId(t).as("lang"),
-      TextOps.h64(t).as("ch"))
+    val scored = Tables.documents(s, d)
+      .withColumn("__tk", TextOps.tokens(t))
+      .select(
+        col("doc_id"), t.as("text"),
+        size(col("__tk")).as("n_tokens"),
+        round(TextOps.qualityScore(t), 6).as("quality"),
+        TextOps.langIdFromTokens(col("__tk")).as("lang"),
+        TextOps.h64(t).as("ch"))
     val rep = scored.groupBy("ch").agg(min("doc_id").as("keep_id"))
     scored.filter(col("quality") >= 0.35 && col("lang") === "en")
       .join(rep, scored("ch") === rep("ch") &&
@@ -310,7 +315,8 @@ object DataQueries {
     val sampled = SamplingOps.hashSample(docs, "doc_id", pct = 20)
       .select(col("doc_id"), lit("hash20").as("via"))
     val quota = SamplingOps.stratifiedQuota(
-        docs.withColumn("lang", TextOps.langId(col("text"))),
+        docs.withColumn("__tk", TextOps.tokens(col("text")))
+          .withColumn("lang", TextOps.langIdFromTokens(col("__tk"))),
         stratum = "lang", key = "doc_id", quota = 3)
       .select(col("doc_id"), concat(lit("quota_"), col("lang")).as("via"))
     sampled.unionByName(quota).orderBy("via", "doc_id")

@@ -262,9 +262,15 @@ object DedupOps {
                           localEdgeLimit: Long = DefaultLocalEdgeLimit): DataFrame = {
     // materialize the edge list once — every propagation round joins
     // against it, and without the checkpoint each round would re-run
-    // the full upstream candidate-generation DAG
+    // the full upstream candidate-generation DAG. Symmetrize with one
+    // explode, NOT a self-union: a union's two branches each execute
+    // the upstream pair-generation pipeline (the dominant cost when
+    // edges come straight out of a Jaccard/cosine candidate join)
     val sym = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     localComponents(sym, localEdgeLimit) match {

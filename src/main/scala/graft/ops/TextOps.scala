@@ -115,19 +115,32 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
   /** Language ID: per-language stopword hit ratio, argmax with a
-    * deterministic first-wins tie-break in profile order. */
-  def langScores(text: Column): Seq[(String, Column)] =
+    * deterministic first-wins tie-break in profile order.
+    *
+    * The `FromTokens` forms take an already-materialized token array:
+    * the column form re-tokenizes per profile per reference (~12
+    * regexp splits of the full text per row once scores AND argmax are
+    * selected together) — tokenize once, then every score is a cheap
+    * array filter. */
+  def langScoresFromTokens(tk: Column): Seq[(String, Column)] =
     LangProfiles.map { case (lang, words) =>
-      lang -> coalesce(wordRatio(text, words), lit(0.0))
+      val hits = size(filter(tk, t => words.map(t === _).reduce(_ || _)))
+      lang -> coalesce(
+        when(size(tk) > 0, hits.cast("double") / size(tk)), lit(0.0))
     }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  def langIdFromTokens(tk: Column): Column = {
+    val scores = langScoresFromTokens(tk)
     scores.foldRight(lit("und")) { case ((lang, s), rest) =>
       val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
       when(isMax, lit(lang)).otherwise(rest)
     }
   }
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(text))
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** h64 hashes of the distinct word n-gram shingles, one tight-loop
     * expression ([[ShingleH64sExpr]]) — the scan-time form every dedup

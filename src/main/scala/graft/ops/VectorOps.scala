@@ -161,8 +161,12 @@ object VectorOps {
   def ivfTopK(df: DataFrame, id: String, vec: String, nlists: Int, nprobe: Int,
               k: Int, queryPred: Column,
               broadcastThreshold: Int = 64): DataFrame = {
-    val base = df.select(col(id).cast("long").as("vid"),
-      asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+    // null vectors can't score; dropping them AT THE SCAN (a cheap
+    // pushed isnotnull on the source column) is what lets the bucket
+    // joins use `<=>` without admitting null-bucket rows
+    val base = df.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"),
+        asDouble(col(vec)).as("v"), queryPred.as("__isq"))
     val vn = norm(col("v"))
     // (assigned: vid,v,vn,__isq,list_id) and (probes: query rows ×
     // their top-nprobe list_ids), by either strategy
@@ -217,7 +221,15 @@ object VectorOps {
       norm(col("v")).as("cn"), col("list_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
-    c.join(broadcast(q), Seq("list_id"))
+    // null-safe bucket equality, deliberately: plain `===` lets Catalyst
+    // infer `isnotnull(list_id)` and push it below the assignment
+    // projection, which substitutes the whole nlists-way scoring
+    // expression into the filter — and the interpreted `transform` cast
+    // inside it then re-evaluates per centroid reference (measured 3×
+    // the entire query). list_id is never null for non-null vectors, so
+    // `<=>` is semantically identical and keeps the hash join.
+    c.join(broadcast(q), c("list_id") <=> q("list_id"))
+      .drop(q("list_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -286,7 +298,15 @@ object VectorOps {
       col("n").as("an"), col("list_id"))
     val b = x.select(col("vid").as("b_id"), col("v").as("bv"),
       col("n").as("bn"), col("list_id"))
-    val dom = a.join(b, Seq("list_id"))
+    // `<=>` for the same reason as rerankLists: `===` infers an
+    // isnotnull(list_id) filter that substitutes the whole literal
+    // scoring expression below the repartition. Null-vector rows (null
+    // list_id) must stay out of the pair join — filter on the carried
+    // vector ATTRIBUTE (cheap), keeping them in the final output with
+    // keep=true as before.
+    val dom = a.filter(col("av").isNotNull)
+      .join(b.filter(col("bv").isNotNull), a("list_id") <=> b("list_id"))
+      .drop(b("list_id"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") >= tau)
@@ -317,8 +337,9 @@ object VectorOps {
                     broadcastThreshold: Int = 64): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val base = df.select(col(id).cast("long").as("vid"),
-      asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+    val base = df.filter(col(vec).isNotNull) // see ivfTopK: enables `<=>`
+      .select(col(id).cast("long").as("vid"),
+        asDouble(col(vec)).as("v"), queryPred.as("__isq"))
     val train0 = base.filter(col("v").isNotNull)
     val train = if (trainFraction < 1.0) train0.sample(trainFraction, seed)
                 else train0
@@ -398,7 +419,8 @@ object VectorOps {
         df.select(col(id).as("query_id"), col(id).as("cand_id"),
           lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
       case Some(dims) =>
-        val frame = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
+        val frame = df.filter(col(vec).isNotNull) // see ivfTopK: enables `<=>`
+          .select(col(id).as("vid"), asDouble(col(vec)).as("v"),
             queryPred.as("__isq"))
           .withColumn("__n", norm(col("v")))
           // alias the quantized copy so the per-plane references share
@@ -414,7 +436,10 @@ object VectorOps {
           col("__n").as("cn"), col("bucket"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("cand_id").asc)
-        c.join(broadcast(q), Seq("bucket"))
+        // `<=>`: see rerankLists — `===` would re-evaluate the inlined
+        // bucket expression inside an inferred isnotnull filter
+        c.join(broadcast(q), c("bucket") <=> q("bucket"))
+          .drop(q("bucket"))
           .filter(col("query_id") =!= col("cand_id"))
           .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .withColumn("rank", row_number().over(w))
