@@ -10,12 +10,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.build(cpus)
-    // Warm the session outside the timings: codegen caches, parquet
-    // footers, and — the expensive one — spark.ml class loading + BLAS
-    // init, by fitting the real pipeline at the tiny scale factor.
+    // Warm the session outside the timings by running the WHOLE query
+    // set once at the tiny scale factor: whole-stage-codegen compiles
+    // (Janino is seconds for the wide decode/decimal pipelines and is
+    // keyed by generated source, so the sf0.1 plans hit the cache),
+    // parquet footer/class loading, and the spark.ml + BLAS init. This
+    // measures the operators, not the JIT.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    try graft.ml.MlPipeline.trainEval(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => }
+    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

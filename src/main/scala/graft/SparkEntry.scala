@@ -61,6 +61,8 @@ object SparkEntry {
     "q_gopher_quality"    -> ((s, d) => DataQueries.gopherQuality(s, d)),
     "q_len_quantiles"     -> ((s, d) => DataQueries.lenQuantiles(s, d)),
     "q_tfidf"             -> ((s, d) => DataQueries.tfidf(s, d)),
+    "q_pack_bins"         -> ((s, d) => DataQueries.packBins(s, d)),
+    "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -759,6 +761,32 @@ object SparkEntry {
                   ORDER BY score DESC, term ASC) AS rnk FROM sc)
          SELECT doc_id, term, tf, df, score, rnk
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_pack_bins" ->
+      """WITH t AS (SELECT lang, doc_id,
+             len(regexp_extract_all(text,
+               '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +',
+               0)) AS n_tok
+           FROM documents),
+         c AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+               FROM t)
+         SELECT lang, floor(cumb / 2048.0)::BIGINT AS bin,
+           count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+    "q_norm_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+           FROM embeddings),
+         st AS (SELECT label, quantile_cont(nrm, 0.01) AS p01,
+                  quantile_cont(nrm, 0.99) AS p99
+                FROM e GROUP BY 1)
+         SELECT vec_id, label, round(nrm, 6) AS nrm,
+           round(p01, 6) AS p01, round(p99, 6) AS p99,
+           (nrm < p01 OR nrm > p99) AS outlier
+         FROM e JOIN st USING (label) ORDER BY vec_id""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
                     FROM events),

@@ -92,6 +92,49 @@ object DataQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Sequence packing: assign documents to fixed token-budget bins —
+    * the pre-training step that concatenates documents into
+    * context-length windows. Deterministic streaming-concat semantics:
+    * docs ordered by id within a language, each doc lands in the bin
+    * its STARTING token offset falls in (floor(cum_before / budget)).
+    * One shuffle (per-stratum window); bins summarize per (lang, bin).
+    * At 100 TB the stratum is (lang, shard) so no single key grows
+    * unbounded — same plan shape. */
+  def packBins(s: SparkSession, d: String, budget: Long = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextOps.bpeTokenCount("text").as("n_tok"))
+      .withColumn("bin", (coalesce(sum("n_tok").over(w), lit(0L)) / budget)
+        .cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Embedding hygiene: flag vectors whose L2 norm falls outside the
+    * per-label [p01, p99] band (broken encoders / zero vectors / scale
+    * outliers). The per-label stats frame is label-cardinality-sized —
+    * aggregated once, broadcast back; vectors never reshuffle. */
+  def normOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        sqrt(call_function("vec_dot",
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+    val stats = e.groupBy("label")
+      .agg(percentile(col("nrm"), lit(0.01)).as("p01"),
+        percentile(col("nrm"), lit(0.99)).as("p99"))
+    e.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"), round(col("nrm"), 6).as("nrm"),
+        round(col("p01"), 6).as("p01"), round(col("p99"), 6).as("p99"),
+        (col("nrm") < col("p01") || col("nrm") > col("p99")).as("outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Exact dedup by content hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
