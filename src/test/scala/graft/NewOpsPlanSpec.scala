@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{DataQueries, SeriesQueries, TimeSeries}
+
+/** Plan + semantics checks for the round-2 operators: the interval
+  * join must stay an equi-join (never a nested loop), TF-IDF's
+  * vocabulary side must broadcast, packing must be one shuffle, and
+  * gap-sessionization must agree with Spark's own session_window
+  * grouping (an independent implementation of the same semantics). */
+class NewOpsPlanSpec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("interval join is an equi-join on (key, bucket), not a nested loop") {
+    val p = plan(SeriesQueries.intervalJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash-able equi join:\n$p")
+  }
+
+  test("tfidf: document-frequency side broadcasts") {
+    val p = plan(DataQueries.tfidf(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"df side should broadcast:\n$p")
+  }
+
+  test("pack bins: exactly one exchange (the per-stratum window)") {
+    val df = DataQueries.packBins(spark, sf)
+    // window + aggregate share the lang-keyed partitioning; the final
+    // orderBy adds a range exchange — allow ≤ 2, forbid a third
+    val n = "Exchange".r.findAllIn(plan(df)).size
+    assert(n <= 2, s"packing should not re-shuffle per stage ($n exchanges):\n${plan(df)}")
+  }
+
+  test("sessionize agrees with Spark's session_window grouping") {
+    // session_window closes a session AT start+gap (a row exactly at
+    // the boundary starts a new one) while ours keeps it (new only
+    // when STRICTLY greater). The events grid is hourly, so compare at
+    // gap=7201s where the boundary is never hit and the two semantics
+    // coincide — an independent engine implementation of the grouping.
+    val e = Tables.events(spark, sf).limit(2000)
+    val a = TimeSeries.sessionize(e, "user_id", "ts", 7201, "event_id")
+      .groupBy("user_id", "session_no")
+      .agg(min("ts").as("start"), count(lit(1)).as("n"))
+      .select("user_id", "start", "n")
+    val b = e.groupBy(col("user_id"),
+        session_window(col("ts"), "7201 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("start"), col("n"))
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sessionize and session_window disagree")
+  }
+}
