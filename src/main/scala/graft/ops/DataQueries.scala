@@ -72,10 +72,14 @@ object DataQueries {
       .orderBy("lang")
 
   /** TF-IDF top-3 terms per document. The document-frequency side is
-    * vocabulary-sized (≪ corpus), aggregated once and broadcast back —
-    * the corpus-sized term-frequency side never reshuffles for the
-    * join. Ranking ties break on the rounded score then term text, so
-    * the result is engine-deterministic. */
+    * vocabulary-sized — usually ≪ corpus, but a web-scale corpus's raw
+    * vocabulary (typos, numbers, junk tokens) can itself be huge, so
+    * the join carries NO broadcast hint: AQE broadcasts it when the
+    * runtime size allows and falls back to a shuffle join when it
+    * doesn't. (tf is already term-clustered from its own aggregation,
+    * so the fallback reuses that partitioning.) Ranking ties break on
+    * the rounded score then term text, so the result is
+    * engine-deterministic. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count() // metadata-cheap: parquet row count
@@ -83,7 +87,7 @@ object DataQueries {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
