@@ -37,6 +37,22 @@ object StreamOps {
       .agg(avg(col(value)).as("mean"), count(lit(1)).as("n"))
       .select(col(key), col("w.start").as("bucket"), col("mean"), col("n"))
 
+  /** Streaming gap sessionization: `session_window` merges rows within
+    * `gap` of each other per key; the watermark closes sessions once no
+    * in-gap extension can still arrive, emitting one row per session in
+    * Append mode. Same grouping as the batch
+    * [[graft.ops.TimeSeries.sessionize]] at boundary-free gaps
+    * (session_window closes AT start+gap; batch closes strictly
+    * after — see NewOpsPlanSpec). State per key is one open session —
+    * bounded by key cardinality, not stream length. */
+  def sessionizeStream(df: DataFrame, key: String, ts: String, value: String,
+                       gap: String, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(ts, watermark)
+      .groupBy(col(key), session_window(col(ts), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(value)).as("total_value"))
+      .select(col(key), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: emit the FIRST arrival of each content hash
     * and drop later duplicates, with state bounded by the watermark — a
     * duplicate arriving within `watermark` of the original is dropped,

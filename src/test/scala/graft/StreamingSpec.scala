@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("text"))
   }
 
+  test("sessionizeStream closes sessions at the watermark, matches batch grouping") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "t", "v")
+    val q = StreamOps.sessionizeStream(df, "user_id", "t", "v", "30 minutes",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:20:00"), 2.0),  // same session (gap 20m)
+      (1L, ts("2024-01-01 01:00:00"), 4.0),  // new session (gap 40m)
+      (2L, ts("2024-01-01 00:05:00"), 8.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close everything
+    input.addData((9L, ts("2024-01-01 06:00:00"), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sess_out")
+      .filter(col("user_id") < 9)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 01:00:00.0", 1L, 4.0),
+      (2L, "2024-01-01 00:05:00.0", 1L, 8.0)))
+  }
+
   test("zscoreReversionStream matches batch FSM incl. warm-up clock and time stop") {
     import graft.streaming.StreamOps.{ZTickIn, ZTradeOut}
     implicit val sc = spark.sqlContext
