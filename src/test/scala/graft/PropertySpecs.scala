@@ -192,3 +192,73 @@ object CcProps extends SparkProps("ConnectedComponents") {
       Prop(got == want)
     }
 }
+
+object SessionProps extends SparkProps("SessionInterval") {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions._
+
+  private def tsOf(sec: Long): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(1700000000L + sec, 0, java.time.ZoneOffset.UTC))
+
+  // (key, offset-seconds, value) rows; duplicate offsets allowed
+  private val rowsG: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.oneOf(1L, 2L)
+      s <- Gen.chooseNum(0L, 4000L)
+      v <- Gen.chooseNum(-5.0, 5.0)
+    } yield (k, s, v))
+
+  property("bucketed interval join equals the naive range scan") =
+    forAll(rowsG) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val data = rows.zipWithIndex.map { case ((k, s, v), i) =>
+        (i.toLong, k, tsOf(s), v, s)
+      }
+      val df = data.toDF("id", "k", "t", "v", "sec")
+      val probe = df.filter(col("id") % 2 === 0).select("id", "k", "t")
+      val lookback = 600L
+      val got = TimeSeries.intervalJoinAgg(probe, df, "k", "t", "t", "v", lookback)
+        .collect().map(r => (r.getLong(0), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)))
+        .toList.sortBy(_._1)
+      val want = data.filter(_._1 % 2 == 0).map { case (id, k, _, _, ps) =>
+        val hits = data.filter { case (_, bk, _, _, bs) =>
+          bk == k && bs >= ps - lookback && bs < ps
+        }
+        val sum = if (hits.isEmpty) Double.NaN else hits.map(_._4).sum
+        (id, hits.size.toLong, sum)
+      }.sortBy(_._1)
+      val eq = got.size == want.size && got.zip(want).forall { case (g, w) =>
+        g._1 == w._1 && g._2 == w._2 &&
+          ((g._3.isNaN && w._3.isNaN) || math.abs(g._3 - w._3) < 1e-9)
+      }
+      Prop(eq) :| s"got=$got want=$want"
+    }
+
+  property("sessionize splits exactly at gaps > g, per key") =
+    forAll(rowsG) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val data = rows.zipWithIndex.map { case ((k, s, _), i) =>
+        (i.toLong, k, tsOf(s), s)
+      }
+      val df = data.toDF("id", "k", "t", "sec")
+      val gap = 300L
+      val got = TimeSeries.sessionize(df, "k", "t", gap, "id")
+        .select("id", "session_no").as[(Long, Long)].collect().toMap
+      // naive: per key, sort by (sec, id), split when gap exceeded
+      val want = data.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._4, r._1))
+        var sess = 0L
+        var prev = Long.MinValue
+        sorted.map { r =>
+          if (prev == Long.MinValue || r._4 - prev > gap) sess += 1
+          prev = r._4
+          r._1 -> sess
+        }
+      }.toMap
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+}
