@@ -63,6 +63,8 @@ object SparkEntry {
     "q_tfidf"             -> ((s, d) => DataQueries.tfidf(s, d)),
     "q_pack_bins"         -> ((s, d) => DataQueries.packBins(s, d)),
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
+    "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
+    "q_source_overlap"    -> ((s, d) => DataQueries.sourceOverlap(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -761,6 +763,44 @@ object SparkEntry {
                   ORDER BY score DESC, term ASC) AS rnk FROM sc)
          SELECT doc_id, term, tf, df, score, rnk
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_incr_dedup" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         bands AS (SELECT doc, i // 2 AS band,
+                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT b.doc AS new_doc, c.doc AS old_doc
+                  FROM bands b JOIN bands c
+                    ON b.band = c.band AND b.bh = c.bh
+                   AND b.doc % 10 = 0 AND c.doc % 10 <> 0),
+         est AS (SELECT new_doc, old_doc,
+                   count(*) FILTER (x.sigv = y.sigv) / 32.0 AS ej
+                 FROM cand JOIN sig x ON x.doc = new_doc
+                           JOIN sig y ON y.doc = old_doc AND x.i = y.i
+                 GROUP BY 1, 2)
+         SELECT new_doc, old_doc, round(ej, 6) AS est_jaccard
+         FROM est WHERE ej >= 0.3 ORDER BY new_doc, old_doc""",
+    "q_source_overlap" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b,
+                 inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id
+               WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         lab AS (SELECT least(da.source, db.source) AS src_x,
+                   greatest(da.source, db.source) AS src_y, jac
+                 FROM j JOIN documents da ON j.doc_a = da.doc_id
+                        JOIN documents db ON j.doc_b = db.doc_id)
+         SELECT src_x, src_y, count(*) AS n_pairs,
+           round(avg(jac), 6) AS mean_jaccard
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pack_bins" ->
       """WITH t AS (SELECT lang, doc_id,
              len(regexp_extract_all(text,

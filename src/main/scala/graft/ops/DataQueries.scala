@@ -96,6 +96,37 @@ object DataQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Incremental dedup screen: docs with id % 10 == 0 play the incoming
+    * batch, the rest the existing corpus; emit batch docs whose LSH
+    * estimated Jaccard against some corpus doc is ≥ 0.3. */
+  def incrDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupOps.lshIncremental(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 32, r = 2, threshold = 0.3)
+      .select(col("new_doc"), col("old_doc"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("new_doc", "old_doc")
+  }
+
+  /** Cross-source duplication matrix: near-dup pairs (3-gram Jaccard ≥
+    * 0.1) rolled up by the (source_a, source_b) of their endpoints —
+    * the corpus-provenance overlap report. The id→source attachment
+    * joins the (small) pair table against the corpus, not the reverse. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1)
+      .join(docs.toDF("doc_a", "source_a"), Seq("doc_a"))
+      .join(docs.toDF("doc_b", "source_b"), Seq("doc_b"))
+      .groupBy(least(col("source_a"), col("source_b")).as("src_x"),
+        greatest(col("source_a"), col("source_b")).as("src_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("mean_jaccard"))
+      .orderBy("src_x", "src_y")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the pre-training step that concatenates documents into
     * context-length windows. Deterministic streaming-concat semantics:

@@ -193,6 +193,35 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Incremental near-dup screen: which BATCH documents are LSH
+    * candidates of an EXISTING-corpus document, with the estimated
+    * Jaccard from signature agreement. The production daily-ingest
+    * shape: candidates only cross sides (batch bands ⋈ corpus bands),
+    * the corpus never self-joins, and the corpus's band index is
+    * corpus-insensitive state a real deployment keeps materialized —
+    * so an ingest pays |batch| fingerprinting plus one bucket join,
+    * not a corpus-wide rescan per batch. Both band sides repartition
+    * on (band, bh), so the join shuffles narrow bucket rows only. */
+  def lshIncremental(corpus: DataFrame, batch: DataFrame, id: String,
+                     text: String, k: Int, r: Int,
+                     threshold: Double): DataFrame = {
+    val cs = minhashSigWide(corpus, id, text, k).repartition(col("doc"))
+    val bs = minhashSigWide(batch, id, text, k).repartition(col("doc"))
+    val cb = lshBands(cs, k, r).repartition(col("band"), col("bh"))
+    val bb = lshBands(bs, k, r).repartition(col("band"), col("bh"))
+    val cand = bb.toDF("new_doc", "band", "bh")
+      .join(cb.toDF("old_doc", "band", "bh"), Seq("band", "bh"))
+      .select("new_doc", "old_doc").distinct()
+    cand
+      .join(bs.select(col("doc").as("new_doc"), col("sig").as("sig_n")), Seq("new_doc"))
+      .join(cs.select(col("doc").as("old_doc"), col("sig").as("sig_o")), Seq("old_doc"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
+          m => m)).cast("double") / k.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_doc", "old_doc", "est_jaccard")
+  }
+
   /** Edge count below which connected components short-circuits to a
     * driver-side union-find: 4M symmetric edges ≈ 64 MB of longs — far
     * under any driver heap, and orders of magnitude under the driver
