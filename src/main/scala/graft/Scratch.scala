@@ -1,12 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Ad-hoc profiling harness (not part of the driver contract).
-  * Current mode: scale/skew sweep of the round-2 event operators — a
-  * 10×-replicated events table with 10% of rows remapped onto ONE hot
-  * user, the adversarial shape for per-user sessionization and the
-  * bucketed interval join.
+  * Current mode: stage timing of the n-gram Jaccard pair pipeline —
+  * fingerprint/explode vs candidate join vs pair aggregation — plus an
+  * alternative combinations-based generator, to decide whether the
+  * self-join is worth replacing.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -18,38 +19,43 @@ object Scratch {
       println(f"[scratch] $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
     }
     SparkEntry.entry(spark).count() // warm
-    val e = Tables.events(spark, d)
-    val big = (0 until 10).map { i =>
-      e.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
-        .withColumn("user_id",
-          when(pmod(col("event_id"), lit(10)) === 0, lit(1L)).otherwise(col("user_id")))
-        .withColumn("ts", col("ts") + expr(s"INTERVAL $i MINUTES"))
-    }.reduce(_ unionByName _)
-    big.write.mode("overwrite").parquet("/tmp/graft_big/events10.parquet")
-    val b = spark.read.parquet("/tmp/graft_big/events10.parquet")
-    println(s"[scratch] events10 rows=${b.count()} hot-user rows=${b.filter(col("user_id") === 1).count()}")
+    val docs = Tables.documents(spark, d)
+    val arr = docs.select(col("doc_id").as("doc"),
+      graft.ops.TextOps.shingleHashes(col("text"), 3).as("arr"))
+    val exploded = arr.select(col("doc"), size(col("arr")).as("sz"),
+      explode(col("arr")).as("s"))
+    time("fingerprint+explode")(exploded.count())
+    val byShingle = exploded.repartition(col("s"))
+    val a = byShingle.toDF("doc_a", "sz_a", "s")
+    val b = byShingle.toDF("doc_b", "sz_b", "s")
+    val joined = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+    time("candidate join")(joined.count())
+    val agg = joined.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
+        first(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= 0.1)
+    time("full join path")(agg.count())
+    time("full join path again")(agg.count())
 
-    time("sessionize 1M skewed") {
-      graft.ops.TimeSeries.sessionize(b, "user_id", "ts", 7200, "event_id")
-        .groupBy("user_id", "session_no").agg(count(lit(1)).as("n")).count()
-    }
-    time("intervalJoin 1M skewed") {
-      val probe = b.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      graft.ops.TimeSeries.intervalJoinAgg(probe,
-        b.filter(col("event_type") === "click"),
-        "user_id", "ts", "ts", "value", 3600).count()
-    }
-    time("asof 1M skewed") {
-      graft.ops.TimeSeries.asofJoin(
-        b.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
-        b.filter(col("event_type") === "click").select(col("user_id"), col("ts"), col("value")),
-        "user_id", "ts", "ts", Seq("value"), tiebreak = Some("value")).count()
-    }
-    // jaccard_capped variance re-check
-    for (i <- 1 to 3)
-      time(s"jaccard_capped sf0.1 #$i")(
-        ops.DataQueries.jaccardCapped(spark, d).count())
+    // alternative: per-shingle doc-list combinations, pairs emitted
+    // map-side after ONE groupBy on the shingle
+    val lists = exploded.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = lists.select(explode(flatten(
+        expr("transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x.doc AS doc_a, x.sz AS sz_a, y.doc AS doc_b, y.sz AS sz_b)))")
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.sz_a"), col("p.doc_b"), col("p.sz_b"))
+    val agg2 = pairs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
+        first(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= 0.1)
+    time("combinations path")(agg2.count())
+    time("combinations path again")(agg2.count())
     spark.stop()
   }
 }
