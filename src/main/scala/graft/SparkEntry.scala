@@ -41,6 +41,8 @@ object SparkEntry {
     "q_canonical_pair"    -> ((s, d) => SeriesQueries.canonicalPair(s, d)),
     "q_sessionize"        -> ((s, d) => SeriesQueries.sessionize(s, d)),
     "q_interval_join"     -> ((s, d) => SeriesQueries.intervalJoin(s, d)),
+    "q_funnel"            -> ((s, d) => SeriesQueries.funnel(s, d)),
+    "q_value_hist"        -> ((s, d) => SeriesQueries.valueHist(s, d)),
     // ---- stateful FSM backtests (SURVEY §2.6) ----
     "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
     "q_fsm_zscore"        -> ((s, d) => SeriesQueries.fsmZscore(s, d)),
@@ -842,6 +844,24 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM g GROUP BY user_id, session_no
          ORDER BY user_id, session_start""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+         s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS v_ts FROM e),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v_ts
+                  THEN ts END) OVER (PARTITION BY user_id) AS c_ts FROM s1),
+         s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c_ts
+                  THEN ts END) OVER (PARTITION BY user_id) AS p_ts FROM s2)
+         SELECT user_id, min(v_ts) AS view_ts, min(c_ts) AS click_ts,
+           min(p_ts) AS purchase_ts,
+           (min(p_ts) IS NOT NULL) AS completed
+         FROM s3 GROUP BY user_id ORDER BY user_id""",
+    "q_value_hist" ->
+      """SELECT event_type, floor(value / 50.0)::BIGINT AS bin,
+           count(*) AS n, round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2 ORDER BY event_type, bin""",
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
                       ts::TIMESTAMP AS ts FROM events)

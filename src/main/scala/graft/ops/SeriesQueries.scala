@@ -158,6 +158,41 @@ object SeriesQueries {
       .orderBy("event_id")
   }
 
+  /** Ordered funnel per user: first view, first click at-or-after that
+    * view, first purchase at-or-after that click. Three chained
+    * conditional window minima over ONE user partitioning — the sort
+    * is reused, so the funnel costs a single shuffle regardless of
+    * step count. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val vTs = min(when(col("event_type") === "view", col("ts"))).over(w)
+    val e1 = Tables.events(s, d).withColumn("v_ts", vTs)
+    val cTs = min(when(col("event_type") === "click" &&
+      col("ts") >= col("v_ts"), col("ts"))).over(w)
+    val e2 = e1.withColumn("c_ts", cTs)
+    val pTs = min(when(col("event_type") === "purchase" &&
+      col("ts") >= col("c_ts"), col("ts"))).over(w)
+    e2.withColumn("p_ts", pTs)
+      .groupBy("user_id")
+      .agg(min(col("v_ts")).cast("timestamp_ntz").as("view_ts"),
+        min(col("c_ts")).cast("timestamp_ntz").as("click_ts"),
+        min(col("p_ts")).cast("timestamp_ntz").as("purchase_ts"))
+      .withColumn("completed", col("purchase_ts").isNotNull)
+      .orderBy("user_id")
+  }
+
+  /** Fixed-width value histogram per event type (bin = floor(v/50)):
+    * the profile report an ingest pipeline emits per batch. */
+  def valueHist(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("v_min"),
+        round(max("value"), 4).as("v_max"))
+      .orderBy("event_type", "bin")
+
   /** P10+P12: polarity flip by per-key median sign, tick→price. */
   def polarityPrice(s: SparkSession, d: String): DataFrame =
     TimeSeries.polarity(Tables.events(s, d), "event_type", "value")
