@@ -53,6 +53,28 @@ object StreamOps {
       .select(col(key), col("w.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: probe events joined to build events
+    * of the same key with `build.ts` in `[probe.ts − lookback, probe.ts)`.
+    * Spark's stream-stream join handles the range natively when both
+    * sides carry watermarks and the condition bounds event time on both
+    * ends — the watermarks let it EXPIRE buffered state (a build row
+    * older than every possible in-range probe is dropped), which is
+    * what makes the join runnable forever. Batch twin:
+    * [[graft.ops.TimeSeries.intervalJoinAgg]] (which buckets instead,
+    * because batch has no watermark to bound a raw range join). */
+  def intervalJoinStream(probe: DataFrame, build: DataFrame, key: String,
+                         probeTs: String, buildTs: String,
+                         lookbackSeconds: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    val p = probe.withWatermark(probeTs, watermark)
+    val b = build.withWatermark(buildTs, watermark)
+    p.join(b,
+      p(key) === b(key) &&
+        b(buildTs) >= p(probeTs) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        b(buildTs) < p(probeTs),
+      "inner")
+  }
+
   /** Streaming exact dedup: emit the FIRST arrival of each content hash
     * and drop later duplicates, with state bounded by the watermark — a
     * duplicate arriving within `watermark` of the original is dropped,

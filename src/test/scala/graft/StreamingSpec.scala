@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 00:05:00.0", 1L, 8.0)))
   }
 
+  test("intervalJoinStream joins in-window rows across batches, half-open") {
+    implicit val sc = spark.sqlContext
+    val probes = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val builds = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val p = probes.toDF().toDF("event_id", "user_id", "pts")
+    val b = builds.toDF().toDF("user_id", "bts", "v")
+    val q = StreamOps.intervalJoinStream(p, b, "user_id", "pts", "bts", 3600)
+      .select("event_id", "v")
+      .writeStream.format("memory").queryName("sij_out")
+      .outputMode("append").start()
+    builds.addData(
+      (1L, ts("2024-01-01 01:00:00"), 1.0),  // == pts-1h → in (closed lower)
+      (1L, ts("2024-01-01 01:30:00"), 2.0),  // in window
+      (1L, ts("2024-01-01 02:00:00"), 4.0),  // == pts → OUT (open upper)
+      (2L, ts("2024-01-01 01:30:00"), 8.0))  // other key
+    probes.addData((10L, 1L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // a build row arriving in a LATER batch still joins while in-window
+    builds.addData((1L, ts("2024-01-01 01:45:00"), 16.0))
+    q.processAllAvailable()
+    val got = spark.table("sij_out").select("v").as[Double].collect().toSet
+    q.stop()
+    assert(got == Set(1.0, 2.0, 16.0))
+  }
+
   test("zscoreReversionStream matches batch FSM incl. warm-up clock and time stop") {
     import graft.streaming.StreamOps.{ZTickIn, ZTradeOut}
     implicit val sc = spark.sqlContext
