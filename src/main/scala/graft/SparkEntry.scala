@@ -67,6 +67,7 @@ object SparkEntry {
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
     "q_source_overlap"    -> ((s, d) => DataQueries.sourceOverlap(s, d)),
+    "q_corpus_funnel"     -> ((s, d) => DataQueries.corpusFunnel(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -765,6 +766,65 @@ object SparkEntry {
                   ORDER BY score DESC, term ASC) AS rnk FROM sc)
          SELECT doc_id, term, tf, df, score, rnk
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_corpus_funnel" ->
+      s"""WITH $TOKS_CTE,
+         c AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),
+         gate AS (SELECT doc_id, text,
+             (len(tk) >= 20 AND len(tk) <= 100000
+              AND (CASE WHEN len(tk) > 0 THEN
+                    list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+                   END) BETWEEN 2.0 AND 10.0
+              AND coalesce((CASE WHEN len(tk) > 0 THEN
+                    len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                      / len(tk) END) >= 0.8, false)
+              AND (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(tk, 'a')   THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(tk, 'of')  THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(tk, 'is')  THEN 1 ELSE 0 END) >= 2)
+               AS g_keep,
+             (CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                x -> x IN ('der','die','und','das','ist')))::DOUBLE / len(tk)
+              ELSE 0 END) AS s_de,
+             (CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                x -> x IN ('the','a','of','and','is')))::DOUBLE / len(tk)
+              ELSE 0 END) AS s_en,
+             (CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                x -> x IN ('el','la','de','que','y')))::DOUBLE / len(tk)
+              ELSE 0 END) AS s_es,
+             (CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+                x -> x IN ('le','la','et','les','des')))::DOUBLE / len(tk)
+              ELSE 0 END) AS s_fr,
+             tk
+           FROM c),
+         lng AS (SELECT *, (NOT (s_de >= s_en AND s_de >= s_es AND s_de >= s_fr))
+                   AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AS g_en
+                 FROM gate),
+         rep AS (SELECT min(doc_id) AS keep_id,
+                   ${H64.format("text")} AS h
+                 FROM c GROUP BY 2),
+         sh5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5
+                   THEN list_distinct([array_to_string(tk[i+1:i+5], ' ')
+                                       for i in range(0, len(tk) - 4)])
+                   ELSE [] END AS shs FROM toks),
+         benchsh AS (SELECT DISTINCT unnest(shs) AS s FROM sh5
+                     WHERE doc_id % 20 = 0),
+         hits AS (SELECT e.doc_id, count(*) AS n_hits
+                  FROM (SELECT doc_id, unnest(shs) AS s FROM sh5
+                        WHERE doc_id % 20 <> 0) e
+                  JOIN benchsh USING (s) GROUP BY 1),
+         fin AS (SELECT l.doc_id, l.g_keep, l.g_en,
+                    (l.doc_id = r.keep_id) AS g_uniq,
+                    (coalesce(h.n_hits, 0) < 5) AS g_clean
+                  FROM lng l
+                  JOIN rep r ON ${H64.format("l.text")} = r.h
+                  LEFT JOIN hits h ON l.doc_id = h.doc_id)
+         SELECT count(*) AS n_total,
+           count(*) FILTER (g_keep) AS n_gopher,
+           count(*) FILTER (g_keep AND g_en) AS n_lang,
+           count(*) FILTER (g_keep AND g_en AND g_uniq) AS n_unique,
+           count(*) FILTER (g_keep AND g_en AND g_uniq AND g_clean) AS n_clean
+         FROM fin""",
     "q_incr_dedup" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

@@ -96,6 +96,51 @@ object DataQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Corpus-build funnel: the composed hygiene pipeline a pre-training
+    * corpus actually runs — Gopher rule gate → language filter →
+    * exact-dedup representative → benchmark decontamination — with the
+    * surviving-document count after each stage. One corpus scan
+    * computes every per-doc flag; the exact-dedup representative is a
+    * hash-aggregate join and the decontam probe is a broadcast against
+    * the (tiny) benchmark shingle set, so stages compose without
+    * re-scanning. Stage predicates nest (a stage only counts docs that
+    * passed all earlier gates), which is what makes the counts an
+    * attrition report. */
+  def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val (nW, mL, aF, sH) = TextOps.gopherSignals(col("text"))
+    val flagged = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .withColumn("__tk", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        TextOps.gopherKeep(nW, mL, aF, sH).as("g_keep"),
+        (TextOps.langIdFromTokens(col("__tk")) === "en").as("g_en"),
+        TextOps.h64(col("text")).as("h"))
+    val rep = flagged.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val benchSh = bench
+      .select(explode(TextOps.shingleHashes(col("text"), 5)).as("s"))
+      .distinct().withColumn("__hit", lit(1L))
+    val hits = flagged
+      .select(col("doc_id"),
+        explode_outer(TextOps.shingleHashes(col("text"), 5)).as("s"))
+      .join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    val full = flagged
+      .join(rep, Seq("h"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("g_uniq", col("doc_id") === col("keep_id"))
+      .withColumn("g_clean", coalesce(col("n_hits"), lit(0L)) < 5)
+    def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    full.agg(
+      count(lit(1)).as("n_total"),
+      n(col("g_keep")).as("n_gopher"),
+      n(col("g_keep") && col("g_en")).as("n_lang"),
+      n(col("g_keep") && col("g_en") && col("g_uniq")).as("n_unique"),
+      n(col("g_keep") && col("g_en") && col("g_uniq") && col("g_clean"))
+        .as("n_clean"))
+  }
+
   /** Incremental dedup screen: docs with id % 10 == 0 play the incoming
     * batch, the rest the existing corpus; emit batch docs whose LSH
     * estimated Jaccard against some corpus doc is ≥ 0.3. */
