@@ -249,15 +249,18 @@ object DataQueries {
     val scored = Tables.documents(s, d)
       .withColumn("__tk", TextOps.tokens(t))
       .select(
-        col("doc_id"), t.as("text"),
+        col("doc_id"),
         size(col("__tk")).as("n_tokens"),
-        round(TextOps.qualityScore(t), 6).as("quality"),
+        round(TextOps.qualityScoreFromTokens(t, col("__tk")), 6).as("quality"),
         TextOps.langIdFromTokens(col("__tk")).as("lang"),
         TextOps.h64(t).as("ch"))
-    val rep = scored.groupBy("ch").agg(min("doc_id").as("keep_id"))
-    scored.filter(col("quality") >= 0.35 && col("lang") === "en")
-      .join(rep, scored("ch") === rep("ch") &&
-        scored("doc_id") === rep("keep_id"))
+    // representative via a window over the hash — ONE pass over the
+    // scored frame (a groupBy+join-back would execute the scoring
+    // subtree a second time for the aggregate side)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+    scored.withColumn("keep_id", min("doc_id").over(w))
+      .filter(col("quality") >= 0.35 && col("lang") === "en" &&
+        col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy("doc_id")
   }

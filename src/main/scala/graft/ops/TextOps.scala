@@ -73,11 +73,19 @@ object TextOps {
 
   /** Composite quality score in [0,1]: length saturation + low symbol
     * density + stopword presence — the shape of a fastText-style
-    * heuristic filter, fully columnar. */
-  def qualityScore(text: Column): Column =
-    lit(0.4) * least(tokenCount(text).cast("double") / 100.0, lit(1.0)) +
+    * heuristic filter, fully columnar. The `FromTokens` form takes a
+    * materialized token array (see langScoresFromTokens for why). */
+  def qualityScoreFromTokens(text: Column, tk: Column): Column = {
+    val stopR = when(size(tk) > 0,
+      size(filter(tk, t => EnStop.map(t === _).reduce(_ || _))).cast("double")
+        / size(tk))
+    lit(0.4) * least(size(tk).cast("double") / 100.0, lit(1.0)) +
     lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(0.0))) +
-    lit(0.3) * least(coalesce(wordRatio(text, EnStop), lit(0.0)) * 5.0, lit(1.0))
+    lit(0.3) * least(coalesce(stopR, lit(0.0)) * 5.0, lit(1.0))
+  }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
 
   /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
     * standard pre-training document filter), columnar per document:
