@@ -115,8 +115,16 @@ object DedupOps {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"),
         first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      // guard the union size: the id column is CONTRACTUALLY unique,
+      // but if callers feed duplicate ids (5 copies of every row in
+      // the stress corpus), `inter` counts cross-copy matches and can
+      // reach/exceed sz_a+sz_b — and ANSI mode turns the zero
+      // denominator into a job-killing SparkArithmeticException.
+      // Degenerate pairs get a null jaccard and fall out of the
+      // threshold filter instead of crashing the scan.
+      .withColumn("__uni", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        when(col("__uni") > 0, col("inter").cast("double") / col("__uni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }

@@ -25,11 +25,15 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** id + vector + precomputed norm, ready for a pair join. */
+  /** id + vector + precomputed norm, ready for a pair join. Zero-norm
+    * (and null) vectors are dropped here: cosine is undefined for them
+    * and under ANSI mode the 0 denominator would abort the whole scan
+    * rather than yield NaN. */
   private def withNorm(df: DataFrame, id: String, vec: String, idOut: String,
                        vecOut: String, nOut: String): DataFrame =
     df.select(col(id).as(idOut), asDouble(col(vec)).as(vecOut))
       .withColumn(nOut, norm(col(vecOut)))
+      .filter(col(nOut) > 0)
 
   /** Brute-force cosine top-k: each query row is scored against every
     * candidate. Queries are broadcast (the small side); candidates
@@ -163,10 +167,13 @@ object VectorOps {
               broadcastThreshold: Int = 64): DataFrame = {
     // null vectors can't score; dropping them AT THE SCAN (a cheap
     // pushed isnotnull on the source column) is what lets the bucket
-    // joins use `<=>` without admitting null-bucket rows
+    // joins use `<=>` without admitting null-bucket rows. Zero-norm
+    // vectors go too: cosine is undefined and ANSI mode aborts on the
+    // 0 denominator.
     val base = df.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("vid"),
         asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+      .filter(norm(col("v")) > 0)
     val vn = norm(col("v"))
     // (assigned: vid,v,vn,__isq,list_id) and (probes: query rows ×
     // their top-nprobe list_ids), by either strategy
@@ -282,10 +289,15 @@ object VectorOps {
     * twice. Returns (vec, list_id, n_dom, keep). */
   def semDedup(df: DataFrame, id: String, vec: String, nlists: Int,
                tau: Double): DataFrame = {
-    val base = df.select(col(id).cast("long").as("vid"),
-      asDouble(col(vec)).as("v"), lit(false).as("__isq"))
+    // null/zero-norm vectors are excluded outright (not kept with
+    // keep=true): they cannot participate in cosine semantics, and a
+    // zero norm in the assignment denominator aborts under ANSI mode
+    val base = df.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"),
+        asDouble(col(vec)).as("v"), lit(false).as("__isq"))
+      .filter(norm(col("v")) > 0)
     val cents: Array[(Long, Seq[Double])] =
-      base.filter(col("v").isNotNull).orderBy("vid").limit(nlists).collect()
+      base.orderBy("vid").limit(nlists).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
     if (cents.isEmpty)
       return base.select(col("vid").as("vec"), col("vid").as("list_id"),
@@ -340,6 +352,7 @@ object VectorOps {
     val base = df.filter(col(vec).isNotNull) // see ivfTopK: enables `<=>`
       .select(col(id).cast("long").as("vid"),
         asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+      .filter(norm(col("v")) > 0) // zero-norm: undefined cosine, ANSI 0-div
     val train0 = base.filter(col("v").isNotNull)
     val train = if (trainFraction < 1.0) train0.sample(trainFraction, seed)
                 else train0
@@ -385,6 +398,7 @@ object VectorOps {
         val frame = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"),
             queryPred.as("__isq"))
           .withColumn("__n", norm(col("v")))
+          .filter(col("__n") > 0) // zero-norm: undefined cosine, ANSI 0-div
           .withColumn("vq", quantized(col("v")))
           .select(col("vid"), col("v"), col("__isq"), col("__n"),
             explode(array(perTable: _*)).as("tb"))
@@ -423,6 +437,7 @@ object VectorOps {
           .select(col(id).as("vid"), asDouble(col(vec)).as("v"),
             queryPred.as("__isq"))
           .withColumn("__n", norm(col("v")))
+          .filter(col("__n") > 0) // zero-norm: undefined cosine, ANSI 0-div
           // alias the quantized copy so the per-plane references share
           // one evaluation (inlining it would re-run the transform
           // once per plane)

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, VectorOps}
+
+/** Dirty-input robustness (found by the 5x-replicated stress corpus):
+  * ANSI mode turns a zero denominator into a job-killing exception, so
+  * every operator ratio must be total over its real input domain —
+  * duplicate ids inflate Jaccard intersections past the set sizes, and
+  * zero-norm embeddings have no cosine. */
+class DirtyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccardPairs survives duplicate doc ids (union size can hit 0)") {
+    // doc 1 appears twice, doc 2 once, identical text: inter(1,2) = 2k
+    // while sz_a + sz_b = 2k — exactly the zero denominator
+    val t = "alpha beta gamma delta epsilon"
+    val df = Seq((1L, t), (1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.1).collect()
+    // degenerate pair falls out via the null jaccard, no exception
+    assert(out.isEmpty)
+  }
+
+  test("cosine/ANN/IVF/semdedup drop zero-norm and null vectors, no 0-div") {
+    val rows = Seq(
+      (1L, Some(Array(1.0f, 0.0f)), 0),
+      (2L, Some(Array(0.9f, 0.1f)), 0),
+      (3L, Some(Array(0.0f, 0.0f)), 0),  // zero norm
+      (4L, None, 0))                     // null vector
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val topk = VectorOps.cosineTopK(df, df, "vec_id", "embedding", 2)
+      .select("query_id").as[Long].collect().toSet
+    assert(topk == Set(1L, 2L))
+    val ann = VectorOps.annTopK(df, "vec_id", "embedding", 2, 1, col("vec_id") < 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!ann.contains(3L) && !ann.contains(4L))
+    val ivf = VectorOps.ivfTopK(df, "vec_id", "embedding", 2, 1, 1, col("vec_id") < 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!ivf.contains(3L) && !ivf.contains(4L))
+    val sd = VectorOps.semDedup(df, "vec_id", "embedding", 2, 0.99)
+      .select("vec").as[Long].collect().toSet
+    assert(sd == Set(1L, 2L))
+  }
+}

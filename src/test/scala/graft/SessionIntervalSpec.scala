@@ -58,6 +58,25 @@ class SessionIntervalSpec extends SparkSpec {
     assert(got(0).isNullAt(got(0).fieldIndex("sum_prior")))
   }
 
+  test("sessionize/intervalJoinAgg: empty inputs produce empty outputs") {
+    val e = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "t", "event_id")
+    assert(TimeSeries.sessionize(e, "user_id", "t", 10, "event_id").count() == 0)
+    val b = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "bt", "v")
+    val p = Seq((1L, 2L, ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "t")
+    val out = TimeSeries.intervalJoinAgg(p, b, "user_id", "t", "bt", "v", 60).collect()
+    // empty build side: probe survives with zero matches
+    assert(out.length == 1 && out(0).getAs[Long]("n_prior") == 0L)
+  }
+
+  test("sessionize: single-event users get session 1") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-02 00:00:00"), 2L)).toDF("user_id", "t", "event_id")
+    val got = TimeSeries.sessionize(df, "user_id", "t", 10, "event_id")
+      .select("session_no").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 1L))
+  }
+
   test("gopher gate: thresholds and empty-text behavior") {
     val docs = Seq(
       (1L, ("the a of and is " + Seq.fill(20)("word").mkString(" "))), // keep
