@@ -22,6 +22,20 @@ object Sinks {
       .option("header", "true")
       .csv(dir)
 
+  /** Partitioned parquet sink with DYNAMIC partition overwrite: a
+    * re-run replaces only the partitions present in `df`, leaving the
+    * rest of the table untouched — idempotent per-partition reprocessing
+    * (re-index a block range, rebuild one day) without truncating the
+    * table, which is the batch-replay semantics the reference's
+    * append-only CSV sink cannot express. Static overwrite mode (the
+    * Spark default) would drop ALL partitions first. */
+  def writePartitionedParquet(df: DataFrame, dir: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** S9: single-file CSV export (signals table). */
   def writeSingleCsv(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)

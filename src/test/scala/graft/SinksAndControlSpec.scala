@@ -9,6 +9,19 @@ import java.nio.file.Files
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    val day1 = Seq((1L, "d1", 10.0), (2L, "d1", 20.0)).toDF("id", "day", "v")
+    val day2 = Seq((3L, "d2", 30.0)).toDF("id", "day", "v")
+    Sinks.writePartitionedParquet(day1.unionByName(day2), dir, Seq("day"))
+    // re-run day1 only, with corrected rows: day2 must survive
+    val fixed = Seq((1L, "d1", 11.0)).toDF("id", "day", "v")
+    Sinks.writePartitionedParquet(fixed, dir, Seq("day"))
+    val back = spark.read.parquet(dir)
+      .select("id", "day", "v").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "d1", 11.0), (3L, "d2", 30.0)))
+  }
+
   test("partitioned CSV sink roundtrips with stable per-partition schema (S4)") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val df = Seq(
