@@ -81,6 +81,16 @@ object Multimodal {
                    end),
             f -> f is not null)""")
 
+  /** Media near-duplicates: extracted feature vectors → exact cosine
+    * pairs (swap in [[VectorOps.lshBuckets]] candidates at corpus
+    * scale). The cross-modal composition point: once media becomes a
+    * feature column, every embedding operator (ANN, SemDeDup, outlier
+    * gates) applies unchanged. */
+  def mediaNearDups(df: DataFrame, threshold: Double): DataFrame =
+    VectorOps.cosineNearDup(
+      extractFeatures(df).select(col("media_id"), col("features")),
+      "media_id", "features", threshold)
+
   /** Resize metadata transform (stub): the metadata math is real, the
     * pixel work is the codec's. */
   def resizeMeta(meta: org.apache.spark.sql.Column, maxDim: Int): org.apache.spark.sql.Column = {

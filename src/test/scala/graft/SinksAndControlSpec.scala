@@ -73,6 +73,15 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(_.getSeq[Float](3).length == 8))
   }
 
+  test("media near-dups: identical payloads pair at cosine 1, others don't") {
+    val bytes = "same-payload".getBytes("UTF-8")
+    val df = Seq((1L, bytes), (2L, bytes),
+      (3L, "different!".getBytes("UTF-8"))).toDF("media_id", "content")
+    val pairs = Multimodal.mediaNearDups(df, 0.999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("frame sampler slices payload bytes with stride") {
     val payload = (0 until 100).map(_.toByte).toArray
     val df = Seq(Tuple1(payload)).toDF("content")
