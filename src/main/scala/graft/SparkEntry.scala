@@ -68,6 +68,8 @@ object SparkEntry {
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
     "q_source_overlap"    -> ((s, d) => DataQueries.sourceOverlap(s, d)),
     "q_corpus_funnel"     -> ((s, d) => DataQueries.corpusFunnel(s, d)),
+    // sketch-based → no SQL oracle (DuckDB's HLL differs); spec-pinned
+    "q_corpus_stats"      -> ((s, d) => DataQueries.corpusTelemetry(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),

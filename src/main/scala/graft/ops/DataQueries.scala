@@ -96,6 +96,23 @@ object DataQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Sketch-based corpus telemetry: per-source doc counts, APPROX
+    * distinct content hashes (HyperLogLog++ — the partial-mergeable
+    * sketch that replaces exact distinct at 100 TB, where an exact
+    * count would shuffle every hash) and token totals. Not oracled:
+    * DuckDB's approx_count_distinct is a different sketch, so the spec
+    * pins the estimate against the exact count instead (≤2% at rsd
+    * 0.01). */
+  def corpusTelemetry(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), TextOps.h64(col("text")).as("ch"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("ch"), rsd = 0.01).as("approx_uniq"),
+        sum("n_tok").as("total_tokens"))
+      .orderBy("source")
+
   /** Corpus-build funnel: the composed hygiene pipeline a pre-training
     * corpus actually runs — Gopher rule gate → language filter →
     * exact-dedup representative → benchmark decontamination — with the

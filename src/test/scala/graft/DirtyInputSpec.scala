@@ -21,6 +21,21 @@ class DirtyInputSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("corpus telemetry: HLL distinct estimate within 2% of exact") {
+    val d = "/root/testdata/sf0.01"
+    val got = graft.ops.DataQueries.corpusTelemetry(spark, d).collect()
+    val exact = Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(countDistinct(graft.ops.TextOps.h64(col("text"))).as("uniq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val est = r.getAs[Long]("approx_uniq").toDouble
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(est - ex) / ex <= 0.02, s"${r.getString(0)}: $est vs $ex")
+    }
+  }
+
   test("cosine/ANN/IVF/semdedup drop zero-norm and null vectors, no 0-div") {
     val rows = Seq(
       (1L, Some(Array(1.0f, 0.0f)), 0),
