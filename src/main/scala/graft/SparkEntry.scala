@@ -70,6 +70,7 @@ object SparkEntry {
     "q_corpus_funnel"     -> ((s, d) => DataQueries.corpusFunnel(s, d)),
     // sketch-based → no SQL oracle (DuckDB's HLL differs); spec-pinned
     "q_corpus_stats"      -> ((s, d) => DataQueries.corpusTelemetry(s, d)),
+    "q_source_drift"      -> ((s, d) => DataQueries.sourceDrift(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -768,6 +769,26 @@ object SparkEntry {
                   ORDER BY score DESC, term ASC) AS rnk FROM sc)
          SELECT doc_id, term, tf, df, score, rnk
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_source_drift" ->
+      s"""WITH $TOKS_CTE,
+         sl AS (SELECT CASE WHEN regexp_extract(d.source, '(\\d+)', 1)::INT % 2 = 0
+                  THEN 'even' ELSE 'odd' END AS slice, t.tk
+                FROM toks t JOIN documents d USING (doc_id)),
+         tt AS (SELECT slice, unnest(tk) AS term FROM sl),
+         freq AS (SELECT slice, term, count(*) AS n FROM tt GROUP BY 1, 2),
+         tot AS (SELECT slice, sum(n) AS tot FROM freq GROUP BY 1),
+         p AS (SELECT slice, term, n::DOUBLE / tot AS f
+               FROM freq JOIN tot USING (slice)),
+         j AS (SELECT term, coalesce(a.f, 0) AS pa, coalesce(b.f, 0) AS pb
+               FROM (SELECT term, f FROM p WHERE slice = 'even') a
+               FULL OUTER JOIN (SELECT term, f FROM p WHERE slice = 'odd') b
+               USING (term)),
+         k AS (SELECT pa, pb, (pa + pb) / 2.0 AS m FROM j)
+         SELECT count(*) AS vocab,
+           round(sum((CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0 END
+                    + CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0 END) / 2.0),
+             6) AS js_divergence
+         FROM k""",
     "q_corpus_funnel" ->
       s"""WITH $TOKS_CTE,
          c AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),

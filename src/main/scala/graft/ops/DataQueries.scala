@@ -96,6 +96,36 @@ object DataQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Distribution drift between two corpus slices: Jensen–Shannon
+    * divergence of their token frequency distributions (the standard
+    * "did the mix shift" monitor for corpus refreshes). Token counts
+    * aggregate per slice (two narrow shuffles), align on a full outer
+    * join over the shared vocabulary, and the JS sum is one scalar
+    * aggregate — nothing corpus-sized ever collects. Slices here:
+    * even vs odd source ids. */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("slice",
+        when(regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0,
+          "even").otherwise("odd"))
+      .select(col("slice"), explode(TextOps.tokens(col("text"))).as("term"))
+    val freq = docs.groupBy("slice", "term").agg(count(lit(1)).as("n"))
+    val tot = freq.groupBy("slice").agg(sum("n").as("tot"))
+    val p = freq.join(tot, "slice")
+      .withColumn("f", col("n").cast("double") / col("tot"))
+    val a = p.filter(col("slice") === "even").select(col("term"), col("f").as("pa"))
+    val b = p.filter(col("slice") === "odd").select(col("term"), col("f").as("pb"))
+    val joined = a.join(b, Seq("term"), "full_outer")
+      .withColumn("pa", coalesce(col("pa"), lit(0.0)))
+      .withColumn("pb", coalesce(col("pb"), lit(0.0)))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("kl_a", when(col("pa") > 0, col("pa") * log(col("pa") / col("m"))).otherwise(0.0))
+      .withColumn("kl_b", when(col("pb") > 0, col("pb") * log(col("pb") / col("m"))).otherwise(0.0))
+    joined.agg(
+      count(lit(1)).as("vocab"),
+      round(sum((col("kl_a") + col("kl_b")) / 2.0), 6).as("js_divergence"))
+  }
+
   /** Sketch-based corpus telemetry: per-source doc counts, APPROX
     * distinct content hashes (HyperLogLog++ — the partial-mergeable
     * sketch that replaces exact distinct at 100 TB, where an exact
