@@ -238,7 +238,11 @@ object TimeSeries {
     * two buckets its window can touch, and the join becomes an EQUI-join
     * on (key, bucket) — shuffle-partitionable, AQE-skew-splittable —
     * with the precise range predicate applied as a post-filter. Build
-    * rows match at most one probe replica, so no dedup is needed. */
+    * rows match at most one probe replica, so no dedup is needed.
+    *
+    * Contract: probe rows must be unique as full tuples (carry a row
+    * id) — the final aggregate groups by all probe columns, so exact
+    * duplicate probe rows would merge and pool their match counts. */
   def intervalJoinAgg(probe: DataFrame, build: DataFrame, key: String,
                       probeTs: String, buildTs: String, valueCol: String,
                       lookbackSeconds: Long,
