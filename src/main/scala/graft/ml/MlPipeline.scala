@@ -99,8 +99,12 @@ object MlPipeline {
     val scaler = new StandardScaler()
       .setInputCol("rawFeatures").setOutputCol("features")
       .setWithMean(true).setWithStd(true)
+    // tol 1e-4 matches sklearn's LBFGS default (the reference's
+    // solver, stable_fee_ml_bot.py:173-183); Spark's 1e-6 default is
+    // TIGHTER than the reference and just buys extra treeAggregate
+    // rounds past the reference's own convergence point
     val lr = new LogisticRegression()
-      .setMaxIter(1000).setLabelCol("y").setFeaturesCol("features")
+      .setMaxIter(1000).setTol(1e-4).setLabelCol("y").setFeaturesCol("features")
     new Pipeline().setStages(Array(assembler, scaler, lr))
   }
 
