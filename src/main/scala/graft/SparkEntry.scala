@@ -98,6 +98,8 @@ object SparkEntry {
     }),
     "q_evm_daily"         -> ((s, d) => graft.evm.LogPipeline.dailyVolume(s, d)
       .orderBy("day")),
+    "q_evm_swap"          -> ((s, d) => graft.evm.LogPipeline.swapDecode(s, d)
+      .orderBy("tx_hash")),
     // ---- ML surface (SURVEY §2.7) ----
     "q_ml_dataset"        -> ((s, d) => graft.ml.MlPipeline.dataset(s, d)
       .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"),
@@ -1173,6 +1175,13 @@ object SparkEntry {
                 ELSE CAST(round(value * 100) AS BIGINT)::VARCHAR END AS value_or_hex
          FROM events WHERE event_type IN ('click', 'purchase', 'view')
          ORDER BY tx_hash""",
+    "q_evm_swap" ->
+      """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
+           CAST(round(value * 100) AS BIGINT) - 50000 AS tick,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) END AS sqrt_price,
+           (event_id % 7 = 0) AS overflowed
+         FROM events ORDER BY tx_hash""",
     "q_evm_daily" ->
       """WITH logs AS (SELECT event_id // 10 AS block_number, ts, event_type,
                          value, event_id FROM events),

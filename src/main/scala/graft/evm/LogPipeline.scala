@@ -130,6 +130,46 @@ object LogPipeline {
       .join(broadcast(blockTimestamps(logs)), Seq("block_number"), "left")
   }
 
+  /** Swap-style decode roundtrip exercising the SIGNED int24 path
+    * (two's-complement words, negative ticks) and the uint160 >38-digit
+    * overflow policy (SURVEY §7.4: decimal when it fits, null
+    * otherwise) in one oracle-gated query. Logs are synthesized from
+    * `events`: tick = cents − 50000 (sign varies), sqrt_price = cents,
+    * except every 7th event writes k·2¹²⁸ (39+ digits → decodes null).
+    * The oracle recomputes all three columns from `events` directly, so
+    * a pass proves the encode→decode loop including sign extension and
+    * the overflow cutoff. */
+  def swapDecode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = AbiSchema.Event("Swap", Seq(
+      AbiSchema.Param("tick", "int24", indexed = false),
+      AbiSchema.Param("sqrt_price", "uint160", indexed = false)))
+    val cents = round(col("value") * 100).cast("long")
+    val tick = cents - 50000L
+    // 256-bit two's complement from a 64-bit long: sign-extend with 'f'
+    val tickWord = when(tick >= 0, lpad(lower(hex(tick)), 64, "0"))
+      .otherwise(lpad(lower(hex(tick)), 64, "f"))
+    val k = pmod(col("event_id"), lit(100)) + 1
+    val over = pmod(col("event_id"), lit(7)) === 0
+    // k·2^128 ≥ 2^128 ≈ 3.4e38 > 10^38−1 → overflow branch, always
+    val sqrtWord = when(over,
+        concat(lpad(lower(hex(k)), 32, "0"), lit("0" * 32)))
+      .otherwise(lpad(lower(hex(cents)), 64, "0"))
+    val logs = graft.Tables.events(spark, dir).select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      expr("event_id div 10").cast("long").as("block_number"),
+      lit("0x" + "3" * 40).as("address"),
+      lit(ev.topic0).as("topic0"),
+      lit(null).cast("binary").as("topic1"),
+      lit(null).cast("binary").as("topic2"),
+      unhex(concat(tickWord, sqrtWord)).as("data"),
+      col("ts"))
+    decodeEvent(logs, ev, "Pool", "1")
+      .select(col("tx_hash"),
+        col("tick").cast("long").as("tick"),
+        col("sqrt_price").cast("long").as("sqrt_price"),
+        col("sqrt_price").isNull.as("overflowed"))
+  }
+
   /** Daily transfer volume: the §7.2 flagship slice — decode, enrich,
     * date_trunc aggregate. Malformed payloads (null value) are dropped
     * and counted separately upstream (P7). */
