@@ -71,6 +71,7 @@ object SparkEntry {
     // sketch-based → no SQL oracle (DuckDB's HLL differs); spec-pinned
     "q_corpus_stats"      -> ((s, d) => DataQueries.corpusTelemetry(s, d)),
     "q_source_drift"      -> ((s, d) => DataQueries.sourceDrift(s, d)),
+    "q_mix_weights"       -> ((s, d) => DataQueries.mixWeights(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -791,6 +792,12 @@ object SparkEntry {
                     + CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0 END) / 2.0),
              6) AS js_divergence
          FROM k""",
+    "q_mix_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS k FROM c)
+         SELECT lang, n, round(n / total, 6) AS actual_share,
+           round((1.0 / k) / (n / total), 6) AS weight
+         FROM c, t ORDER BY lang""",
     "q_corpus_funnel" ->
       s"""WITH $TOKS_CTE,
          c AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),

@@ -96,6 +96,23 @@ object DataQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Per-stratum rebalance weights toward a uniform target mixture:
+    * weight = target_share / actual_share — the importance weights a
+    * training sampler applies to hit a prescribed language mix. The
+    * stats frame is stratum-sized; documents never shuffle. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val total = docs.count().toDouble
+    val k = counts.count().toDouble // strata
+    counts
+      .withColumn("actual_share", col("n") / total)
+      .withColumn("weight", round(lit(1.0 / k) / (col("n") / total), 6))
+      .select(col("lang"), col("n"),
+        round(col("actual_share"), 6).as("actual_share"), col("weight"))
+      .orderBy("lang")
+  }
+
   /** Distribution drift between two corpus slices: Jensen–Shannon
     * divergence of their token frequency distributions (the standard
     * "did the mix shift" monitor for corpus refreshes). Token counts

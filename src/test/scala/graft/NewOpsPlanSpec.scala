@@ -42,6 +42,35 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(n <= 2, s"packing should not re-shuffle per stage ($n exchanges):\n${plan(df)}")
   }
 
+  test("funnel steps are chronologically ordered where present") {
+    val rows = SeriesQueries.funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def t(i: Int) = Option(r.getAs[java.time.LocalDateTime](i))
+      val v = t(1); val c = t(2); val p = t(3)
+      // a later step implies the earlier one, at or after it
+      c.foreach(ct => assert(v.exists(!_.isAfter(ct))))
+      p.foreach(pt => assert(c.exists(!_.isAfter(pt))))
+      assert(r.getBoolean(4) == p.isDefined)
+    }
+  }
+
+  test("pack bins are contiguous per language and doc ranges don't overlap") {
+    val rows = DataQueries.packBins(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    rows.foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.head._2 == 0L) // first bin is 0
+      sorted.sliding(2).foreach {
+        case Array((_, b1, _, last1), (_, b2, first2, _)) =>
+          assert(b2 > b1)          // strictly increasing bins
+          assert(first2 > last1)   // doc ranges partition the order
+        case _ =>
+      }
+    }
+  }
+
   test("sessionize agrees with Spark's session_window grouping") {
     // session_window closes a session AT start+gap (a row exactly at
     // the boundary starts a new one) while ours keeps it (new only
