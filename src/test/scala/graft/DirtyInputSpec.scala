@@ -21,6 +21,28 @@ class DirtyInputSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("lshIncremental: empty batch or empty corpus yield empty, no errors") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.lshIncremental(docs, empty, "doc_id", "text", 32, 2, 0.3)
+      .count() == 0)
+    assert(DedupOps.lshIncremental(empty, docs, "doc_id", "text", 32, 2, 0.3)
+      .count() == 0)
+  }
+
+  test("lshIncremental finds an exact duplicate across sides at est 1.0") {
+    val t = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, t), (2L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, t)).toDF("doc_id", "text")
+    val got = DedupOps.lshIncremental(corpus, batch, "doc_id", "text", 32, 2, 0.3)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 10L && got(0).getLong(1) == 1L)
+    assert(got(0).getDouble(2) == 1.0)
+  }
+
   test("corpus telemetry: HLL distinct estimate within 2% of exact") {
     val d = "/root/testdata/sf0.01"
     val got = graft.ops.DataQueries.corpusTelemetry(spark, d).collect()
