@@ -774,7 +774,7 @@ object SparkEntry {
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_source_drift" ->
       s"""WITH $TOKS_CTE,
-         sl AS (SELECT CASE WHEN regexp_extract(d.source, '(\\d+)', 1)::INT % 2 = 0
+         sl AS (SELECT CASE WHEN try_cast(regexp_extract(d.source, '(\\d+)', 1) AS INT) % 2 = 0
                   THEN 'even' ELSE 'odd' END AS slice, t.tk
                 FROM toks t JOIN documents d USING (doc_id)),
          tt AS (SELECT slice, unnest(tk) AS term FROM sl),
@@ -906,7 +906,7 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
                FROM t)
          SELECT lang, floor(cumb / 2048.0)::BIGINT AS bin,
-           count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
     "q_norm_outliers" ->
@@ -1177,16 +1177,16 @@ object SparkEntry {
            '0x' || lpad(printf('%x', user_id), 40, '0') AS from_addr,
            '0x' || lpad(printf('%x', (user_id * 7 + 1) % 1000), 40, '0') AS to_addr,
            CASE WHEN event_id % 97 = 0 THEN NULL
-                ELSE CAST(round(value * 100) AS BIGINT) END AS value,
+                ELSE greatest(CAST(round(value * 100) AS BIGINT), 0) END AS value,
            CASE WHEN event_id % 97 = 0 THEN '0xdead'
-                ELSE CAST(round(value * 100) AS BIGINT)::VARCHAR END AS value_or_hex
+                ELSE greatest(CAST(round(value * 100) AS BIGINT), 0)::VARCHAR END AS value_or_hex
          FROM events WHERE event_type IN ('click', 'purchase', 'view')
          ORDER BY tx_hash""",
     "q_evm_swap" ->
       """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
-           CAST(round(value * 100) AS BIGINT) - 50000 AS tick,
+           greatest(CAST(round(value * 100) AS BIGINT), 0) - 50000 AS tick,
            CASE WHEN event_id % 7 = 0 THEN NULL
-                ELSE CAST(round(value * 100) AS BIGINT) END AS sqrt_price,
+                ELSE greatest(CAST(round(value * 100) AS BIGINT), 0) END AS sqrt_price,
            (event_id % 7 = 0) AS overflowed
          FROM events ORDER BY tx_hash""",
     "q_evm_daily" ->
@@ -1197,7 +1197,7 @@ object SparkEntry {
                 WHERE l.event_type IN ('click', 'purchase', 'view')
                   AND l.event_id % 97 <> 0)
          SELECT CAST(date_trunc('day', block_ts) AS DATE) AS day,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume,
+           CAST(sum(greatest(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS volume,
            count(*) AS n_transfers
          FROM tr GROUP BY 1 ORDER BY 1""",
     "q_ml_dataset" ->

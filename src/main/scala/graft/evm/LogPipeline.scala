@@ -32,7 +32,9 @@ object LogPipeline {
     val isTransfer = col("event_type").isin("click", "purchase", "view")
     val fromWord = lpad(lower(hex(col("user_id"))), 64, "0")
     val toWord = lpad(lower(hex(pmod(col("user_id") * 7 + 1, lit(1000)))), 64, "0")
-    val valueCents = round(col("value") * 100).cast("long")
+    // clamped for the same reason as swapDecode's `cents`: the uint256
+    // word encoding below is only total for non-negative longs
+    val valueCents = greatest(round(col("value") * 100).cast("long"), lit(0L))
     events.select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
       expr("event_id div 10").cast("long").as("block_number"),
@@ -143,7 +145,10 @@ object LogPipeline {
     val ev = AbiSchema.Event("Swap", Seq(
       AbiSchema.Param("tick", "int24", indexed = false),
       AbiSchema.Param("sqrt_price", "uint160", indexed = false)))
-    val cents = round(col("value") * 100).cast("long")
+    // uint160 encoding below is only total for non-negative words;
+    // clamp so a negative `value` in future fixtures can't silently
+    // two's-complement into ~2^64 (greatest = abs-free, keeps 0 floor)
+    val cents = greatest(round(col("value") * 100).cast("long"), lit(0L))
     val tick = cents - 50000L
     // 256-bit two's complement from a 64-bit long: sign-extend with 'f'
     val tickWord = when(tick >= 0, lpad(lower(hex(tick)), 64, "0"))

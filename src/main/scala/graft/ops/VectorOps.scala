@@ -312,12 +312,10 @@ object VectorOps {
       col("n").as("bn"), col("list_id"))
     // `<=>` for the same reason as rerankLists: `===` infers an
     // isnotnull(list_id) filter that substitutes the whole literal
-    // scoring expression below the repartition. Null-vector rows (null
-    // list_id) must stay out of the pair join — filter on the carried
-    // vector ATTRIBUTE (cheap), keeping them in the final output with
-    // keep=true as before.
-    val dom = a.filter(col("av").isNotNull)
-      .join(b.filter(col("bv").isNotNull), a("list_id") <=> b("list_id"))
+    // scoring expression below the repartition. Null/zero-norm rows
+    // were already excluded at `base`, so every row here has a list_id.
+    val dom = a
+      .join(b, a("list_id") <=> b("list_id"))
       .drop(b("list_id"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
