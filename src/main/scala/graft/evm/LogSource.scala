@@ -20,10 +20,10 @@ import scala.jdk.CollectionConverters._
   * pushed INTO the source (the node-side filter of
   * `indexer.go:209-235`).
   *
-  * This offline build replays JSON-lines log dumps from `path`; a live
-  * variant swaps the partition reader's file scan for one RPC call per
-  * block window and nothing else changes — the plan shape, pushdown and
-  * partitioning are the contract.
+  * Two interchangeable endpoints behind the same plan shape, pushdown
+  * and partitioning: `path` replays JSON-lines log dumps, `url` issues
+  * one live `eth_getLogs` RPC per block window (`RpcPartitionReader` +
+  * `RpcClient`, retry per `internal/rpc/client.go`).
   *
   * Usage:
   * {{{
@@ -41,6 +41,14 @@ class LogSourceProvider extends TableProvider {
     new LogTable(properties.asScala.toMap)
 }
 
+/** Where a block window's logs come from: the replay dump directory or
+  * a live JSON-RPC endpoint. Carried inside each `InputPartition`, so
+  * the scan/pushdown/partitioning machinery is identical for both —
+  * only the per-window fetch differs (S3). */
+sealed trait LogEndpoint extends Serializable
+case class DumpEndpoint(path: String) extends LogEndpoint
+case class RpcEndpoint(cfg: RpcConfig) extends LogEndpoint
+
 object LogSource {
   /** S2: latest-height probe — the replay equivalent of
     * `eth_blockNumber` (`internal/rpc/client.go:153-177`): max block in
@@ -49,6 +57,22 @@ object LogSource {
     import org.apache.spark.sql.functions.max
     spark.read.json(path).agg(max("block_number")).head().getLong(0)
   }
+
+  /** S2 live: `eth_blockNumber` against a real endpoint. */
+  def latestBlock(cfg: RpcConfig): Long = new RpcClient(cfg).blockNumber()
+
+  /** Option-map → endpoint. `url` selects the live RPC path (with the
+    * reference's retry defaults, overridable via `rpcAttempts` /
+    * `rpcDelayMs`); otherwise `path` selects dump replay. */
+  def endpoint(props: Map[String, String]): LogEndpoint =
+    props.get("url") match {
+      case Some(u) => RpcEndpoint(RpcConfig(u,
+        props.getOrElse("rpcAttempts", "3").toInt,
+        props.getOrElse("rpcDelayMs", "1500").toLong))
+      case None => DumpEndpoint(props.getOrElse("path",
+        throw new IllegalArgumentException(
+          "evm-logs: either url or path option required")))
+    }
 
   val schema: StructType = StructType(Seq(
     StructField("block_number", LongType),
@@ -133,17 +157,24 @@ class LogScan(props: Map[String, String], addresses: Option[Set[String]],
     new LogMicroBatchStream(props, addresses, topics)
 
   /** S1: one partition per chunk_size block window, pruned by any
-    * pushed block_number bounds (partition pruning at the source). */
+    * pushed block_number bounds (partition pruning at the source). In
+    * RPC mode an absent `endBlock` is resolved by probing the chain
+    * tip once at plan time (`eth_blockNumber`), the reference's
+    * bound-then-chunk shape (`indexer.go:172-189`). */
   override def planInputPartitions(): Array[InputPartition] = {
+    val ep = LogSource.endpoint(props)
     val start = math.max(props.getOrElse("startBlock", "0").toLong,
       blockLo.getOrElse(Long.MinValue))
-    val end = math.min(props.getOrElse("endBlock", "0").toLong,
-      blockHi.getOrElse(Long.MaxValue))
+    val declaredEnd = props.get("endBlock").map(_.toLong).getOrElse {
+      ep match {
+        case RpcEndpoint(cfg) => LogSource.latestBlock(cfg)
+        case DumpEndpoint(_) => 0L
+      }
+    }
+    val end = math.min(declaredEnd, blockHi.getOrElse(Long.MaxValue))
     val chunk = props.getOrElse("chunkSize", "1000").toLong
-    val path = props.getOrElse("path",
-      throw new IllegalArgumentException("evm-logs: path option required"))
     (start to end by chunk).map { lo =>
-      LogRangePartition(path, lo, math.min(lo + chunk - 1, end))
+      LogRangePartition(ep, lo, math.min(lo + chunk - 1, end))
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -151,8 +182,8 @@ class LogScan(props: Map[String, String], addresses: Option[Set[String]],
     new LogReaderFactory(addresses, topics)
 }
 
-case class LogRangePartition(path: String, fromBlock: Long, toBlock: Long)
-    extends InputPartition
+case class LogRangePartition(endpoint: LogEndpoint, fromBlock: Long,
+                             toBlock: Long) extends InputPartition
 
 /** Block-height offset for the streaming source: "everything up to and
   * including block `block` has been emitted". */
@@ -179,15 +210,20 @@ class LogMicroBatchStream(props: Map[String, String],
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private val path = props.getOrElse("path",
-    throw new IllegalArgumentException("evm-logs: path option required"))
+  private val ep = LogSource.endpoint(props)
   private val chunk = props.getOrElse("chunkSize", "1000").toLong
   private val startBlock = props.getOrElse("startBlock", "0").toLong
   private val maxPerTrigger = props.get("maxBlocksPerTrigger").map(_.toLong)
   private val mapper = new ObjectMapper()
 
-  /** Latest height in the dump (live variant: one eth_blockNumber). */
-  private def tip(): Long = {
+  /** Latest height: one `eth_blockNumber` in RPC mode, a dump scan in
+    * replay mode. */
+  private def tip(): Long = ep match {
+    case RpcEndpoint(cfg) => LogSource.latestBlock(cfg)
+    case DumpEndpoint(path) => dumpTip(path)
+  }
+
+  private def dumpTip(path: String): Long = {
     val dir = new java.io.File(path)
     val fs = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".")
@@ -228,7 +264,7 @@ class LogMicroBatchStream(props: Map[String, String],
     val lo = start.asInstanceOf[LogOffset].block + 1
     val hi = end.asInstanceOf[LogOffset].block
     (lo to hi by chunk).map { l =>
-      LogRangePartition(path, l, math.min(l + chunk - 1, hi))
+      LogRangePartition(ep, l, math.min(l + chunk - 1, hi))
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -241,20 +277,61 @@ class LogMicroBatchStream(props: Map[String, String],
 class LogReaderFactory(addresses: Option[Set[String]],
                        topics: Option[Set[String]])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new LogPartitionReader(p.asInstanceOf[LogRangePartition], addresses, topics)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[LogRangePartition]
+    part.endpoint match {
+      case DumpEndpoint(path) =>
+        new LogPartitionReader(path, part, addresses, topics)
+      case RpcEndpoint(cfg) =>
+        new RpcPartitionReader(cfg, part, addresses, topics)
+    }
+  }
+}
+
+/** S3 live: one `eth_getLogs(fromBlock, toBlock, {address, topics})`
+  * call per block-window partition — the pushed predicates travel to
+  * the node inside the filter object, so the executor receives only
+  * matching rows (no client-side re-filter, trusting the node exactly
+  * as the reference's `FilterLogs` does, `client.go:93-118`). Retries
+  * happen inside `RpcClient`; a task that exhausts them fails and is
+  * re-scheduled by Spark — the layered retry the reference gets from
+  * worker-level re-queueing. */
+class RpcPartitionReader(cfg: RpcConfig, part: LogRangePartition,
+                         addresses: Option[Set[String]],
+                         topics: Option[Set[String]])
+    extends PartitionReader[InternalRow] {
+  // fetched on first next(): constructing the reader must stay cheap
+  private var it: Iterator[RpcLog] = null
+  private var current: InternalRow = _
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  override def next(): Boolean = {
+    if (it == null)
+      it = new RpcClient(cfg)
+        .getLogs(part.fromBlock, part.toBlock, addresses, topics).iterator
+    if (!it.hasNext) return false
+    val l = it.next()
+    current = InternalRow(l.blockNumber, utf8(l.txHash), utf8(l.address),
+      utf8(l.topic0), utf8(l.topic1), utf8(l.topic2), utf8(l.topic3),
+      utf8(l.data))
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Replays JSON-lines dumps for one block window, applying the pushed
   * address/topic0 sets — exactly what the node does for one
   * `eth_getLogs(fromBlock, toBlock, {address, topics})` call. */
-class LogPartitionReader(part: LogRangePartition,
+class LogPartitionReader(path: String, part: LogRangePartition,
                          addresses: Option[Set[String]],
                          topics: Option[Set[String]])
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val files: Iterator[java.io.File] = {
-    val dir = new java.io.File(part.path)
+    val dir = new java.io.File(path)
     val fs = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".")
         && !f.getName.startsWith("_"))
