@@ -101,6 +101,17 @@ object SparkEntry {
       .orderBy("day")),
     "q_evm_swap"          -> ((s, d) => graft.evm.LogPipeline.swapDecode(s, d)
       .orderBy("tx_hash")),
+    // J2: sign → encode → distinct-tx recover → broadcast-join loop;
+    // the oracle pins the 5 recovered addresses as literals (the
+    // well-known addresses of private keys 1..5)
+    "q_evm_txfrom"        -> ((s, d) => {
+      import graft.evm.LogPipeline
+      val ev = graft.Tables.events(s, d)
+      val rows = LogPipeline.decodeTransfers(LogPipeline.synthesizeLogs(ev))
+      LogPipeline.attachTxFrom(rows, LogPipeline.synthesizeTxs(ev))
+        .select(col("tx_hash"), col("from_addr"), col("tx_from"))
+        .orderBy("tx_hash")
+    }),
     // ---- ML surface (SURVEY §2.7) ----
     "q_ml_dataset"        -> ((s, d) => graft.ml.MlPipeline.dataset(s, d)
       .select(col("event_type"), col("bucket").cast("timestamp_ntz").as("bucket"),
@@ -1189,6 +1200,17 @@ object SparkEntry {
                 ELSE greatest(CAST(round(value * 100) AS BIGINT), 0) END AS sqrt_price,
            (event_id % 7 = 0) AS overflowed
          FROM events ORDER BY tx_hash""",
+    "q_evm_txfrom" ->
+      """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
+           '0x' || lpad(printf('%x', user_id), 40, '0') AS from_addr,
+           CASE event_id % 5
+             WHEN 0 THEN '0x7e5f4552091a69125d5dfcb7b8c2659029395bdf'
+             WHEN 1 THEN '0x2b5ad5c4795c026514f8317c7a215e218dccd6cf'
+             WHEN 2 THEN '0x6813eb9362372eef6200f3b1dbc3f819671cba69'
+             WHEN 3 THEN '0x1eff47bc3a10a45d4b230b5d10e37751fe6aa718'
+             ELSE '0xe1ab8145f7e55dc933d51a18c793f901a3a0b276' END AS tx_from
+         FROM events WHERE event_type IN ('click', 'purchase', 'view')
+         ORDER BY tx_hash""",
     "q_evm_daily" ->
       """WITH logs AS (SELECT event_id // 10 AS block_number, ts, event_type,
                          value, event_id FROM events),

@@ -33,8 +33,14 @@ object Indexer {
       .withColumn("topic3", unhex(col("topic3")))
       .withColumn("data", unhex(col("data")))
 
+  /** `txs`: optional transaction-signature dimension (`tx_hash`,
+    * `msg_hash`, `sig_r`, `sig_s`, `rec_id`). When present, every
+    * decoded row is stamped with the recovered `tx_from` — the
+    * reference's per-event sender enrichment (parser.go:152-159) in
+    * the distinct-tx → recover-once → broadcast-join form (J2). */
   def run(spark: SparkSession, job: Config.Job, dumpPath: String,
-          endBlock: Long, outDir: String, chainId: String = "1"): Seq[EventCount] = {
+          endBlock: Long, outDir: String, chainId: String = "1",
+          txs: Option[DataFrame] = None): Seq[EventCount] = {
     val logs = spark.read.format("graft.evm.LogSourceProvider")
       .option("path", dumpPath)
       .option("startBlock", job.startBlock)
@@ -52,7 +58,8 @@ object Indexer {
       // the same normalization Config applies to the configured side
       val scoped = logs.filter(col("address") === c.address &&
         col("topic0") === ev.topic0)
-      val decoded = LogPipeline.decodeEvent(binaryTopics(scoped), ev, c.name, chainId)
+      val plain = LogPipeline.decodeEvent(binaryTopics(scoped), ev, c.name, chainId)
+      val decoded = txs.fold(plain)(t => LogPipeline.attachTxFrom(plain, t))
         .cache()
       val n = decoded.count()
       Sinks.withRetries(job.retry.attempts, job.retry.delayMs) {

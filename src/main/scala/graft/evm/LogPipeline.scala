@@ -125,6 +125,68 @@ object LogPipeline {
       concat(lit("0x"), lower(hex(col("data")))).as("data_hex"): _*)
   }
 
+  /** J2: tx-sender enrichment — the Spark form of the reference's
+    * per-event `types.Sender` stamp (`internal/parser/parser.go:152-
+    * 159`). The expensive ECDSA recovery runs ONCE per distinct
+    * transaction on the small dimension side, then broadcast-joins back
+    * onto the (much larger) decoded-log side — same restructuring as
+    * the block-timestamp cache (J1). `txs` carries the signature
+    * material (`tx_hash`, `msg_hash`/`sig_r`/`sig_s` binary, `rec_id`
+    * int); a missing tx or invalid signature leaves tx_from null, the
+    * reference's best-effort `err == nil` guard. At backfill scale the
+    * tx dim is bounded by txs-per-block × block range; drop the
+    * broadcast hint and let AQE pick the join if a range outgrows it. */
+  def attachTxFrom(rows: DataFrame, txs: DataFrame): DataFrame = {
+    val senders = txs.dropDuplicates("tx_hash")
+      .select(col("tx_hash"),
+        expr("ecrecover_sender(msg_hash, sig_r, sig_s, rec_id)").as("tx_from"))
+    rows.join(broadcast(senders), Seq("tx_hash"), "left")
+  }
+
+  /** Deterministic signature synthesis for the fixture: five tiny
+    * well-known private keys (1..5); each tx signs one of five fixed
+    * messages chosen by `event_id % 5`. Only the 5 (msg, key) pairs are
+    * signed on the driver — the synthesized dim broadcast-joins onto
+    * the per-tx rows, and recovery itself runs distributed in
+    * `attachTxFrom`. Recovered addresses are pinned as literals in the
+    * q_evm_txfrom oracle, so a regression anywhere in the
+    * sign → encode → recover → join loop diverges from DuckDB. */
+  def synthesizeTxs(events: DataFrame): DataFrame = {
+    import java.math.BigInteger
+    val spark = events.sparkSession
+    def pad32(b: BigInteger): Array[Byte] = {
+      val raw = b.toByteArray.dropWhile(_ == 0)
+      val out = new Array[Byte](32)
+      System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
+      out
+    }
+    val dimRows = (0 until 5).map { i =>
+      val priv = BigInteger.valueOf(i + 1L)
+      val msg = Keccak.hash256(s"graft-tx-$i".getBytes("UTF-8"))
+      val (r, s, recId) = Secp256k1.sign(msg, priv,
+        BigInteger.valueOf(1000003L + i))
+      org.apache.spark.sql.Row(i, msg, pad32(r), pad32(s), recId)
+    }
+    val dimSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("msg_hash",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("sig_r",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("sig_s",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("rec_id",
+        org.apache.spark.sql.types.IntegerType)))
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(dimRows, 1), dimSchema)
+    events.select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      pmod(col("event_id"), lit(5)).cast("int").as("key_id"))
+      .join(broadcast(dim), Seq("key_id"))
+      .drop("key_id")
+  }
+
   /** Decoded + enriched Transfer rows (block timestamp joined broadcast). */
   def enrichedTransfers(spark: SparkSession, dir: String): DataFrame = {
     val logs = synthesizeLogs(Tables.events(spark, dir))

@@ -86,6 +86,52 @@ class IndexerSpec extends SparkSpec {
     assert(again.count() == counts.values.sum)
   }
 
+  test("tx_from enrichment: distinct-tx recover-once, stamped on every row (J2)") {
+    val dump = Files.createTempDirectory("idx_txf").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    LogPipeline.synthesizeLogs(events)
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+      .coalesce(1).write.mode("overwrite").json(dump)
+    val out = Files.createTempDirectory("idx_txf_out").toString
+
+    val job = Config.load(yaml, _ => tokenAbi)
+    val txs = LogPipeline.synthesizeTxs(events)
+    Indexer.run(spark, job, dump, endBlock = 99, outDir = out,
+      txs = Some(txs))
+
+    val back = spark.read.option("header", "true")
+      .option("basePath", out).csv(out)
+    assert(back.columns.contains("tx_from"))
+    assert(back.filter(col("tx_from").isNull).count() == 0,
+      "every decoded row must carry a recovered sender")
+    // the recovered set is exactly the 5 well-known key-1..5 addresses
+    val got = back.select("tx_from").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set(
+      "0x7e5f4552091a69125d5dfcb7b8c2659029395bdf",
+      "0x2b5ad5c4795c026514f8317c7a215e218dccd6cf",
+      "0x6813eb9362372eef6200f3b1dbc3f819671cba69",
+      "0x1eff47bc3a10a45d4b230b5d10e37751fe6aa718",
+      "0xe1ab8145f7e55dc933d51a18c793f901a3a0b276"))
+    // per-row correctness: tx key is event_id % 5, tx_hash = md5(event_id)
+    import spark.implicits._
+    val expected = events
+      .select(concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+        pmod(col("event_id"), lit(5)).cast("int").as("k"))
+    val keyAddr = Seq(
+      0 -> "0x7e5f4552091a69125d5dfcb7b8c2659029395bdf",
+      1 -> "0x2b5ad5c4795c026514f8317c7a215e218dccd6cf",
+      2 -> "0x6813eb9362372eef6200f3b1dbc3f819671cba69",
+      3 -> "0x1eff47bc3a10a45d4b230b5d10e37751fe6aa718",
+      4 -> "0xe1ab8145f7e55dc933d51a18c793f901a3a0b276").toDF("k", "want")
+    val bad = back.select("tx_hash", "tx_from")
+      .join(expected, Seq("tx_hash")).join(keyAddr, Seq("k"))
+      .filter(col("tx_from") =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
   test("indexer scan pushes BOTH address and topic0 into the source") {
     val dump = Files.createTempDirectory("idx_push").toString
     LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
