@@ -54,6 +54,7 @@ object SparkEntry {
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
+    "q_dedup_groups_capped" -> ((s, d) => DataQueries.dedupGroupsCapped(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
     "q_repetition"        -> ((s, d) => DataQueries.repetition(s, d)),
     "q_decontam"          -> ((s, d) => DataQueries.decontam(s, d)),
@@ -81,6 +82,8 @@ object SparkEntry {
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
+    "q_ann_neardup"       -> ((s, d) => DataQueries.annNearDup(s, d)),
+    "q_embed_groups_lsh"  -> ((s, d) => DataQueries.embedGroupsLsh(s, d)),
     "q_semdedup"          -> ((s, d) => DataQueries.semDedup(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
@@ -532,6 +535,34 @@ object SparkEntry {
          sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         near AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+                   UNION SELECT doc_b, doc_a FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+         SELECT node AS doc, comp, comp_size
+         FROM comps JOIN sz USING (comp) ORDER BY doc""",
+    // The de-skewed production form: stop-shingles (docFreq > 5)
+    // dropped and sizes re-counted before pairing, then the same
+    // recursive-CC tail. Differs from q_dedup_groups exactly where the
+    // cap changes near-dup semantics — both are pinned.
+    "q_dedup_groups_capped" ->
+      s"""WITH RECURSIVE $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+         fx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM fx a JOIN fx b ON a.s = b.s AND a.doc_id < b.doc_id
                    GROUP BY 1, 2),
          near AS (SELECT doc_a, doc_b FROM pairs
                   JOIN sizes sa ON doc_a = sa.doc_id
@@ -1052,6 +1083,54 @@ object SparkEntry {
                   WHERE list_dot_product(a.ve, b.ve) /
                     (sqrt(list_dot_product(a.ve, a.ve)) *
                      sqrt(list_dot_product(b.ve, b.ve))) >= 0.4),
+         edges AS (SELECT va AS src, vb AS dst FROM near
+                   UNION SELECT vb, va FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+         SELECT node AS vec, comp, comp_size
+         FROM comps JOIN sz USING (comp) ORDER BY vec""",
+    // Near-copy-augmented corpus: every 10th vector gets a planted
+    // near-dup (id + 1000000, components nudged by a deterministic
+    // md5-derived δ). The Spark side generates candidates with
+    // 12-plane × 4-table SRP-LSH then exact-checks; the oracle is
+    // BRUTE FORCE over the same augmented table — the hash gate
+    // therefore proves recall 1 at these settings, not just precision.
+    "q_ann_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         aug AS (SELECT vec_id,
+                   list(ve[d + 1] +
+                     (((('0x' || substr(md5(vec_id || '~' || d), 1, 15))::BIGINT)
+                       % 2001) - 1000) / 10000000.0 ORDER BY d) AS ve
+                 FROM v, range(64) AS rd(d)
+                 WHERE vec_id % 10 = 0 GROUP BY vec_id),
+         allv AS (SELECT vec_id, ve FROM v
+                  UNION ALL SELECT vec_id + 1000000, ve FROM aug),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))) AS cos
+               FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos
+         FROM p WHERE cos >= 0.9 ORDER BY vec_a, vec_b""",
+    "q_embed_groups_lsh" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         aug AS (SELECT vec_id,
+                   list(ve[d + 1] +
+                     (((('0x' || substr(md5(vec_id || '~' || d), 1, 15))::BIGINT)
+                       % 2001) - 1000) / 10000000.0 ORDER BY d) AS ve
+                 FROM v, range(64) AS rd(d)
+                 WHERE vec_id % 10 = 0 GROUP BY vec_id),
+         allv AS (SELECT vec_id, ve FROM v
+                  UNION ALL SELECT vec_id + 1000000, ve FROM aug),
+         near AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+                  WHERE list_dot_product(a.ve, b.ve) /
+                    (sqrt(list_dot_product(a.ve, a.ve)) *
+                     sqrt(list_dot_product(b.ve, b.ve))) >= 0.9),
          edges AS (SELECT va AS src, vb AS dst FROM near
                    UNION SELECT vb, va FROM near),
          cc(node, label) AS (

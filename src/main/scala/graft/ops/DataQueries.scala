@@ -403,6 +403,17 @@ object DataQueries {
         n = 3, threshold = 0.1)
       .select("doc_a", "doc_b"), nodeOut = "doc")
 
+  /** Near-dup clusters over DE-SKEWED candidates — the form the groups
+    * pipeline must take at scale (candidate pairs grow with docFreq²;
+    * the measured 10×-dup stress: uncapped 480 s vs capped 12.5 s at
+    * sf0.1, DedupOps scale notes). Same cap as q_jaccard_capped, so the
+    * two oracles pin the same semantics; the uncapped q_dedup_groups
+    * stays as the small-sf exactness check. */
+  def dedupGroupsCapped(s: SparkSession, d: String): DataFrame =
+    groupsOf(DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.1, maxDocFreq = Some(5L))
+      .select("doc_a", "doc_b"), nodeOut = "doc")
+
   /** Shared pairs→groups tail: connected components, component sizes,
     * join-back, total order — kept in one place so the document and
     * embedding group queries cannot diverge. */
@@ -449,19 +460,59 @@ object DataQueries {
       .orderBy("query_id", "rnk")
   }
 
-  /** Embedding near-dup pairs, cosine ≥ 0.4. */
+  /** Embedding near-dup pairs, cosine ≥ 0.4 — exact, via the blocked
+    * distributed all-pairs plan (equi-join fan-out, no nested-loop
+    * join; τ=0.4 is below where LSH can prune, see
+    * VectorOps.cosineNearDupBlocked). */
   def cosineNearDup(s: SparkSession, d: String): DataFrame =
-    VectorOps.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+    VectorOps.cosineNearDupBlocked(Tables.embeddings(s, d), "vec_id",
+        "embedding", 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
 
   /** Embedding near-duplicate GROUPS: cosine ≥ 0.4 pairs → connected
     * components → cluster id + size — the embedding-side analog of
-    * dedupGroups (at 100 TB the pair stage gates candidates through
-    * lshBuckets first; the cluster step is identical). */
+    * dedupGroups. Pair stage = the blocked exact plan; the cluster step
+    * is identical to the document path. */
   def embedGroups(s: SparkSession, d: String): DataFrame =
-    groupsOf(VectorOps.cosineNearDup(Tables.embeddings(s, d),
+    groupsOf(VectorOps.cosineNearDupBlocked(Tables.embeddings(s, d),
         "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b"), nodeOut = "vec")
+
+  /** Embeddings plus a planted near-copy of every 10th vector: copy id
+    * = vec_id + 1000000, each component nudged by a deterministic
+    * md5-derived δ ∈ [−1e−4, 1e−4] — cos(v, v′) ≈ 1 − 1e−9 while
+    * unrelated pairs stay ≤ ~0.6. Gives the corpus genuine near-
+    * duplicates in the regime LSH gating is FOR (τ ≥ 0.9), with the
+    * same arithmetic reproducible in the DuckDB oracle (both engines
+    * sum doubles left-to-right). */
+  private def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("ve"), (x, i) =>
+          x + (TextOps.h64(concat(col("vec_id"), lit("~"), i)) % 2001L
+            - 1000L) / 1e7).as("ve"))
+    base.unionByName(copies)
+  }
+
+  /** Scale-path near-dup: SRP-LSH (12 planes × 4 tables) candidates +
+    * exact re-check at τ=0.9 over the near-copy-augmented corpus.
+    * Settings are recall-1 on this fixture (planted pairs collide in
+    * every table; random pairs prune to ~2⁻¹² per table), and the
+    * oracle IS brute force — a recall regression hash-fails the gate. */
+  def annNearDup(s: SparkSession, d: String): DataFrame =
+    VectorOps.lshNearDup(augmentedEmbeddings(s, d), "vec_id", "ve",
+        threshold = 0.9, planes = 12, tables = 4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+
+  /** Near-dup groups over the LSH-gated pairs — the full scale-path
+    * pipeline (candidates → exact check → connected components). */
+  def embedGroupsLsh(s: SparkSession, d: String): DataFrame =
+    groupsOf(VectorOps.lshNearDup(augmentedEmbeddings(s, d), "vec_id", "ve",
+        threshold = 0.9, planes = 12, tables = 4)
       .select("vec_a", "vec_b"), nodeOut = "vec")
 
   /** SemDeDup over embeddings: 16 coarse lists (lowest-id centroids,

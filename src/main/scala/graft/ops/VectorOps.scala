@@ -54,12 +54,88 @@ object VectorOps {
   }
 
   /** All near-duplicate pairs with cosine ≥ threshold (exact, pairwise;
-    * for scale, run `lshBuckets` first and only pair within buckets). */
+    * for scale, use [[cosineNearDupBlocked]] — same result, distributed
+    * plan — or gate through [[lshNearDup]] when the threshold is high
+    * enough for LSH to prune). */
   def cosineNearDup(df: DataFrame, id: String, vec: String,
                     threshold: Double): DataFrame = {
     val a = withNorm(df, id, vec, "vec_a", "va", "na")
     val b = withNorm(df, id, vec, "vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Exact all-pairs near-dup as a DISTRIBUTED plan: the inequality
+    * self-join above plans as BroadcastNestedLoopJoin (one broadcast
+    * side, quadratic work concentrated per task) — fine at spec scale,
+    * wrong at 100×. Here ids hash into `blocks` buckets and each of
+    * the B(B+1)/2 block PAIRS becomes one equi-join key, so the same
+    * O(n²) dot products spread evenly over B(B+1)/2 shuffle keys with
+    * rows replicated ~B/2× (n·B rows moved, vs n·P for the broadcast
+    * form) and no nested-loop operator anywhere. Exactness is why this
+    * exists: at a low threshold (τ≈0.4, angle 66°) NO oblivious
+    * candidate scheme can prune — measured on this corpus, every
+    * full-recall SRP-LSH setting emits ≥87% of all pairs as candidates
+    * — so the scale answer for low τ is to distribute the exact scan,
+    * not to approximate it. Size `blocks` ≈ √(2·cluster-cores) so the
+    * key count comfortably exceeds the parallelism. Emits each
+    * unordered pair once: a pair in blocks (i ≤ j) materializes only
+    * under key (i,j) — the a-side fans out to keys (blk..B-1), the
+    * b-side to (0..blk), and same-block ties break on id order. */
+  def cosineNearDupBlocked(df: DataFrame, id: String, vec: String,
+                           threshold: Double, blocks: Int = 16): DataFrame = {
+    val base = withNorm(df, id, vec, "vid", "v", "n")
+      .withColumn("blk", pmod(hash(col("vid")), lit(blocks)))
+    val a = base.withColumn("bb",
+        explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("vid").as("id_a"), col("v").as("va"), col("n").as("na"),
+        col("blk").as("ba"), col("bb"))
+    val b = base.withColumn("ba", explode(sequence(lit(0), col("blk"))))
+      .select(col("vid").as("id_b"), col("v").as("vb"), col("n").as("nb"),
+        col("ba"), col("blk").as("bb"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"), col("cos"))
+  }
+
+  /** Sub-quadratic near-dup for HIGH thresholds: multi-table SRP-LSH
+    * bucket equi-join generates candidates, an exact cosine re-check
+    * keeps true pairs — the SemDeDup/dedup regime (τ ≥ ~0.9, near-copy
+    * detection), where colliding 12-bit sign signatures prune random
+    * pairs to ~2⁻¹² per table and candidates run ~0.1% of brute force.
+    * Recall is the standard 1−(1−p^planes)^tables dial — verify it
+    * against [[cosineNearDupBlocked]] on a fixture before trusting new
+    * settings (q_ann_neardup is pinned recall-1 on ours). At τ ≈ 0.4
+    * this degenerates (see [[cosineNearDupBlocked]]): every full-recall
+    * setting is ≈ brute force — use the blocked exact scan instead. */
+  def lshNearDup(df: DataFrame, id: String, vec: String, threshold: Double,
+                 planes: Int, tables: Int): DataFrame = {
+    val base = withNorm(df, id, vec, "vid", "v", "n")
+    val bk = lshBucketsMulti(base, "vid", "v", planes, tables)
+      .repartition(col("tbl"), col("bucket"))
+    val a = bk.select(col("vid").as("id_a"), col("tbl").as("tbl_a"),
+      col("bucket").as("bkt_a"))
+    val b = bk.select(col("vid").as("id_b"), col("tbl").as("tbl_b"),
+      col("bucket").as("bkt_b"))
+    // `<=>` join keys: `===` would infer isnotnull(bucket) filters that
+    // substitute the whole projection expression below the repartition
+    // (the measured IVF/LSH trap); identical repartitions on both sides
+    // let ReuseExchange materialize the signature pipeline once
+    val cand = a.join(b, col("tbl_a") <=> col("tbl_b") &&
+        col("bkt_a") <=> col("bkt_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .distinct() // a pair may collide in several tables
+    val va = base.select(col("vid").as("vec_a"), col("v").as("va"),
+      col("n").as("na"))
+    val vb = base.select(col("vid").as("vec_b"), col("v").as("vb"),
+      col("n").as("nb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")

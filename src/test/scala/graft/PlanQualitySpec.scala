@@ -86,6 +86,30 @@ class PlanQualitySpec extends SparkSpec {
       s"multi-table candidate join degraded:\n$pm")
   }
 
+  test("near-dup plans are distributed: no nested-loop or cartesian join") {
+    // declared exact path: blocked all-pairs = block-pair equi-join
+    for (df <- Seq(DataQueries.cosineNearDup(spark, sf),
+                   DataQueries.embedGroups(spark, sf),
+                   // LSH-gated scale path over the augmented corpus
+                   DataQueries.annNearDup(spark, sf),
+                   DataQueries.embedGroupsLsh(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"near-dup pair generation degraded to a quadratic join:\n$p")
+    }
+  }
+
+  test("blocked exact near-dup equals the reference pairwise scan") {
+    import graft.ops.VectorOps
+    val e = Tables.embeddings(spark, sf)
+    val blocked = VectorOps.cosineNearDupBlocked(e, "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.cosineNearDup(e, "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute && blocked.nonEmpty)
+  }
+
   test("capped-Jaccard pair join is an equi-join on the shingle hash") {
     val p = plan(DataQueries.jaccardCapped(spark, sf))
     assert(!p.contains("CartesianProduct") &&
