@@ -104,6 +104,8 @@ object SparkEntry {
       .orderBy("day")),
     "q_evm_swap"          -> ((s, d) => graft.evm.LogPipeline.swapDecode(s, d)
       .orderBy("tx_hash")),
+    "q_evm_payout"        -> ((s, d) => graft.evm.LogPipeline.payoutDecode(s, d)
+      .orderBy("tx_hash", "pos")),
     // J2: sign → encode → distinct-tx recover → broadcast-join loop;
     // the oracle pins the 5 recovered addresses as literals (the
     // well-known addresses of private keys 1..5)
@@ -1279,6 +1281,14 @@ object SparkEntry {
                 ELSE greatest(CAST(round(value * 100) AS BIGINT), 0) END AS sqrt_price,
            (event_id % 7 = 0) AS overflowed
          FROM events ORDER BY tx_hash""",
+    "q_evm_payout" ->
+      """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
+           '0x' || lpad(printf('%x', user_id), 40, '0') AS to_addr,
+           j - 1 AS pos,
+           greatest(CAST(round(value * 100) AS BIGINT), 0) + j AS amount
+         FROM events, range(1, 4) AS r(j)
+         WHERE j <= event_id % 3 + 1
+         ORDER BY tx_hash, pos""",
     "q_evm_txfrom" ->
       """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
            '0x' || lpad(printf('%x', user_id), 40, '0') AS from_addr,

@@ -36,11 +36,32 @@ object AbiCodec {
   private def word(data: Array[Byte], i: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(data, i * Word, (i + 1) * Word)
 
-  /** True when `t` is head-only (fits one 32-byte word). */
+  /** `T[]` → Some((T, None)); `T[k]` → Some((T, Some(k))); else None. */
+  private val ArrayRe = "^(.*)\\[([0-9]*)\\]$".r
+  def arrayOf(t: String): Option[(String, Option[Int])] = t match {
+    case ArrayRe(elem, "") => Some((elem, None))
+    case ArrayRe(elem, k) => Some((elem, Some(k.toInt)))
+    case _ => None
+  }
+
+  /** True when `t` is head-only (no offset-referenced tail). Per the
+    * public ABI spec: string/bytes/`T[]` are dynamic; `T[k]` inherits
+    * its element's staticness. */
   def isStatic(t: String): Boolean = t match {
     case "string" | "bytes" => false
+    case ArrayRe(elem, "") => false
+    case ArrayRe(elem, _) => isStatic(elem)
     case _ => true
   }
+
+  /** Head width of `t` in 32-byte words: dynamic types hold one offset
+    * word; a static `T[k]` occupies k element-heads in place. */
+  def headWords(t: String): Int =
+    if (!isStatic(t)) 1
+    else arrayOf(t) match {
+      case Some((elem, Some(k))) => k * headWords(elem)
+      case _ => 1
+    }
 
   private val MaxDec38 = new BigInteger("9" * 38)
 
@@ -67,28 +88,68 @@ object AbiCodec {
     }
   }
 
-  /** Decode the non-indexed event payload (`log.Data`) against the given
-    * head types. Static types read in place; dynamic string/bytes follow
-    * the head offset to a length-prefixed tail. Any malformed access
+  /** Decode `count` static elements of `elem` laid out word-aligned
+    * starting at byte offset `base`. */
+  private def staticElems(data: Array[Byte], base: Int, count: Int,
+                          elem: String): Array[Any] = {
+    val ew = headWords(elem)
+    (0 until count).map { j =>
+      val at = base + j * ew * Word
+      arrayOf(elem) match {
+        case Some((inner, Some(k))) => staticElems(data, at, k, inner)
+        case _ => decodeWord(
+          java.util.Arrays.copyOfRange(data, at, at + Word), elem)
+      }
+    }.toArray[Any]
+  }
+
+  /** Decode the non-indexed event payload (`log.Data`) against the
+    * given head types — the full offset/length tail walk of the public
+    * ABI spec (the reference gets this generically from go-ethereum,
+    * parser.go:74-77). Heads advance by `headWords` per field (a static
+    * `T[k]` sits k element-words in place); dynamic string/bytes/`T[]`
+    * follow their head offset to a length-prefixed tail; `T[]`/`T[k]`
+    * of static elements decode to Array[Any]. Any malformed access
     * yields null for that field (P7: malformed rows survive the scan). */
   def decodeData(data: Array[Byte], types: Seq[String]): Array[Any] = {
     val out = new Array[Any](types.length)
     if (data == null) return out
+    var slot = 0 // running head position, in words
     var i = 0
     while (i < types.length) {
+      val t = types(i)
       out(i) =
         try {
-          val t = types(i)
           if (isStatic(t)) {
-            if (data.length < (i + 1) * Word) null else decodeWord(word(data, i), t)
+            if (data.length < (slot + headWords(t)) * Word) null
+            else arrayOf(t) match {
+              case Some((elem, Some(k))) =>
+                staticElems(data, slot * Word, k, elem)
+              case _ => decodeWord(word(data, slot), t)
+            }
           } else {
-            val off = new BigInteger(1, word(data, i)).intValueExact()
-            val len = new BigInteger(1,
-              java.util.Arrays.copyOfRange(data, off, off + Word)).intValueExact()
-            val body = java.util.Arrays.copyOfRange(data, off + Word, off + Word + len)
-            if (t == "string") new String(body, "UTF-8") else "0x" + hex(body)
+            val off = new BigInteger(1, word(data, slot)).intValueExact()
+            arrayOf(t) match {
+              case Some((elem, _)) =>
+                val n = new BigInteger(1,
+                  java.util.Arrays.copyOfRange(data, off, off + Word))
+                  .intValueExact()
+                // bounds check up front so a lying length nulls the
+                // field instead of decoding garbage
+                if (off + Word + n * headWords(elem) * Word > data.length) null
+                else if (!isStatic(elem)) null // string[]/bytes[]: unsupported
+                else staticElems(data, off + Word, n, elem)
+              case None =>
+                val len = new BigInteger(1,
+                  java.util.Arrays.copyOfRange(data, off, off + Word))
+                  .intValueExact()
+                val body = java.util.Arrays.copyOfRange(
+                  data, off + Word, off + Word + len)
+                if (t == "string") new String(body, "UTF-8") else "0x" + hex(body)
+            }
           }
         } catch { case _: Exception => null }
+      slot += headWords(t)
       i += 1
     }
     out
@@ -119,7 +180,45 @@ object AbiCodec {
     w
   }
 
-  /** Encode a static-typed payload (concatenated words). */
-  def encodeData(values: Seq[Any], types: Seq[String]): Array[Byte] =
-    values.zip(types).flatMap { case (v, t) => encodeWord(v, t) }.toArray
+  /** Encode a payload in the full head/tail layout (test/synthesis
+    * helper): static fields in place (fixed arrays as k element words),
+    * dynamic fields as an offset head word plus a length-prefixed tail.
+    * Array values are Seq[Any]; string/bytes take String/Array[Byte]. */
+  def encodeData(values: Seq[Any], types: Seq[String]): Array[Byte] = {
+    val headSize = types.map(headWords(_) * Word).sum
+    val heads = Seq.newBuilder[Array[Byte]]
+    val tails = Seq.newBuilder[Array[Byte]]
+    var tailLen = 0
+    def static(v: Any, t: String): Array[Byte] = arrayOf(t) match {
+      case Some((elem, Some(k))) =>
+        val xs = v.asInstanceOf[Seq[Any]]
+        require(xs.length == k, s"encodeData: $t needs $k elements")
+        xs.flatMap(x => static(x, elem)).toArray
+      case _ => encodeWord(v, t)
+    }
+    values.zip(types).foreach { case (v, t) =>
+      if (isStatic(t)) heads += static(v, t)
+      else {
+        heads += encodeWord(BigInteger.valueOf(headSize.toLong + tailLen), "uint256")
+        val tail: Array[Byte] = arrayOf(t) match {
+          case Some((elem, None)) =>
+            val xs = v.asInstanceOf[Seq[Any]]
+            encodeWord(BigInteger.valueOf(xs.length.toLong), "uint256") ++
+              xs.flatMap(x => static(x, elem))
+          case _ =>
+            val bytes = v match {
+              case s: String if t == "string" => s.getBytes("UTF-8")
+              case b: Array[Byte] => b
+              case s: String => unhex(s)
+            }
+            val pad = new Array[Byte]((Word - bytes.length % Word) % Word)
+            encodeWord(BigInteger.valueOf(bytes.length.toLong), "uint256") ++
+              bytes ++ pad
+        }
+        tails += tail
+        tailLen += tail.length
+      }
+    }
+    (heads.result() ++ tails.result()).flatten.toArray
+  }
 }

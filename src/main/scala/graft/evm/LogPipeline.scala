@@ -237,6 +237,41 @@ object LogPipeline {
         col("sqrt_price").isNull.as("overflowed"))
   }
 
+  /** Dynamic-array decode roundtrip: `Payout(address to, uint256[]
+    * amounts)` — a static head word, then an offset word into a
+    * length-prefixed tail whose length VARIES per row (1..3 by
+    * event_id % 3). Logs are synthesized columnar from `events`
+    * (amounts_j = cents + j), decoded through the full tail walk in
+    * `AbiCodec.decodeData`, and exploded one row per element; the
+    * oracle recomputes every (pos, amount) from `events` directly, so
+    * a pass proves offsets, lengths and element order survive the
+    * encode → decode loop. */
+  def payoutDecode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = AbiSchema.Event("Payout", Seq(
+      AbiSchema.Param("to", "address", indexed = false),
+      AbiSchema.Param("amounts", "uint256[]", indexed = false)))
+    val cents = greatest(round(col("value") * 100).cast("long"), lit(0L))
+    val n = pmod(col("event_id"), lit(3)) + 1
+    val toWord = lpad(lower(hex(col("user_id"))), 64, "0")
+    val offWord = lpad(lit("40"), 64, "0") // tail starts after 2 head words
+    val lenWord = lpad(lower(hex(n)), 64, "0")
+    val amtWords = array_join(
+      transform(sequence(lit(1), n), j => lpad(lower(hex(cents + j)), 64, "0")), "")
+    val logs = graft.Tables.events(spark, dir).select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      expr("event_id div 10").cast("long").as("block_number"),
+      lit("0x" + "4" * 40).as("address"),
+      lit(ev.topic0).as("topic0"),
+      lit(null).cast("binary").as("topic1"),
+      lit(null).cast("binary").as("topic2"),
+      unhex(concat(toWord, offWord, lenWord, amtWords)).as("data"),
+      col("ts"))
+    decodeEvent(logs, ev, "Rewards", "1")
+      .select(col("tx_hash"), col("to").as("to_addr"),
+        posexplode(col("amounts")).as(Seq("pos", "amount")))
+      .withColumn("amount", col("amount").cast("long"))
+  }
+
   /** Daily transfer volume: the §7.2 flagship slice — decode, enrich,
     * date_trunc aggregate. Malformed payloads (null value) are dropped
     * and counted separately upstream (P7). */

@@ -105,24 +105,31 @@ case class AbiDecodeDataExpr(left: Expression, right: Expression)
   private lazy val types: Seq[String] =
     right.eval(null).asInstanceOf[UTF8String].toString.split(",").map(_.trim).toSeq
 
-  private def fieldType(t: String): DataType = t match {
-    case x if x.startsWith("uint") || x.startsWith("int") => DecimalType(38, 0)
-    case "bool" => BooleanType
-    case _ => StringType
+  private def fieldType(t: String): DataType = AbiCodec.arrayOf(t) match {
+    case Some((elem, _)) => ArrayType(fieldType(elem))
+    case None => t match {
+      case x if x.startsWith("uint") || x.startsWith("int") => DecimalType(38, 0)
+      case "bool" => BooleanType
+      case _ => StringType
+    }
   }
 
   override lazy val dataType: DataType = StructType(
     types.zipWithIndex.map { case (t, i) => StructField(s"arg$i", fieldType(t)) })
 
+  private def convert(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case bd: java.math.BigDecimal => Decimal(bd, 38, 0)
+    case arr: Array[Any] =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr.map(convert))
+    case o => o
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val d = left.eval(input)
     if (d == null) return null
-    val vals = AbiCodec.decodeData(d.asInstanceOf[Array[Byte]], types).map {
-      case null => null
-      case s: String => UTF8String.fromString(s)
-      case bd: java.math.BigDecimal => Decimal(bd, 38, 0)
-      case o => o
-    }
+    val vals = AbiCodec.decodeData(d.asInstanceOf[Array[Byte]], types).map(convert)
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.toIndexedSeq)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

@@ -65,6 +65,50 @@ class EvmSpec extends AnyFunSuite {
     assert(out.forall(_ == null))
   }
 
+  test("dynamic arrays: T[] offset/length tail walk round-trips") {
+    def dec(v: Any): Long = v.asInstanceOf[java.math.BigDecimal].longValueExact()
+    // (uint256[]=[1,2,3], address, int256[]=[-5]) — two tails, one static between
+    val amounts = Seq(BigInteger.valueOf(1), BigInteger.valueOf(2), BigInteger.valueOf(3))
+    val addr = "0x00000000000000000000000000000000000000aa"
+    val negs = Seq(BigInteger.valueOf(-5))
+    val data = AbiCodec.encodeData(Seq(amounts, addr, negs),
+      Seq("uint256[]", "address", "int256[]"))
+    val out = AbiCodec.decodeData(data, Seq("uint256[]", "address", "int256[]"))
+    assert(out(0).asInstanceOf[Array[Any]].map(dec).toSeq == Seq(1L, 2L, 3L))
+    assert(out(1) == addr)
+    assert(out(2).asInstanceOf[Array[Any]].map(dec).toSeq == Seq(-5L))
+    // empty array decodes to an empty array, not null
+    val empty = AbiCodec.encodeData(Seq(Seq.empty[Any]), Seq("uint256[]"))
+    assert(AbiCodec.decodeData(empty, Seq("uint256[]"))(0)
+      .asInstanceOf[Array[Any]].isEmpty)
+  }
+
+  test("fixed arrays T[k] decode in place; heads advance by k words") {
+    def dec(v: Any): Long = v.asInstanceOf[java.math.BigDecimal].longValueExact()
+    // (int256[2], uint256): 3 head words total, no tail
+    val data = AbiCodec.encodeData(
+      Seq(Seq(BigInteger.valueOf(10), BigInteger.valueOf(-20)), BigInteger.valueOf(7)),
+      Seq("int256[2]", "uint256"))
+    assert(data.length == 3 * 32)
+    val out = AbiCodec.decodeData(data, Seq("int256[2]", "uint256"))
+    assert(out(0).asInstanceOf[Array[Any]].map(dec).toSeq == Seq(10L, -20L))
+    assert(dec(out(1)) == 7L)
+  }
+
+  test("address[] / bytes32-element arrays and lying lengths") {
+    val addrs = Seq("0x" + "1" * 40, "0x" + "2" * 40)
+    val data = AbiCodec.encodeData(Seq(addrs), Seq("address[]"))
+    val out = AbiCodec.decodeData(data, Seq("address[]"))
+    assert(out(0).asInstanceOf[Array[Any]].toSeq == addrs)
+    // a length word claiming more elements than the payload holds nulls
+    // the field instead of decoding garbage (P7)
+    val lying = data.clone()
+    lying(63) = 0x7f // length word (second word of the tail head) → 127
+    assert(AbiCodec.decodeData(lying, Seq("address[]"))(0) == null)
+    // string[] (dynamic elements) is out of decode scope → null field
+    assert(AbiCodec.decodeData(data, Seq("string[]"))(0) == null)
+  }
+
   test("ABI JSON → event schema, signature, topic0") {
     val json =
       """[{"type":"event","name":"Transfer","anonymous":false,"inputs":[
