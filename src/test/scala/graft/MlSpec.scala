@@ -38,6 +38,35 @@ class MlSpec extends SparkSpec {
     assert(s.forall(r => Set("LONG", "NO TRADE").contains(r.getString(4))))
   }
 
+  test("metrics pinned at sf0.01: regressions cannot hide behind no_oracle") {
+    // q_ml_train_eval / q_ml_signals are rows-only at the driver gate
+    // (model-dependent — no SQL oracle); these pins are the recorded
+    // 2026-08-13 run at sf0.01, tolerance 1e-6, so any change in the
+    // feature chain, split, scaling or fit shows up here instead of
+    // slipping through.
+    val d = "/root/testdata/sf0.01"
+    val m = MlPipeline.trainEval(spark, d).head()
+    assert(m.getLong(0) == 1639L && m.getLong(1) == 703L)
+    assert(math.abs(m.getDouble(2) - 0.9928876244665719) < 1e-6, s"accuracy ${m.getDouble(2)}")
+    assert(math.abs(m.getDouble(3) - 0.9326647564469914) < 1e-6, s"auc ${m.getDouble(3)}")
+    assert(math.abs(m.getDouble(4) - 0.9871873093349604) < 1e-6, s"base rate ${m.getDouble(4)}")
+    val pinned = Map( // event_type -> (prob, devdt, signal)
+      "click"    -> (0.999986, -76.869904, "LONG"),
+      "error"    -> (0.999995, -72.538221, "LONG"),
+      "purchase" -> (0.979357, -2.081147, "LONG"),
+      "signup"   -> (0.999745, -69.058502, "LONG"),
+      "view"     -> (0.912427, -4.234161, "LONG"))
+    val got = MlPipeline.nowSignals(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == pinned.keySet)
+    for ((k, (p, dv, s)) <- pinned) {
+      val (gp, gdv, gs) = got(k)
+      assert(math.abs(gp - p) < 2e-6 && math.abs(gdv - dv) < 2e-6 && gs == s,
+        s"$k: got ($gp, $gdv, $gs), pinned ($p, $dv, $s)")
+    }
+  }
+
   test("fitted-model LRU eviction releases executor storage") {
     // cap 1: the second fit must evict (and unpersist) the first.
     // Each fit persists ~4 blocks (ds/train/test frames + the sorted
