@@ -1,13 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Ad-hoc profiling harness (not part of the driver contract).
-  * Current mode: stage timing of the n-gram Jaccard pair pipeline —
-  * fingerprint/explode vs candidate join vs pair aggregation — plus an
-  * alternative combinations-based generator, to decide whether the
-  * self-join is worth replacing.
+  * Current mode: stage timing of the q_evm_payout roundtrip — hex
+  * synthesis vs ABI array decode vs explode/order tail — to find the
+  * 6.4 s (sf0.1) bottleneck.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -19,43 +17,43 @@ object Scratch {
       println(f"[scratch] $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
     }
     SparkEntry.entry(spark).count() // warm
-    val docs = Tables.documents(spark, d)
-    val arr = docs.select(col("doc_id").as("doc"),
-      graft.ops.TextOps.shingleHashes(col("text"), 3).as("arr"))
-    val exploded = arr.select(col("doc"), size(col("arr")).as("sz"),
-      explode(col("arr")).as("s"))
-    time("fingerprint+explode")(exploded.count())
-    val byShingle = exploded.repartition(col("s"))
-    val a = byShingle.toDF("doc_a", "sz_a", "s")
-    val b = byShingle.toDF("doc_b", "sz_b", "s")
-    val joined = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-    time("candidate join")(joined.count())
-    val agg = joined.groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
-        first(col("sz_b")).as("sz_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= 0.1)
-    time("full join path")(agg.count())
-    time("full join path again")(agg.count())
-
-    // alternative: per-shingle doc-list combinations, pairs emitted
-    // map-side after ONE groupBy on the shingle
-    val lists = exploded.groupBy("s")
-      .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = lists.select(explode(flatten(
-        expr("transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x.doc AS doc_a, x.sz AS sz_a, y.doc AS doc_b, y.sz AS sz_b)))")
-      )).as("p"))
-      .select(col("p.doc_a"), col("p.sz_a"), col("p.doc_b"), col("p.sz_b"))
-    val agg2 = pairs.groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
-        first(col("sz_b")).as("sz_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= 0.1)
-    time("combinations path")(agg2.count())
-    time("combinations path again")(agg2.count())
+    SparkEntry.queries("q_evm_payout")(spark, d).count() // warm codegen
+    import graft.evm.{AbiSchema, LogPipeline}
+    val ev = AbiSchema.Event("Payout", Seq(
+      AbiSchema.Param("to", "address", indexed = false),
+      AbiSchema.Param("amounts", "uint256[]", indexed = false)))
+    val cents = greatest(round(col("value") * 100).cast("long"), lit(0L))
+    val n = pmod(col("event_id"), lit(3)) + 1
+    val amtWords = array_join(
+      transform(sequence(lit(1), n), j => lpad(lower(hex(cents + j)), 64, "0")), "")
+    val logs = graft.Tables.events(spark, d).select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      expr("event_id div 10").cast("long").as("block_number"),
+      lit("0x" + "4" * 40).as("address"),
+      lit(ev.topic0).as("topic0"),
+      lit(null).cast("binary").as("topic1"),
+      lit(null).cast("binary").as("topic2"),
+      unhex(concat(lpad(lower(hex(col("user_id"))), 64, "0"),
+        lpad(lit("40"), 64, "0"), lpad(lower(hex(n)), 64, "0"), amtWords)).as("data"),
+      col("ts"))
+    time("synthesis only")(logs.count())
+    time("synthesis only again")(logs.count())
+    val decoded = LogPipeline.decodeEvent(logs, ev, "Rewards", "1")
+    time("+ decodeEvent")(decoded.count())
+    time("decode forced (agg all cols)")(
+      decoded.agg(sum(size(col("amounts"))) + max(length(col("to")))
+        + max(length(col("data_hex")))).count())
+    time("decode forced minus data_hex")(
+      decoded.drop("data_hex").agg(sum(size(col("amounts"))) + max(length(col("to")))).count())
+    time("decode amounts only")(
+      decoded.agg(sum(size(col("amounts")))).count())
+    val expl = decoded.select(col("tx_hash"), col("to").as("to_addr"),
+      posexplode(col("amounts")).as(Seq("pos", "amount")))
+      .withColumn("amount", col("amount").cast("long"))
+    println(expl.queryExecution.executedPlan.toString.take(4000))
+    time("+ posexplode")(expl.count())
+    time("+ orderBy (full query)")(expl.orderBy("tx_hash", "pos").count())
+    time("full again")(SparkEntry.queries("q_evm_payout")(spark, d).count())
     spark.stop()
   }
 }
