@@ -33,16 +33,27 @@ object Indexer {
       .withColumn("topic3", unhex(col("topic3")))
       .withColumn("data", unhex(col("data")))
 
+  /** An `http(s)://` source is a live JSON-RPC endpoint (one
+    * eth_getLogs per chunk, retry per job config); anything else is a
+    * dump directory to replay. The scan/pushdown plan is identical. */
+  private def sourceOptions(r: org.apache.spark.sql.DataFrameReader,
+                            source: String, job: Config.Job) =
+    if (source.startsWith("http://") || source.startsWith("https://"))
+      r.option("url", source)
+        .option("rpcAttempts", job.retry.attempts)
+        .option("rpcDelayMs", job.retry.delayMs)
+    else r.option("path", source)
+
   /** `txs`: optional transaction-signature dimension (`tx_hash`,
     * `msg_hash`, `sig_r`, `sig_s`, `rec_id`). When present, every
     * decoded row is stamped with the recovered `tx_from` — the
     * reference's per-event sender enrichment (parser.go:152-159) in
     * the distinct-tx → recover-once → broadcast-join form (J2). */
-  def run(spark: SparkSession, job: Config.Job, dumpPath: String,
+  def run(spark: SparkSession, job: Config.Job, source: String,
           endBlock: Long, outDir: String, chainId: String = "1",
           txs: Option[DataFrame] = None): Seq[EventCount] = {
-    val logs = spark.read.format("graft.evm.LogSourceProvider")
-      .option("path", dumpPath)
+    val logs = sourceOptions(
+        spark.read.format("graft.evm.LogSourceProvider"), source, job)
       .option("startBlock", job.startBlock)
       .option("endBlock", endBlock)
       .option("chunkSize", job.chunkSize)

@@ -86,6 +86,46 @@ class IndexerSpec extends SparkSpec {
     assert(again.count() == counts.values.sum)
   }
 
+  test("CLI: --config load, relative ABI resolve, tip probe, counts (§3.1)") {
+    val dump = Files.createTempDirectory("cli_dump").toString
+    LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+      .coalesce(1).write.mode("overwrite").json(dump)
+    val out = Files.createTempDirectory("cli_out").toString
+    val confDir = Files.createTempDirectory("cli_conf")
+    Files.write(confDir.resolve("token.json"), tokenAbi.getBytes("UTF-8"))
+    val cliYaml =
+      s"""rpc_url: "$dump"
+         |start_block: 0
+         |chunk_size: 25
+         |contracts:
+         |  - name: "TokenA"
+         |    address: "${addr(0)}"
+         |    abi: "token.json"
+         |    events: ["Transfer"]
+         |storage:
+         |  type: "csv"
+         |  csv:
+         |    output_dir: "$out"
+         |""".stripMargin
+    val confPath = confDir.resolve("config.yaml")
+    Files.write(confPath, cliYaml.getBytes("UTF-8"))
+
+    // no --end-block → tip probed from the dump (block 99)
+    val counts = graft.IndexerMain.run(spark, Array("--config", confPath.toString))
+    assert(counts.map(c => (c.contract, c.event)) == Seq(("TokenA", "Transfer")))
+    assert(counts.head.rows > 0)
+    val back = spark.read.option("header", "true").option("basePath", out).csv(out)
+    assert(back.count() == counts.head.rows)
+
+    // --end-block bounds the scan below the tip
+    val bounded = graft.IndexerMain.run(spark,
+      Array(s"--config=${confPath}", "--end-block=49"))
+    assert(bounded.head.rows < counts.head.rows && bounded.head.rows > 0)
+  }
+
   test("tx_from enrichment: distinct-tx recover-once, stamped on every row (J2)") {
     val dump = Files.createTempDirectory("idx_txf").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
