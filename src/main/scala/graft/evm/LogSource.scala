@@ -223,24 +223,16 @@ class LogMicroBatchStream(props: Map[String, String],
     case DumpEndpoint(path) => dumpTip(path)
   }
 
+  /** Max block over the dump via the per-file index — unchanged files
+    * cost a cache hit, so the per-trigger poll only re-reads files
+    * that appeared or changed since the last trigger. */
   private def dumpTip(path: String): Long = {
     val dir = new java.io.File(path)
     val fs = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".")
         && !f.getName.startsWith("_"))
-    var mx = startBlock - 1
-    for (f <- fs) {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().foreach { line =>
-        if (line.nonEmpty) {
-          // malformed lines don't stall the height probe (P7)
-          val b = try mapper.readTree(line).path("block_number").asLong(Long.MinValue)
-                  catch { case _: com.fasterxml.jackson.core.JacksonException => Long.MinValue }
-          if (b > mx) mx = b
-        }
-      } finally src.close()
-    }
-    mx
+    fs.flatMap(f => DumpIndex.blockRange(f).map(_._2))
+      .foldLeft(startBlock - 1)(math.max)
   }
 
   override def initialOffset(): Offset = LogOffset(startBlock - 1)
@@ -322,6 +314,48 @@ class RpcPartitionReader(cfg: RpcConfig, part: LogRangePartition,
   override def close(): Unit = ()
 }
 
+/** Executor-side per-file block-range index for dump replay: each dump
+  * file is scanned ONCE per JVM (keyed by path + mtime + size, so an
+  * appended/rewritten file re-indexes) to learn its [min, max] block
+  * span; partition readers then skip files that cannot intersect their
+  * window. Replay cost drops from O(partitions × dump bytes) to
+  * O(dump bytes + Σ intersecting reads) — the live RPC path needs none
+  * of this (one ranged call per window). */
+private[graft] object DumpIndex {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Option[(Long, Long)]]()
+  /** Files scanned for indexing (test observability). */
+  val scans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def blockRange(f: java.io.File): Option[(Long, Long)] =
+    cache.computeIfAbsent((f.getAbsolutePath, f.lastModified(), f.length()),
+      _ => scan(f))
+
+  private def scan(f: java.io.File): Option[(Long, Long)] = {
+    scans.incrementAndGet()
+    val mapper = new ObjectMapper()
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().foreach { line =>
+      if (line.nonEmpty) {
+        // malformed lines don't poison the index (P7)
+        val b = try {
+          val n = mapper.readTree(line)
+          if (n != null && n.isObject && n.has("block_number"))
+            n.path("block_number").asLong(Long.MinValue)
+          else Long.MinValue
+        } catch {
+          case _: com.fasterxml.jackson.core.JacksonException => Long.MinValue
+        }
+        if (b != Long.MinValue) { if (b < lo) lo = b; if (b > hi) hi = b }
+      }
+    } finally src.close()
+    if (lo == Long.MaxValue) None else Some((lo, hi))
+  }
+}
+
 /** Replays JSON-lines dumps for one block window, applying the pushed
   * address/topic0 sets — exactly what the node does for one
   * `eth_getLogs(fromBlock, toBlock, {address, topics})` call. */
@@ -336,6 +370,11 @@ class LogPartitionReader(path: String, part: LogRangePartition,
       .filter(f => f.isFile && !f.getName.startsWith(".")
         && !f.getName.startsWith("_"))
     fs.sortBy(_.getName).iterator
+      // block-range pruning via the per-JVM file index: only files
+      // whose span intersects this partition's window are opened
+      .filter(f => DumpIndex.blockRange(f).exists { case (lo, hi) =>
+        lo <= part.toBlock && hi >= part.fromBlock
+      })
   }
   private var lines: Iterator[String] = Iterator.empty
   private var source: scala.io.Source = null

@@ -82,6 +82,42 @@ class LogSourceSpec extends SparkSpec {
     assert(blocks.head >= 10 && blocks.last <= 19 && blocks.nonEmpty)
   }
 
+  test("dump file index: one scan per file, non-intersecting files pruned") {
+    import graft.evm.DumpIndex
+    // dump split into 10 per-decade files — the layout a chunked
+    // exporter writes — so each 10-block partition intersects ONE file
+    val dir = Files.createTempDirectory("evm_logs_split").toString
+    val full = LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+    for (dec <- 0 until 10)
+      full.filter(col("block_number").between(dec * 10, dec * 10 + 9))
+        .coalesce(1).write.mode("overwrite").json(s"$dir/part$dec")
+    // flatten: move each part file up as decade-named json
+    for (dec <- 0 until 10) {
+      val src = new java.io.File(s"$dir/part$dec").listFiles()
+        .find(f => f.getName.endsWith(".json")).get
+      Files.move(src.toPath, java.nio.file.Paths.get(dir, f"d$dec%02d.json"))
+      val pd = new java.io.File(s"$dir/part$dec")
+      pd.listFiles().foreach(_.delete())
+      pd.delete()
+    }
+    val before = DumpIndex.scans.get()
+    val df = read(dir, chunk = 10)
+    assert(df.count() == 1000) // pruning loses nothing
+    val scanned = DumpIndex.scans.get() - before
+    // 10 files indexed once each (not once per partition); local[2]
+    // JVMs share the cache, so the count is exactly the file count
+    assert(scanned == 10, s"expected 10 index scans, got $scanned")
+    // per-file ranges are tight
+    assert(DumpIndex.blockRange(new java.io.File(s"$dir/d03.json"))
+      .contains((30L, 39L)))
+    // a second read re-scans nothing
+    assert(read(dir, chunk = 10).count() == 1000)
+    assert(DumpIndex.scans.get() - before == 10)
+  }
+
   test("streaming: chain-tip following emits only new blocks per trigger") {
     val dir = dumpDir
     val stream = spark.readStream.format("graft.evm.LogSourceProvider")
