@@ -143,6 +143,30 @@ object LogPipeline {
     rows.join(broadcast(senders), Seq("tx_hash"), "left")
   }
 
+  /** Live J2: the reference's `TransactionByHash` → `types.Sender`
+    * loop (parser.go:152-159), distributed. Distinct tx hashes fan out
+    * over partitions; each partition owns one RPC client and issues
+    * one `eth_getTransactionByHash` per tx, recovers the sender from
+    * the legacy RLP sighash (TxSender), and the resulting small
+    * (tx_hash, tx_from) dimension broadcast-joins back in
+    * [[attachTxFrom]]-style. `mapPartitions` is the honest tool here —
+    * per-row RPC is the reference's own access pattern, and the
+    * distinct projection bounds it to one call per transaction. */
+  def rpcTxSenders(txHashes: DataFrame, cfg: RpcConfig): DataFrame = {
+    val spark = txHashes.sparkSession
+    import spark.implicits._
+    txHashes.select(col("tx_hash").cast("string")).distinct().as[String]
+      .mapPartitions { it =>
+        val cli = new RpcClient(cfg)
+        it.map(h => (h, cli.getTransaction(h).map(TxSender.sender).orNull))
+      }.toDF("tx_hash", "tx_from")
+  }
+
+  /** Stamp tx_from on decoded rows straight from a live endpoint. */
+  def attachTxFromRpc(rows: DataFrame, cfg: RpcConfig): DataFrame =
+    rows.join(broadcast(rpcTxSenders(rows.select("tx_hash"), cfg)),
+      Seq("tx_hash"), "left")
+
   /** Deterministic signature synthesis for the fixture: five tiny
     * well-known private keys (1..5); each tx signs one of five fixed
     * messages chosen by `event_id % 5`. Only the 5 (msg, key) pairs are

@@ -109,6 +109,40 @@ class RpcClient(cfg: RpcConfig) {
     hexQty(res.path("timestamp"))
   }
 
+  private def hexBig(n: JsonNode): java.math.BigInteger = {
+    val s = n.asText("0x0")
+    val t = if (s.startsWith("0x") || s.startsWith("0X")) s.drop(2) else s
+    if (t.isEmpty) java.math.BigInteger.ZERO else new java.math.BigInteger(t, 16)
+  }
+  private def hexBytes(n: JsonNode): Array[Byte] = {
+    if (n.isMissingNode || n.isNull) return Array.empty
+    val s = n.asText("")
+    val t = if (s.startsWith("0x") || s.startsWith("0X")) s.drop(2) else s
+    if (t.isEmpty) Array.empty
+    else t.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** J2 live: `eth_getTransactionByHash` → the signature-relevant
+    * fields (`internal/parser/parser.go:153` fetches the full tx for
+    * exactly this). None for an unknown hash. */
+  def getTransaction(txHash: String): Option[TxSender.Tx] =
+    withRetries("eth_getTransactionByHash") {
+      val params = mapper.createArrayNode()
+      params.add(txHash)
+      val res = call("eth_getTransactionByHash", params)
+      if (res == null || res.isNull || res.isMissingNode) None
+      else Some(TxSender.Tx(
+        nonce = hexBig(res.path("nonce")),
+        gasPrice = hexBig(res.path("gasPrice")),
+        gas = hexBig(res.path("gas")),
+        to = hexBytes(res.path("to")),
+        value = hexBig(res.path("value")),
+        input = hexBytes(res.path("input")),
+        v = hexBig(res.path("v")),
+        r = hexBig(res.path("r")),
+        s = hexBig(res.path("s"))))
+    }
+
   /** S1/P1 live: one `eth_getLogs(fromBlock, toBlock, {address,
     * topics})` window. The pushed address/topic0 predicates travel in
     * the filter object — the node evaluates them, exactly the

@@ -23,7 +23,8 @@ class RpcSpec extends SparkSpec {
     * fixed log book, records every received request (so specs can
     * assert what the pushdown actually sent), and can fail the first N
     * requests with HTTP 500 to exercise the retry loop. */
-  private class StubNode(book: Seq[Entry]) {
+  private class StubNode(book: Seq[Entry],
+                         txBook: Map[String, String] = Map.empty) {
     private val mapper = new ObjectMapper()
     val received = mutable.ArrayBuffer.empty[JsonNode] // sync'd below
     val failFirst = new AtomicInteger(0)
@@ -79,6 +80,12 @@ class RpcSpec extends SparkSpec {
                 arr.add(o)
               }
             resp.set[JsonNode]("result", arr)
+          case "eth_getTransactionByHash" =>
+            val h = req.path("params").path(0).asText()
+            txBook.get(h) match {
+              case Some(txJson) => resp.set[JsonNode]("result", mapper.readTree(txJson))
+              case None => resp.putNull("result") // unknown tx → null result
+            }
           case m =>
             val err = mapper.createObjectNode()
             err.put("code", -32601); err.put("message", s"unknown method $m")
@@ -175,6 +182,52 @@ class RpcSpec extends SparkSpec {
           f.path("address").path(0).asText() == "0x" + "0" * 40
       }, "every eth_getLogs call must carry the pushed filter")
     }
+  }
+
+  test("live tx_from: getTransactionByHash → RLP sighash → recover (J2 live)") {
+    import graft.evm.{Secp256k1, TxSender}
+    import java.math.BigInteger
+    val chainId = BigInteger.ONE
+    val hashes = book.map(_.txHash).distinct.take(10)
+    def privOf(i: Int) = BigInteger.valueOf(i % 5 + 1L)
+    val txBook = hashes.zipWithIndex.map { case (h, i) =>
+      val tx0 = TxSender.Tx(
+        nonce = BigInteger.valueOf(i.toLong),
+        gasPrice = BigInteger.valueOf(1000000000L),
+        gas = BigInteger.valueOf(21000),
+        to = ("35" * 20).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        value = BigInteger.valueOf(1000L + i), input = Array.empty,
+        v = BigInteger.ZERO, r = BigInteger.ZERO, s = BigInteger.ZERO)
+      val (r, s, recId) = Secp256k1.sign(TxSender.sighash(tx0, Some(chainId)),
+        privOf(i), BigInteger.valueOf(777001L + i))
+      val v = chainId.multiply(BigInteger.TWO).add(BigInteger.valueOf(35L + recId))
+      h -> s"""{"hash":"$h","nonce":"0x${tx0.nonce.toString(16)}",
+               "gasPrice":"0x${tx0.gasPrice.toString(16)}","gas":"0x5208",
+               "to":"0x${"35" * 20}","value":"0x${tx0.value.toString(16)}",
+               "input":"0x","v":"0x${v.toString(16)}",
+               "r":"0x${r.toString(16)}","s":"0x${s.toString(16)}"}"""
+    }.toMap
+    val expected = hashes.zipWithIndex.map { case (h, i) =>
+      h -> Secp256k1.address(Secp256k1.mul(privOf(i), Secp256k1.G).get)
+    }.toMap
+    val node = new StubNode(book, txBook)
+    try {
+      import org.apache.spark.sql.functions.col
+      val in = spark.createDataFrame(
+        (hashes :+ "0xmissing").map(Tuple1(_))).toDF("tx_hash")
+      val got = graft.evm.LogPipeline.rpcTxSenders(in,
+          RpcConfig(node.url, delayMs = 0))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got.size == hashes.size + 1)
+      hashes.foreach(h => assert(got(h) == expected(h), s"tx $h"))
+      assert(got("0xmissing") == null) // unknown tx → null, best-effort
+      // and the join-back stamps rows (null where the node has no tx)
+      val rows = spark.createDataFrame(
+        hashes.map(h => (h, 1)) :+ (("0xmissing", 2))).toDF("tx_hash", "x")
+      val stamped = graft.evm.LogPipeline.attachTxFromRpc(rows,
+        RpcConfig(node.url, delayMs = 0))
+      assert(stamped.filter(col("tx_from").isNotNull).count() == hashes.size)
+    } finally node.stop()
   }
 
   test("absent endBlock resolves via eth_blockNumber at plan time (S2)") {
