@@ -3,9 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc profiling harness (not part of the driver contract).
-  * Current mode: stage timing of the q_evm_payout roundtrip — hex
-  * synthesis vs ABI array decode vs explode/order tail — to find the
-  * 6.4 s (sf0.1) bottleneck.
+  * Current mode: stage timing of the LSH near-dup scale path
+  * (augment → buckets → candidate join → re-check) at sf0.1.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -17,43 +16,24 @@ object Scratch {
       println(f"[scratch] $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
     }
     SparkEntry.entry(spark).count() // warm
-    SparkEntry.queries("q_evm_payout")(spark, d).count() // warm codegen
-    import graft.evm.{AbiSchema, LogPipeline}
-    val ev = AbiSchema.Event("Payout", Seq(
-      AbiSchema.Param("to", "address", indexed = false),
-      AbiSchema.Param("amounts", "uint256[]", indexed = false)))
-    val cents = greatest(round(col("value") * 100).cast("long"), lit(0L))
-    val n = pmod(col("event_id"), lit(3)) + 1
-    val amtWords = array_join(
-      transform(sequence(lit(1), n), j => lpad(lower(hex(cents + j)), 64, "0")), "")
-    val logs = graft.Tables.events(spark, d).select(
-      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
-      expr("event_id div 10").cast("long").as("block_number"),
-      lit("0x" + "4" * 40).as("address"),
-      lit(ev.topic0).as("topic0"),
-      lit(null).cast("binary").as("topic1"),
-      lit(null).cast("binary").as("topic2"),
-      unhex(concat(lpad(lower(hex(col("user_id"))), 64, "0"),
-        lpad(lit("40"), 64, "0"), lpad(lower(hex(n)), 64, "0"), amtWords)).as("data"),
-      col("ts"))
-    time("synthesis only")(logs.count())
-    time("synthesis only again")(logs.count())
-    val decoded = LogPipeline.decodeEvent(logs, ev, "Rewards", "1")
-    time("+ decodeEvent")(decoded.count())
-    time("decode forced (agg all cols)")(
-      decoded.agg(sum(size(col("amounts"))) + max(length(col("to")))
-        + max(length(col("data_hex")))).count())
-    time("decode forced minus data_hex")(
-      decoded.drop("data_hex").agg(sum(size(col("amounts"))) + max(length(col("to")))).count())
-    time("decode amounts only")(
-      decoded.agg(sum(size(col("amounts")))).count())
-    val expl = decoded.select(col("tx_hash"), col("to").as("to_addr"),
-      posexplode(col("amounts")).as(Seq("pos", "amount")))
-      .withColumn("amount", col("amount").cast("long"))
-    println(expl.queryExecution.executedPlan.toString.take(4000))
-    time("+ posexplode")(expl.count())
-    time("+ orderBy (full query)")(expl.orderBy("tx_hash", "pos").count())
-    time("full again")(SparkEntry.queries("q_evm_payout")(spark, d).count())
+    SparkEntry.queries("q_ann_neardup")(spark, d).count() // warm codegen
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("ve"), (x, i) =>
+          x + (graft.ops.TextOps.h64(concat(col("vec_id"), lit("~"), i)) % 2001L
+            - 1000L) / 1e7).as("ve"))
+    val aug = base.unionByName(copies)
+    time("augment only")(aug.count())
+    time("augment forced")(aug.agg(sum(size(col("ve")))).count())
+    val bk = graft.ops.VectorOps.lshBucketsMulti(aug, "vec_id", "ve", 12, 4)
+    time("buckets")(bk.count())
+    time("buckets again")(bk.count())
+    val nd = graft.ops.VectorOps.lshNearDup(aug, "vec_id", "ve", 0.9, 12, 4)
+    time("full lshNearDup")(nd.count())
+    time("full lshNearDup again")(nd.count())
+    time("query (with round/order)")(SparkEntry.queries("q_ann_neardup")(spark, d).count())
     spark.stop()
   }
 }

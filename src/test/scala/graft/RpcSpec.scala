@@ -230,6 +230,30 @@ class RpcSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("streaming over RPC: tip via eth_blockNumber, windows via eth_getLogs") {
+    withNode { node =>
+      val stream = spark.readStream.format("graft.evm.LogSourceProvider")
+        .option("url", node.url).option("rpcDelayMs", "0")
+        .option("startBlock", 0).option("chunkSize", 10)
+        .option("maxBlocksPerTrigger", 40).load()
+      val query = stream.writeStream.format("memory")
+        .queryName("rpc_tip_follow").outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        val got = spark.table("rpc_tip_follow")
+        assert(got.count() == book.size)
+        assert(got.agg(org.apache.spark.sql.functions.max("block_number"))
+          .head().getLong(0) == 99L)
+        // the stream really planned ranged eth_getLogs windows
+        val reqs = node.logsRequests
+        assert(reqs.nonEmpty && reqs.forall { r =>
+          val f = r.path("params").path(0)
+          f.has("fromBlock") && f.has("toBlock")
+        })
+      } finally query.stop()
+    }
+  }
+
   test("absent endBlock resolves via eth_blockNumber at plan time (S2)") {
     withNode { node =>
       assert(graft.evm.LogSource.latestBlock(
