@@ -65,6 +65,7 @@ object SparkEntry {
     "q_len_quantiles"     -> ((s, d) => DataQueries.lenQuantiles(s, d)),
     "q_tfidf"             -> ((s, d) => DataQueries.tfidf(s, d)),
     "q_pack_bins"         -> ((s, d) => DataQueries.packBins(s, d)),
+    "q_pack_shards"       -> ((s, d) => DataQueries.packBinsSharded(s, d)),
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
     "q_source_overlap"    -> ((s, d) => DataQueries.sourceOverlap(s, d)),
@@ -105,6 +106,8 @@ object SparkEntry {
     "q_evm_swap"          -> ((s, d) => graft.evm.LogPipeline.swapDecode(s, d)
       .orderBy("tx_hash")),
     "q_evm_payout"        -> ((s, d) => graft.evm.LogPipeline.payoutDecode(s, d)
+      .orderBy("tx_hash", "pos")),
+    "q_evm_order"         -> ((s, d) => graft.evm.LogPipeline.orderDecode(s, d)
       .orderBy("tx_hash", "pos")),
     // J2: sign → encode → distinct-tx recover → broadcast-join loop;
     // the oracle pins the 5 recovered addresses as literals (the
@@ -953,6 +956,20 @@ object SparkEntry {
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+    "q_pack_shards" ->
+      """WITH t AS (SELECT lang, doc_id, doc_id % 4 AS shard,
+             len(regexp_extract_all(text,
+               '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +',
+               0)) AS n_tok
+           FROM documents),
+         c AS (SELECT *, coalesce(sum(n_tok) OVER (
+                 PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+               FROM t)
+         SELECT lang, shard, floor(cumb / 2048.0)::BIGINT AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""",
     "q_norm_outliers" ->
       """WITH e AS (SELECT vec_id, label,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
@@ -1288,6 +1305,16 @@ object SparkEntry {
            greatest(CAST(round(value * 100) AS BIGINT), 0) + j AS amount
          FROM events, range(1, 4) AS r(j)
          WHERE j <= event_id % 3 + 1
+         ORDER BY tx_hash, pos""",
+    "q_evm_order" ->
+      """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
+           '0x' || lpad(printf('%x', user_id), 40, '0') AS maker,
+           greatest(CAST(round(value * 100) AS BIGINT), 0) AS amount,
+           j - 1 AS pos,
+           '0x' || lpad(printf('%x', user_id * 3 + j), 40, '0') AS token,
+           greatest(CAST(round(value * 100) AS BIGINT), 0) + j * 10 AS qty
+         FROM events, range(1, 3) AS r(j)
+         WHERE j <= event_id % 2 + 1
          ORDER BY tx_hash, pos""",
     "q_evm_txfrom" ->
       """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,

@@ -33,9 +33,6 @@ object AbiCodec {
     out
   }
 
-  private def word(data: Array[Byte], i: Int): Array[Byte] =
-    java.util.Arrays.copyOfRange(data, i * Word, (i + 1) * Word)
-
   /** `T[]` → Some((T, None)); `T[k]` → Some((T, Some(k))); else None. */
   private val ArrayRe = "^(.*)\\[([0-9]*)\\]$".r
   def arrayOf(t: String): Option[(String, Option[Int])] = t match {
@@ -44,23 +41,57 @@ object AbiCodec {
     case _ => None
   }
 
+  /** Split a comma-separated canonical type list at paren depth 0, so
+    * tuple-internal commas stay intact ("uint256,(address,string)[]" →
+    * ["uint256", "(address,string)[]"]). */
+  def splitTypes(s: String): Seq[String] =
+    if (s.isEmpty) Nil
+    else {
+      val parts = Seq.newBuilder[String]
+      var depth = 0
+      var start = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            parts += s.substring(start, i).trim; start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      parts += s.substring(start).trim
+      parts.result()
+    }
+
+  /** Canonical tuple `(T1,T2,…)` → Some(components); `()` → Some(Nil).
+    * Callers must try [[arrayOf]] first — `(T)[k]` is an array whose
+    * element happens to be a tuple. */
+  def tupleOf(t: String): Option[Seq[String]] =
+    if (t.length < 2 || t.head != '(' || t.last != ')') None
+    else Some(splitTypes(t.substring(1, t.length - 1)))
+
   /** True when `t` is head-only (no offset-referenced tail). Per the
     * public ABI spec: string/bytes/`T[]` are dynamic; `T[k]` inherits
-    * its element's staticness. */
+    * its element's staticness; a tuple is static iff every component
+    * is. */
   def isStatic(t: String): Boolean = t match {
     case "string" | "bytes" => false
-    case ArrayRe(elem, "") => false
+    case ArrayRe(_, "") => false
     case ArrayRe(elem, _) => isStatic(elem)
+    case tup if tup.startsWith("(") => tupleOf(tup).exists(_.forall(isStatic))
     case _ => true
   }
 
   /** Head width of `t` in 32-byte words: dynamic types hold one offset
-    * word; a static `T[k]` occupies k element-heads in place. */
+    * word; a static `T[k]` occupies k element-heads in place; a static
+    * tuple occupies its components' heads in place. */
   def headWords(t: String): Int =
     if (!isStatic(t)) 1
     else arrayOf(t) match {
       case Some((elem, Some(k))) => k * headWords(elem)
-      case _ => 1
+      case _ => tupleOf(t).map(_.map(headWords).sum).getOrElse(1)
     }
 
   private val MaxDec38 = new BigInteger("9" * 38)
@@ -88,72 +119,98 @@ object AbiCodec {
     }
   }
 
-  /** Decode `count` static elements of `elem` laid out word-aligned
-    * starting at byte offset `base`. */
-  private def staticElems(data: Array[Byte], base: Int, count: Int,
-                          elem: String): Array[Any] = {
-    val ew = headWords(elem)
-    (0 until count).map { j =>
-      val at = base + j * ew * Word
-      arrayOf(elem) match {
-        case Some((inner, Some(k))) => staticElems(data, at, k, inner)
-        case _ => decodeWord(
-          java.util.Arrays.copyOfRange(data, at, at + Word), elem)
-      }
-    }.toArray[Any]
+  /** Read one word at byte offset `at` as an Int (offsets / lengths). */
+  private def intAt(data: Array[Byte], at: Int): Int = {
+    if (at < 0 || at + Word > data.length)
+      throw new IndexOutOfBoundsException(s"word at $at past ${data.length}")
+    new BigInteger(1, java.util.Arrays.copyOfRange(data, at, at + Word))
+      .intValueExact()
   }
 
-  /** Decode the non-indexed event payload (`log.Data`) against the
-    * given head types — the full offset/length tail walk of the public
-    * ABI spec (the reference gets this generically from go-ethereum,
-    * parser.go:74-77). Heads advance by `headWords` per field (a static
-    * `T[k]` sits k element-words in place); dynamic string/bytes/`T[]`
-    * follow their head offset to a length-prefixed tail; `T[]`/`T[k]`
-    * of static elements decode to Array[Any]. Any malformed access
-    * yields null for that field (P7: malformed rows survive the scan). */
-  def decodeData(data: Array[Byte], types: Seq[String]): Array[Any] = {
+  /** Decode a STATIC value laid out in place at byte `at`: a word-typed
+    * scalar, a `T[k]` of static elements, or an all-static tuple. */
+  private def staticAt(data: Array[Byte], at: Int, t: String): Any =
+    arrayOf(t) match {
+      case Some((elem, Some(k))) =>
+        val ew = headWords(elem) * Word
+        (0 until k).map(j => staticAt(data, at + j * ew, elem)).toArray[Any]
+      case _ => tupleOf(t) match {
+        case Some(cs) =>
+          var o = at
+          cs.map { c =>
+            val v = staticAt(data, o, c); o += headWords(c) * Word; v
+          }.toArray[Any]
+        case None =>
+          if (at + Word > data.length)
+            throw new IndexOutOfBoundsException(s"$t at $at")
+          else decodeWord(
+            java.util.Arrays.copyOfRange(data, at, at + Word), t)
+      }
+    }
+
+  /** Decode the TAIL of a dynamic value starting at byte `base`:
+    * length-prefixed string/bytes, `T[]` (length word + element-head
+    * region), `T[k]`-of-dynamic (k-head region), or a dynamic tuple
+    * (component-head region). Offsets inside a region are relative to
+    * the region start, per the public ABI spec. */
+  private def tailAt(data: Array[Byte], base: Int, t: String): Any =
+    arrayOf(t) match {
+      case Some((elem, kOpt)) =>
+        val (n, rbase) = kOpt match {
+          case Some(k) => (k, base) // dynamic T[k]: k heads, no length word
+          case None => (intAt(data, base), base + Word)
+        }
+        // bounds check up front so a lying length nulls the field
+        // instead of decoding garbage
+        if (rbase + n.toLong * headWords(elem) * Word > data.length)
+          throw new IndexOutOfBoundsException(s"$t claims $n elements")
+        headsAt(data, rbase, Seq.fill(n)(elem))
+      case None => tupleOf(t) match {
+        case Some(cs) => headsAt(data, base, cs)
+        case None =>
+          val len = intAt(data, base)
+          if (base.toLong + Word + len > data.length)
+            throw new IndexOutOfBoundsException(s"$t claims $len bytes")
+          val body = java.util.Arrays.copyOfRange(
+            data, base + Word, base + Word + len)
+          if (t == "string") new String(body, "UTF-8") else "0x" + hex(body)
+      }
+    }
+
+  /** Walk a head region of `types` starting at byte `base`: static
+    * values sit in place; dynamic heads hold offsets relative to
+    * `base`. Any malformed access yields null for that field only
+    * (P7: malformed rows survive the scan). */
+  private def headsAt(data: Array[Byte], base: Int,
+                      types: Seq[String]): Array[Any] = {
     val out = new Array[Any](types.length)
-    if (data == null) return out
-    var slot = 0 // running head position, in words
+    var at = base
     var i = 0
     while (i < types.length) {
       val t = types(i)
       out(i) =
         try {
-          if (isStatic(t)) {
-            if (data.length < (slot + headWords(t)) * Word) null
-            else arrayOf(t) match {
-              case Some((elem, Some(k))) =>
-                staticElems(data, slot * Word, k, elem)
-              case _ => decodeWord(word(data, slot), t)
-            }
-          } else {
-            val off = new BigInteger(1, word(data, slot)).intValueExact()
-            arrayOf(t) match {
-              case Some((elem, _)) =>
-                val n = new BigInteger(1,
-                  java.util.Arrays.copyOfRange(data, off, off + Word))
-                  .intValueExact()
-                // bounds check up front so a lying length nulls the
-                // field instead of decoding garbage
-                if (off + Word + n * headWords(elem) * Word > data.length) null
-                else if (!isStatic(elem)) null // string[]/bytes[]: unsupported
-                else staticElems(data, off + Word, n, elem)
-              case None =>
-                val len = new BigInteger(1,
-                  java.util.Arrays.copyOfRange(data, off, off + Word))
-                  .intValueExact()
-                val body = java.util.Arrays.copyOfRange(
-                  data, off + Word, off + Word + len)
-                if (t == "string") new String(body, "UTF-8") else "0x" + hex(body)
-            }
-          }
+          if (isStatic(t)) staticAt(data, at, t)
+          else tailAt(data, base + intAt(data, at), t)
         } catch { case _: Exception => null }
-      slot += headWords(t)
+      at += headWords(t) * Word
       i += 1
     }
     out
   }
+
+  /** Decode the non-indexed event payload (`log.Data`) against the
+    * given head types — the full offset/length tail walk of the public
+    * ABI spec (the reference gets this generically from go-ethereum,
+    * parser.go:74-77). Heads advance by `headWords` per field; dynamic
+    * string/bytes/`T[]`/tuples follow their head offset to the tail;
+    * arrays and tuples decode to Array[Any] (arrays of dynamic
+    * elements — `string[]`, `bytes[]`, dynamic-tuple arrays — walk a
+    * nested offset region). Any malformed access yields null for that
+    * field (P7: malformed rows survive the scan). */
+  def decodeData(data: Array[Byte], types: Seq[String]): Array[Any] =
+    if (data == null) new Array[Any](types.length)
+    else headsAt(data, 0, types)
 
   /** Encode one value as a 32-byte ABI word (test/synthesis helper). */
   def encodeWord(value: Any, abiType: String): Array[Byte] = {
@@ -181,40 +238,70 @@ object AbiCodec {
   }
 
   /** Encode a payload in the full head/tail layout (test/synthesis
-    * helper): static fields in place (fixed arrays as k element words),
-    * dynamic fields as an offset head word plus a length-prefixed tail.
-    * Array values are Seq[Any]; string/bytes take String/Array[Byte]. */
-  def encodeData(values: Seq[Any], types: Seq[String]): Array[Byte] = {
+    * helper): static fields in place (fixed arrays / all-static tuples
+    * as element words), dynamic fields as an offset head word plus a
+    * tail region — recursively, so arrays of dynamic elements and
+    * dynamic tuples nest. Array/tuple values are Seq[Any]; string/bytes
+    * take String/Array[Byte]. */
+  def encodeData(values: Seq[Any], types: Seq[String]): Array[Byte] =
+    region(values, types)
+
+  private def staticBytes(v: Any, t: String): Array[Byte] =
+    arrayOf(t) match {
+      case Some((elem, Some(k))) =>
+        val xs = v.asInstanceOf[Seq[Any]]
+        require(xs.length == k, s"encodeData: $t needs $k elements")
+        xs.flatMap(x => staticBytes(x, elem)).toArray
+      case _ => tupleOf(t) match {
+        case Some(cs) =>
+          val xs = v.asInstanceOf[Seq[Any]]
+          require(xs.length == cs.length,
+            s"encodeData: $t needs ${cs.length} components")
+          xs.zip(cs).flatMap { case (x, c) => staticBytes(x, c) }.toArray
+        case None => encodeWord(v, t)
+      }
+    }
+
+  /** Encode the TAIL of a dynamic value (no leading offset word). */
+  private def tailBytes(v: Any, t: String): Array[Byte] =
+    arrayOf(t) match {
+      case Some((elem, kOpt)) =>
+        val xs = v.asInstanceOf[Seq[Any]]
+        kOpt match {
+          case Some(k) =>
+            require(xs.length == k, s"encodeData: $t needs $k elements")
+            region(xs, Seq.fill(k)(elem))
+          case None =>
+            encodeWord(BigInteger.valueOf(xs.length.toLong), "uint256") ++
+              region(xs, Seq.fill(xs.length)(elem))
+        }
+      case None => tupleOf(t) match {
+        case Some(cs) => region(v.asInstanceOf[Seq[Any]], cs)
+        case None =>
+          val bytes = v match {
+            case s: String if t == "string" => s.getBytes("UTF-8")
+            case b: Array[Byte] => b
+            case s: String => unhex(s)
+          }
+          val pad = new Array[Byte]((Word - bytes.length % Word) % Word)
+          encodeWord(BigInteger.valueOf(bytes.length.toLong), "uint256") ++
+            bytes ++ pad
+      }
+    }
+
+  /** One head/tail region: heads in declaration order, dynamic heads
+    * holding region-relative tail offsets. */
+  private def region(values: Seq[Any], types: Seq[String]): Array[Byte] = {
     val headSize = types.map(headWords(_) * Word).sum
     val heads = Seq.newBuilder[Array[Byte]]
     val tails = Seq.newBuilder[Array[Byte]]
     var tailLen = 0
-    def static(v: Any, t: String): Array[Byte] = arrayOf(t) match {
-      case Some((elem, Some(k))) =>
-        val xs = v.asInstanceOf[Seq[Any]]
-        require(xs.length == k, s"encodeData: $t needs $k elements")
-        xs.flatMap(x => static(x, elem)).toArray
-      case _ => encodeWord(v, t)
-    }
     values.zip(types).foreach { case (v, t) =>
-      if (isStatic(t)) heads += static(v, t)
+      if (isStatic(t)) heads += staticBytes(v, t)
       else {
-        heads += encodeWord(BigInteger.valueOf(headSize.toLong + tailLen), "uint256")
-        val tail: Array[Byte] = arrayOf(t) match {
-          case Some((elem, None)) =>
-            val xs = v.asInstanceOf[Seq[Any]]
-            encodeWord(BigInteger.valueOf(xs.length.toLong), "uint256") ++
-              xs.flatMap(x => static(x, elem))
-          case _ =>
-            val bytes = v match {
-              case s: String if t == "string" => s.getBytes("UTF-8")
-              case b: Array[Byte] => b
-              case s: String => unhex(s)
-            }
-            val pad = new Array[Byte]((Word - bytes.length % Word) % Word)
-            encodeWord(BigInteger.valueOf(bytes.length.toLong), "uint256") ++
-              bytes ++ pad
-        }
+        heads += encodeWord(
+          BigInteger.valueOf(headSize.toLong + tailLen), "uint256")
+        val tail = tailBytes(v, t)
         tails += tail
         tailLen += tail.length
       }

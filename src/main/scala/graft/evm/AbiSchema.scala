@@ -23,10 +23,19 @@ object AbiSchema {
     def indexedParams: Seq[Param] = params.filter(_.indexed)
     def dataParams: Seq[Param] = params.filterNot(_.indexed)
 
-    private def sparkType(t: String): DataType = t match {
-      case x if x.startsWith("uint") || x.startsWith("int") => DecimalType(38, 0)
-      case "bool" => BooleanType
-      case _ => StringType // address, bytesN, string, bytes → hex/utf8
+    private def sparkType(t: String): DataType = AbiCodec.arrayOf(t) match {
+      case Some((elem, _)) => ArrayType(sparkType(elem))
+      case None => AbiCodec.tupleOf(t) match {
+        case Some(cs) => StructType(cs.zipWithIndex.map { case (c, i) =>
+          StructField(s"f$i", sparkType(c)) // canonical strings drop names
+        })
+        case None => t match {
+          case x if x.startsWith("uint") || x.startsWith("int") =>
+            DecimalType(38, 0)
+          case "bool" => BooleanType
+          case _ => StringType // address, bytesN, string, bytes → hex/utf8
+        }
+      }
     }
 
     /** Decoded-row schema: fixed metadata columns + typed params. */
@@ -43,6 +52,20 @@ object AbiSchema {
 
   private val mapper = new ObjectMapper()
 
+  /** The ABI JSON spells tuples as `"type":"tuple…"` plus a
+    * `components` array; the canonical signature (and our codec) wants
+    * `(T1,T2,…)…` — recurse through components, keeping any `[k]`/`[]`
+    * suffix. */
+  private def canonicalType(p: com.fasterxml.jackson.databind.JsonNode): String = {
+    val t = p.path("type").asText()
+    if (!t.startsWith("tuple")) t
+    else {
+      val inner = p.path("components").elements().asScala
+        .map(canonicalType).mkString(",")
+      "(" + inner + ")" + t.substring("tuple".length)
+    }
+  }
+
   /** Parse an ABI JSON document (the standard solc output array),
     * keeping the event definitions. */
   def parse(json: String): Seq[Event] = {
@@ -53,7 +76,7 @@ object AbiSchema {
         Event(
           n.path("name").asText(),
           n.path("inputs").elements().asScala.map { p =>
-            Param(p.path("name").asText(), p.path("type").asText(),
+            Param(p.path("name").asText(), canonicalType(p),
               p.path("indexed").asBoolean(false))
           }.toSeq)
       }.toSeq

@@ -305,6 +305,54 @@ object LogPipeline {
       .withColumn("amount", col("amount").cast("long"))
   }
 
+  /** Nested-tuple decode roundtrip: `OrderPlaced(address maker,
+    * (uint256 amount, (address token, uint128 qty)[] legs) order)` — a
+    * dynamic tuple behind an offset head whose second component is an
+    * array of static tuples, so every region form the public ABI spec
+    * defines (tuple head walk, region-relative nested offsets,
+    * length-prefixed element region) is crossed in one payload. The
+    * reference decodes tuples generically via go-ethereum
+    * (`internal/parser/parser.go:74-77`). Synthesis is columnar from
+    * `events` (legs vary 1..2 per row); the oracle recomputes every
+    * (pos, token, qty) from the same columns, so a pass proves the
+    * whole nested encode → decode loop. */
+  def orderDecode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = AbiSchema.Event("OrderPlaced", Seq(
+      AbiSchema.Param("maker", "address", indexed = false),
+      AbiSchema.Param("order", "(uint256,(address,uint128)[])",
+        indexed = false)))
+    val cents = greatest(round(col("value") * 100).cast("long"), lit(0L))
+    val n = pmod(col("event_id"), lit(2)) + 1
+    val makerWord = lpad(lower(hex(col("user_id"))), 64, "0")
+    val off = lpad(lit("40"), 64, "0") // both regions: tail after 2 heads
+    val amountWord = lpad(lower(hex(cents)), 64, "0")
+    val lenWord = lpad(lower(hex(n)), 64, "0")
+    val legWords = array_join(
+      transform(sequence(lit(1), n), j => concat(
+        lpad(lower(hex(col("user_id") * 3 + j)), 64, "0"),
+        lpad(lower(hex(cents + j * 10)), 64, "0"))), "")
+    val logs = graft.Tables.events(spark, dir).select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      expr("event_id div 10").cast("long").as("block_number"),
+      lit("0x" + "5" * 40).as("address"),
+      lit(ev.topic0).as("topic0"),
+      lit(null).cast("binary").as("topic1"),
+      lit(null).cast("binary").as("topic2"),
+      unhex(concat(makerWord, off, amountWord, off, lenWord, legWords))
+        .as("data"),
+      col("ts"))
+    // posexplode_outer + pos-null filter, same InferFiltersFromGenerate
+    // dodge as payoutDecode above
+    decodeEvent(logs, ev, "Exchange", "1")
+      .select(col("tx_hash"), col("maker"),
+        col("order").getField("f0").cast("long").as("amount"),
+        posexplode_outer(col("order").getField("f1")).as(Seq("pos", "leg")))
+      .filter(col("pos").isNotNull)
+      .select(col("tx_hash"), col("maker"), col("amount"), col("pos"),
+        col("leg").getField("f0").as("token"),
+        col("leg").getField("f1").cast("long").as("qty"))
+  }
+
   /** Daily transfer volume: the §7.2 flagship slice — decode, enrich,
     * date_trunc aggregate. Malformed payloads (null value) are dropped
     * and counted separately upstream (P7). */

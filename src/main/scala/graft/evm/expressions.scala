@@ -102,35 +102,52 @@ case class AbiDecodeDataExpr(left: Expression, right: Expression)
       s"$prettyName needs (binary, foldable string)")
   override def prettyName: String = "abi_decode_data"
 
+  // depth-0 split: tuple types carry commas of their own
   private lazy val types: Seq[String] =
-    right.eval(null).asInstanceOf[UTF8String].toString.split(",").map(_.trim).toSeq
+    AbiCodec.splitTypes(right.eval(null).asInstanceOf[UTF8String].toString)
 
   private def fieldType(t: String): DataType = AbiCodec.arrayOf(t) match {
     case Some((elem, _)) => ArrayType(fieldType(elem))
-    case None => t match {
-      case x if x.startsWith("uint") || x.startsWith("int") => DecimalType(38, 0)
-      case "bool" => BooleanType
-      case _ => StringType
+    case None => AbiCodec.tupleOf(t) match {
+      case Some(cs) => StructType(cs.zipWithIndex.map { case (c, i) =>
+        StructField(s"f$i", fieldType(c))
+      })
+      case None => t match {
+        case x if x.startsWith("uint") || x.startsWith("int") => DecimalType(38, 0)
+        case "bool" => BooleanType
+        case _ => StringType
+      }
     }
   }
 
   override lazy val dataType: DataType = StructType(
     types.zipWithIndex.map { case (t, i) => StructField(s"arg$i", fieldType(t)) })
 
-  private def convert(v: Any): Any = v match {
+  // type-directed: a decoded Array[Any] is a Catalyst array for T[]/T[k]
+  // but an InternalRow for tuples
+  private def convert(v: Any, t: String): Any = v match {
     case null => null
+    case arr: Array[Any] => AbiCodec.arrayOf(t) match {
+      case Some((elem, _)) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          arr.map(convert(_, elem)))
+      case None => AbiCodec.tupleOf(t) match {
+        case Some(cs) => org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          arr.toIndexedSeq.zip(cs).map { case (x, c) => convert(x, c) })
+        case None => null
+      }
+    }
     case s: String => UTF8String.fromString(s)
     case bd: java.math.BigDecimal => Decimal(bd, 38, 0)
-    case arr: Array[Any] =>
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr.map(convert))
     case o => o
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val d = left.eval(input)
     if (d == null) return null
-    val vals = AbiCodec.decodeData(d.asInstanceOf[Array[Byte]], types).map(convert)
-    org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.toIndexedSeq)
+    val vals = AbiCodec.decodeData(d.asInstanceOf[Array[Byte]], types)
+      .toIndexedSeq.zip(types).map { case (v, t) => convert(v, t) }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

@@ -259,6 +259,31 @@ object DataQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Sharded sequence packing — the bounded-stratum form of [[packBins]]
+    * its scale note promises: the window stratum is (lang, shard) with
+    * shard = doc_id mod nShards, so no partition-key group grows with
+    * corpus size (the widest stratum is 1/nShards of the biggest
+    * language, and nShards scales with the cluster). Packing is
+    * independent per shard — pre-training concat order across shards is
+    * free — and the plan shape is unchanged: one window shuffle, then
+    * the per-bin rollup rides the same partitioning. */
+  def packBinsSharded(s: SparkSession, d: String, budget: Long = 2048,
+                      nShards: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextOps.bpeTokenCount("text").as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("bin", (coalesce(sum("n_tok").over(w), lit(0L)) / budget)
+        .cast("long"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "bin")
+  }
+
   /** Embedding hygiene: flag vectors whose L2 norm falls outside the
     * per-label [p01, p99] band (broken encoders / zero vectors / scale
     * outliers). The per-label stats frame is label-cardinality-sized —

@@ -105,8 +105,53 @@ class EvmSpec extends AnyFunSuite {
     val lying = data.clone()
     lying(63) = 0x7f // length word (second word of the tail head) → 127
     assert(AbiCodec.decodeData(lying, Seq("address[]"))(0) == null)
-    // string[] (dynamic elements) is out of decode scope → null field
-    assert(AbiCodec.decodeData(data, Seq("string[]"))(0) == null)
+  }
+
+  test("arrays of dynamic elements: string[] nested offset regions") {
+    val strs = Seq("alpha", "a longer string spilling past one 32-byte word", "")
+    val data = AbiCodec.encodeData(Seq(strs, BigInteger.valueOf(9)),
+      Seq("string[]", "uint256"))
+    val out = AbiCodec.decodeData(data, Seq("string[]", "uint256"))
+    assert(out(0).asInstanceOf[Array[Any]].toSeq == strs)
+    assert(out(1).asInstanceOf[java.math.BigDecimal].longValueExact() == 9L)
+    // garbage element offsets null the ELEMENT, not the whole array
+    val junk = AbiCodec.encodeData(Seq(Seq("ok")), Seq("string[]"))
+    junk(70) = 0x7f // first element-offset word → far past the payload
+    val arr = AbiCodec.decodeData(junk, Seq("string[]"))(0).asInstanceOf[Array[Any]]
+    assert(arr.length == 1 && arr(0) == null)
+  }
+
+  test("tuples: static in place, dynamic via tail; arrays of tuples") {
+    def dec(v: Any): Long = v.asInstanceOf[java.math.BigDecimal].longValueExact()
+    val addr = "0x00000000000000000000000000000000000000bb"
+    // static tuple sits in its enclosing head region (3 words, no tail)
+    val st = AbiCodec.encodeData(
+      Seq(Seq(BigInteger.valueOf(3), addr), BigInteger.valueOf(4)),
+      Seq("(uint256,address)", "uint256"))
+    assert(st.length == 3 * 32)
+    val sOut = AbiCodec.decodeData(st, Seq("(uint256,address)", "uint256"))
+    val sTup = sOut(0).asInstanceOf[Array[Any]]
+    assert(dec(sTup(0)) == 3L && sTup(1) == addr && dec(sOut(1)) == 4L)
+    // dynamic tuple (has a string) goes through an offset head
+    val dt = AbiCodec.encodeData(
+      Seq(Seq(BigInteger.valueOf(7), "name")), Seq("(uint256,string)"))
+    val dTup = AbiCodec.decodeData(dt, Seq("(uint256,string)"))(0)
+      .asInstanceOf[Array[Any]]
+    assert(dec(dTup(0)) == 7L && dTup(1) == "name")
+    // array of dynamic tuples: nested regions all the way down
+    val rows = Seq(Seq(BigInteger.valueOf(1), "a"), Seq(BigInteger.valueOf(2), "bb"))
+    val at = AbiCodec.encodeData(Seq(rows), Seq("(uint256,string)[]"))
+    val aOut = AbiCodec.decodeData(at, Seq("(uint256,string)[]"))(0)
+      .asInstanceOf[Array[Any]]
+    assert(aOut.length == 2)
+    val r0 = aOut(0).asInstanceOf[Array[Any]]
+    val r1 = aOut(1).asInstanceOf[Array[Any]]
+    assert(dec(r0(0)) == 1L && r0(1) == "a")
+    assert(dec(r1(0)) == 2L && r1(1) == "bb")
+    // tuple with a trailing fixed array keeps its bracket inside parens
+    assert(AbiCodec.isStatic("(uint256,bytes32[4])"))
+    assert(AbiCodec.headWords("(uint256,bytes32[4])") == 5)
+    assert(!AbiCodec.isStatic("(uint256,bytes)"))
   }
 
   test("ABI JSON → event schema, signature, topic0") {
@@ -125,6 +170,28 @@ class EvmSpec extends AnyFunSuite {
     assert(t.structType.fieldNames.take(6).toSeq ==
       Seq("tx_hash", "block_number", "contract", "contract_name", "event_name", "chain_id"))
     assert(AbiSchema.topicIndex(events).contains(t.topic0))
+  }
+
+  test("ABI JSON tuples canonicalize to (T1,T2,…) with struct schema") {
+    import org.apache.spark.sql.types._
+    val json =
+      """[{"type":"event","name":"OrderPlaced","inputs":[
+           {"indexed":true,"name":"maker","type":"address"},
+           {"indexed":false,"name":"order","type":"tuple","components":[
+             {"name":"amount","type":"uint256"},
+             {"name":"legs","type":"tuple[]","components":[
+               {"name":"token","type":"address"},
+               {"name":"qty","type":"uint128"}]}]}]}]"""
+    val ev = AbiSchema.parse(json).head
+    assert(ev.signature ==
+      "OrderPlaced(address,(uint256,(address,uint128)[]))")
+    val orderField = ev.structType("order")
+    val st = orderField.dataType.asInstanceOf[StructType]
+    assert(st("f0").dataType == DecimalType(38, 0))
+    val legs = st("f1").dataType.asInstanceOf[ArrayType]
+    val leg = legs.elementType.asInstanceOf[StructType]
+    assert(leg("f0").dataType == StringType)
+    assert(leg("f1").dataType == DecimalType(38, 0))
   }
 }
 
