@@ -208,9 +208,17 @@ object AbiCodec {
     * elements — `string[]`, `bytes[]`, dynamic-tuple arrays — walk a
     * nested offset region). Any malformed access yields null for that
     * field (P7: malformed rows survive the scan). */
-  def decodeData(data: Array[Byte], types: Seq[String]): Array[Any] =
+  /** Test hook: local-mode specs compare this against row counts to
+    * pin "decode runs once per row" (the InferFiltersFromGenerate /
+    * CollapseProject re-evaluation traps land here first). LongAdder =
+    * no shared-cacheline cost on the hot path. */
+  val decodeCalls = new java.util.concurrent.atomic.LongAdder()
+
+  def decodeData(data: Array[Byte], types: Seq[String]): Array[Any] = {
+    decodeCalls.increment()
     if (data == null) new Array[Any](types.length)
     else headsAt(data, 0, types)
+  }
 
   /** Encode one value as a 32-byte ABI word (test/synthesis helper). */
   def encodeWord(value: Any, abiType: String): Array[Byte] = {

@@ -21,6 +21,17 @@ object LogPipeline {
   val TransferSig = "Transfer(address,address,uint256)"
   val ApprovalSig = "Approval(address,address,uint256)"
 
+  /** The fixture tables are one small parquet split, so a scan feeds
+    * every downstream interpreted expression (synthesis + ABI decode,
+    * ~tens of µs/row as CodegenFallback) to a SINGLE core. Spread the
+    * rows across the scheduler first — a few-MB round-robin exchange.
+    * This is fixture plumbing only: the real DSv2 log source already
+    * yields one partition per block window, so production plans never
+    * need (or get) this shuffle. Measured at sf0.1: q_evm_order
+    * 7.3 s → sub-second on local[32]. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Deterministic raw-log synthesis from `events`: Transfer logs for
     * click/purchase/view, Approval for error/signup; every 97th event's
     * payload is truncated garbage (exercises P7 malformed-row skip).
@@ -35,7 +46,7 @@ object LogPipeline {
     // clamped for the same reason as swapDecode's `cents`: the uint256
     // word encoding below is only total for non-negative longs
     val valueCents = greatest(round(col("value") * 100).cast("long"), lit(0L))
-    events.select(
+    spread(events).select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
       expr("event_id div 10").cast("long").as("block_number"),
       concat(lit("0x"), lpad(lower(hex(pmod(col("user_id"), lit(3)))), 40, "0"))
@@ -245,7 +256,7 @@ object LogPipeline {
     val sqrtWord = when(over,
         concat(lpad(lower(hex(k)), 32, "0"), lit("0" * 32)))
       .otherwise(lpad(lower(hex(cents)), 64, "0"))
-    val logs = graft.Tables.events(spark, dir).select(
+    val logs = spread(graft.Tables.events(spark, dir)).select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
       expr("event_id div 10").cast("long").as("block_number"),
       lit("0x" + "3" * 40).as("address"),
@@ -281,7 +292,7 @@ object LogPipeline {
     val lenWord = lpad(lower(hex(n)), 64, "0")
     val amtWords = array_join(
       transform(sequence(lit(1), n), j => lpad(lower(hex(cents + j)), 64, "0")), "")
-    val logs = graft.Tables.events(spark, dir).select(
+    val logs = spread(graft.Tables.events(spark, dir)).select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
       expr("event_id div 10").cast("long").as("block_number"),
       lit("0x" + "4" * 40).as("address"),
@@ -331,7 +342,7 @@ object LogPipeline {
       transform(sequence(lit(1), n), j => concat(
         lpad(lower(hex(col("user_id") * 3 + j)), 64, "0"),
         lpad(lower(hex(cents + j * 10)), 64, "0"))), "")
-    val logs = graft.Tables.events(spark, dir).select(
+    val logs = spread(graft.Tables.events(spark, dir)).select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
       expr("event_id div 10").cast("long").as("block_number"),
       lit("0x" + "5" * 40).as("address"),

@@ -46,6 +46,18 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("nested-tuple decode runs exactly once per input row (q_evm_order)") {
+    import graft.evm.AbiCodec
+    val rows = Tables.events(spark, sf).count()
+    AbiCodec.decodeCalls.reset()
+    SparkEntry.queries("q_evm_order")(spark, sf).count()
+    val calls = AbiCodec.decodeCalls.sum()
+    // CollapseProject inlining or an inferred-filter substitution would
+    // multiply this (the round-2/3 re-evaluation traps); pin 1×
+    assert(calls == rows,
+      s"abi_decode_data ran $calls times for $rows input rows")
+  }
+
   test("fingerprint pipelines are map-only before their first shuffle") {
     import graft.ops.DedupOps
     // wide minhash signature: scan → project → filter, zero exchanges
