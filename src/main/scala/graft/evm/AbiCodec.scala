@@ -103,6 +103,13 @@ object AbiCodec {
   def decodeWord(w: Array[Byte], abiType: String): Any = {
     if (w == null || w.length != Word) return null
     abiType match {
+      // FIRST: an INDEXED reference-type param (string/bytes, any
+      // array, any tuple — static ones included) is stored in the topic
+      // as its keccak256 hash, per the public ABI event-encoding spec —
+      // surface the hash word, don't null it. Must precede the scalar
+      // branches: "uint256[]" would otherwise match the uint prefix.
+      case t if arrayOf(t).isDefined || tupleOf(t).isDefined || !isStatic(t) =>
+        "0x" + hex(w)
       case "address" =>
         "0x" + hex(java.util.Arrays.copyOfRange(w, 12, 32))
       case "bool" =>

@@ -38,7 +38,10 @@ object AbiSchema {
       }
     }
 
-    /** Decoded-row schema: fixed metadata columns + typed params. */
+    /** Decoded-row schema: fixed metadata columns + typed params. An
+      * INDEXED reference-type param (array/tuple/string/bytes) is its
+      * keccak hash word in the topic → StringType, not the value's
+      * shape. */
     def structType: StructType = StructType(
       Seq(
         StructField("tx_hash", StringType),
@@ -47,7 +50,13 @@ object AbiSchema {
         StructField("contract_name", StringType),
         StructField("event_name", StringType),
         StructField("chain_id", StringType)) ++
-      params.map(p => StructField(p.name, sparkType(p.abiType))))
+      params.map { p =>
+        val hashed = p.indexed &&
+          (AbiCodec.arrayOf(p.abiType).isDefined ||
+            AbiCodec.tupleOf(p.abiType).isDefined ||
+            !AbiCodec.isStatic(p.abiType))
+        StructField(p.name, if (hashed) StringType else sparkType(p.abiType))
+      })
   }
 
   private val mapper = new ObjectMapper()

@@ -69,11 +69,16 @@ case class AbiDecodeWordExpr(left: Expression, right: Expression)
     right.eval(null).asInstanceOf[UTF8String].toString
 
   override def foldable: Boolean = left.foldable
-  override lazy val dataType: DataType = abiType match {
-    case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
-    case "bool" => BooleanType
-    case _ => StringType
-  }
+  override lazy val dataType: DataType =
+    // reference types in a topic are a keccak hash word → hex string
+    // (uint256[] must not fall through to the uint branch)
+    if (AbiCodec.arrayOf(abiType).isDefined ||
+        AbiCodec.tupleOf(abiType).isDefined) StringType
+    else abiType match {
+      case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
+      case "bool" => BooleanType
+      case _ => StringType
+    }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val w = left.eval(input)

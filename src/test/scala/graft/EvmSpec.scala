@@ -40,6 +40,17 @@ class EvmSpec extends AnyFunSuite {
     assert(AbiCodec.decodeWord(b, "bool") == java.lang.Boolean.TRUE)
   }
 
+  test("indexed dynamic params decode the topic's keccak hash word") {
+    val h = Keccak.hash256("some payload".getBytes("UTF-8"))
+    val hexed = "0x" + AbiCodec.hex(h)
+    // string/bytes/array/tuple topics carry keccak256(value), not the
+    // value — the decoder surfaces the hash instead of nulling it
+    assert(AbiCodec.decodeWord(h, "string") == hexed)
+    assert(AbiCodec.decodeWord(h, "bytes") == hexed)
+    assert(AbiCodec.decodeWord(h, "uint256[]") == hexed)
+    assert(AbiCodec.decodeWord(h, "(address,uint256)[]") == hexed)
+  }
+
   test("uint256 overflow policy: >38 digits decodes to null (hex fallback upstream)") {
     val max = new BigInteger("2").pow(256).subtract(BigInteger.ONE) // 78 digits
     val w = AbiCodec.encodeWord(max, "uint256")
