@@ -79,6 +79,8 @@ object SparkEntry {
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
     "q_simhash_pairs"     -> ((s, d) => DataQueries.simhashPairs(s, d)),
     "q_cosine_topk"       -> ((s, d) => DataQueries.cosineTopK(s, d)),
+    "q_sq8_encode"        -> ((s, d) => DataQueries.sq8Codes(s, d)),
+    "q_sq8_topk"          -> ((s, d) => DataQueries.sq8TopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
@@ -1080,6 +1082,39 @@ object SparkEntry {
                     (sqrt(list_dot_product(q.ve, q.ve)) *
                      sqrt(list_dot_product(c.ve, c.ve))) AS cos
                 FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // Int8 scalar quantization: per-dim [min,max] → code = round(
+    // (x-mn)/span*255)-128 as TINYINT. Deterministic arithmetic, so
+    // the encode AND the dequantized top-k both hash-match exactly.
+    "q_sq8_encode" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         ex AS (SELECT vec_id, d, ve[d + 1] AS x FROM v, range(64) AS rd(d)),
+         st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d)
+         SELECT vec_id, d AS dim,
+           CASE WHEN mx = mn THEN CAST(-128 AS TINYINT)
+                ELSE CAST(round((x - mn) / (mx - mn) * 255) - 128 AS TINYINT)
+           END AS code
+         FROM ex JOIN st USING (d) WHERE vec_id < 50 ORDER BY vec_id, dim""",
+    "q_sq8_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         ex AS (SELECT vec_id, d, ve[d + 1] AS x FROM v, range(64) AS rd(d)),
+         st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+         cd AS (SELECT vec_id, d, mn, mx,
+                  CASE WHEN mx = mn THEN -128
+                       ELSE CAST(round((x - mn) / (mx - mn) * 255) - 128
+                         AS BIGINT) END AS code
+                FROM ex JOIN st USING (d)),
+         dq AS (SELECT vec_id,
+                  list(mn + (code + 128) / 255.0 * (mx - mn) ORDER BY d) AS dv
+                FROM cd GROUP BY vec_id),
+         sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_dot_product(q.dv, c.dv) /
+                    (sqrt(list_dot_product(q.dv, q.dv)) *
+                     sqrt(list_dot_product(c.dv, c.dv))) AS cos
+                FROM dq q JOIN dq c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
          rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk

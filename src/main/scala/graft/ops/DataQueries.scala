@@ -477,6 +477,25 @@ object DataQueries {
       .orderBy("doc_a", "doc_b")
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
+  /** Int8 scalar-quantized codes, exploded per (vec, dim) for the
+    * oracle (the stored form is `array<tinyint>`, 4× smaller than the
+    * float32 scan an ANN pass otherwise reads). */
+  def sq8Codes(s: SparkSession, d: String): DataFrame =
+    VectorOps.sq8Encode(Tables.embeddings(s, d), "vec_id", "embedding")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .orderBy("vec_id", "dim")
+
+  /** Cosine top-k over the DEQUANTIZED int8 corpus — the memory-bound
+    * scan path; the oracle replays the quantize → dequantize → score
+    * arithmetic bit-for-bit. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame =
+    VectorOps.sq8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, nQueries = 10)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     VectorOps.cosineTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)

@@ -23,6 +23,29 @@ class AnnRecallSpec extends SparkSpec {
     hits.toDouble / t.map(_._2.size).sum
   }
 
+  test("int8 scalar quantization barely perturbs the exact top-k") {
+    val e = Tables.embeddings(spark, d)
+    val sq = VectorOps.sq8TopK(e, "vec_id", "embedding", k = 5, nQueries = 20)
+      .collect()
+    val r = recallOf(sq)
+    info(f"sq8 recall=$r%.3f")
+    // 8-bit per-dim resolution on 64-dim unit-ish vectors: the
+    // quantization error is ~0.2% of the value range, so the exact
+    // top-5 should survive nearly intact
+    assert(r >= 0.9, f"sq8 recall too low: $r%.3f")
+    // and the dequantized cosines stay within quantization tolerance
+    val exact = VectorOps.cosineTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"), col("cos")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    sq.foreach { row =>
+      exact.get((row.getLong(0), row.getLong(1))).foreach { c =>
+        assert(math.abs(row.getDouble(2) - c) < 0.01,
+          s"cos drifted: ${row.getDouble(2)} vs $c")
+      }
+    }
+  }
+
   test("multi-table ANN recall beats single-table and clears a floor") {
     val e = Tables.embeddings(spark, d)
     val single = VectorOps.annTopK(e, "vec_id", "embedding",
