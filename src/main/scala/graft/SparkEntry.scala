@@ -42,6 +42,7 @@ object SparkEntry {
     "q_sessionize"        -> ((s, d) => SeriesQueries.sessionize(s, d)),
     "q_interval_join"     -> ((s, d) => SeriesQueries.intervalJoin(s, d)),
     "q_funnel"            -> ((s, d) => SeriesQueries.funnel(s, d)),
+    "q_retention"         -> ((s, d) => SeriesQueries.retention(s, d)),
     "q_value_hist"        -> ((s, d) => SeriesQueries.valueHist(s, d)),
     // ---- stateful FSM backtests (SURVEY §2.6) ----
     "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
@@ -1011,6 +1012,20 @@ object SparkEntry {
            min(p_ts) AS purchase_ts,
            (min(p_ts) IS NOT NULL) AS completed
          FROM s3 GROUP BY user_id ORDER BY user_id""",
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+             date_trunc('week', ts::TIMESTAMP)::DATE AS week FROM events),
+         u AS (SELECT user_id, week,
+                 min(week) OVER (PARTITION BY user_id) AS cohort FROM e),
+         cells AS (SELECT cohort, (week - cohort) // 7 AS wk_offset,
+                     count(DISTINCT user_id) AS n_active
+                   FROM u GROUP BY 1, 2),
+         base AS (SELECT cohort, n_active AS cohort_size
+                  FROM cells WHERE wk_offset = 0)
+         SELECT cohort, wk_offset, n_active, cohort_size,
+           round(n_active / cohort_size, 6) AS retention
+         FROM cells JOIN base USING (cohort)
+         ORDER BY cohort, wk_offset""",
     "q_value_hist" ->
       """SELECT event_type, floor(value / 50.0)::BIGINT AS bin,
            count(*) AS n, round(min(value), 4) AS v_min,

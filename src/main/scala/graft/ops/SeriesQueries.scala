@@ -181,6 +181,31 @@ object SeriesQueries {
       .orderBy("user_id")
   }
 
+  /** Weekly cohort retention: cohort = the user's first activity week;
+    * cell (cohort, offset) = distinct cohort users active that many
+    * weeks later; rate = cell / cohort size. The per-user cohort stamp
+    * is a window min over the SAME user_id exchange (no separate
+    * first-activity dim join), then one distinct-agg on the
+    * (cohort, offset) composite; the offset-0 column (cohort sizes, a
+    * week-count-sized frame) broadcasts back. At 100 TB both shuffles
+    * key on user_id / small composites and nothing collects. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .withColumn("cohort", min("week").over(w))
+      .withColumn("wk_offset", expr("datediff(week, cohort) div 7"))
+    val cells = e.groupBy("cohort", "wk_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    val base = cells.filter(col("wk_offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(base), Seq("cohort"))
+      .select(col("cohort"), col("wk_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort", "wk_offset")
+  }
+
   /** Fixed-width value histogram per event type (bin = floor(v/50)):
     * the profile report an ingest pipeline emits per batch. */
   def valueHist(s: SparkSession, d: String): DataFrame =
