@@ -246,6 +246,9 @@ object AbiCodec {
         val src = if (b.length > Word) java.util.Arrays.copyOfRange(b, b.length - Word, b.length) else b
         if (v.signum() < 0) java.util.Arrays.fill(w, 0xff.toByte)
         System.arraycopy(src, 0, w, Word - src.length, src.length)
+      case t if t.startsWith("bytes") && t.length > 5 =>
+        val b = unhex(value.toString) // bytesN: left-aligned
+        System.arraycopy(b, 0, w, 0, b.length)
       case _ =>
         throw new IllegalArgumentException(s"encodeWord: unsupported $abiType")
     }
