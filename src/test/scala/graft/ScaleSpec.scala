@@ -23,6 +23,28 @@ class ScaleSpec extends SparkSpec {
     assert(direct.map(_.toString).toSeq == salted.map(_.toString).toSeq)
   }
 
+  test("int8-quantized embeddings store substantially smaller than float32") {
+    import graft.ops.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_sq8")
+    def dirSize(p: String): Long = {
+      val f = new java.io.File(p)
+      f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val e = Tables.embeddings(spark, d)
+    e.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$out/float32")
+    VectorOps.sq8Encode(e, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$out/int8")
+    val fb = dirSize(s"$out/float32")
+    val ib = dirSize(s"$out/int8")
+    info(f"float32=$fb%d bytes int8=$ib%d bytes ratio=${fb.toDouble / ib}%.2f")
+    // 4 bytes -> 1 byte per dim; parquet encoding/metadata eats some of
+    // it, but the scan an ANN pass reads must shrink by well over 2x
+    assert(ib.toDouble < fb / 2.0, s"int8 parquet not smaller: $ib vs $fb")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.sql("DROP TABLE IF EXISTS b_orders")
