@@ -94,6 +94,7 @@ object SparkEntry {
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => DataQueries.winnowPairs(s, d)),
+    "q_containment"       -> ((s, d) => DataQueries.containmentPairs(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -746,6 +747,25 @@ object SparkEntry {
                           JOIN sizes sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
          FROM j WHERE inter >= 3 ORDER BY doc_a, doc_b""",
+    // Asymmetric containment: inter/|fp(A)| or inter/|fp(B)| ≥ 0.3 —
+    // the quote/excerpt detector symmetric Jaccard misses.
+    "q_containment" ->
+      s"""WITH $TOKS_CTE,
+         $WINNOW_CTE,
+         ex AS (SELECT doc_id, unnest(fps) AS f FROM wm WHERE len(fps) > 0),
+         sizes AS (SELECT doc_id, len(fps) AS sz FROM wm WHERE len(fps) > 0),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b, inter,
+                 inter::DOUBLE / sa.sz AS cont_a,
+                 inter::DOUBLE / sb.sz AS cont_b
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, inter, round(cont_a, 6) AS cont_a,
+           round(cont_b, 6) AS cont_b
+         FROM c WHERE cont_a >= 0.3 OR cont_b >= 0.3
+         ORDER BY doc_a, doc_b""",
     // DuckDB has no BLOB substring — slice the hex image of the payload
     // instead (one 64-byte frame = 128 hex chars); Spark slices the real
     // bytes and hexes per frame, which is the same string.

@@ -625,6 +625,16 @@ object DataQueries {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Asymmetric containment pairs (quote/excerpt detection): either
+    * direction ≥ 0.3 of the smaller side's fingerprints shared. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, w = 4, minContain = 0.3)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+
   /** Multimodal frame sampling, oracled: documents' text bytes stand in
     * for an opaque media payload; slice into 64-byte frames, keep every
     * 2nd, emit the kept-frame count and a content hash over the kept

@@ -380,6 +380,33 @@ object DedupOps {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Asymmetric near-containment from winnowing fingerprints:
+    * cont(A⊆B) = |fp(A) ∩ fp(B)| / |fp(A)|. Catches quotes, reposts
+    * and excerpt duplication that symmetric Jaccard misses — a short
+    * doc quoted inside a long one has tiny Jaccard but containment ≈ 1.
+    * Identical plan to [[winnowPairs]] (shared-exchange inverted-index
+    * join); both directed scores are projections of ONE intersection
+    * count, so the asymmetric variant costs nothing extra. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                       w: Int, minContain: Double): DataFrame = {
+    val fps = df.select(col(id).as("doc"),
+        TextOps.winnowingFingerprints(col(text), n, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val ex = fps
+      .select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
+      .repartition(col("f"))
+    val a = ex.toDF("doc_a", "sz_a", "f")
+    val b = ex.toDF("doc_b", "sz_b", "f")
+    a.join(b, Seq("f")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .withColumn("cont_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("sz_b"))
+      .filter(col("cont_a") >= minContain || col("cont_b") >= minContain)
+      .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond") — the scale path for adversarial topologies. Where
