@@ -43,6 +43,22 @@ class DirtyInputSpec extends SparkSpec {
     assert(got(0).getDouble(2) == 1.0)
   }
 
+  test("containment flags an excerpt that symmetric Jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog again"
+    val long = (1 to 12).map(i => s"filler$i word$i more$i").mkString(" ") +
+      " " + quote + " " + (13 to 24).map(i => s"tail$i other$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, long)).toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(df, "doc_id", "text", 3, 4, 0.5)
+      .collect()
+    assert(cont.length == 1, "excerpt pair not found")
+    val r = cont(0)
+    assert(r.getAs[Double]("cont_a") >= 0.5, s"cont_a: $r") // quote in long
+    // while the symmetric jaccard stays below the usual 0.1 pair gate
+    val jac = DedupOps.winnowPairs(df, "doc_id", "text", 3, 4, minShared = 1)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(jac < 0.3, s"jaccard unexpectedly high: $jac")
+  }
+
   test("corpus telemetry: HLL distinct estimate within 2% of exact") {
     val d = "/root/testdata/sf0.01"
     val got = graft.ops.DataQueries.corpusTelemetry(spark, d).collect()
