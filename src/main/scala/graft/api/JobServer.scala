@@ -46,10 +46,13 @@ class JobServer(registry: JobRegistry, readAbi: String => String,
     val path = ex.getRequestURI.getPath
     val id = path.stripPrefix("/jobs").stripPrefix("/")
     (ex.getRequestMethod, id) match {
+      // "/jobs/" (trailing slash, no id) routes to the reference's
+      // handleJobByID whose empty-id guard fires BEFORE the method
+      // switch (handlers.go:38-41) — any method gets 400 there
+      case (_, "") if path.endsWith("/") => plain(ex, 400, "job id missing")
       case ("POST", "") => createJob(ex)
       case ("GET", i) if i.nonEmpty => getJob(ex, i)
       case ("DELETE", i) if i.nonEmpty => cancelJob(ex, i)
-      case (_, "") => plain(ex, 405, "method not allowed")
       case _ => plain(ex, 405, "method not allowed")
     }
   }

@@ -95,6 +95,12 @@ class JobServerSpec extends SparkSpec {
       val getBare = send(HttpRequest.newBuilder(
         URI.create(s"${srv.url}/jobs")).GET.build())
       assert(getBare.statusCode() == 405)
+      // trailing slash, empty id: the reference's handleJobByID guard
+      // fires before its method switch → 400 "job id missing"
+      val slashEmpty = send(HttpRequest.newBuilder(
+        URI.create(s"${srv.url}/jobs/")).GET.build())
+      assert(slashEmpty.statusCode() == 400)
+      assert(slashEmpty.body().contains("job id missing"))
     }
   }
 
