@@ -84,7 +84,11 @@ object DataQueries {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count() // metadata-cheap: parquet row count
     val tf = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      // explode_outer + null filter: a plain explode makes
+      // InferFiltersFromGenerate push size(tokens(text))>0 below the
+      // projection, re-splitting the text in the scan Filter
+      .select(col("doc_id"), explode_outer(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
@@ -125,7 +129,8 @@ object DataQueries {
       .withColumn("slice",
         when(regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0,
           "even").otherwise("odd"))
-      .select(col("slice"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("slice"), explode_outer(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull) // InferFiltersFromGenerate dodge
     val freq = docs.groupBy("slice", "term").agg(count(lit(1)).as("n"))
     val tot = freq.groupBy("slice").agg(sum("n").as("tot"))
     val p = freq.join(tot, "slice")

@@ -88,15 +88,23 @@ object DedupOps {
     // join on the 60-bit shingle hash, not the string — smaller shuffle
     // keys, cheaper equality; 60 bits ⇒ collisions are negligible
     val arr = df.select(col(id).as("doc"), TextOps.shingleHashes(col(text), n).as("arr"))
+    // explode_OUTER + s-null post-filter everywhere a computed array is
+    // exploded: InferFiltersFromGenerate fires on non-outer generators
+    // and pushes size(arr)>0 below the projection with the whole
+    // shingle-hash chain substituted in — the hash then runs 2-3× per
+    // row inside the scan Filter (same trap as LogPipeline.payoutDecode)
     val filtered = maxDocFreq match {
       case None =>
-        arr.select(col("doc"), size(col("arr")).as("sz"), explode(col("arr")).as("s"))
+        arr.select(col("doc"), size(col("arr")).as("sz"),
+            explode_outer(col("arr")).as("s"))
+          .filter(col("s").isNotNull)
       case Some(cap) =>
         // one shuffle by shingle feeds BOTH the doc-frequency aggregate
         // (already clustered — no second exchange) and the filter join
         // back against it, so the scan→shingle→explode pipeline
         // materializes once
-        val sh = arr.select(col("doc"), explode(col("arr")).as("s"))
+        val sh = arr.select(col("doc"), explode_outer(col("arr")).as("s"))
+          .filter(col("s").isNotNull)
           .repartition(col("s"))
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
         sh.join(freq.filter(col("df") <= cap).select("s"), Seq("s"))
@@ -150,16 +158,23 @@ object DedupOps {
     * joins or bands. */
   def minhashSigWide(df: DataFrame, id: String, text: String, k: Int,
                      shingleN: Int = 3): DataFrame =
-    df.select(col(id).as("doc"), TextOps.shingleHashes(col(text), shingleN).as("arr"))
-      .filter(size(col("arr")) > 0)
-      .select(col("doc"), call_function("minhash_sig", col("arr"), lit(k)).as("sig"))
+    // filter on the CHEAP precondition (≥n tokens ⟺ ≥1 shingle), with
+    // tokens materialized first: PushDownPredicates substitutes a
+    // filter's aliases below the projection, so filtering on
+    // size(shingle_h64s(…)) would re-run the whole hash chain inside
+    // the pushed scan Filter (the winnowPairs trap, measured 2-3×/row)
+    df.select(col(id).as("doc"), TextOps.tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) >= shingleN)
+      .select(col("doc"), call_function("minhash_sig",
+        call_function("shingle_h64s", col("tk"), lit(shingleN)), lit(k)).as("sig"))
 
   /** Long-form signature (doc, i, sigv) — the wide form exploded; kept
     * as the interchange/inspection format. */
   def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
                        shingleN: Int = 3): DataFrame =
     minhashSigWide(df, id, text, k, shingleN)
-      .select(col("doc"), posexplode(col("sig")).as(Seq("i", "sigv")))
+      .select(col("doc"), posexplode_outer(col("sig")).as(Seq("i", "sigv")))
+      .filter(col("i").isNotNull) // InferFiltersFromGenerate dodge
 
   /** LSH banding over a wide minhash signature: band b's hash = h64 of
     * the comma-joined signature components [b·r, b·r+r). Docs sharing
@@ -352,15 +367,21 @@ object DedupOps {
     * cap it (sizes are re-counted over the surviving fingerprints). */
   def winnowPairs(df: DataFrame, id: String, text: String, n: Int, w: Int,
                   minShared: Long, maxDocFreq: Option[Long] = None): DataFrame = {
+    // NO size(fps)>0 filter here: explode already drops empty arrays,
+    // and a filter on the fps alias gets pushed below the projection
+    // with winnow_fps substituted in — the fingerprint then runs 2-3×
+    // per row inside the scan Filter (PushDownPredicates trap)
     val fps = df.select(col(id).as("doc"),
         TextOps.winnowingFingerprints(col(text), n, w).as("fps"))
-      .filter(size(col("fps")) > 0)
     val exploded = maxDocFreq match {
       case None =>
-        fps.select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
+        fps.select(col("doc"), size(col("fps")).as("sz"),
+            explode_outer(col("fps")).as("f"))
+          .filter(col("f").isNotNull) // InferFiltersFromGenerate dodge
       case Some(cap) =>
         // shared single shuffle, as in jaccardPairs' capped branch
-        val sh = fps.select(col("doc"), explode(col("fps")).as("f"))
+        val sh = fps.select(col("doc"), explode_outer(col("fps")).as("f"))
+          .filter(col("f").isNotNull)
           .repartition(col("f"))
         val freq = sh.groupBy("f").agg(count(lit(1)).as("df"))
         sh.join(freq.filter(col("df") <= cap).select("f"), Seq("f"))
@@ -389,11 +410,13 @@ object DedupOps {
     * count, so the asymmetric variant costs nothing extra. */
   def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
                        w: Int, minContain: Double): DataFrame = {
+    // no size(fps)>0 filter — explode drops empties; see winnowPairs
     val fps = df.select(col(id).as("doc"),
         TextOps.winnowingFingerprints(col(text), n, w).as("fps"))
-      .filter(size(col("fps")) > 0)
     val ex = fps
-      .select(col("doc"), size(col("fps")).as("sz"), explode(col("fps")).as("f"))
+      .select(col("doc"), size(col("fps")).as("sz"),
+        explode_outer(col("fps")).as("f"))
+      .filter(col("f").isNotNull) // InferFiltersFromGenerate dodge
       .repartition(col("f"))
     val a = ex.toDF("doc_a", "sz_a", "f")
     val b = ex.toDF("doc_b", "sz_b", "f")

@@ -58,6 +58,24 @@ class PlanQualitySpec extends SparkSpec {
       s"abi_decode_data ran $calls times for $rows input rows")
   }
 
+  test("retention: cohort-size join broadcasts; no sort-merge join") {
+    val p = plan(graft.ops.SeriesQueries.retention(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"cohort join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"retention degraded to SMJ:\n$p")
+  }
+
+  test("containment pairs reuse one exchange for both self-join sides") {
+    // AQE only materializes stage reuse in the final plan, so execute
+    // first, then assert on isFinalPlan=true output
+    val df = DataQueries.containmentPairs(spark, sf)
+    df.collect() // count() would plan a different query execution
+    val p = plan(df)
+    // the repartition(f) on both toDF views must canonicalize to a
+    // single materialized exchange (scan → fingerprint runs once)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"containment self-join re-computes the fingerprint side:\n$p")
+  }
+
   test("fingerprint pipelines are map-only before their first shuffle") {
     import graft.ops.DedupOps
     // wide minhash signature: scan → project → filter, zero exchanges
