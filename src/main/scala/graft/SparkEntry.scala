@@ -95,6 +95,9 @@ object SparkEntry {
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => DataQueries.winnowPairs(s, d)),
     "q_containment"       -> ((s, d) => DataQueries.containmentPairs(s, d)),
+    "q_passage_dedup"     -> ((s, d) => DataQueries.passageDedup(s, d)),
+    "q_lm_score"          -> ((s, d) => DataQueries.lmScore(s, d)),
+    "q_token_budget"      -> ((s, d) => DataQueries.tokenBudget(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -766,6 +769,61 @@ object SparkEntry {
            round(cont_b, 6) AS cont_b
          FROM c WHERE cont_a >= 0.3 OR cont_b >= 0.3
          ORDER BY doc_a, doc_b""",
+    // Passage-level exact dedup: 8-token aligned windows, 60-bit hash,
+    // corpus-wide occurrence count > 1 = duplicated passage.
+    "q_passage_dedup" ->
+      s"""WITH $TOKS_CTE,
+         ch AS (SELECT doc_id, CASE WHEN len(tk) >= 1 THEN
+                  [${H64.format("array_to_string(tk[i*8+1:i*8+8], ' ')")}
+                   for i in range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))]
+                ELSE [] END AS hs FROM toks),
+         ex AS (SELECT doc_id, len(hs) AS n_passages, unnest(hs) AS h FROM ch),
+         freq AS (SELECT h, count(*) AS cnt FROM ex GROUP BY 1),
+         agg AS (SELECT e.doc_id, e.n_passages,
+                   CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup
+                 FROM ex e JOIN freq f USING (h) GROUP BY 1, 2)
+         SELECT doc_id, n_passages, n_dup,
+           round(n_dup / n_passages, 6) AS dup_frac,
+           round(n_dup / n_passages, 6) >= 0.5 AS dup_heavy
+         FROM agg ORDER BY doc_id""",
+    // Bigram LM score: add-1 smoothing over corpus-trained counts;
+    // per-bigram log-probs quantized to integer micro-nats (round 6,
+    // then ×1e6) so the per-doc sum is exact — accumulation order and
+    // libm last-ulp differences cannot flip the hash.
+    "q_lm_score" ->
+      s"""WITH $TOKS_CTE,
+         bg AS (SELECT doc_id,
+                  unnest([tk[i+1] for i in range(0, len(tk) - 1)]) AS w1,
+                  unnest([tk[i+2] for i in range(0, len(tk) - 1)]) AS w2
+                FROM toks),
+         vocab AS (SELECT count(DISTINCT t) AS v
+                   FROM (SELECT unnest(tk) AS t FROM toks)),
+         bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+         lp AS (SELECT doc_id,
+                  CAST(round(round(ln((cb + 1) / (cu + v)), 6) * 1e6)
+                    AS BIGINT) AS fx
+                FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1), vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(-CAST(sum(fx) AS BIGINT) / (count(*) * 1e6), 6) AS nll
+         FROM lp GROUP BY 1 ORDER BY doc_id""",
+    // Token-budget selection: greedy by type-token ratio per source,
+    // cumulative token count capped at 800.
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> len(x) > 0) AS tk
+           FROM documents),
+         sc AS (SELECT doc_id, source, len(tk) AS n_tok,
+             len(list_distinct(tk)) / len(tk) AS ttr FROM t),
+         cum AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
+                   ORDER BY ttr DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tok
+                FROM sc)
+         SELECT source, doc_id, n_tok, round(ttr, 6) AS ttr, cum_tok
+         FROM cum WHERE cum_tok <= 800 ORDER BY source, doc_id""",
     // DuckDB has no BLOB substring — slice the hex image of the payload
     // instead (one 64-byte frame = 128 hex chars); Spark slices the real
     // bytes and hexes per frame, which is the same string.

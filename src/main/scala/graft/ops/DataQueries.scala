@@ -655,6 +655,90 @@ object DataQueries {
           transform(col("frames"), f => lower(hex(f))))).as("frames_hash"))
       .orderBy("doc_id")
 
+  /** Passage-level exact dedup over 8-token windows: per-doc passage
+    * count, corpus-duplicated passage count, dup fraction, and the
+    * dup-heavy flag a pipeline would gate removal on. */
+  def passageDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps.passageStats(Tables.documents(s, d), "doc_id", "text", w = 8)
+      .select(col("doc").as("doc_id"), col("n_passages"), col("n_dup"),
+        col("dup_frac"), (col("dup_frac") >= 0.5).as("dup_heavy"))
+      .orderBy("doc_id")
+
+  /** Bigram-LM quality score (the CCNet-style perplexity filter): an
+    * add-one-smoothed bigram model is "trained" on the corpus's own
+    * counts, then every document is scored with its mean negative
+    * log-likelihood — gibberish and boilerplate land in the high/low
+    * tails. Per-bigram log-probs are quantized to integer micro-nats
+    * before the per-doc sum, so the aggregate is an exact integer sum
+    * (no float-accumulation-order divergence vs the oracle).
+    *
+    * Shape for 100 TB: bigram explosion is map-side; one
+    * `repartition(w1, w2)` exchange feeds the bigram-count aggregate,
+    * its join back, and (via ReuseExchange + a second partial agg) the
+    * context-count aggregate; the context join is vocabulary-sized on
+    * the build side so AQE broadcasts when it fits. Document text
+    * never shuffles — only (doc, w1, w2) rows. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(Tables.documents(s, d))
+
+  /** [[lmScore]] over an arbitrary (doc_id, text) frame — the testable
+    * core; see the query wrapper for the scale discussion. */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    // adjacent-token zip; slice length ≥ 0 guard for 0/1-token docs
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val pairs = toks.select(col("doc_id"),
+        explode_outer(zip_with(
+          slice(col("tk"), lit(1), n1), slice(col("tk"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .filter(col("bg").isNotNull) // InferFiltersFromGenerate dodge
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // V: corpus vocabulary size — one scalar to the driver (the same
+    // shape as tfidf's nDocs), baked into the smoothing denominator
+    val vocab = toks.select(explode_outer(col("tk")).as("t"))
+      .filter(col("t").isNotNull)
+      .agg(countDistinct(col("t"))).first().getLong(0)
+    val ex = pairs.repartition(col("w1"), col("w2"))
+    val bc = ex.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uc = ex.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // round(·,6) then micro-nat fixed point: the sum is exact integers,
+    // immune to both accumulation order and libm last-ulp differences
+    val fx = round(round(
+        log((col("cb") + 1) / (col("cu") + lit(vocab.toDouble))), 6) * 1e6)
+      .cast("long")
+    ex.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .select(col("doc_id"), fx.as("fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sfx"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sfx").cast("double") / (col("n_bigrams") * 1e6), 6)
+          .as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget mixture selection: within each source, greedily keep
+    * the highest-quality documents (type-token ratio, ties by id) until
+    * the source's token budget is spent — the "build a balanced 1T-token
+    * mix from a 100T-token corpus" selection step. One window shuffle
+    * per source stratum; at scale the stratum becomes (source, shard)
+    * exactly as in [[packBinsSharded]]. */
+  def tokenBudget(s: SparkSession, d: String, budget: Long = 800): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("ttr").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        round(col("ttr"), 6).as("ttr"), col("cum_tok"))
+      .orderBy("source", "doc_id")
+  }
+
   /** As-of join: each click event picks up the user's latest purchase
     * at-or-before the click (value + its timestamp). */
   def asofPurchase(s: SparkSession, d: String): DataFrame = {

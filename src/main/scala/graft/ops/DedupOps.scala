@@ -63,6 +63,42 @@ object DedupOps {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** Passage-level exact dedup stats: split each document's token
+    * stream into fixed `w`-token windows, hash each window, and report
+    * per document how many of its passages occur more than once in the
+    * corpus — the chunk-hash approximation of exact substring dedup
+    * (the practical distributed stand-in for a suffix-array pass; the
+    * fixed alignment means only same-offset repeats are caught, which
+    * is exactly the boilerplate/exact-copy case it targets).
+    *
+    * Shape for 100 TB: passage hashing is one map-side pass over the
+    * tokens; the corpus-wide occurrence count is `count() over
+    * (partition by h)` — ONE hash-keyed shuffle, no join, one scan
+    * (a count-aggregate + join-back looks equivalent but plans a
+    * second, differently-pruned scan of the corpus). Document text
+    * never shuffles, only (doc, hash) rows. */
+  def passageStats(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    val tk = TextOps.tokens(col(text))
+    // chunk i covers tokens [i·w+1, (i+1)·w]; guard the sequence — with
+    // zero chunks sequence(0, -1) would count backwards
+    val nCh = ceil(size(col("tk")).cast("double") / w).cast("int")
+    val hashes = when(size(col("tk")) >= 1,
+        transform(sequence(lit(0), nCh - 1),
+          i => h64(array_join(slice(col("tk"), i * w + 1, lit(w)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val ex = df.select(col(id).as("doc"), tk.as("tk"))
+      .select(col("doc"), hashes.as("hs"))
+      .select(col("doc"), size(col("hs")).cast("long").as("n_passages"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull) // InferFiltersFromGenerate dodge
+    ex.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc", "n_passages")
+      .agg(sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_passages"), 6))
+  }
+
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 shingle (an
     * equi-join on the shingle — inverted-index semantics), exact
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from distinct-shingle counts.

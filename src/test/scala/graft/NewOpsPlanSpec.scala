@@ -42,6 +42,28 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(n <= 2, s"packing should not re-shuffle per stage ($n exchanges):\n${plan(df)}")
   }
 
+  test("passage dedup: one corpus scan, no join, ≤3 exchanges") {
+    // occurrence count is a window over h — a count-agg + join-back
+    // would plan a second, differently-pruned scan of the corpus
+    val p = plan(DataQueries.passageDedup(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"passage pipeline scans the corpus more than once:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 3, s"extra shuffles:\n$p")
+  }
+
+  test("lm score: every join is hash-able, no nested loop") {
+    val p = plan(DataQueries.lmScore(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LM count join degraded:\n$p")
+  }
+
+  test("token budget: one window exchange plus the output sort only") {
+    val df = DataQueries.tokenBudget(spark, sf)
+    val n = "Exchange".r.findAllIn(plan(df)).size
+    assert(n <= 2, s"budget selection should be a single window shuffle:\n${plan(df)}")
+  }
+
   test("funnel steps are chronologically ordered where present") {
     val rows = SeriesQueries.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
