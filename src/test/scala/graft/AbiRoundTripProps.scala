@@ -12,9 +12,13 @@ import java.math.BigInteger
 object AbiRoundTripProps extends Properties("AbiRoundTrip") {
 
   // ---- type-tree generator (depth-bounded) ----
-  private val scalarT: Gen[String] = Gen.oneOf(
-    "uint256", "uint128", "uint8", "int256", "int24",
-    "address", "bool", "bytes32", "string", "bytes")
+  private val scalarT: Gen[String] = Gen.frequency(
+    9 -> Gen.oneOf(
+      "uint256", "uint128", "uint8", "int256", "int24",
+      "address", "bool", "bytes32", "string", "bytes"),
+    // short fixed bytes: left-aligned in the word, decode keeps the
+    // full padded word (see AbiCodec.decodeWord) — `same` pads
+    1 -> Gen.choose(1, 31).map(n => s"bytes$n"))
 
   private def typeT(depth: Int): Gen[String] =
     if (depth <= 0) scalarT
@@ -42,6 +46,8 @@ object AbiRoundTripProps extends Properties("AbiRoundTrip") {
         case "bytes32" => hexStr(64).map("0x" + _)
         case "string" => Gen.alphaNumStr.map(_.take(24))
         case "bytes" => Gen.choose(0, 40).flatMap(n => hexStr(2 * n).map("0x" + _))
+        case b if b.startsWith("bytes") =>
+          hexStr(2 * b.substring(5).toInt).map("0x" + _)
         case u if u.startsWith("uint") =>
           val bits = u.substring(4).toInt
           // keep within min(type range, 38 decimal digits) so the
@@ -74,6 +80,10 @@ object AbiRoundTripProps extends Properties("AbiRoundTrip") {
           case "bool" => got == expected
           case "address" | "bytes32" | "bytes" =>
             got == expected.asInstanceOf[String].toLowerCase
+          case b if b.startsWith("bytes") =>
+            // decode keeps the whole left-aligned word
+            got == expected.asInstanceOf[String].toLowerCase
+              .padTo(66, '0')
           case "string" => got == expected
           case _ => // uintN / intN → BigDecimal
             got.asInstanceOf[java.math.BigDecimal].toBigInteger ==
