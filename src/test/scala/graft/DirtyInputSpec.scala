@@ -21,6 +21,18 @@ class DirtyInputSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("passage stats: whitespace-only and empty docs drop out cleanly") {
+    val df = Seq((1L, "   "), (2L, ""), (3L, "real tokens present here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.passageStats(df, "doc_id", "text", w = 4).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L)) // no 0-chunk rows, no throw
+  }
+
+  test("lm score: empty corpus yields empty output, no scalar-probe crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.DataQueries.lmScoreOf(empty).count() == 0)
+  }
+
   test("lshIncremental: empty batch or empty corpus yield empty, no errors") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")

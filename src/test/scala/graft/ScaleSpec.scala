@@ -23,6 +23,22 @@ class ScaleSpec extends SparkSpec {
     assert(direct.map(_.toString).toSeq == salted.map(_.toString).toSeq)
   }
 
+  test("passage dedup stays linear on a 10x-replicated corpus") {
+    // pair-based dedup blows up quadratically under heavy duplication
+    // (the measured 480 s jaccard case); the passage pass is a window
+    // COUNT per hash — rows per key grow 10x, work grows 10x, done.
+    import graft.ops.DedupOps
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rep = (0 until 10).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_))
+    val out = DedupOps.passageStats(rep, "doc_id", "text", w = 8)
+    assert(out.count() == 5000)
+    // every passage now occurs >= 10 times corpus-wide
+    assert(out.filter(col("dup_frac") < 1.0).count() == 0)
+  }
+
   test("int8-quantized embeddings store substantially smaller than float32") {
     import graft.ops.VectorOps
     val d = "/root/testdata/sf0.001"
