@@ -252,6 +252,26 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Materializable LSH band index of a corpus: one row per (band,
+    * band-hash) bucket membership, with the member's wide signature
+    * carried so a probe can estimate Jaccard without a second corpus
+    * lookup. This is the reusable state the incremental/streaming
+    * screens join against — persist it (parquet, partitioned by band)
+    * and every ingest pays |batch| fingerprinting plus one bucket
+    * join, never a corpus re-scan. */
+  def bandIndex(df: DataFrame, id: String, text: String, k: Int,
+                r: Int): DataFrame = {
+    val bands = (k + r - 1) / r
+    minhashSigWide(df, id, text, k)
+      .select(col("doc").as("old_doc"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig").as("sig_o"))
+      .select(col("old_doc"), col("band"),
+        h64(concat_ws(",", slice(col("sig_o"), col("band") * r + 1, lit(r))))
+          .as("bh"),
+        col("sig_o"))
+  }
+
   /** Incremental near-dup screen: which BATCH documents are LSH
     * candidates of an EXISTING-corpus document, with the estimated
     * Jaccard from signature agreement. The production daily-ingest

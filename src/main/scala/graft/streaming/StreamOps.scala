@@ -90,6 +90,46 @@ object StreamOps {
       .withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming near-dup screen: each arriving document is
+    * minhash-signed and banded MAP-SIDE, probes the static corpus band
+    * index ([[graft.ops.DedupOps.bandIndex]], typically a persisted
+    * table) via a stream-static equi-join on (band, bh), and any
+    * candidate with estimated Jaccard ≥ threshold emits once — a pair
+    * matching in several bands (or re-arriving) collapses in the same
+    * bounded watermark-scoped state store [[dedupExactStream]] uses.
+    * No stream-side state grows with the corpus: the index is the
+    * state, and it lives in storage, not the state store. */
+  def nearDupScreenStream(stream: DataFrame, corpusIndex: DataFrame,
+                          id: String, text: String, ts: String, k: Int,
+                          r: Int, threshold: Double,
+                          watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.TextOps
+    val bands = (k + r - 1) / r
+    val sig = stream
+      .select(col(id).as("new_doc"), col(ts).as("__ts"),
+        TextOps.tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) >= 3) // ≥1 shingle ⟺ ≥n tokens (cheap form)
+      .select(col("new_doc"), col("__ts"),
+        call_function("minhash_sig",
+          call_function("shingle_h64s", col("tk"), lit(3)), lit(k)).as("sig_n"))
+    sig
+      .select(col("new_doc"), col("__ts"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig_n"))
+      .select(col("new_doc"), col("__ts"), col("band"),
+        TextOps.h64(concat_ws(",",
+          slice(col("sig_n"), col("band") * r + 1, lit(r)))).as("bh"),
+        col("sig_n"))
+      .join(corpusIndex, Seq("band", "bh"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
+          m => m)).cast("double") / k.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark("new_doc", "old_doc")
+      .select(col("new_doc"), col("old_doc"), col("__ts").as(ts),
+        col("est_jaccard"))
+  }
+
   /** FSM position state carried across micro-batches. */
   case class Position(side: String, entryTs: Long, entryPrice: Double)
   case class TickIn(key: String, ts: Long, price: Double, dev: Double)

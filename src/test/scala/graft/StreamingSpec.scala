@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("text"))
   }
 
+  test("nearDupScreenStream flags stream docs against the static band index, once") {
+    import graft.ops.DedupOps
+    implicit val sc = spark.sqlContext
+    val t = "one two three four five six seven eight nine ten"
+    val corpus = Seq((100L, t),
+      (200L, "completely different other words entirely")).toDF("doc_id", "text")
+    val idx = DedupOps.bandIndex(corpus, "doc_id", "text", k = 32, r = 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.nearDupScreenStream(df, idx, "doc_id", "text", "ts",
+        k = 32, r = 2, threshold = 0.3)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), t), // exact dup of corpus doc 100
+      (2L, ts("2024-01-01 00:01:00"), "nothing shared with anything here at all"))
+    q.processAllAvailable()
+    // re-arrival inside the watermark: the pair is already in state
+    input.addData((1L, ts("2024-01-01 00:10:00"), t))
+    q.processAllAvailable()
+    val got = spark.table("neardup_out").collect()
+    q.stop()
+    assert(got.length == 1, got.mkString(";"))
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 100L)
+    // identical text ⇒ identical signature ⇒ est 1.0 (16-band collision
+    // collapsed by the pair-key dedup)
+    assert(got(0).getDouble(3) == 1.0)
+  }
+
   test("sessionizeStream closes sessions at the watermark, matches batch grouping") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
