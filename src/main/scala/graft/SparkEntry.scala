@@ -98,6 +98,8 @@ object SparkEntry {
     "q_passage_dedup"     -> ((s, d) => DataQueries.passageDedup(s, d)),
     "q_lm_score"          -> ((s, d) => DataQueries.lmScore(s, d)),
     "q_token_budget"      -> ((s, d) => DataQueries.tokenBudget(s, d)),
+    "q_quality_deciles"   -> ((s, d) => DataQueries.qualityDeciles(s, d)),
+    "q_centroid_sim"      -> ((s, d) => DataQueries.centroidSim(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -808,6 +810,46 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_bigrams,
            round(-CAST(sum(fx) AS BIGINT) / (count(*) * 1e6), 6) AS nll
          FROM lp GROUP BY 1 ORDER BY doc_id""",
+    // Quality deciles: ntile over the composite quality score per
+    // language; both engines rank on the UNROUNDED score (an identical
+    // expression tree over exact divisions → bit-identical doubles),
+    // ties by doc_id.
+    "q_quality_deciles" ->
+      s"""WITH $TOKS_CTE,
+         q AS (SELECT doc_id, d.lang,
+                 0.4 * least(len(tk) / 100.0, 1.0)
+                 + 0.3 * (1.0 - coalesce(CASE WHEN len(toks.text) > 0 THEN
+                     (len(toks.text) - len(regexp_replace(toks.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / len(toks.text) END, 0.0))
+                 + 0.3 * least(coalesce(CASE WHEN len(tk) > 0 THEN
+                     len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                       / len(tk) END, 0.0) * 5.0, 1.0) AS qual
+               FROM toks JOIN documents d USING (doc_id))
+         SELECT doc_id, lang, round(qual, 6) AS quality,
+           ntile(10) OVER (PARTITION BY lang ORDER BY qual DESC, doc_id)
+             AS decile
+         FROM q ORDER BY doc_id""",
+    // Centroid cosine per label pair: micro-unit fixed-point sums keep
+    // every aggregate an exact integer; sqrt + one divide are the only
+    // float steps (IEEE correctly-rounded → engine-identical).
+    "q_centroid_sim" ->
+      """WITH f0 AS (SELECT label, unnest(range(len(embedding))) AS i,
+                  unnest(embedding) AS v FROM embeddings),
+         f AS (SELECT label, i,
+                 CAST(round(v::DOUBLE * 1e6) AS BIGINT) AS vf FROM f0),
+         c AS (SELECT label, i, CAST(sum(vf) AS BIGINT) AS cv
+               FROM f GROUP BY 1, 2),
+         n AS (SELECT label, CAST(sum(cv * cv) AS BIGINT) AS nn
+               FROM c GROUP BY 1),
+         dots AS (SELECT a.label AS la, b.label AS lb,
+                    CAST(sum(a.cv * b.cv) AS BIGINT) AS dot
+                  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+                  GROUP BY 1, 2)
+         SELECT la, lb,
+           round(dot / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)), 6)
+             AS cos_sim
+         FROM dots JOIN n na ON la = na.label JOIN n nb ON lb = nb.label
+         ORDER BY la, lb""",
     // Token-budget selection: greedy by type-token ratio per source,
     // cumulative token count capped at 800.
     "q_token_budget" ->

@@ -739,6 +739,53 @@ object DataQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Per-language quality deciles: every document ranked into its
+    * language's quality tenths (ntile over the composite score, ties by
+    * id) — the binning a curriculum sampler or quality-ablation study
+    * reads. One window shuffle per language stratum. */
+  def qualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .withColumn("decile", ntile(10).over(w))
+      .select(col("doc_id"), col("lang"), round(col("q"), 6).as("quality"),
+        col("decile"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairwise per-label embedding-centroid cosine — the "are these two
+    * sources/clusters semantically converging" drift monitor. Every
+    * float is quantized to integer micro-units BEFORE aggregation, so
+    * sums, dots and norms are exact integers (cosine then normalizes
+    * the scale away — the micro-unit SUM vector has the same direction
+    * as the mean centroid), and the only floating steps are sqrt and
+    * one division, both IEEE-correctly-rounded → engine-identical.
+    * Shape: the per-(label, dim) sum is one map-combined shuffle over
+    * (label, dim, int64) rows; everything after runs on label-count ×
+    * dim-count data — telemetry-sized by construction. */
+  def centroidSim(s: SparkSession, d: String): DataFrame = {
+    val fix = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("label"), col("i"),
+        round(col("v").cast("double") * 1e6).cast("long").as("vf"))
+      .groupBy("label", "i").agg(sum("vf").as("cv"))
+    val norms = fix.groupBy("label").agg(sum(col("cv") * col("cv")).as("nn"))
+    val dots = fix.toDF("la", "i", "ca")
+      .join(fix.toDF("lb", "i", "cb"), Seq("i"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb").agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.toDF("la", "na"), Seq("la"))
+      .join(norms.toDF("lb", "nb"), Seq("lb"))
+      .select(col("la"), col("lb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos_sim"))
+      .orderBy("la", "lb")
+  }
+
   /** As-of join: each click event picks up the user's latest purchase
     * at-or-before the click (value + its timestamp). */
   def asofPurchase(s: SparkSession, d: String): DataFrame = {

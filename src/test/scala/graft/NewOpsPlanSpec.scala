@@ -64,6 +64,18 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(n <= 2, s"budget selection should be a single window shuffle:\n${plan(df)}")
   }
 
+  test("quality deciles: one window exchange plus the output sort only") {
+    val df = DataQueries.qualityDeciles(spark, sf)
+    val n = "Exchange".r.findAllIn(plan(df)).size
+    assert(n <= 2, s"decile ranking should be a single window shuffle:\n${plan(df)}")
+  }
+
+  test("centroid similarity: label-pair join is an equi-join on the dim") {
+    val p = plan(DataQueries.centroidSim(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"centroid pair join degraded:\n$p")
+  }
+
   test("funnel steps are chronologically ordered where present") {
     val rows = SeriesQueries.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
