@@ -100,6 +100,10 @@ object SparkEntry {
     "q_token_budget"      -> ((s, d) => DataQueries.tokenBudget(s, d)),
     "q_quality_deciles"   -> ((s, d) => DataQueries.qualityDeciles(s, d)),
     "q_centroid_sim"      -> ((s, d) => DataQueries.centroidSim(s, d)),
+    "q_boiler_strip"      -> ((s, d) => DataQueries.boilerStrip(s, d)),
+    "q_dedup_rep"         -> ((s, d) => DataQueries.dedupRep(s, d)),
+    "q_pq_encode"         -> ((s, d) => DataQueries.pqCodes(s, d)),
+    "q_pq_topk"           -> ((s, d) => DataQueries.pqTopK(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -170,6 +174,30 @@ object SparkEntry {
               [list_min(hs[i+1:i+least(4, len(hs))])
                for i in range(0, len(hs) - least(4, len(hs)) + 1)]))
             END AS fps FROM ps)"""
+
+  /** Shared PQ oracle CTE mirroring VectorOps.pqEncode (m=4 × 16-dim
+    * subspaces, 16-entry codebooks from the lowest-id vectors):
+    * micro-unit fixed point → exact integer squared distances →
+    * argmin codes, ties to the lowest code via row_number. */
+  private val PQ_CTE =
+    """pf AS (SELECT vec_id, CAST(i // 16 AS INT) AS sub, i % 16 AS pos,
+                CAST(round(v::DOUBLE * 1e6) AS BIGINT) AS vf
+              FROM (SELECT vec_id, unnest(range(len(embedding))) AS i,
+                      unnest(embedding) AS v
+                    FROM embeddings WHERE embedding IS NOT NULL)),
+       cb AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+              FROM (SELECT vec_id FROM embeddings
+                    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+       cents AS (SELECT cb.cidx, pf.sub, pf.pos, pf.vf
+                 FROM pf JOIN cb USING (vec_id)),
+       dists AS (SELECT x.vec_id, x.sub, c.cidx,
+                   CAST(sum((x.vf - c.vf) * (x.vf - c.vf)) AS BIGINT) AS d
+                 FROM pf x JOIN cents c ON x.sub = c.sub AND x.pos = c.pos
+                 GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, sub, CAST(cidx AS INT) AS code
+                 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                         ORDER BY d, cidx) AS rn FROM dists)
+                 WHERE rn = 1)"""
 
   /** MinHash affine-rehash parameters shared with DedupOps (same Scala
     * source of truth, injected as literals into the oracle SQL). */
@@ -850,6 +878,95 @@ object SparkEntry {
              AS cos_sim
          FROM dots JOIN n na ON la = na.label JOIN n nb ON lb = nb.label
          ORDER BY la, lb""",
+    // Boilerplate strip: passages (8-token windows) with corpus
+    // occurrence ≥ 3 removed, documents rebuilt from the survivors in
+    // original order — reconstruction pinned by length + content hash.
+    "q_boiler_strip" ->
+      s"""WITH $TOKS_CTE,
+         ch AS (SELECT doc_id, CASE WHEN len(tk) >= 1 THEN
+                  [struct_pack(i := i,
+                     p := array_to_string(tk[i*8+1:i*8+8], ' '))
+                   for i in range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))]
+                ELSE [] END AS ps FROM toks),
+         ex AS (SELECT doc_id, u.i AS i, u.p AS p
+                FROM (SELECT doc_id, unnest(ps) AS u FROM ch)),
+         hx AS (SELECT doc_id, i, p, ${H64.format("p")} AS h FROM ex),
+         boiler AS (SELECT h FROM hx GROUP BY h HAVING count(*) >= 3),
+         kept AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(p, ' ' ORDER BY i) AS clean
+                  FROM hx WHERE h NOT IN (SELECT h FROM boiler)
+                  GROUP BY doc_id)
+         SELECT b.doc_id, CAST(len(b.ps) AS BIGINT) AS n_passages,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(coalesce(k.clean, '')) AS BIGINT) AS clean_len,
+           ${H64.format("coalesce(k.clean, '')")} AS clean_h
+         FROM ch b LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""",
+    // Quality-aware representative per near-dup group: capped-candidate
+    // CC (identical to q_dedup_groups_capped) + the q_quality_deciles
+    // score; each group keeps its highest-quality member, singletons
+    // keep themselves. Ranking on the UNROUNDED score (identical
+    // expression trees → bit-identical doubles), ties by doc_id.
+    "q_dedup_rep" ->
+      s"""WITH RECURSIVE $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+         fx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM fx a JOIN fx b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         near AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+                   UNION SELECT doc_b, doc_a FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp),
+         qual AS (SELECT doc_id,
+                 0.4 * least(len(tk) / 100.0, 1.0)
+                 + 0.3 * (1.0 - coalesce(CASE WHEN len(toks.text) > 0 THEN
+                     (len(toks.text) - len(regexp_replace(toks.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / len(toks.text) END, 0.0))
+                 + 0.3 * least(coalesce(CASE WHEN len(tk) > 0 THEN
+                     len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                       / len(tk) END, 0.0) * 5.0, 1.0) AS q
+               FROM toks),
+         g AS (SELECT q.doc_id, coalesce(c.comp, q.doc_id) AS comp,
+                 CAST(coalesce(z.comp_size, 1) AS BIGINT) AS comp_size, q.q
+               FROM qual q LEFT JOIN comps c ON q.doc_id = c.node
+                 LEFT JOIN sz z ON c.comp = z.comp)
+         SELECT doc_id, comp, comp_size, round(q, 6) AS quality,
+           (row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) = 1)
+             AS keep
+         FROM g ORDER BY doc_id""",
+    // PQ sub-codes, long format — the m-byte compressed representation.
+    "q_pq_encode" ->
+      s"""WITH $PQ_CTE
+         SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""",
+    // ADC top-10 for the lowest-id query: per-(subspace, code) distance
+    // table from exact integer arithmetic, summed per candidate.
+    "q_pq_topk" ->
+      s"""WITH $PQ_CTE,
+         q AS (SELECT min(vec_id) AS qid FROM embeddings
+               WHERE embedding IS NOT NULL),
+         dtab AS (SELECT c.sub, c.cidx,
+                    CAST(sum((p.vf - c.vf) * (p.vf - c.vf)) AS BIGINT) AS d
+                  FROM pf p JOIN cents c ON p.sub = c.sub AND p.pos = c.pos, q
+                  WHERE p.vec_id = q.qid GROUP BY 1, 2),
+         adc AS (SELECT cd.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+                 FROM codes cd
+                 JOIN dtab dt ON cd.sub = dt.sub AND cd.code = dt.cidx, q
+                 WHERE cd.vec_id <> q.qid GROUP BY 1)
+         SELECT vec_id AS cand_id, adist, rnk FROM
+           (SELECT vec_id, adist,
+              row_number() OVER (ORDER BY adist, vec_id) AS rnk FROM adc)
+         WHERE rnk <= 10 ORDER BY rnk""",
     // Token-budget selection: greedy by type-token ratio per source,
     // cumulative token count capped at 800.
     "q_token_budget" ->

@@ -664,6 +664,60 @@ object DataQueries {
         col("dup_frac"), (col("dup_frac") >= 0.5).as("dup_heavy"))
       .orderBy("doc_id")
 
+  /** CCNet-style boilerplate strip: passages (8-token windows) seen ≥3
+    * times corpus-wide are removed and each document is rebuilt from
+    * its survivors — output pins the reconstruction by length + hash.
+    * See [[DedupOps.boilerplateStrip]] for the hash-only-frequency /
+    * broadcast-anti-join scale shape. */
+  def boilerStrip(s: SparkSession, d: String): DataFrame =
+    DedupOps.boilerplateStrip(Tables.documents(s, d), "doc_id", "text",
+        w = 8, maxFreq = 3L)
+      .orderBy("doc_id")
+
+  /** Quality-aware dedup representative: near-dup groups (the capped,
+    * production candidate path — same semantics as
+    * [[dedupGroupsCapped]]) each keep their HIGHEST-quality member
+    * (ties → lowest id) instead of the arbitrary lowest id — the form
+    * a training-corpus dedup actually ships, because dropping the
+    * clean copy and keeping the boilerplate-ridden one is a real
+    * quality regression. Singletons keep themselves (comp = own id).
+    * One extra window shuffle on comp over group-sized rows. */
+  def dedupRep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val groups = groupsOf(DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.1, maxDocFreq = Some(5L))
+      .select("doc_a", "doc_b"), nodeOut = "doc")
+    val qual = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q"))
+    val g = qual.join(groups, col("doc_id") === col("doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        coalesce(col("comp_size"), lit(1L)).as("comp_size"), col("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("q").desc, col("doc_id").asc)
+    g.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("comp"), col("comp_size"),
+        round(col("q"), 6).as("quality"), (col("rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** PQ sub-codes for every vector (m=4 subspaces × 16-entry
+    * codebooks) in long format — the m-byte compressed corpus
+    * representation. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    VectorOps.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 4, ksub = 16)
+      .select(col("vid").as("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .orderBy("vec_id", "sub")
+
+  /** ADC top-10 for the lowest-id query over the PQ-compressed corpus
+    * — exact integer distances, codes-only scan. */
+  def pqTopK(s: SparkSession, d: String): DataFrame =
+    VectorOps.pqAdcTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 4, ksub = 16, k = 10)
+      .orderBy("rnk")
+
   /** Bigram-LM quality score (the CCNet-style perplexity filter): an
     * add-one-smoothed bigram model is "trained" on the corpus's own
     * counts, then every document is scored with its mean negative

@@ -99,6 +99,54 @@ object DedupOps {
         round(col("n_dup").cast("double") / col("n_passages"), 6))
   }
 
+  /** CCNet-style boilerplate removal: strip every `w`-token passage
+    * that occurs at least `maxFreq` times across the corpus (nav bars,
+    * cookie banners, license footers — the passages shared by many
+    * pages), and reassemble each document from its surviving passages
+    * in original order. Returns per-doc (n_passages, n_kept, clean_len,
+    * clean_h) — the reconstruction is pinned by length + content hash
+    * so the oracle verifies the rebuilt text byte-for-byte without
+    * dumping it.
+    *
+    * Shape for 100 TB: the boilerplate set is found with a HASH-ONLY
+    * aggregate (column pruning reduces that branch to (h) rows — map-
+    * side combined, text never shuffles to find frequencies), and by
+    * construction it is small (≤ corpus_passages / maxFreq distinct
+    * hashes), so AQE broadcasts the anti-join build side. The single
+    * text-bearing shuffle is the per-doc reassembly. This is why the
+    * frequency step is an aggregate + anti-join here, NOT the window-
+    * over-h that [[passageStats]] uses: a window would shuffle every
+    * passage STRING by hash; the second (pruned, hash-only) scan is
+    * the cheaper side of that trade exactly when rows carry text. */
+  def boilerplateStrip(df: DataFrame, id: String, text: String, w: Int,
+                       maxFreq: Long): DataFrame = {
+    val tk = TextOps.tokens(col(text))
+    val nCh = ceil(size(col("tk")).cast("double") / w).cast("int")
+    val passages = when(size(col("tk")) >= 1,
+        transform(sequence(lit(0), nCh - 1),
+          i => array_join(slice(col("tk"), i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(col(id).as("doc"), tk.as("tk"))
+      .select(col("doc"), passages.as("ps"))
+    val ex = base
+      .select(col("doc"), posexplode_outer(col("ps")).as(Seq("i", "p")))
+      .filter(col("p").isNotNull) // InferFiltersFromGenerate dodge
+      .withColumn("h", h64(col("p")))
+    val boiler = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= maxFreq).select("h")
+    val kept = ex.join(boiler, Seq("h"), "left_anti")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("i"),
+          col("p")))), s => s.getField("p")), " ").as("clean"))
+    base.select(col("doc"), size(col("ps")).cast("long").as("n_passages"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
+        h64(coalesce(col("clean"), lit(""))).as("clean_h"))
+  }
+
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 shingle (an
     * equi-join on the shingle — inverted-index semantics), exact
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from distinct-shingle counts.

@@ -92,6 +92,100 @@ object VectorOps {
     cosineTopK(deq.filter(col(id) < nQueries), deq, id, "dq", k)
   }
 
+  /** id + integer micro-unit fixed-point vector (vf_d = round(x_d·1e6)
+    * as long): the quantization under [[pqEncode]]/[[pqAdcTopK]] that
+    * makes every distance an exact integer — and therefore DuckDB-
+    * oracle-able bit for bit (float sums depend on accumulation
+    * order; integer sums don't). */
+  private def fixedPoint(df: DataFrame, id: String, vec: String): DataFrame =
+    df.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"),
+        transform(asDouble(col(vec)),
+          x => round(x * 1e6).cast("long")).as("vf"))
+
+  /** Deterministic PQ codebook: the fixed-point subvectors of the
+    * `ksub` lowest-id vectors, split into `m` contiguous subspaces —
+    * returned as [subspace][centroid][dim]. The same lowest-id
+    * stand-in as [[ivfTopK]]'s coarse centroids (swap in per-subspace
+    * k-means for production recall; the plan shape downstream is
+    * unchanged). Bounded driver collect: ksub rows. */
+  private def pqCodebook(fixed: DataFrame, m: Int,
+                         ksub: Int): Array[Array[Array[Long]]] = {
+    val cents = fixed.orderBy("vid").limit(ksub).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.nonEmpty, "PQ needs a non-empty corpus")
+    val dsub = cents.head.length / m
+    Array.tabulate(m)(j => cents.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Squared L2 distance between a fixed-point subvector column and a
+    * literal centroid. Interpreted (higher-order fns are
+    * CodegenFallback) but bounded — m·ksub evaluations of a dsub-long
+    * fold per row; the production form is a one-pass codegen'd
+    * expression in the MinhashSigExpr mold. Encode happens ONCE per
+    * corpus; the scan-side ADC path below is pure codegen. */
+  private def sqDistTo(sub: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(sub, typedLit(cent.toSeq),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+
+  /** Product quantization encode: each vector → `m` sub-codes, code_j =
+    * argmin over the subspace-j codebook of the exact integer squared
+    * distance (ties → lowest code). An m-byte-per-vector representation
+    * — the memory step past [[sq8Encode]] (4× → dim/m·4× compression);
+    * at 100 TB the ANN scan streams codes, never raw floats.
+    * Map-only: the codebook is plan-time literals, nothing shuffles. */
+  def pqEncode(df: DataFrame, id: String, vec: String, m: Int,
+               ksub: Int): DataFrame = {
+    val fixed = fixedPoint(df, id, vec)
+    val book = pqCodebook(fixed, m, ksub)
+    val dsub = book(0)(0).length
+    val codes = array((0 until m).map { j =>
+      // struct-min does the argmin; (d asc, ci asc) ties pick the
+      // lowest code, same tie rule as the oracle's row_number
+      val sub = slice(col("vf"), j * dsub + 1, dsub)
+      array_min(array(book(j).zipWithIndex.map { case (c, ci) =>
+        struct(sqDistTo(sub, c).as("d"), lit(ci).as("ci"))
+      }: _*)).getField("ci")
+    }: _*)
+    fixed.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's exact
+    * per-(subspace, code) distance table is baked as plan-time literal
+    * arrays, so scoring a candidate is m codegen'd `element_at` lookups
+    * + adds — no floats, no vector reads, the scan touches only the
+    * m-byte codes. Query = the lowest-id vector (deterministic);
+    * distances are exact integers end-to-end. Global top-k plans as
+    * TakeOrderedAndProject (per-partition heads, no full sort shuffle);
+    * the rank window runs on k rows. */
+  def pqAdcTopK(df: DataFrame, id: String, vec: String, m: Int, ksub: Int,
+                k: Int): DataFrame = {
+    val fixed = fixedPoint(df, id, vec)
+    val book = pqCodebook(fixed, m, ksub)
+    val dsub = book(0)(0).length
+    val q = fixed.orderBy("vid").limit(1).collect()(0)
+    val (qid, qf) = (q.getLong(0), q.getSeq[Long](1).toArray)
+    // dtab(j)(c) = exact squared distance from the query's j-th
+    // subvector to codebook entry c — computed driver-side on the
+    // SAME Spark-rounded fixed-point values (no re-rounding skew)
+    val dtab = Array.tabulate(m) { j =>
+      val qs = qf.slice(j * dsub, (j + 1) * dsub)
+      book(j).map(c => qs.zip(c).map { case (a, b) =>
+        val d = a - b; d * d }.sum)
+    }
+    val adist = (0 until m).map { j =>
+      element_at(typedLit(dtab(j).toSeq),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val top = pqEncode(df, id, vec, m, ksub)
+      .filter(col("vid") =!= qid)
+      .select(col("vid"), adist.as("adist"))
+      .orderBy(col("adist").asc, col("vid").asc).limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("adist").asc, col("vid").asc)))
+      .select(col("vid").as("cand_id"), col("adist"), col("rnk"))
+  }
+
   /** Brute-force cosine top-k: each query row is scored against every
     * candidate. Queries are broadcast (the small side); candidates
     * stream by partition; per-query top-k is a window rank. Exact,

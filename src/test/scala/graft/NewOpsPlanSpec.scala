@@ -76,6 +76,79 @@ class NewOpsPlanSpec extends SparkSpec {
       s"centroid pair join degraded:\n$p")
   }
 
+  test("boilerplate strip: frequency side is hash-only, join is anti, no nested loop") {
+    val p = plan(DataQueries.boilerStrip(spark, sf))
+    assert(p.contains("LeftAnti"), s"boilerplate removal should be an anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"anti-join degraded:\n$p")
+  }
+
+  test("boilerplate strip drops frequent passages and rebuilds the rest in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h unique one two three four five six seven"),
+      (2L, "a b c d e f g h second tail words here pad pad pad pad"),
+      (3L, "a b c d e f g h third tail words here pad pad pad pad"),
+      (4L, "nothing shared at all in this text pad")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps
+      .boilerplateStrip(docs, "doc_id", "text", w = 8, maxFreq = 3L)
+      .orderBy("doc_id").collect()
+    // the shared 8-token prefix passage occurs 3× → stripped everywhere
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 1L)))
+    // doc 1's surviving text is its second passage, in original order
+    val clean1Len = out(0).getLong(3)
+    assert(clean1Len == "unique one two three four five six seven".length)
+  }
+
+  test("pq adc top-k: global top-k is TakeOrdered, scan side never joins vectors") {
+    val p = plan(DataQueries.pqTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k should plan as TakeOrderedAndProject, not a full sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ADC scan degraded to a pair join:\n$p")
+  }
+
+  test("pq codes agree with a driver-side reference on a small fixture") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 7 + d * 3 % 5).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.ops.VectorOps
+      .pqEncode(vecs, "vec_id", "embedding", m = 2, ksub = 4)
+      .select("vid", "codes").orderBy("vid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+    // reference: fixed-point micro-units, codebook = 4 lowest ids
+    val fix = (0L until 20L).map { i =>
+      Array.tabulate(8)(d => Math.round((i * 7 + d * 3 % 5).toFloat / 10f * 1e6))
+    }
+    val exp = fix.zipWithIndex.map { case (v, i) =>
+      val codes = (0 until 2).map { j =>
+        val sub = v.slice(j * 4, (j + 1) * 4)
+        (0 until 4).minBy { c =>
+          val cent = fix(c).slice(j * 4, (j + 1) * 4)
+          (sub.zip(cent).map { case (a, b) => val d = a - b; d * d }.sum, c)
+        }
+      }.toList
+      (i.toLong, codes)
+    }
+    assert(out.toSeq == exp)
+  }
+
+  test("dedup representative: every group keeps exactly one member") {
+    val rows = DataQueries.dedupRep(spark, sf).collect()
+    val byComp = rows.groupBy(_.getLong(1))
+    assert(byComp.forall { case (_, g) => g.count(_.getBoolean(4)) == 1 },
+      "each component must keep exactly one representative")
+    // the keeper is the max-quality member (ties lowest id)
+    byComp.values.foreach { g =>
+      val best = g.minBy(r => (-r.getDouble(3), r.getLong(0)))
+      assert(best.getBoolean(4), s"kept doc is not the best-quality one in ${g.toList}")
+    }
+    assert(rows.exists(r => r.getLong(2) > 1), "fixture should have non-trivial groups")
+  }
+
   test("funnel steps are chronologically ordered where present") {
     val rows = SeriesQueries.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
