@@ -17,12 +17,28 @@ object Bench {
     // parquet footer/class loading, and the spark.ml + BLAS init. This
     // measures the operators, not the JIT.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    // Between queries, drop persisted blocks the finished query left
+    // behind (CC-iteration localCheckpoints, fitted-split caches):
+    // each query's .count() fully consumes its result, so the blocks
+    // are dead weight that only raises executor memory pressure for
+    // every LATER query — measured as a uniform cross-query slowdown
+    // as the set grows. JVM-object caches (the fitted-model LRU) are
+    // untouched, so deliberate cross-query reuse keeps its speedup.
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      sweep()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

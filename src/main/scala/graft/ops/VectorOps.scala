@@ -118,33 +118,36 @@ object VectorOps {
     Array.tabulate(m)(j => cents.map(_.slice(j * dsub, (j + 1) * dsub)))
   }
 
-  /** Squared L2 distance between a fixed-point subvector column and a
-    * literal centroid. Interpreted (higher-order fns are
-    * CodegenFallback) but bounded — m·ksub evaluations of a dsub-long
-    * fold per row; the production form is a one-pass codegen'd
-    * expression in the MinhashSigExpr mold. Encode happens ONCE per
-    * corpus; the scan-side ADC path below is pure codegen. */
-  private def sqDistTo(sub: Column, cent: Array[Long]): Column =
-    aggregate(zip_with(sub, typedLit(cent.toSeq),
-      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-
   /** Product quantization encode: each vector → `m` sub-codes, code_j =
     * argmin over the subspace-j codebook of the exact integer squared
     * distance (ties → lowest code). An m-byte-per-vector representation
     * — the memory step past [[sq8Encode]] (4× → dim/m·4× compression);
     * at 100 TB the ANN scan streams codes, never raw floats.
-    * Map-only: the codebook is plan-time literals, nothing shuffles. */
+    * Map-only: the codebook is plan-time literals, nothing shuffles.
+    *
+    * Distances run through the codegen'd `vec_dot` on integer-VALUED
+    * doubles (micro-unit magnitudes keep every product and sum below
+    * 2^53, so the arithmetic is exact); ranking by ‖c‖² − 2·x·c equals
+    * ranking by the full squared distance — the two differ by the
+    * per-row constant ‖x‖², ties included — which avoids both a
+    * per-centroid interpreted fold (higher-order fns are
+    * CodegenFallback, measured ~10× slower here) and any subtraction
+    * loop. */
   def pqEncode(df: DataFrame, id: String, vec: String, m: Int,
                ksub: Int): DataFrame = {
     val fixed = fixedPoint(df, id, vec)
     val book = pqCodebook(fixed, m, ksub)
     val dsub = book(0)(0).length
+    val vfd = col("vf").cast("array<double>")
     val codes = array((0 until m).map { j =>
       // struct-min does the argmin; (d asc, ci asc) ties pick the
       // lowest code, same tie rule as the oracle's row_number
-      val sub = slice(col("vf"), j * dsub + 1, dsub)
+      val sub = slice(vfd, j * dsub + 1, dsub)
       array_min(array(book(j).zipWithIndex.map { case (c, ci) =>
-        struct(sqDistTo(sub, c).as("d"), lit(ci).as("ci"))
+        val cd = c.map(_.toDouble)
+        val cnorm = cd.map(x => x * x).sum
+        struct((lit(cnorm) - lit(2.0) * dot(sub, typedLit(cd.toSeq))).as("d"),
+          lit(ci).as("ci"))
       }: _*)).getField("ci")
     }: _*)
     fixed.withColumn("codes", codes)
