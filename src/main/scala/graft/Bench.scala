@@ -47,5 +47,9 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench with erroring queries must not look like a clean run: exit
+    // nonzero so the harness records the failure machine-checkably
+    // (round 3 shipped rc=0 with two dead queries in `errors`).
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

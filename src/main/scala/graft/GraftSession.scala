@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * - AQE on (runtime coalescing + skew-join handling — the knobs that
   *   matter unchanged on a real cluster);
   * - UTC session tz for oracle parity;
-  * - nanosAsLong because the testdata `events.ts` is TIMESTAMP(NANOS)
-  *   which Spark 4 refuses to read as a timestamp (Tables.events converts).
+  * - nanosAsLong kept for TIMESTAMP(NANOS) dumps (older testdata
+  *   generations; current `events.ts` is tz-naive micros — Tables.events
+  *   normalizes either encoding to session-tz TimestampType).
   */
 object GraftSession {
   def build(cpus: String): SparkSession = {

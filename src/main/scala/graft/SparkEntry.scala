@@ -77,6 +77,8 @@ object SparkEntry {
     "q_mix_weights"       -> ((s, d) => DataQueries.mixWeights(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
+    "q_edit_neardup"      -> ((s, d) => DataQueries.editNearDup(s, d)),
+    "q_chunk_docs"        -> ((s, d) => DataQueries.chunkDocs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
     "q_simhash_pairs"     -> ((s, d) => DataQueries.simhashPairs(s, d)),
     "q_cosine_topk"       -> ((s, d) => DataQueries.cosineTopK(s, d)),
@@ -142,10 +144,18 @@ object SparkEntry {
         org.apache.spark.sql.functions.round(col("sigma"), 6).as("sigma"),
         col("pair_id"), col("y"))
       .orderBy("event_type", "bucket")),
-    // model-dependent → no SQL oracle (driver records rows-only checks)
+    // model-dependent → no SQL oracle (driver records rows-only checks;
+    // metric values are additionally pinned by MlSpec against a recorded
+    // run). The *_pinned companions below close the oracle gap for the
+    // serving half: a pinned artifact scored as pure column arithmetic
+    // IS SQL-expressible, so scoring, signal logic, accuracy and AUC all
+    // get real DuckDB oracles.
     "q_ml_train_eval"     -> ((s, d) => graft.ml.MlPipeline.trainEval(s, d)),
     "q_ml_signals"        -> ((s, d) => graft.ml.MlPipeline.nowSignals(s, d)
       .orderBy("event_type")),
+    "q_ml_eval_pinned"    -> ((s, d) => graft.ml.MlPipeline.evalPinned(s, d)),
+    "q_ml_signals_pinned" -> ((s, d) => graft.ml.MlPipeline.signalsPinned(s, d)
+      .withColumn("bucket", col("bucket").cast("timestamp_ntz"))),
   )
 
   /** Shared oracle fragments for the text/dedup family. */
@@ -1059,6 +1069,33 @@ object SparkEntry {
                   ORDER BY score DESC, term ASC) AS rnk FROM sc)
          SELECT doc_id, term, tf, df, score, rnk
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // approx_uniq is a KMV (k-minimum-values) distinct sketch, k=64 —
+    // deterministic (exact when distinct < k, (k−1)·2^60/h_(k) above),
+    // so unlike HLL it IS independently recomputable here. CAST guards
+    // the q_pack_bins bug class (DuckDB sum() widening to HUGEINT).
+    "q_corpus_stats" ->
+      s"""WITH t AS (SELECT source,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                 x -> len(x) > 0)) AS n_tok
+           FROM documents),
+         base AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS total_tokens
+                  FROM t GROUP BY source),
+         dist AS (SELECT DISTINCT source, h FROM t),
+         rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+                FROM dist),
+         kmv AS (SELECT source, count(*) AS cnt,
+                   max(CASE WHEN rk = 64 THEN h END) AS hk
+                 FROM rk WHERE rk <= 64 GROUP BY source),
+         est AS (SELECT source,
+                   CASE WHEN cnt < 64 THEN cnt::DOUBLE
+                     ELSE round(63.0 * (1152921504606846976.0 / hk), 2)
+                   END AS approx_uniq
+                 FROM kmv)
+         SELECT source, n_docs, approx_uniq, total_tokens
+         FROM base JOIN est USING (source) ORDER BY source""",
     "q_source_drift" ->
       s"""WITH $TOKS_CTE,
          sl AS (SELECT CASE WHEN try_cast(regexp_extract(d.source, '(\\d+)', 1) AS INT) % 2 = 0
@@ -1626,7 +1663,57 @@ object SparkEntry {
            count(*) AS n_transfers
          FROM tr GROUP BY 1 ORDER BY 1""",
     "q_ml_dataset" ->
-      s"""WITH $FILLED_CTE,
+      s"""WITH $ML_FEATS_CTES
+         SELECT * FROM mlds ORDER BY event_type, bucket""",
+    // Pinned-artifact serving path (see MlPipeline pinned section):
+    // scoring = literal linear weights over the rounded feature table,
+    // so accuracy/AUC/signals are independently recomputable. AUC stays
+    // in integer pair-count space until one final division; CASTs guard
+    // DuckDB's sum()→HUGEINT widening (the q_pack_bins bug class).
+    "q_ml_eval_pinned" ->
+      s"""WITH $ML_FEATS_CTES,
+         split AS (SELECT *, row_number() OVER (ORDER BY bucket, event_type) AS rn,
+                     count(*) OVER () AS n FROM mlds),
+         test AS (SELECT *, $PINNED_SCORE_SQL AS score
+                  FROM split WHERE rn > CAST(floor(n * 0.7) AS BIGINT)),
+         evalacc AS (SELECT count(*) AS n_test,
+                   CAST(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(sum(y) AS BIGINT) AS n_pos FROM test),
+         g AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+               FROM test GROUP BY score),
+         g2 AS (SELECT np, n - np AS nn,
+                  coalesce(CAST(sum(n - np) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cumneg
+                FROM g),
+         u AS (SELECT CAST(sum(np * (cumneg * 2 + nn)) AS BIGINT) AS u2 FROM g2),
+         tot AS (SELECT count(*) AS n_total FROM mlds)
+         SELECT n_total - n_test AS n_train, n_test, n_pos,
+           round(n_correct::DOUBLE / n_test, 6) AS accuracy,
+           round(CASE WHEN n_pos > 0 AND n_pos < n_test
+             THEN u2::DOUBLE / (n_pos * (n_test - n_pos) * 2.0) END, 6) AS auc
+         FROM evalacc, u, tot""",
+    "q_ml_signals_pinned" ->
+      s"""WITH $ML_FEATS_CTES,
+         latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type ORDER BY bucket DESC) AS rn
+                    FROM mlds) WHERE rn = 1),
+         sc AS (SELECT event_type, bucket, devdt, pair_id,
+                  $PINNED_SCORE_SQL AS score
+                FROM latest),
+         best AS (SELECT *, row_number() OVER (PARTITION BY pair_id
+                    ORDER BY score DESC, event_type ASC) AS rk FROM sc)
+         SELECT event_type, bucket, score, devdt,
+           CASE WHEN score >= ln(1.5) AND devdt < 0
+             THEN 'LONG' ELSE 'NO TRADE' END AS signal
+         FROM best WHERE rk = 1 ORDER BY event_type""",
+  )
+
+  /** Feature chain shared by the ML oracles: everything through the
+    * rounded q_ml_dataset surface (`mlds`). */
+  private lazy val ML_FEATS_CTES =
+      s"""$FILLED_CTE,
          cons AS (SELECT bucket, median(value) AS consensus
                   FROM filled GROUP BY bucket),
          dv AS (SELECT f.event_type, f.bucket, f.value - c.consensus AS dev
@@ -1658,13 +1745,21 @@ object SparkEntry {
                     WHEN 'view' THEN 4 ELSE -1 END AS pair_id
                 FROM feat WHERE devdt IS NOT NULL),
          fw AS (SELECT *, max(devdt) OVER (PARTITION BY event_type ORDER BY bucket
-                  ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS fmax FROM zt)
-         SELECT event_type, bucket, round(z, 6) AS z, round(devdt, 6) AS devdt,
+                  ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS fmax FROM zt),
+         mlds AS (SELECT event_type, bucket, round(z, 6) AS z, round(devdt, 6) AS devdt,
            round(bias, 6) AS bias, round(sigma, 6) AS sigma, pair_id,
            CAST(fmax - devdt >= 50.0 AS INT) AS y
-         FROM fw WHERE devdt < 0 AND fmax IS NOT NULL
-         ORDER BY event_type, bucket""",
-  )
+         FROM fw WHERE devdt < 0 AND fmax IS NOT NULL)"""
+
+  /** Pinned linear score, term order mirrored EXACTLY by
+    * MlPipeline.pinnedScore (double addition is not associative; the
+    * literals print in shortest-round-trip form, which both engines
+    * parse to the identical IEEE double). */
+  private lazy val PINNED_SCORE_SQL = {
+    val w = graft.ml.PinnedModel.W
+    s"round(${graft.ml.PinnedModel.B} + ${w(0)} * z + ${w(1)} * devdt" +
+      s" + ${w(2)} * bias + ${w(3)} * sigma + ${w(4)} * pair_id, 6)"
+  }
 
   /** Shared oracle walk: the F1 mean-reversion FSM as a recursive CTE
     * (exact mirror of Backtest.meanReversion; validated against the

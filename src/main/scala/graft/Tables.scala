@@ -25,19 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
-    * session we build). Convert to a proper microsecond TimestampType here
-    * so downstream operators are idiomatic; integer division truncates,
-    * matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast. */
+  /** `events.ts` arrives in whatever physical type the generator used —
+    * TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) or tz-naive
+    * timestamp[us] (read as TIMESTAMP_NTZ). Normalize both to session-tz
+    * TimestampType so every downstream operator (`unix_micros`, window
+    * ranges, `date_trunc`) sees one type. The session tz is pinned UTC,
+    * so the NTZ→LTZ cast preserves the wall-clock values DuckDB reads. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // `div`, not `/`: long/long is DOUBLE division in Spark, and at
         // ~1.7e18 ns doubles lose sub-microsecond precision
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -9,13 +9,26 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.build(cpus)
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Write a sentinel result so the driver's compare produces a
+        // VISIBLE red row (rows/schema mismatch) instead of silently
+        // omitting the query from the round's correctness report — in
+        // round 3 two regressed queries vanished from the gate this way.
+        try {
+          import spark.implicits._
+          Seq(s"VERIFY_ERROR: ${e.getMessage}").toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

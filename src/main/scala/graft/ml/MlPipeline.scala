@@ -218,4 +218,123 @@ object MlPipeline {
 
   private def vector_to_array(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
+
+  // ---------------------------------------------------------------------
+  // Pinned-model serving path (oracle-checkable ML)
+  //
+  // q_ml_train_eval / q_ml_signals train live, so no independent engine
+  // can recompute their outputs (LBFGS isn't SQL) — they stay rows-only
+  // + spec-pinned. The queries below are the SERVING half made fully
+  // oracle-checkable: a model artifact (scaler+LR folded to linear
+  // weights, trained once offline by [[PinModel]]) applied as pure
+  // column arithmetic over the rounded feature table, so DuckDB can
+  // replay scoring, threshold/top-1 signal logic, accuracy and AUC
+  // bit-for-bit. This is also how production serving actually works:
+  // training exports an artifact; scoring is a plan-time-literal
+  // projection that never touches spark.ml at runtime.
+  // ---------------------------------------------------------------------
+
+  /** Serving-time linear weights: logit = b + w·(z, devdt, bias, sigma,
+    * pair_id) equals the fitted pipeline's logit exactly (the scaler's
+    * (x−μ)/σ is folded into w and b). */
+  def foldedWeights(spark: SparkSession, dir: String): (Array[Double], Double) = {
+    val f = fitted(spark, dir)
+    val scaler = f.model.stages(1)
+      .asInstanceOf[org.apache.spark.ml.feature.StandardScalerModel]
+    val lr = f.model.stages(2)
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val w = lr.coefficients.toArray
+    val mu = scaler.mean.toArray
+    val sd = scaler.std.toArray
+    val wf = w.zip(sd).map { case (wi, s) => if (s == 0.0) 0.0 else wi / s }
+    (wf, lr.intercept - wf.zip(mu).map { case (a, m) => a * m }.sum)
+  }
+
+  /** The rounded feature table (exactly the q_ml_dataset surface — the
+    * rounding makes the doubles bit-identical across engines, so
+    * everything computed from them with literal weights is too). */
+  def datasetRounded(spark: SparkSession, dir: String): DataFrame =
+    dataset(spark, dir).select(
+      col("event_type"), col("bucket"),
+      round(col("z"), 6).as("z"), round(col("devdt"), 6).as("devdt"),
+      round(col("bias"), 6).as("bias"), round(col("sigma"), 6).as("sigma"),
+      col("pair_id"), col("y"))
+
+  /** logit score under the pinned artifact; rounded so downstream
+    * grouping/comparisons are on cross-engine-stable values. Term order
+    * mirrors the oracle SQL text exactly (double + is not associative). */
+  private def pinnedScore: org.apache.spark.sql.Column = {
+    val w = PinnedModel.W
+    round(lit(PinnedModel.B)
+      + lit(w(0)) * col("z") + lit(w(1)) * col("devdt") + lit(w(2)) * col("bias")
+      + lit(w(3)) * col("sigma") + lit(w(4)) * col("pair_id"), 6)
+  }
+
+  /** Pinned-model accuracy + AUC on the chronological 30% test split.
+    * AUC via the Mann-Whitney pair count kept in INTEGER space until the
+    * final division: per distinct score s (ascending), positives at s
+    * see 2·(negatives strictly below) + (negatives tied at s) half-pairs
+    * — summing longs is order-independent, so the distributed sum can't
+    * drift from the oracle the way a double sum would. The rank window
+    * runs over DISTINCT scores (bounded by the score grid, not rows). */
+  def evalPinned(spark: SparkSession, dir: String): DataFrame = {
+    val ds = datasetRounded(spark, dir)
+    val (_, test) = timeSplit(ds, 0.7, "bucket")
+    val t = test.withColumn("score", pinnedScore)
+    val acc = t.agg(
+      count(lit(1)).as("n_test"),
+      sum(when((col("score") > 0) === (col("y") === 1), 1L).otherwise(0L)).as("n_correct"),
+      sum(col("y").cast("long")).as("n_pos"))
+    val byScore = t.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("np"))
+      .withColumn("nn", col("n") - col("np"))
+    val wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val u = byScore
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(wb), lit(0L)))
+      .agg(sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("u2"))
+    val total = ds.agg(count(lit(1)).as("n_total"))
+    acc.crossJoin(u).crossJoin(total).select(
+      (col("n_total") - col("n_test")).as("n_train"),
+      col("n_test"), col("n_pos"),
+      round(col("n_correct").cast("double") / col("n_test"), 6).as("accuracy"),
+      round(when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
+        col("u2").cast("double") / (col("n_pos") * (col("n_test") - col("n_pos")) * lit(2.0))),
+        6).as("auc"))
+  }
+
+  /** Pinned-model NOW signals (M5+O3 with the artifact): latest row per
+    * key, logit score, fire when score ≥ logit(0.6) ∧ devdt < 0, top-1
+    * per pair by score. Thresholding in logit space avoids exp() —
+    * libm/JVM exp can differ in the last ulp, logits can't. */
+  def signalsPinned(spark: SparkSession, dir: String): DataFrame = {
+    val ds = datasetRounded(spark, dir)
+    val wLatest = Window.partitionBy("event_type").orderBy(col("bucket").desc)
+    val latest = ds.withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn")
+    val scored = latest.withColumn("score", pinnedScore)
+    val wBest = Window.partitionBy("pair_id")
+      .orderBy(col("score").desc, col("event_type").asc)
+    scored.withColumn("__rk", row_number().over(wBest)).filter(col("__rk") === 1)
+      .withColumn("fire", col("score") >= math.log(1.5) && col("devdt") < 0)
+      .select(col("event_type"), col("bucket"), col("score"), col("devdt"),
+        when(col("fire"), "LONG").otherwise("NO TRADE").as("signal"))
+      .orderBy("event_type")
+  }
+}
+
+/** The pinned serving artifact. Provenance: `PinModel` main — fit of
+  * [[MlPipeline.pipeline]] on the chronological-70% train split at
+  * sf0.01, scaler fold applied by [[MlPipeline.foldedWeights]]. The
+  * shortest-round-trip decimal forms below parse to the identical IEEE
+  * double in Scala and in DuckDB SQL, which is what makes the pinned
+  * queries hash-exact cross-engine. */
+object PinnedModel {
+  /** Weights for (z, devdt, bias, sigma, pair_id); PinModel @ sf0.01. */
+  val W: Array[Double] = Array(
+    -5.287233102849995,
+    0.02090196913767673,
+    -0.06618165611660727,
+    0.04248469941090293,
+    -0.7649168745775582)
+  val B: Double = 3.7824432055068424
 }

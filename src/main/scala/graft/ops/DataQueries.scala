@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -155,15 +156,42 @@ object DataQueries {
     * DuckDB's approx_count_distinct is a different sketch, so the spec
     * pins the estimate against the exact count instead (≤2% at rsd
     * 0.01). */
-  def corpusTelemetry(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** KMV sketch size for the distinct-estimate column. */
+  private val KmvK = 64
+
+  def corpusTelemetry(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
       .select(col("source"), TextOps.h64(col("text")).as("ch"),
         TextOps.tokenCount(col("text")).as("n_tok"))
+    val base = t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+    // Distinct estimate as a k-minimum-values (KMV/theta) sketch over
+    // the 60-bit content hash: keep the k smallest distinct hashes per
+    // source; with fewer than k distinct values the sketch IS the exact
+    // count, otherwise est = (k−1)·2^60 / h_(k). Chosen over
+    // approx_count_distinct's HLL because KMV is DETERMINISTIC and its
+    // register (the k-min set) is engine-neutral — the DuckDB oracle
+    // recomputes the identical estimate, so the telemetry is hash-gated
+    // instead of unverifiable. Scale: the relational spelling below
+    // shuffles one row per distinct (source, hash); the mergeable
+    // production form is a bounded k-min heap per partition (a
+    // TypedImperativeAggregate), same estimator, no distinct shuffle.
+    val w = Window.partitionBy("source").orderBy("ch")
+    val kmv = t.select("source", "ch").distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= KmvK)
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("ch"), rsd = 0.01).as("approx_uniq"),
-        sum("n_tok").as("total_tokens"))
+      .agg(count(lit(1)).as("__cnt"),
+        max(when(col("rk") === KmvK, col("ch"))).as("__hk"))
+      .select(col("source"),
+        when(col("__cnt") < KmvK, col("__cnt").cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble) * (lit(1152921504606846976.0) / col("__hk")),
+            2))
+          .as("approx_uniq"))
+    base.join(kmv, Seq("source"))
+      .select("source", "n_docs", "approx_uniq", "total_tokens")
       .orderBy("source")
+  }
 
   /** Corpus-build funnel: the composed hygiene pipeline a pre-training
     * corpus actually runs — Gopher rule gate → language filter →
@@ -467,6 +495,19 @@ object DataQueries {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Edit-distance-confirmed near-dups: LSH candidates (b=16, r=2)
+    * re-ranked by Levenshtein on a 256-char prefix, kept at sim ≥ 0.8. */
+  def editNearDup(s: SparkSession, d: String): DataFrame =
+    DedupOps.editNearDup(Tables.documents(s, d), "doc_id", "text",
+        k = 32, r = 2, prefixLen = 256, minSim = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** RAG/pretraining chunk table: 64-token windows, stride 48. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    TextOps.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no")
 
   /** 48-bit SimHash fingerprints. */
   def simhash(s: SparkSession, d: String): DataFrame =

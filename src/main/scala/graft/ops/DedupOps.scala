@@ -300,6 +300,37 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Edit-distance verification stage over LSH candidates — the exact
+    * re-rank a fuzzy-dedup pipeline runs after candidate generation:
+    * MinHash/LSH proposes pairs cheaply, Levenshtein on a bounded text
+    * prefix confirms them. Never all-pairs: the quadratic kernel runs
+    * only on the (sparse) candidate set, and the `prefixLen` cap bounds
+    * the per-pair O(L²) DP cost regardless of document length — the two
+    * knobs that keep this viable at 100 TB. Texts reach the pairs by
+    * joining the (small) candidate table back against the corpus, so
+    * full documents never ride the candidate-generation shuffles.
+    *
+    * `sim = 1 − dist / max(|a|, |b|)` on the prefixes; pairs below
+    * `minSim` drop. Both `levenshtein` and the arithmetic are
+    * cross-engine exact (unit edit costs, char-based), so the stage is
+    * DuckDB-oracleable end to end. */
+  def editNearDup(docs: DataFrame, id: String, text: String, k: Int, r: Int,
+                  prefixLen: Int, minSim: Double): DataFrame = {
+    val cand = lshCandidates(minhashSigWide(docs, id, text, k), k, r)
+      .select("doc_a", "doc_b")
+    val pfx = docs.select(col(id).as("doc"),
+      substring(col(text), 1, prefixLen).as("__pfx"))
+    cand
+      .join(pfx.select(col("doc").as("doc_a"), col("__pfx").as("__pa")), Seq("doc_a"))
+      .join(pfx.select(col("doc").as("doc_b"), col("__pfx").as("__pb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("__pa"), col("__pb")))
+      .withColumn("sim", lit(1.0) - col("edit_dist").cast("double") /
+        greatest(length(col("__pa")), length(col("__pb"))))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Materializable LSH band index of a corpus: one row per (band,
     * band-hash) bucket membership, with the member's wide signature
     * carried so a probe can estimate Jaccard without a second corpus

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -205,4 +205,29 @@ object TextOps {
     * window-min), no interpreted HOFs. */
   def winnowingFingerprints(text: Column, n: Int, w: Int): Column =
     call_function("winnow_fps", tokens(text), lit(n), lit(w))
+
+  /** Overlapping token-window chunking — the RAG / long-context
+    * pretraining splitter: windows of `window` tokens starting every
+    * `stride` tokens (overlap = window − stride), last window
+    * right-truncated. Map-only (tokenize → per-row explode), no
+    * shuffle: the chunk table inherits the corpus partitioning, and at
+    * 100 TB the output is written straight back out partitioned the
+    * same way. Emits (id, chunk_no, n_tok_chunk, chunk_hash) — the
+    * content hash (not the text) is what downstream chunk-level dedup
+    * joins on, so chunk text never has to move. */
+  def chunkDocs(docs: DataFrame, id: String, text: String,
+                window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    docs.select(col(id), tokens(col(text)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .select(col(id),
+        posexplode(transform(
+          sequence(lit(0), floor((col("__n") - 1) / stride).cast("int")),
+          i => slice(col("__tk"), i * stride + 1, lit(window))))
+          .as(Seq("chunk_no", "__chunk")))
+      .select(col(id), col("chunk_no"),
+        size(col("__chunk")).as("n_tok_chunk"),
+        h64(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
 }

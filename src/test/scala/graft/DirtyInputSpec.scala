@@ -71,7 +71,7 @@ class DirtyInputSpec extends SparkSpec {
     assert(jac < 0.3, s"jaccard unexpectedly high: $jac")
   }
 
-  test("corpus telemetry: HLL distinct estimate within 2% of exact") {
+  test("corpus telemetry: KMV distinct estimate — exact under k, ~right above") {
     val d = "/root/testdata/sf0.01"
     val got = graft.ops.DataQueries.corpusTelemetry(spark, d).collect()
     val exact = Tables.documents(spark, d)
@@ -80,9 +80,14 @@ class DirtyInputSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty)
     got.foreach { r =>
-      val est = r.getAs[Long]("approx_uniq").toDouble
+      val est = r.getAs[Double]("approx_uniq")
       val ex = exact(r.getString(0)).toDouble
-      assert(math.abs(est - ex) / ex <= 0.02, s"${r.getString(0)}: $est vs $ex")
+      if (ex < 64)
+        // below the sketch size the k-min set holds every distinct hash
+        assert(est == ex, s"${r.getString(0)}: $est vs exact $ex")
+      else
+        // KMV relative error ~ 1/sqrt(k−2) ≈ 13% at k=64; allow 3σ
+        assert(math.abs(est - ex) / ex <= 0.4, s"${r.getString(0)}: $est vs $ex")
     }
   }
 
