@@ -75,6 +75,7 @@ object SparkEntry {
     "q_corpus_stats"      -> ((s, d) => DataQueries.corpusTelemetry(s, d)),
     "q_source_drift"      -> ((s, d) => DataQueries.sourceDrift(s, d)),
     "q_mix_weights"       -> ((s, d) => DataQueries.mixWeights(s, d)),
+    "q_temp_mix"          -> ((s, d) => DataQueries.tempMix(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_edit_neardup"      -> ((s, d) => DataQueries.editNearDup(s, d)),
@@ -1122,6 +1123,19 @@ object SparkEntry {
          SELECT lang, n, round(n / total, 6) AS actual_share,
            round((1.0 / k) / (n / total), 6) AS weight
          FROM c, t ORDER BY lang""",
+    // α-temperature mixture: the q_l normalizer is an integer micro-unit
+    // sum (order-independent), so every cell is cross-engine exact
+    "q_temp_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         p AS (SELECT lang, n, n::DOUBLE / total AS pl,
+                 CAST(round(pow(n::DOUBLE / total, 0.3) * 1000000.0) AS BIGINT) AS qfx
+               FROM c, t),
+         z AS (SELECT CAST(sum(qfx) AS BIGINT) AS sfx FROM p)
+         SELECT lang, n, round(pl, 6) AS p,
+           round(qfx::DOUBLE / sfx, 6) AS w_alpha,
+           CAST(round(qfx::DOUBLE / sfx * 1000) AS BIGINT) AS exp_docs
+         FROM p, z ORDER BY lang""",
     "q_corpus_funnel" ->
       s"""WITH $TOKS_CTE,
          c AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),

@@ -811,6 +811,32 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled (α) sampling weights — the multilingual
+    * rebalancer (XLM-R style): raw language shares p_l are flattened to
+    * q_l ∝ p_l^α (α<1 upsamples tails), and each language gets its
+    * expected document count for an epoch of `epoch` draws. The
+    * normalizer is summed in integer micro-units (q_l quantized to 1e-6
+    * before the sum) so the result is independent of partition
+    * accumulation order — the same trick as the LM scorer — and the
+    * DuckDB oracle reproduces every cell exactly. Scale: one count
+    * aggregate; the per-language table is O(#langs). */
+  def tempMix(s: SparkSession, d: String,
+              alpha: Double = 0.3, epoch: Long = 1000): DataFrame = {
+    val c = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum("n").as("total"))
+    val p = c.crossJoin(t)
+      .withColumn("pl", col("n").cast("double") / col("total"))
+      .withColumn("qfx", round(pow(col("pl"), lit(alpha)) * 1e6).cast("long"))
+    val z = p.agg(sum("qfx").as("sfx"))
+    p.crossJoin(z)
+      .select(col("lang"), col("n"),
+        round(col("pl"), 6).as("p"),
+        round(col("qfx").cast("double") / col("sfx"), 6).as("w_alpha"),
+        round(col("qfx").cast("double") / col("sfx") * epoch).cast("long")
+          .as("exp_docs"))
+      .orderBy("lang")
+  }
+
   /** Token-budget mixture selection: within each source, greedily keep
     * the highest-quality documents (type-token ratio, ties by id) until
     * the source's token budget is spent — the "build a balanced 1T-token

@@ -36,15 +36,22 @@ object Scale {
   }
 
   /** Persist a DataFrame as a bucketed, sorted managed table — joins
-    * and aggregations on the bucket key then need no shuffle (the
+    * and aggregations on the bucket key(s) then need no shuffle (the
     * pre-partitioning the reference can't express; Spark's bucketing
-    * is the cluster-wide equivalent of its per-file layout). */
+    * is the cluster-wide equivalent of its per-file layout). Both sides
+    * of a recurring batch↔corpus-state join (LSH band index, signature
+    * store, chunk table) written with the same (cols, numBuckets)
+    * layout join with zero exchanges. Sort columns default to the
+    * bucket columns so SortMergeJoin also skips its sort. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int, moreBucketCols: Seq[String] = Nil,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val sort = if (sortCols.nonEmpty) sortCols else bucketCol +: moreBucketCols
     df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCol, moreBucketCols: _*)
+      .sortBy(sort.head, sort.tail: _*)
       .saveAsTable(table)
+  }
 
   /** True when the physical plan contains no shuffle exchange — the
     * assertion that a bucketed join was actually co-located. */

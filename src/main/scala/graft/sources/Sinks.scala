@@ -70,26 +70,6 @@ object Sinks {
     throw last
   }
 
-  /** Bucketed parquet table write — the "reuse a partitioning across
-    * stages" primitive: both sides of a recurring equi-join (fact ↔
-    * fact, batch ↔ corpus state) written with the SAME (columns,
-    * numBuckets) hash-bucket layout join with ZERO exchanges — the scan
-    * itself reports the hash partitioning, so Catalyst plans
-    * SortMergeJoin over the bucket files directly. At 100 TB this
-    * removes the single most expensive stage of every repeated join
-    * (the full-table shuffle) and is how corpus-state tables (LSH band
-    * index, signature stores, chunk tables) should be persisted.
-    * Bucketed tables need the metastore path, hence saveAsTable. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    bucketCols: Seq[String],
-                    sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
-             else w
-    ws.saveAsTable(table)
-  }
-
   /** S7: projected CSV scan with malformed-row skip
     * (`read_csv(usecols=…, on_bad_lines="skip")`). Explicit schema keeps
     * the scan pruned; DROPMALFORMED mirrors the bad-line skip. */

@@ -160,32 +160,4 @@ class PlanQualitySpec extends SparkSpec {
       s"edit re-rank degraded to all-pairs:\n$p")
   }
 
-  test("co-bucketed tables join with zero exchanges (partition reuse)") {
-    import graft.sources.Sinks
-    // two fact-sized sides sharing (cols, numBuckets): the recurring
-    // batch↔corpus-state join shape — bucket layout must replace the
-    // shuffle on BOTH sides
-    val docs = Tables.documents(spark, sf)
-      .select("doc_id", "source", "n_chars")
-    Sinks.writeBucketed(docs, "bq_docs_a", 8, Seq("doc_id"), Seq("doc_id"))
-    Sinks.writeBucketed(docs.withColumnRenamed("n_chars", "n2")
-      .select("doc_id", "n2"), "bq_docs_b", 8, Seq("doc_id"), Seq("doc_id"))
-    // fact↔fact shape: disable broadcast so the sf0.001 fixture plans
-    // the join a 100 TB pair of tables would get
-    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val j = spark.table("bq_docs_a").join(spark.table("bq_docs_b"), "doc_id")
-      val p = plan(j)
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"expected a bucket-aligned join:\n$p")
-      assert(!p.contains("Exchange"),
-        s"bucketed join still shuffles — bucket layout not picked up:\n$p")
-      assert(j.count() == docs.count())
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-      spark.sql("DROP TABLE IF EXISTS bq_docs_a")
-      spark.sql("DROP TABLE IF EXISTS bq_docs_b")
-    }
-  }
 }

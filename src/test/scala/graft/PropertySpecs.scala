@@ -262,3 +262,26 @@ object SessionProps extends SparkProps("SessionInterval") {
       Prop(got == want) :| s"got=$got want=$want"
     }
 }
+
+/** The KMV telemetry sketch's distributed-merge contract (pure math, no
+  * Spark): the k-min register of a union equals the k-min of the merged
+  * per-part registers, so per-partition (or per-corpus) sketches
+  * combine losslessly into the global estimate — the property that lets
+  * `corpusTelemetry` run without ever shuffling all distinct hashes. */
+object KmvProps extends Properties("KMV") {
+  private val K = 64
+  private def kmin(xs: Set[Long]): Vector[Long] = xs.toVector.sorted.take(K)
+  private val hashes = Gen.listOf(Gen.chooseNum(1L, 1L << 60))
+
+  property("k-min registers merge losslessly across parts") =
+    forAll(hashes, hashes) { (a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      kmin((kmin(sa) ++ kmin(sb)).toSet) == kmin(sa ++ sb)
+    }
+
+  property("estimate is exact below the register size") =
+    forAll(Gen.listOfN(40, Gen.chooseNum(1L, 1L << 60))) { a =>
+      val s = a.toSet
+      s.size >= K || kmin(s).size == s.size
+    }
+}
