@@ -1352,6 +1352,41 @@ object SparkEntry {
          FROM cand JOIN sig x ON x.doc = doc_a
                    JOIN sig y ON y.doc = doc_b AND x.i = y.i
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // LSH candidates re-confirmed by Levenshtein on a 256-char prefix;
+    // both engines' levenshtein are unit-cost char DPs, so the distance
+    // and the normalized similarity agree exactly
+    "q_edit_neardup" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         bands AS (SELECT doc, i // 2 AS band,
+                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         pfx AS (SELECT doc_id, substr(text, 1, 256) AS p FROM documents),
+         ed AS (SELECT doc_a, doc_b, levenshtein(a.p, b.p) AS edit_dist,
+                  1.0 - levenshtein(a.p, b.p)::DOUBLE
+                      / greatest(len(a.p), len(b.p)) AS sim
+                FROM cand JOIN pfx a ON a.doc_id = doc_a
+                          JOIN pfx b ON b.doc_id = doc_b)
+         SELECT doc_a, doc_b, edit_dist, round(sim, 6) AS sim
+         FROM ed WHERE sim >= 0.8 ORDER BY doc_a, doc_b""",
+    // overlapping 64-token windows, stride 48, last window truncated;
+    // chunk identity = h64 of the space-joined window
+    "q_chunk_docs" ->
+      s"""WITH $TOKS_CTE,
+         st AS (SELECT doc_id, tk,
+                  unnest(range((len(tk) - 1) // 48 + 1)) AS chunk_no
+                FROM toks WHERE len(tk) > 0),
+         ch AS (SELECT doc_id, chunk_no,
+                  list_slice(tk, chunk_no * 48 + 1, chunk_no * 48 + 64) AS chunk
+                FROM st)
+         SELECT doc_id, chunk_no, len(chunk) AS n_tok_chunk,
+           ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT
+             AS chunk_hash
+         FROM ch ORDER BY doc_id, chunk_no""",
     "q_simhash" ->
       s"""WITH $TOKS_CTE,
          tt AS (SELECT doc_id, unnest(tk) AS t FROM toks),
