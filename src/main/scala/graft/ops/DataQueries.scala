@@ -788,20 +788,23 @@ object DataQueries {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .filter(col("bg").isNotNull) // InferFiltersFromGenerate dodge
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // V: corpus vocabulary size — one scalar to the driver (the same
-    // shape as tfidf's nDocs), baked into the smoothing denominator
-    val vocab = toks.select(explode_outer(col("tk")).as("t"))
+    // V: corpus vocabulary size as a 1-row aggregate crossJoined in —
+    // NOT a driver-side scalar action: an eager .first() here would run
+    // an extra whole-corpus job at query-CONSTRUCTION time (before the
+    // caller even asks for rows), and the smoothing arithmetic is
+    // identical with V as a column
+    val vocabDf = toks.select(explode_outer(col("tk")).as("t"))
       .filter(col("t").isNotNull)
-      .agg(countDistinct(col("t"))).first().getLong(0)
+      .agg(countDistinct(col("t")).cast("double").as("__v"))
     val ex = pairs.repartition(col("w1"), col("w2"))
     val bc = ex.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val uc = ex.groupBy("w1").agg(count(lit(1)).as("cu"))
     // round(·,6) then micro-nat fixed point: the sum is exact integers,
     // immune to both accumulation order and libm last-ulp differences
     val fx = round(round(
-        log((col("cb") + 1) / (col("cu") + lit(vocab.toDouble))), 6) * 1e6)
+        log((col("cb") + 1) / (col("cu") + col("__v"))), 6) * 1e6)
       .cast("long")
-    ex.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+    ex.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(vocabDf)
       .select(col("doc_id"), fx.as("fx"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sfx"))

@@ -33,6 +33,28 @@ class DirtyInputSpec extends SparkSpec {
     assert(graft.ops.DataQueries.lmScoreOf(empty).count() == 0)
   }
 
+  test("chunkDocs: empty/whitespace docs drop; short docs get one chunk") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one"),
+        (4L, Seq.tabulate(130)(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.chunkDocs(df, "doc_id", "text", 64, 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 3: single 1-token chunk; doc 4 (130 tokens): starts 0/48/96 →
+    // lengths 64/64/34 — the truncated tail is kept, never padded
+    assert(out.toSet == Set((3L, 0, 1), (4L, 0, 64), (4L, 1, 64), (4L, 2, 34)))
+  }
+
+  test("editNearDup: identical texts under duplicate-heavy input, sim=1") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, t), (2L, t), (3L, "completely different words " * 3))
+      .toDF("doc_id", "text")
+    val out = DedupOps.editNearDup(df, "doc_id", "text",
+        k = 32, r = 2, prefixLen = 256, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 0, 1.0)))
+  }
+
   test("lshIncremental: empty batch or empty corpus yield empty, no errors") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
