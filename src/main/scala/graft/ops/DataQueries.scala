@@ -83,7 +83,11 @@ object DataQueries {
     * engine-deterministic. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count() // metadata-cheap: parquet row count
+    // corpus size as a crossJoined 1-row aggregate, not a construction-
+    // time .count() — keeps the query a pure plan (parquet count-star is
+    // metadata-cheap, but it still ran a job before the caller asked for
+    // rows; same change as the LM scorer's vocabulary)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs
       // explode_outer + null filter: a plain explode makes
       // InferFiltersFromGenerate push size(tokens(text))>0 below the
@@ -92,8 +96,8 @@ object DataQueries {
       .filter(col("term").isNotNull)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, Seq("term"))
-      .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDf))
+      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
@@ -793,6 +797,9 @@ object DataQueries {
     // an extra whole-corpus job at query-CONSTRUCTION time (before the
     // caller even asks for rows), and the smoothing arithmetic is
     // identical with V as a column
+    // the 1-row side necessarily plans as a single-row broadcast
+    // nested-loop (Catalyst folds any literal equi-key away) — that's a
+    // broadcast scalar, O(n), and NewOpsPlanSpec allows exactly one
     val vocabDf = toks.select(explode_outer(col("tk")).as("t"))
       .filter(col("t").isNotNull)
       .agg(countDistinct(col("t")).cast("double").as("__v"))
@@ -804,7 +811,8 @@ object DataQueries {
     val fx = round(round(
         log((col("cb") + 1) / (col("cu") + col("__v"))), 6) * 1e6)
       .cast("long")
-    ex.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(vocabDf)
+    ex.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocabDf))
       .select(col("doc_id"), fx.as("fx"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sfx"))

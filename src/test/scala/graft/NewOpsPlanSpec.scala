@@ -52,10 +52,19 @@ class NewOpsPlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 3, s"extra shuffles:\n$p")
   }
 
-  test("lm score: every join is hash-able, no nested loop") {
+  test("lm score: count joins are hash joins; only the vocab scalar attach nests") {
     val p = plan(DataQueries.lmScore(spark, sf))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"LM count join degraded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"LM count join degraded:\n$p")
+    // the bigram/context count joins must stay hash joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"LM count joins lost their hash form:\n$p")
+    // exactly one nested-loop is LEGITIMATE: the 1-row vocabulary
+    // aggregate attached to every row (a broadcast scalar — O(n), the
+    // lazy replacement for the old query-construction-time .first()).
+    // Catalyst folds any literal equi-key away, so it necessarily plans
+    // as a single-row BroadcastNestedLoopJoin.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$p")
   }
 
   test("token budget: one window exchange plus the output sort only") {
