@@ -9,6 +9,14 @@ object Verify {
     // optional 3rd+ args: restrict to named queries (targeted re-checks
     // at big scale factors without replaying the whole set)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd name must be a loud error, not a clean-looking no-op
+      // ("0 pass / 0 fail" with an empty oracle file)
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
@@ -48,8 +56,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Which oracle entries to (re)write. A targeted run into a dir that
+    // already holds a fuller oracle_sql.json must NOT shrink it — that
+    // would silently narrow what check.py gates (the exact vanishing
+    // failure mode the sentinel above exists to prevent). Merge: keep
+    // every name already present in the existing file (their dumps are
+    // still on disk), plus the selected set, all at CURRENT SQL text.
+    val existing: Set[String] = {
+      val p = Paths.get(s"$outDir/oracle_sql.json")
+      if (only.nonEmpty && Files.exists(p))
+        "\"(q_[A-Za-z0-9_]+)\"\\s*:".r
+          .findAllMatchIn(Files.readString(p)).map(_.group(1)).toSet
+      else Set.empty
+    }
+    val keep: String => Boolean =
+      k => only.isEmpty || only(k) || existing(k)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

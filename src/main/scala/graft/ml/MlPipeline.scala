@@ -279,27 +279,40 @@ object MlPipeline {
     * runs over DISTINCT scores (bounded by the score grid, not rows). */
   def evalPinned(spark: SparkSession, dir: String): DataFrame = {
     val ds = datasetRounded(spark, dir)
-    val (_, test) = timeSplit(ds, 0.7, "bucket")
-    val t = test.withColumn("score", pinnedScore)
-    val acc = t.agg(
-      count(lit(1)).as("n_test"),
-      sum(when((col("score") > 0) === (col("y") === 1), 1L).otherwise(0L)).as("n_correct"),
-      sum(col("y").cast("long")).as("n_pos"))
-    val byScore = t.groupBy("score")
-      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("np"))
-      .withColumn("nn", col("n") - col("np"))
-    val wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    val u = byScore
-      .withColumn("cumneg", coalesce(sum(col("nn")).over(wb), lit(0L)))
-      .agg(sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("u2"))
-    val total = ds.agg(count(lit(1)).as("n_total"))
-    acc.crossJoin(u).crossJoin(total).select(
-      (col("n_total") - col("n_test")).as("n_train"),
-      col("n_test"), col("n_pos"),
-      round(col("n_correct").cast("double") / col("n_test"), 6).as("accuracy"),
-      round(when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
-        col("u2").cast("double") / (col("n_pos") * (col("n_test") - col("n_pos")) * lit(2.0))),
-        6).as("auc"))
+    val (_, test, base) = timeSplitWithBase(ds, 0.7, "bucket")
+    try {
+      // n_total from the persisted sorted base (already counted once
+      // inside the split) — NOT ds.agg(count) against the raw frame,
+      // which would re-run the whole feature chain a second time
+      val nTotal = base.count()
+      val t = test.withColumn("score", pinnedScore)
+      val accRow = t.agg(
+        count(lit(1)),
+        sum(when((col("score") > 0) === (col("y") === 1), 1L).otherwise(0L)),
+        sum(col("y").cast("long"))).head()
+      val (nTest, nCorrect, nPos) =
+        (accRow.getLong(0), accRow.getLong(1), accRow.getLong(2))
+      val byScore = t.groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("np"))
+        .withColumn("nn", col("n") - col("np"))
+      val wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      val u2 = byScore
+        .withColumn("cumneg", coalesce(sum(col("nn")).over(wb), lit(0L)))
+        .agg(sum(col("np") * (col("cumneg") * 2 + col("nn")))).head().getLong(0)
+      // final division/rounding through the SAME Spark round expressions
+      // as the oracle mirrors (not scala-side math), over the collected
+      // integer aggregates — the 1-row result frame holds no reference
+      // to the split lineage, so the base can be released eagerly
+      import spark.implicits._
+      Seq((nTotal - nTest, nTest, nPos, nCorrect, u2))
+        .toDF("n_train", "n_test", "n_pos", "n_correct", "u2")
+        .select(col("n_train"), col("n_test"), col("n_pos"),
+          round(col("n_correct").cast("double") / col("n_test"), 6).as("accuracy"),
+          round(when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
+            col("u2").cast("double") /
+              (col("n_pos") * (col("n_test") - col("n_pos")) * lit(2.0))),
+            6).as("auc"))
+    } finally base.unpersist(false)
   }
 
   /** Pinned-model NOW signals (M5+O3 with the artifact): latest row per

@@ -153,13 +153,10 @@ object DataQueries {
       round(sum((col("kl_a") + col("kl_b")) / 2.0), 6).as("js_divergence"))
   }
 
-  /** Sketch-based corpus telemetry: per-source doc counts, APPROX
-    * distinct content hashes (HyperLogLog++ — the partial-mergeable
-    * sketch that replaces exact distinct at 100 TB, where an exact
-    * count would shuffle every hash) and token totals. Not oracled:
-    * DuckDB's approx_count_distinct is a different sketch, so the spec
-    * pins the estimate against the exact count instead (≤2% at rsd
-    * 0.01). */
+  /** Sketch-based corpus telemetry: per-source doc counts, approx
+    * distinct content hashes (the KMV sketch below — mergeable like
+    * HLL, but deterministic and engine-neutral, so unlike HLL it is
+    * fully DuckDB-oracled) and token totals. */
   /** KMV sketch size for the distinct-estimate column. */
   private val KmvK = 64
 

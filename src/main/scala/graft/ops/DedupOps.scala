@@ -279,6 +279,22 @@ object DedupOps {
   /** Candidate pairs from LSH buckets + estimated Jaccard (fraction of
     * matching signature components, compared columnar on the two wide
     * signatures — no per-component join). */
+  /** Distinct banded candidate pairs from a band table — the self-join
+    * half of LSH, shared by [[lshCandidates]] (which re-attaches
+    * signatures for the Jaccard estimate) and consumers like
+    * [[editNearDup]] that verify candidates some other way and must not
+    * pay for two signature joins whose output they discard. */
+  private def lshCandidatePairsFrom(bands: DataFrame): DataFrame =
+    bands.toDF("doc_a", "band", "bh")
+      .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+  /** Candidate pairs only (no signature re-join, no estimate column). */
+  def lshCandidatePairs(sigWide: DataFrame, k: Int, r: Int): DataFrame =
+    lshCandidatePairsFrom(
+      lshBands(sigWide, k, r).repartition(col("band"), col("bh")))
+
   def lshCandidates(sigWide: DataFrame, k: Int, r: Int): DataFrame = {
     // ONE materialization of the signature pipeline, shared by all four
     // consumers via canonically-equal exchanges (ReuseExchange): the
@@ -287,10 +303,7 @@ object DedupOps {
     // without this, each consumer re-runs scan→tokenize→minhash.
     val sigByDoc = sigWide.repartition(col("doc"))
     val bands = lshBands(sigByDoc, k, r).repartition(col("band"), col("bh"))
-    val cand = bands.toDF("doc_a", "band", "bh")
-      .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = lshCandidatePairsFrom(bands)
     cand
       .join(sigByDoc.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sigByDoc.toDF("doc_b", "sig_b"), Seq("doc_b"))
@@ -316,8 +329,7 @@ object DedupOps {
     * DuckDB-oracleable end to end. */
   def editNearDup(docs: DataFrame, id: String, text: String, k: Int, r: Int,
                   prefixLen: Int, minSim: Double): DataFrame = {
-    val cand = lshCandidates(minhashSigWide(docs, id, text, k), k, r)
-      .select("doc_a", "doc_b")
+    val cand = lshCandidatePairs(minhashSigWide(docs, id, text, k), k, r)
     val pfx = docs.select(col(id).as("doc"),
       substring(col(text), 1, prefixLen).as("__pfx"))
     cand

@@ -270,8 +270,17 @@ object SessionProps extends SparkProps("SessionInterval") {
   * `corpusTelemetry` run without ever shuffling all distinct hashes. */
 object KmvProps extends Properties("KMV") {
   private val K = 64
+  private val HSpace = 1152921504606846976.0 // 2^60
   private def kmin(xs: Set[Long]): Vector[Long] = xs.toVector.sorted.take(K)
-  private val hashes = Gen.listOf(Gen.chooseNum(1L, 1L << 60))
+  // the estimator exactly as corpusTelemetry / the q_corpus_stats oracle
+  // spell it: exact below k, (k−1)·2^60/h_(k) at or above
+  private def est(s: Set[Long]): Double = {
+    val km = kmin(s)
+    if (km.size < K) km.size.toDouble else (K - 1).toDouble * (HSpace / km.last)
+  }
+  // sizes straddle K so both estimator branches actually run
+  private val hashes = Gen.chooseNum(0, 3 * K)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 1L << 60)))
 
   property("k-min registers merge losslessly across parts") =
     forAll(hashes, hashes) { (a, b) =>
@@ -279,9 +288,16 @@ object KmvProps extends Properties("KMV") {
       kmin((kmin(sa) ++ kmin(sb)).toSet) == kmin(sa ++ sb)
     }
 
-  property("estimate is exact below the register size") =
-    forAll(Gen.listOfN(40, Gen.chooseNum(1L, 1L << 60))) { a =>
+  property("merged-register estimate equals the whole-set estimate") =
+    forAll(hashes, hashes) { (a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      est((kmin(sa) ++ kmin(sb)).toSet) == est(sa ++ sb)
+    }
+
+  property("estimate exact below k; formula branch positive at/above k") =
+    forAll(hashes) { a =>
       val s = a.toSet
-      s.size >= K || kmin(s).size == s.size
+      if (s.size < K) est(s) == s.size.toDouble
+      else est(s) > 0.0 && est(s) == (K - 1).toDouble * (HSpace / kmin(s).last)
     }
 }
