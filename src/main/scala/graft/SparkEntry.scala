@@ -76,6 +76,7 @@ object SparkEntry {
     "q_source_drift"      -> ((s, d) => DataQueries.sourceDrift(s, d)),
     "q_mix_weights"       -> ((s, d) => DataQueries.mixWeights(s, d)),
     "q_temp_mix"          -> ((s, d) => DataQueries.tempMix(s, d)),
+    "q_split_assign"      -> ((s, d) => DataQueries.splitAssign(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
     "q_edit_neardup"      -> ((s, d) => DataQueries.editNearDup(s, d)),
@@ -1123,6 +1124,17 @@ object SparkEntry {
          SELECT lang, n, round(n / total, 6) AS actual_share,
            round((1.0 / k) / (n / total), 6) AS weight
          FROM c, t ORDER BY lang""",
+    // hash-based 80/10/10 split on the salted doc id — reproducible
+    // across engines/runs, unlike rand()/randomSplit
+    "q_split_assign" ->
+      """WITH b AS (SELECT doc_id, source,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100
+               AS bucket
+           FROM documents)
+         SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     // α-temperature mixture: the q_l normalizer is an integer micro-unit
     // sum (order-independent), so every cell is cross-engine exact
     "q_temp_mix" ->

@@ -819,6 +819,23 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment: each document lands in a
+    * split by hashing a salted form of its id into 100 buckets — 80/10/10
+    * here. Hash-based (not `rand()`/`randomSplit`) so the assignment is
+    * reproducible across runs, retries, engines and cluster sizes, and
+    * any future document joins back to the SAME split forever — the
+    * property leakage audits depend on. Salting the id ("split:" prefix)
+    * decorrelates this partition from every other id-hash use. Map-only. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        pmod(TextOps.h64(concat(lit("split:"), col("doc_id"))), lit(100))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+
   /** Temperature-scaled (α) sampling weights — the multilingual
     * rebalancer (XLM-R style): raw language shares p_l are flattened to
     * q_l ∝ p_l^α (α<1 upsamples tails), and each language gets its
