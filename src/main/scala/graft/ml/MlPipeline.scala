@@ -216,6 +216,18 @@ object MlPipeline {
         when(col("fire"), "LONG").otherwise("NO TRADE").as("signal"))
   }
 
+  /** Streaming serving with the SAME pinned artifact: score a stream of
+    * feature rows (z, devdt, bias, sigma, pair_id) and stamp the fire
+    * decision. Stateless map-only — the model is plan-time literals, so
+    * the streaming plan needs no state store and no watermark, and
+    * scales with the source's partitioning alone. One artifact, two
+    * runtimes: the expression is identical to the batch pinned queries,
+    * and the spec pins stream-vs-batch score equality. */
+  def scorePinnedStream(features: DataFrame, probThr: Double = 0.6): DataFrame =
+    features.withColumn("score", pinnedScore)
+      .withColumn("fire",
+        col("score") >= math.log(probThr / (1 - probThr)) && col("devdt") < 0)
+
   private def vector_to_array(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
 

@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", 2.0), ("2024-01-01 01:00:00.0", 3.0)))
   }
 
+  test("pinned-model scoring: stream and batch produce identical scores") {
+    implicit val sc = spark.sqlContext
+    val cols = Seq("event_type", "z", "devdt", "bias", "sigma", "pair_id")
+    val rows = Seq(
+      ("click", -2.5, -3.0, 0.5, 1.0, 0),  // strongly negative z → fire
+      ("view", 1.0, 2.0, 0.0, 0.5, 4),     // positive devdt → never fires
+      ("error", 1.0, -0.1, 0.0, 0.5, 1))   // positive z sinks the logit
+    val input = MemoryStream[(String, Double, Double, Double, Double, Int)]
+    val q = graft.ml.MlPipeline.scorePinnedStream(input.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("pin_scores")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("pin_scores")
+      .select("event_type", "score", "fire")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+    q.stop()
+    // one artifact, two runtimes: the batch form of the same expression
+    val want = graft.ml.MlPipeline.scorePinnedStream(rows.toDF(cols: _*))
+      .select("event_type", "score", "fire")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(got == want && got.size == 3)
+    // the fire rule actually separates the crafted rows
+    val fired = got.filter(_._3).map(_._1)
+    assert(fired == Set("click"), s"unexpected fires: $got")
+  }
+
   test("dedupExactStream keeps first arrival, drops in-watermark duplicates") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
