@@ -33,19 +33,39 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
       sweep()
     }
+    // Each query is timed `reps` times and the MEDIAN is recorded: a
+    // one-shot timing puts any background load spike directly into the
+    // round artifact, indistinguishable from a real regression (round 4
+    // recorded 3-6x phantom slowdowns that a controlled re-run refuted).
+    // The median of 3 survives one bad run per query; a query erroring
+    // in ANY rep is reported failed.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      sweep()
-      (name, dt, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        (dt, ok)
+      }
+      val sortedT = times.map(_._1).sorted
+      (name, sortedT(sortedT.length / 2), times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // Also persist the artifact to a file: a stdout-captured artifact
+    // can be truncated or interleaved by the harness; the file is the
+    // byte-exact record (round-4 advice).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), json + "\n")
+    catch { case _: Throwable => }
     spark.stop()
     // A bench with erroring queries must not look like a clean run: exit
     // nonzero so the harness records the failure machine-checkably

@@ -3,6 +3,57 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Top-level key names of a one-level JSON object, by a real scan
+    * (string state + escapes), NOT a regex over the raw text — an
+    * escaped `\"q_name\":` sequence INSIDE a SQL string value must not
+    * be mistaken for a present query key (round-4 advice). The file is
+    * always the flat object this class itself writes, so depth
+    * tracking beyond "inside a string or not" is unnecessary: at depth
+    * 0 of the object, every string followed by ':' is a key. */
+  private[graft] def topLevelKeys(json: String): Set[String] = {
+    val keys = Set.newBuilder[String]
+    var i = 0
+    var depth = 0 // {}-nesting; the oracle file is flat but be robust
+    while (i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case '"' =>
+          // scan the string literal, honoring escapes
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (i < json.length && !done) {
+            json.charAt(i) match {
+              case '\\' =>
+                if (i + 1 < json.length) {
+                  json.charAt(i + 1) match {
+                    case 'u' if i + 5 < json.length =>
+                      sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+                      i += 6
+                    case 'n' => sb.append('\n'); i += 2
+                    case 'r' => sb.append('\r'); i += 2
+                    case 't' => sb.append('\t'); i += 2
+                    case c => sb.append(c); i += 2
+                  }
+                } else i += 1
+              case '"' => done = true; i += 1
+              case c => sb.append(c); i += 1
+            }
+          }
+          // a key iff at object depth 1 and the next non-space is ':'
+          var j = i
+          while (j < json.length && json.charAt(j).isWhitespace) j += 1
+          if (depth == 1 && j < json.length && json.charAt(j) == ':') {
+            keys += sb.result()
+            i = j + 1 // consume the ':' so the VALUE string isn't re-keyed
+          }
+        case _ => i += 1
+      }
+    }
+    keys.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -64,9 +115,7 @@ object Verify {
     // still on disk), plus the selected set, all at CURRENT SQL text.
     val existing: Set[String] = {
       val p = Paths.get(s"$outDir/oracle_sql.json")
-      if (only.nonEmpty && Files.exists(p))
-        "\"(q_[A-Za-z0-9_]+)\"\\s*:".r
-          .findAllMatchIn(Files.readString(p)).map(_.group(1)).toSet
+      if (only.nonEmpty && Files.exists(p)) topLevelKeys(Files.readString(p))
       else Set.empty
     }
     val keep: String => Boolean =

@@ -283,5 +283,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[graft.ops.RepStatsExpr].getName, "rep_stats"),
       (args: Seq[Expression]) => graft.ops.RepStatsExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.ops.KmvDistinctAgg].getName, "kmv_distinct"),
+      (args: Seq[Expression]) =>
+        graft.ops.KmvDistinctAgg(args(0), args(1)).toAggregateExpression()))
   }
 }

@@ -173,25 +173,38 @@ object DataQueries {
     // approx_count_distinct's HLL because KMV is DETERMINISTIC and its
     // register (the k-min set) is engine-neutral — the DuckDB oracle
     // recomputes the identical estimate, so the telemetry is hash-gated
-    // instead of unverifiable. Scale: the relational spelling below
-    // shuffles one row per distinct (source, hash); the mergeable
-    // production form is a bounded k-min heap per partition (a
-    // TypedImperativeAggregate), same estimator, no distinct shuffle.
-    val w = Window.partitionBy("source").orderBy("ch")
-    val kmv = t.select("source", "ch").distinct()
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= KmvK)
-      .groupBy("source")
-      .agg(count(lit(1)).as("__cnt"),
-        max(when(col("rk") === KmvK, col("ch"))).as("__hk"))
-      .select(col("source"),
-        when(col("__cnt") < KmvK, col("__cnt").cast("double"))
-          .otherwise(round(
-            lit((KmvK - 1).toDouble) * (lit(1152921504606846976.0) / col("__hk")),
-            2))
-          .as("approx_uniq"))
+    // instead of unverifiable. The mergeable aggregate form
+    // ([[KmvDistinctAgg]]): a bounded k-min set per partition, merge =
+    // union truncated to k — shuffle bytes are O(sources·k) instead of
+    // one row per distinct (source, hash); at 100 TB that distinct
+    // shuffle would be the whole job. [[kmvRelational]] keeps the
+    // window spelling as the cross-form parity check (KmvParitySpec).
+    val kmv = t.groupBy("source")
+      .agg(call_function("kmv_distinct", col("ch"), lit(KmvK)).as("approx_uniq"))
     base.join(kmv, Seq("source"))
       .select("source", "n_docs", "approx_uniq", "total_tokens")
       .orderBy("source")
+  }
+
+  /** The relational (distinct + window) spelling of the KMV estimate —
+    * the form the DuckDB oracle replays. Kept as the parity twin of
+    * [[KmvDistinctAgg]]: KmvParitySpec asserts both forms agree
+    * bit-for-bit on the same input, so a drift in either implementation
+    * fails the suite even before the oracle gate sees it. */
+  private[graft] def kmvRelational(df: DataFrame, key: String, hash: String,
+                                   k: Int = KmvK): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(hash)
+    df.select(key, hash).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(key)
+      .agg(count(lit(1)).as("__cnt"),
+        max(when(col("rk") === k, col(hash))).as("__hk"))
+      .select(col(key),
+        when(col("__cnt") < k, col("__cnt").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * (lit(1152921504606846976.0) / col("__hk")),
+            2))
+          .as("approx_uniq"))
   }
 
   /** Corpus-build funnel: the composed hygiene pipeline a pre-training
