@@ -69,6 +69,7 @@ object SparkEntry {
     "q_pack_shards"       -> ((s, d) => DataQueries.packBinsSharded(s, d)),
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
+    "q_state_probe"       -> ((s, d) => DataQueries.stateProbe(s, d)),
     "q_source_overlap"    -> ((s, d) => DataQueries.sourceOverlap(s, d)),
     "q_corpus_funnel"     -> ((s, d) => DataQueries.corpusFunnel(s, d)),
     // sketch-based → no SQL oracle (DuckDB's HLL differs); spec-pinned
@@ -224,6 +225,29 @@ object SparkEntry {
        sig AS (SELECT doc_id AS doc, i,
                  min((a * h + b) % 2147483647) AS sigv
                FROM hb, prm GROUP BY 1, 2)"""
+
+  /** Incremental LSH screen oracle (k=32, r=2, τ=0.3, batch = doc_id %
+    * 10 == 0) — shared verbatim by `q_incr_dedup` (the plain join path)
+    * and `q_state_probe` (the bucketed-corpus-state path): one oracle,
+    * two physical plans. */
+  private lazy val INCR_DEDUP_SQL =
+    s"""WITH $TOKS_CTE,
+       $SHING_CTE,
+       $SIG_CTE,
+       bands AS (SELECT doc, i // 2 AS band,
+                   ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                 FROM sig GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT b.doc AS new_doc, c.doc AS old_doc
+                FROM bands b JOIN bands c
+                  ON b.band = c.band AND b.bh = c.bh
+                 AND b.doc % 10 = 0 AND c.doc % 10 <> 0),
+       est AS (SELECT new_doc, old_doc,
+                 count(*) FILTER (x.sigv = y.sigv) / 32.0 AS ej
+               FROM cand JOIN sig x ON x.doc = new_doc
+                         JOIN sig y ON y.doc = old_doc AND x.i = y.i
+               GROUP BY 1, 2)
+       SELECT new_doc, old_doc, round(ej, 6) AS est_jaccard
+       FROM est WHERE ej >= 0.3 ORDER BY new_doc, old_doc"""
 
   /** Shared oracle CTE: hourly resample (last per bucket, deterministic
     * tie-break) → per-key dense grid → forward fill. Mirrors
@@ -1207,24 +1231,11 @@ object SparkEntry {
            count(*) FILTER (g_keep AND g_en AND g_uniq) AS n_unique,
            count(*) FILTER (g_keep AND g_en AND g_uniq AND g_clean) AS n_clean
          FROM fin""",
-    "q_incr_dedup" ->
-      s"""WITH $TOKS_CTE,
-         $SHING_CTE,
-         $SIG_CTE,
-         bands AS (SELECT doc, i // 2 AS band,
-                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
-                   FROM sig GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT b.doc AS new_doc, c.doc AS old_doc
-                  FROM bands b JOIN bands c
-                    ON b.band = c.band AND b.bh = c.bh
-                   AND b.doc % 10 = 0 AND c.doc % 10 <> 0),
-         est AS (SELECT new_doc, old_doc,
-                   count(*) FILTER (x.sigv = y.sigv) / 32.0 AS ej
-                 FROM cand JOIN sig x ON x.doc = new_doc
-                           JOIN sig y ON y.doc = old_doc AND x.i = y.i
-                 GROUP BY 1, 2)
-         SELECT new_doc, old_doc, round(ej, 6) AS est_jaccard
-         FROM est WHERE ej >= 0.3 ORDER BY new_doc, old_doc""",
+    "q_incr_dedup" -> INCR_DEDUP_SQL,
+    // same semantics through the bucketed-state physical path — the
+    // oracle is IDENTICAL by construction, so a divergence between the
+    // shuffle-free probe and the plain incremental screen hash-fails
+    "q_state_probe" -> INCR_DEDUP_SQL,
     "q_source_overlap" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

@@ -291,40 +291,52 @@ object MlPipeline {
     * runs over DISTINCT scores (bounded by the score grid, not rows). */
   def evalPinned(spark: SparkSession, dir: String): DataFrame = {
     val ds = datasetRounded(spark, dir)
-    val (_, test, base) = timeSplitWithBase(ds, 0.7, "bucket")
-    try {
-      // n_total from the persisted sorted base (already counted once
-      // inside the split) — NOT ds.agg(count) against the raw frame,
-      // which would re-run the whole feature chain a second time
-      val nTotal = base.count()
-      val t = test.withColumn("score", pinnedScore)
-      val accRow = t.agg(
-        count(lit(1)),
-        sum(when((col("score") > 0) === (col("y") === 1), 1L).otherwise(0L)),
-        sum(col("y").cast("long"))).head()
-      val (nTest, nCorrect, nPos) =
-        (accRow.getLong(0), accRow.getLong(1), accRow.getLong(2))
-      val byScore = t.groupBy("score")
-        .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("np"))
-        .withColumn("nn", col("n") - col("np"))
-      val wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-      val u2 = byScore
-        .withColumn("cumneg", coalesce(sum(col("nn")).over(wb), lit(0L)))
-        .agg(sum(col("np") * (col("cumneg") * 2 + col("nn")))).head().getLong(0)
-      // final division/rounding through the SAME Spark round expressions
-      // as the oracle mirrors (not scala-side math), over the collected
-      // integer aggregates — the 1-row result frame holds no reference
-      // to the split lineage, so the base can be released eagerly
-      import spark.implicits._
-      Seq((nTotal - nTest, nTest, nPos, nCorrect, u2))
-        .toDF("n_train", "n_test", "n_pos", "n_correct", "u2")
-        .select(col("n_train"), col("n_test"), col("n_pos"),
-          round(col("n_correct").cast("double") / col("n_test"), 6).as("accuracy"),
-          round(when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
-            col("u2").cast("double") /
-              (col("n_pos") * (col("n_test") - col("n_pos")) * lit(2.0))),
-            6).as("auc"))
-    } finally base.unpersist(false)
+    // The chronological cut as a LAZY plan — no construction-time driver
+    // actions (the pattern round 4 removed from tfidf/lmScore). The
+    // global (bucket, event_type) rank the oracle's row_number computes
+    // is built distributed: a per-bucket row_number (partitioned window,
+    // shuffles on bucket) plus a broadcast cumulative-offset table that
+    // is BUCKET-count-sized, not corpus-sized — the single-partition
+    // window only ever sees one row per time bucket, so the plan holds
+    // at 100 TB where a global row_number window would funnel every row
+    // through one task.
+    val perBucket = ds.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("__off"))
+    val wIn = Window.partitionBy("bucket").orderBy("event_type")
+    val nAgg = ds.agg(count(lit(1)).cast("long").as("__n"))
+    val test = ds
+      .withColumn("__rin", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(nAgg))
+      .filter(col("__off") + col("__rin") >
+        floor(col("__n") * 0.7).cast("long"))
+      .withColumn("score", pinnedScore)
+    val acc = test.agg(
+      count(lit(1)).as("n_test"),
+      sum(when((col("score") > 0) === (col("y") === 1), 1L).otherwise(0L))
+        .as("n_correct"),
+      sum(col("y").cast("long")).as("n_pos"))
+    val byScore = test.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("np"))
+      .withColumn("nn", col("n") - col("np"))
+    val wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val u2 = byScore
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(wb), lit(0L)))
+      .agg(sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("u2"))
+    val tot = ds.agg(count(lit(1)).as("n_total"))
+    // 1-row × 1-row cross joins; division/rounding through the same
+    // round expressions the oracle mirrors
+    acc.crossJoin(u2).crossJoin(tot)
+      .select((col("n_total") - col("n_test")).as("n_train"),
+        col("n_test"), col("n_pos"),
+        round(col("n_correct").cast("double") / col("n_test"), 6).as("accuracy"),
+        round(when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
+          col("u2").cast("double") /
+            (col("n_pos") * (col("n_test") - col("n_pos")) * lit(2.0))),
+          6).as("auc"))
   }
 
   /** Pinned-model NOW signals (M5+O3 with the artifact): latest row per

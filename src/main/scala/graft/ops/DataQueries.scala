@@ -266,6 +266,58 @@ object DataQueries {
       .orderBy("new_doc", "old_doc")
   }
 
+  /** Incremental near-dup screen over PERSISTED BUCKETED STATE — the
+    * same candidates and estimates as [[incrDedup]] (its oracle SQL is
+    * literally reused), but through the physical path a recurring
+    * ingest actually runs at 100 TB: the corpus band index is written
+    * ONCE as a bucketed+sorted table ([[Scale.writeBucketed]] on
+    * (band, bh)), each batch stages its own bands in the same layout,
+    * and the probe join is PLAN-ASSERTED exchange-free — the
+    * corpus-sized side never shuffles again, for this batch or any
+    * later one. Construction throws if an Exchange appears in the
+    * probe join, so the shuffle-free claim is a live gate in
+    * Verify/Bench, not a spec aside. Band rows carry their signatures,
+    * so estimation needs no join back to the corpus. */
+  def stateProbe(s: SparkSession, d: String): DataFrame = {
+    val k = 32; val r = 2; val threshold = 0.3; val buckets = 8
+    val docs = Tables.documents(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val stateTbl = s"graft_band_state_$tag"
+    val batchTbl = s"graft_band_batch_$tag"
+    // corpus state: built once per (warehouse, sf); later invocations
+    // and later batches reuse the files on disk
+    if (!s.catalog.tableExists(stateTbl))
+      Scale.writeBucketed(
+        DedupOps.bandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", k, r),
+        stateTbl, "band", buckets, Seq("bh"))
+    // the incoming batch, staged in the IDENTICAL layout (the ingest
+    // job's one extra write — what buys every probe its shuffle-freedom)
+    Scale.writeBucketed(
+      DedupOps.bandIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", k, r)
+        .select(col("old_doc").as("new_doc"), col("band"), col("bh"),
+          col("sig_o").as("sig_n")),
+      batchTbl, "band", buckets, Seq("bh"))
+    // merge-join hint: a broadcast pick would be legal but reintroduces
+    // a BroadcastExchange; the co-bucketed SMJ needs no exchange and no
+    // sort (both tables are sorted on the join key)
+    val joined = s.table(batchTbl).hint("merge")
+      .join(s.table(stateTbl), Seq("band", "bh"))
+    require(Scale.isShuffleFree(joined),
+      "state probe plan contains an Exchange — bucketed co-location broken:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+    joined
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
+          m => m)).cast("double") / k.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_doc"), col("old_doc"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .distinct()
+      .orderBy("new_doc", "old_doc")
+  }
+
   /** Cross-source duplication matrix: near-dup pairs (3-gram Jaccard ≥
     * 0.1) rolled up by the (source_a, source_b) of their endpoints —
     * the corpus-provenance overlap report. The id→source attachment

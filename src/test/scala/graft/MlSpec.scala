@@ -67,6 +67,22 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("pinned serving artifact matches a live refit at sf0.01 (drift gate)") {
+    // PinnedModel.W/B is the PinModel export of exactly this fit; if the
+    // feature chain, split, scaler or LBFGS drifts, the pinned queries
+    // would stay green against a STALE artifact — this is the gate that
+    // makes the artifact's provenance a live invariant instead of a
+    // comment. (Uses the fitted-cache, so no extra LBFGS run when the
+    // metrics-pin test above has already trained at sf0.01.)
+    val (w, b) = MlPipeline.foldedWeights(spark, "/root/testdata/sf0.01")
+    assert(w.length == graft.ml.PinnedModel.W.length)
+    w.zip(graft.ml.PinnedModel.W).zipWithIndex.foreach { case ((g, p), i) =>
+      assert(math.abs(g - p) < 1e-6, s"folded weight $i: refit $g vs pinned $p")
+    }
+    assert(math.abs(b - graft.ml.PinnedModel.B) < 1e-6,
+      s"folded intercept: refit $b vs pinned ${graft.ml.PinnedModel.B}")
+  }
+
   test("fitted-model LRU eviction releases executor storage") {
     // cap 1: the second fit must evict (and unpersist) the first.
     // Each fit persists ~4 blocks (ds/train/test frames + the sorted
