@@ -97,6 +97,9 @@ object SparkEntry {
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
+    "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
+    "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
+    "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => DataQueries.winnowPairs(s, d)),
     "q_containment"       -> ((s, d) => DataQueries.containmentPairs(s, d)),
@@ -1033,6 +1036,54 @@ object SparkEntry {
          SELECT doc_id, len(fhex) AS n_frames,
            ${H64.format("array_to_string(fhex, ',')")} AS frames_hash
          FROM fr ORDER BY doc_id""",
+    // Multimodal oracles: the expected statistics are recomputed
+    // ANALYTICALLY from the sample/pixel formulas — DuckDB never sees
+    // the encoded bytes, so the Spark-side WAV/BMP/PPM encode→decode
+    // round trip is independently gated (a codec defect changes the
+    // decoded stats, the oracle doesn't move).
+    "q_media_features" ->
+      """WITH n AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n FROM documents),
+         s AS (SELECT doc_id, unnest(range(n)) AS i FROM n),
+         v AS (SELECT doc_id, i,
+                 ((doc_id * 40503 + i * 2654435761) % 65536) - 32768 AS v
+               FROM s)
+         SELECT doc_id, count(*) AS n_samples, 8000::BIGINT AS sample_rate,
+           max(abs(v)) AS max_abs, sum(abs(v)) AS sum_abs,
+           sum((i + 1) * abs(v)) AS wsum_abs
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
+    "q_image_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 (doc_id + 3 * x + 7 * y) % 256 AS r,
+                 (2 * doc_id + 5 * x + y) % 256 AS g,
+                 (3 * doc_id + x + 11 * y) % 256 AS b
+               FROM c)
+         SELECT doc_id, format, max(w) AS width, max(h) AS height,
+           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+           sum((y + 1) * r) AS wsum_r
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    "q_media_neardup" ->
+      """WITH sd AS (SELECT doc_id, doc_id % 16 AS seed FROM documents),
+         n AS (SELECT doc_id, seed, 512 + (seed % 4) * 64 AS n FROM sd),
+         ix AS (SELECT doc_id, seed, unnest(range(n)) AS i FROM n),
+         v AS (SELECT doc_id, i % 8 AS j,
+                 ((seed + 1) * 40503 + i * 2654435761) % 32768 - 16384
+                   + (doc_id * 31 + i) % 3 - 1 AS v
+               FROM ix),
+         f0 AS (SELECT doc_id, j, sum(v)::DOUBLE AS fv FROM v GROUP BY 1, 2),
+         f AS (SELECT doc_id, list(fv ORDER BY j) AS fl FROM f0 GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 list_dot_product(a.fl, b.fl) /
+                   (sqrt(list_dot_product(a.fl, a.fl)) *
+                    sqrt(list_dot_product(b.fl, b.fl))) AS cos
+               FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(cos, 6) AS cos
+         FROM p WHERE cos >= 0.999 ORDER BY doc_a, doc_b""",
     "q_sales_rollup" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
            round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders

@@ -762,6 +762,136 @@ object DataQueries {
           transform(col("frames"), f => lower(hex(f))))).as("frames_hash"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------------
+  // Multimodal: synthetic media fixtures (deterministic sample/pixel
+  // formulas over doc_id) are ENCODED into real WAV/BMP/PPM containers,
+  // then DECODED by the pure-JVM codecs (Multimodal.scala) and reduced
+  // to integer statistics. The DuckDB oracles recompute the statistics
+  // ANALYTICALLY from the same formulas — they never see the bytes —
+  // so any encode/decode defect (byte order, header layout, row
+  // padding, bottom-up rows, sign extension) hash-fails the gate.
+  // Byte-level spec conformance is separately pinned by golden tests.
+  // ------------------------------------------------------------------
+
+  /** PCM samples for doc: ((doc·40503 + i·2654435761) mod 2^16) − 2^15,
+    * n = 512 + (doc mod 5)·128 — integer LCG audio, DuckDB-replayable. */
+  private def wavSamples(doc: Long): Array[Int] = {
+    val n = 512 + (doc % 5).toInt * 128
+    Array.tabulate(n)(i =>
+      ((doc * 40503L + i.toLong * 2654435761L) % 65536L - 32768L).toInt)
+  }
+
+  /** Audio stats through the real WAV round trip: encode → decode →
+    * (count, rate, max|s|, Σ|s|, Σ(i+1)|s|). The position-weighted sum
+    * catches sample-order misdecodes the plain sum cannot. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("max_abs", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("wsum_abs", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val bytes = Multimodal.encodeWavPcm16(wavSamples(doc), 8000)
+          val (sr, smp) = Multimodal.decodeWav(bytes)
+          var sumAbs = 0L; var wsum = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < smp.length) {
+            val a = math.abs(smp(i).toLong)
+            sumAbs += a; wsum += (i + 1) * a; if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Row(doc, smp.length.toLong, sr.toLong, maxAbs, sumAbs, wsum)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
+  /** Image stats through the real BMP (even ids) / PPM (odd ids) round
+    * trip: dims from the decoded header, channel sums + a row-weighted
+    * sum from the decoded pixels (the weighted sum catches vertical
+    * orientation bugs — BMP rows are stored bottom-up). */
+  def imageFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("wsum_r", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((doc + 3L * x + 7L * y) % 256L).toInt
+              rgb(p + 1) = ((2L * doc + 5L * x + y) % 256L).toInt
+              rgb(p + 2) = ((3L * doc + x + 11L * y) % 256L).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes =
+            if (doc % 2 == 0) Multimodal.encodeBmp24(w, h, rgb)
+            else Multimodal.encodePpm(w, h, rgb)
+          val (dw, dh, f) = Multimodal.decodeFeatures(bytes)
+          Row(doc, Multimodal.detectFormat(bytes), dw.toLong, dh.toLong,
+            f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
+  /** Media near-dup: 16 planted seed groups — same-seed clips share a
+    * base waveform and differ by a ±1-per-sample perturbation — through
+    * encode → decode → 8-dim signed-sum features → blocked exact cosine
+    * (τ = 0.999). The feature vectors are integer-valued, so the oracle
+    * replays the identical cosine from the analytic features. */
+  def mediaNearDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val media = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    implicit val enc = Encoders.row(media)
+    val df = Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val seed = doc % 16
+          val n = 512 + (seed % 4).toInt * 64
+          val smp = Array.tabulate(n) { i =>
+            (((seed + 1) * 40503L + i.toLong * 2654435761L) % 32768L - 16384L
+              + (doc * 31L + i) % 3L - 1L).toInt
+          }
+          Row(doc, Multimodal.encodeWavPcm16(smp, 8000))
+        }
+      }
+    Multimodal.mediaNearDups(df, 0.999)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Passage-level exact dedup over 8-token windows: per-doc passage
     * count, corpus-duplicated passage count, dup fraction, and the
     * dup-heavy flag a pipeline would gate removal on. */

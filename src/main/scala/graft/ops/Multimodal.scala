@@ -4,17 +4,26 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing for training-data pipelines: media
+/** Multimodal-column operators for training-data pipelines: media
   * payloads travel as opaque `binary` columns with a typed metadata
-  * struct; decode / feature-extract / resize / frame-sample run as
-  * partition-wise batch transforms.
+  * struct; decode / feature-extract / frame-sample run as
+  * partition-wise batch transforms (one codec init per partition,
+  * rows streamed through it — the Scala shape of a `mapInPandas`
+  * batch UDF).
   *
-  * The actual codecs (JPEG/PNG decode, audio resample, video demux) are
-  * STUBBED — this container ships no image/audio libraries — behind
-  * [[decodeStub]], a deterministic fake. Everything Spark-side is real
-  * and tested: the schema contract, the mapPartitions batch shape (one
-  * codec init per partition, streamed rows), and the pure-column frame
-  * sampler. Swapping the stub for a real codec changes one function.
+  * The codecs are REAL pure-JVM implementations of the three
+  * container formats simple enough to need no native library —
+  * WAV (RIFF PCM 16-bit), BMP (24-bit uncompressed) and PPM (P6) —
+  * written from the public format specs. Compressed formats
+  * (JPEG/MP3/H.264) would slot in behind the same
+  * [[decodeFeatures]] dispatch with a real codec dependency; the
+  * Spark-side plumbing (binary schema, per-partition init, feature
+  * shape) is identical. Byte-level conformance is pinned by golden
+  * tests (MultimodalSpec); end-to-end decode correctness is
+  * oracle-gated by q_media_features / q_image_features /
+  * q_media_neardup, whose DuckDB twins recompute the expected
+  * sample/pixel statistics analytically without ever touching the
+  * bytes.
   */
 object Multimodal {
 
@@ -27,26 +36,259 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType))))))
 
-  /** STUB codec: deterministic pseudo-decode of a payload into an 8-dim
-    * feature vector + dimensions, derived from the bytes alone. A real
-    * implementation would decode pixels here; the signature and the
-    * per-partition init/stream shape are what production code keeps. */
-  def decodeStub(content: Array[Byte]): (Int, Int, Array[Float]) = {
-    if (content == null || content.isEmpty) return (0, 0, Array.fill(8)(0f))
-    val h = java.util.Arrays.hashCode(content)
-    val w = 16 + math.abs(h % 1024)
-    val ht = 16 + math.abs((h / 1024) % 1024)
-    val feat = Array.tabulate(8) { i =>
-      val b = content(i % content.length) & 0xff
-      ((b ^ (h >>> (i * 4))) & 0xff) / 255.0f
-    }
-    (w, ht, feat)
+  // ------------------------------------------------------------------
+  // WAV (RIFF PCM) — http://soundfile.sapp.org/doc/WaveFormat/
+  // ------------------------------------------------------------------
+
+  private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def rd16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def rd32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Encode mono 16-bit PCM samples into a canonical WAV container. */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(out, 4, 36 + dataSize)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12)
+    le32(out, 16, 16)            // fmt chunk size
+    le16(out, 20, 1)             // PCM
+    le16(out, 22, 1)             // mono
+    le32(out, 24, sampleRate)
+    le32(out, 28, sampleRate * 2) // byte rate
+    le16(out, 32, 2)             // block align
+    le16(out, 34, 16)            // bits/sample
+    "data".getBytes.copyToArray(out, 36)
+    le32(out, 40, dataSize)
+    var i = 0
+    while (i < samples.length) { le16(out, 44 + i * 2, samples(i) & 0xffff); i += 1 }
+    out
   }
 
-  /** Partition-wise feature extraction: one "codec" init per partition
-    * (the expensive part for real codecs), rows streamed through it —
-    * the Scala shape of a `mapInPandas` batch UDF. Output keeps the id
-    * plus extracted width/height/features. */
+  /** Decode a WAV container → (sampleRate, samples). Walks the chunk
+    * list (fmt / data in any order, unknown chunks skipped with even
+    * padding, as the spec requires); only PCM 16-bit mono is
+    * supported — anything else is a loud error, not a silent
+    * misdecode. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "decodeWav: not a RIFF/WAVE container")
+    var off = 12
+    var sampleRate = -1
+    var data: Array[Int] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val sz = rd32(bytes, off + 4)
+      val body = off + 8
+      id match {
+        case "fmt " =>
+          val fmt = rd16(bytes, body)
+          val ch = rd16(bytes, body + 2)
+          val bits = rd16(bytes, body + 14)
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"decodeWav: only PCM16 mono supported (fmt=$fmt ch=$ch bits=$bits)")
+          sampleRate = rd32(bytes, body + 4)
+        case "data" =>
+          val n = sz / 2
+          data = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            data(i) = rd16(bytes, body + i * 2).toShort.toInt // sign-extend
+            i += 1
+          }
+        case _ => // skip unknown chunk
+      }
+      off = body + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && data != null, "decodeWav: missing fmt or data chunk")
+    (sampleRate, data)
+  }
+
+  // ------------------------------------------------------------------
+  // BMP (24-bit uncompressed, BITMAPINFOHEADER) — rows bottom-up,
+  // BGR byte order, each row padded to a 4-byte boundary.
+  // ------------------------------------------------------------------
+
+  /** Encode top-down row-major RGB triples (3 ints/pixel, 0..255). */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "encodeBmp24: rgb length != w*h*3")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    le32(out, 2, 54 + dataSize)
+    le32(out, 10, 54)            // pixel-data offset
+    le32(out, 14, 40)            // BITMAPINFOHEADER
+    le32(out, 18, w)
+    le32(out, 22, h)             // positive → bottom-up
+    le16(out, 26, 1)             // planes
+    le16(out, 28, 24)            // bpp
+    le32(out, 30, 0)             // BI_RGB (uncompressed)
+    le32(out, 34, dataSize)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y     // file row y = image row h-1-y
+      var x = 0
+      while (x < w) {
+        val p = (srcRow * w + x) * 3
+        val o = 54 + y * rowSize + x * 3
+        out(o) = (rgb(p + 2) & 0xff).toByte     // B
+        out(o + 1) = (rgb(p + 1) & 0xff).toByte // G
+        out(o + 2) = (rgb(p) & 0xff).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24-bit uncompressed BMP → (w, h, top-down RGB triples). */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "decodeBmp: not a BMP")
+    val dataOff = rd32(bytes, 10)
+    val hdrSize = rd32(bytes, 14)
+    require(hdrSize >= 40, s"decodeBmp: unsupported header size $hdrSize")
+    val w = rd32(bytes, 18)
+    val hRaw = rd32(bytes, 22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = rd16(bytes, 28)
+    val comp = rd32(bytes, 30)
+    require(bpp == 24 && comp == 0,
+      s"decodeBmp: only 24bpp uncompressed supported (bpp=$bpp comp=$comp)")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val rgb = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (bottomUp) h - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val o = dataOff + fileRow * rowSize + x * 3
+        val p = (y * w + x) * 3
+        rgb(p) = bytes(o + 2) & 0xff     // R
+        rgb(p + 1) = bytes(o + 1) & 0xff // G
+        rgb(p + 2) = bytes(o) & 0xff     // B
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  // ------------------------------------------------------------------
+  // PPM (P6 binary) — "P6\n<w> <h>\n255\n" + top-down RGB bytes.
+  // ------------------------------------------------------------------
+
+  def encodePpm(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "encodePpm: rgb length != w*h*3")
+    val hdr = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](hdr.length + rgb.length)
+    hdr.copyToArray(out, 0)
+    var i = 0
+    while (i < rgb.length) { out(hdr.length + i) = (rgb(i) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** Decode a binary PPM (P6) → (w, h, top-down RGB triples). Handles
+    * arbitrary whitespace and `#` comments in the header, per spec. */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "decodePpm: not a P6 PPM")
+    var off = 2
+    def nextInt(): Int = {
+      // skip whitespace and comment lines
+      var inComment = false
+      while (off < bytes.length &&
+             (inComment || bytes(off).toChar.isWhitespace || bytes(off) == '#')) {
+        if (bytes(off) == '#') inComment = true
+        else if (bytes(off) == '\n') inComment = false
+        off += 1
+      }
+      var v = 0
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
+        v = v * 10 + (bytes(off) - '0'); off += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(maxv == 255, s"decodePpm: only maxval 255 supported (got $maxv)")
+    off += 1 // exactly one whitespace byte after maxval, per spec
+    val rgb = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < rgb.length) { rgb(i) = bytes(off + i) & 0xff; i += 1 }
+    (w, h, rgb)
+  }
+
+  /** Container sniff by magic bytes. */
+  def detectFormat(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 4) "unknown"
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
+    else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes(0) == 'P' && bytes(1) == '6') "ppm"
+    else "unknown"
+
+  // ------------------------------------------------------------------
+  // Feature extraction over decoded media
+  // ------------------------------------------------------------------
+
+  /** Decode any supported payload into the uniform feature shape
+    * (width, height, 8-dim features):
+    *  - audio: width = sample count, height = sample rate, feature j =
+    *    Σ of samples at positions ≡ j (mod 8) — signed sums, so the
+    *    vector is zero-mean across unrelated clips (all-|x| features
+    *    make every pair of clips look alike);
+    *  - image: width/height = pixel dims, features = [Σr, Σg, Σb,
+    *    Σ(y+1)·r, Σ(y+1)·g, Σ(y+1)·b, w, h] — the row-weighted sums
+    *    catch vertical-orientation misdecodes plain sums cannot.
+    * All features are integer-valued (exact in Float far below 2^24),
+    * so downstream similarity math is engine-reproducible. */
+  def decodeFeatures(content: Array[Byte]): (Int, Int, Array[Float]) = {
+    if (content == null || content.isEmpty) return (0, 0, Array.fill(8)(0f))
+    detectFormat(content) match {
+      case "wav" =>
+        val (sr, s) = decodeWav(content)
+        val f = new Array[Float](8)
+        var i = 0
+        while (i < s.length) { f(i & 7) += s(i); i += 1 }
+        (s.length, sr, f)
+      case "bmp" | "ppm" =>
+        val (w, h, rgb) = if (content(0) == 'B') decodeBmp(content) else decodePpm(content)
+        val f = new Array[Float](8)
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = rgb(p); val g = rgb(p + 1); val b = rgb(p + 2)
+            f(0) += r; f(1) += g; f(2) += b
+            f(3) += (y + 1) * r; f(4) += (y + 1) * g; f(5) += (y + 1) * b
+            p += 3; x += 1
+          }
+          y += 1
+        }
+        f(6) = w.toFloat; f(7) = h.toFloat
+        (w, h, f)
+      case other =>
+        throw new IllegalArgumentException(s"decodeFeatures: unsupported format $other")
+    }
+  }
+
+  /** Partition-wise feature extraction: one codec init per partition
+    * (the expensive part for real codecs), rows streamed through it.
+    * Output keeps the id plus extracted width/height/features. */
   def extractFeatures(df: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -56,9 +298,9 @@ object Multimodal {
     implicit val enc = Encoders.row(outSchema)
     df.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
-        // real code: codec/session init here, once per partition
+        // real compressed codecs init native state here, once per partition
         rows.map { r =>
-          val (w, h, feat) = decodeStub(
+          val (w, h, feat) = decodeFeatures(
             if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
           Row(r.getLong(0), w, h, feat.toSeq)
         }
@@ -81,18 +323,19 @@ object Multimodal {
                    end),
             f -> f is not null)""")
 
-  /** Media near-duplicates: extracted feature vectors → exact cosine
-    * pairs (swap in [[VectorOps.lshBuckets]] candidates at corpus
-    * scale). The cross-modal composition point: once media becomes a
-    * feature column, every embedding operator (ANN, SemDeDup, outlier
-    * gates) applies unchanged. */
+  /** Media near-duplicates: decoded feature vectors → exact cosine
+    * pairs via the BLOCKED distributed plan (equi-join fan-out, no
+    * nested-loop operator; see [[VectorOps.cosineNearDupBlocked]]).
+    * The cross-modal composition point: once media becomes a feature
+    * column, every embedding operator (ANN, SemDeDup, outlier gates)
+    * applies unchanged. */
   def mediaNearDups(df: DataFrame, threshold: Double): DataFrame =
-    VectorOps.cosineNearDup(
+    VectorOps.cosineNearDupBlocked(
       extractFeatures(df).select(col("media_id"), col("features")),
       "media_id", "features", threshold)
 
-  /** Resize metadata transform (stub): the metadata math is real, the
-    * pixel work is the codec's. */
+  /** Resize metadata transform: the dimension math every thumbnailer
+    * runs; the pixel resample itself belongs to the codec layer. */
   def resizeMeta(meta: org.apache.spark.sql.Column, maxDim: Int): org.apache.spark.sql.Column = {
     val w = meta.getField("width"); val h = meta.getField("height")
     val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))

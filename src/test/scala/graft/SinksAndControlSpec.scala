@@ -63,23 +63,102 @@ class SinksSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("binary feature extraction is deterministic and partition-agnostic") {
-    val df = (1L to 20L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
-      .toDF("media_id", "content")
+  // --- golden byte-format pins: the oracle gate proves decode∘encode
+  // --- = id; these prove conformance to the PUBLIC formats, so the
+  // --- codecs read/write files other tools produce/consume.
+
+  test("WAV golden bytes: canonical header + little-endian sign-extended PCM") {
+    val samples = Array(0, 1, -1, 32767, -32768)
+    val bytes = Multimodal.encodeWavPcm16(samples, 8000)
+    val expected = Array[Int](
+      'R', 'I', 'F', 'F', 46, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0,                    // PCM, mono
+      0x40, 0x1f, 0, 0,              // 8000 Hz
+      0x80, 0x3e, 0, 0,              // byte rate 16000
+      2, 0, 16, 0,                   // block align, bits
+      'd', 'a', 't', 'a', 10, 0, 0, 0,
+      0x00, 0x00, 0x01, 0x00, 0xff, 0xff, 0xff, 0x7f, 0x00, 0x80
+    ).map(_.toByte)
+    assert(bytes.toSeq == expected.toSeq)
+    val (sr, dec) = Multimodal.decodeWav(bytes)
+    assert(sr == 8000 && dec.toSeq == samples.toSeq)
+  }
+
+  test("WAV decoder walks chunks: unknown chunk before data is skipped") {
+    val base = Multimodal.encodeWavPcm16(Array(5, -6, 7), 44100)
+    // splice a LIST chunk (odd size → padded) between fmt and data
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    // fix RIFF size
+    val sz = spliced.length - 8
+    spliced(4) = (sz & 0xff).toByte; spliced(5) = ((sz >> 8) & 0xff).toByte
+    val (sr, dec) = Multimodal.decodeWav(spliced)
+    assert(sr == 44100 && dec.toSeq == Seq(5, -6, 7))
+  }
+
+  test("BMP golden bytes: bottom-up BGR rows padded to 4 bytes") {
+    // 2x2 top-down RGB: (1,2,3) (4,5,6) / (7,8,9) (10,11,12)
+    val rgb = Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val bytes = Multimodal.encodeBmp24(2, 2, rgb)
+    assert(bytes.length == 54 + 16) // rowSize 8 (6 + 2 pad) x 2 rows
+    // pixel data: file row 0 = IMAGE row 1, BGR order
+    val px = bytes.drop(54).map(_ & 0xff).toSeq
+    assert(px == Seq(9, 8, 7, 12, 11, 10, 0, 0, /* image row 1 */
+                     3, 2, 1, 6, 5, 4, 0, 0))   /* image row 0 */
+    val (w, h, dec) = Multimodal.decodeBmp(bytes)
+    assert(w == 2 && h == 2 && dec.toSeq == rgb.toSeq)
+  }
+
+  test("PPM round trip, with header comments") {
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 17) % 256)
+    val bytes = Multimodal.encodePpm(2, 3, rgb)
+    assert(new String(bytes.take(11), "US-ASCII") == "P6\n2 3\n255\n")
+    val (w, h, dec) = Multimodal.decodePpm(bytes)
+    assert(w == 2 && h == 3 && dec.toSeq == rgb.toSeq)
+    // a commented header must parse identically
+    val commented = ("P6\n# fixture comment\n2 3\n255\n".getBytes("US-ASCII")
+      ++ bytes.drop(11))
+    val (w2, h2, dec2) = Multimodal.decodePpm(commented)
+    assert(w2 == 2 && h2 == 3 && dec2.toSeq == rgb.toSeq)
+  }
+
+  test("feature extraction is deterministic and partition-agnostic") {
+    val df = (1L to 20L).map { i =>
+      val samples = Array.tabulate(64)(j => ((i * 131 + j * 37) % 1000).toInt - 500)
+      (i, Multimodal.encodeWavPcm16(samples, 8000))
+    }.toDF("media_id", "content")
     val a = Multimodal.extractFeatures(df.repartition(1)).orderBy("media_id").collect()
     val b = Multimodal.extractFeatures(df.repartition(7)).orderBy("media_id").collect()
     assert(a.length == 20)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     assert(a.forall(_.getSeq[Float](3).length == 8))
+    // width/height carry (n_samples, sample_rate) for audio
+    assert(a.forall(r => r.getInt(1) == 64 && r.getInt(2) == 8000))
   }
 
-  test("media near-dups: identical payloads pair at cosine 1, others don't") {
-    val bytes = "same-payload".getBytes("UTF-8")
-    val df = Seq((1L, bytes), (2L, bytes),
-      (3L, "different!".getBytes("UTF-8"))).toDF("media_id", "content")
+  test("media near-dups: identical clips pair at cosine 1, others don't") {
+    val same = Multimodal.encodeWavPcm16(
+      Array.tabulate(64)(j => ((j * 37) % 1000) - 500), 8000)
+    val other = Multimodal.encodeWavPcm16(
+      Array.tabulate(64)(j => ((j * 911) % 1000) - 500), 8000)
+    val df = Seq((1L, same), (2L, same), (3L, other))
+      .toDF("media_id", "content")
     val pairs = Multimodal.mediaNearDups(df, 0.999)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("image features catch orientation: weighted sums differ between a BMP and its flip") {
+    val rgb = Array.tabulate(4 * 4 * 3)(i => i % 256)
+    val flipped = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; val y = p / 4; val x = p % 4
+      rgb(((3 - y) * 4 + x) * 3 + i % 3)
+    }
+    val f1 = Multimodal.decodeFeatures(Multimodal.encodeBmp24(4, 4, rgb))._3
+    val f2 = Multimodal.decodeFeatures(Multimodal.encodeBmp24(4, 4, flipped))._3
+    assert(f1(0) == f2(0) && f1(1) == f2(1) && f1(2) == f2(2)) // plain sums equal
+    assert(f1(3) != f2(3)) // row-weighted sum sees the flip
   }
 
   test("frame sampler slices payload bytes with stride") {
