@@ -17,10 +17,14 @@ case class RpcConfig(url: String, attempts: Int = 3, delayMs: Long = 1500L)
 }
 
 /** One decoded `eth_getLogs` entry in the source's row shape (topics
-  * split out; hex quantities already parsed). */
+  * split out; hex quantities already parsed). `logIndex`/`blockHash`
+  * carry the node's position-in-block and containing-block identity —
+  * the retraction key the reorg-aware stream needs; -1/null when the
+  * node omits them. */
 case class RpcLog(blockNumber: Long, txHash: String, address: String,
                   topic0: String, topic1: String, topic2: String,
-                  topic3: String, data: String)
+                  topic3: String, data: String,
+                  logIndex: Long = -1L, blockHash: String = null)
 
 /** Minimal Ethereum JSON-RPC client over HTTP — the live seam behind
   * `LogPartitionReader` (SURVEY.md §2.1 S3). Mirrors the reference's
@@ -109,6 +113,19 @@ class RpcClient(cfg: RpcConfig) {
     hexQty(res.path("timestamp"))
   }
 
+  /** Header-only probe for a block's HASH — the reorg detector's
+    * primitive: a canonical-chain block keeps its hash forever, so a
+    * changed hash at a watched height is exactly "this block was
+    * replaced". None past the tip. */
+  def headerHash(block: Long): Option[String] = withRetries("eth_getBlockByNumber") {
+    val params = mapper.createArrayNode()
+    params.add(toHex(block))
+    params.add(false)
+    val res = call("eth_getBlockByNumber", params)
+    if (res == null || res.isNull || res.isMissingNode) None
+    else Option(res.path("hash").asText(null))
+  }
+
   private def hexBig(n: JsonNode): java.math.BigInteger = {
     val s = n.asText("0x0")
     val t = if (s.startsWith("0x") || s.startsWith("0X")) s.drop(2) else s
@@ -185,9 +202,12 @@ class RpcClient(cfg: RpcConfig) {
           val v = e.path(f)
           if (v.isMissingNode || v.isNull) null else v.asText()
         }
+        val li = e.path("logIndex")
         out += RpcLog(hexQty(e.path("blockNumber")),
           str("transactionHash"), str("address"),
-          topic(0), topic(1), topic(2), topic(3), str("data"))
+          topic(0), topic(1), topic(2), topic(3), str("data"),
+          if (li.isMissingNode || li.isNull) -1L else hexQty(li),
+          str("blockHash"))
       }
       out.result()
     }
