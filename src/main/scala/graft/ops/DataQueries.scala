@@ -1037,8 +1037,12 @@ object DataQueries {
     * expected document count for an epoch of `epoch` draws. The
     * normalizer is summed in integer micro-units (q_l quantized to 1e-6
     * before the sum) so the result is independent of partition
-    * accumulation order — the same trick as the LM scorer — and the
-    * DuckDB oracle reproduces every cell exactly. Scale: one count
+    * accumulation order — the same trick as the LM scorer. Residual
+    * cross-engine risk: JVM `Math.pow` is 1-ulp accurate, not correctly
+    * rounded, so a p_l^α landing within an ulp of a .5 micro-unit
+    * boundary COULD quantize differently than DuckDB's libm pow; green
+    * at all three scale factors today, and the failure mode is a
+    * visible hash-red row, not silent drift. Scale: one count
     * aggregate; the per-language table is O(#langs). */
   def tempMix(s: SparkSession, d: String,
               alpha: Double = 0.3, epoch: Long = 1000): DataFrame = {

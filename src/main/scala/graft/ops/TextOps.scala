@@ -214,7 +214,17 @@ object TextOps {
     * 100 TB the output is written straight back out partitioned the
     * same way. Emits (id, chunk_no, n_tok_chunk, chunk_hash) — the
     * content hash (not the text) is what downstream chunk-level dedup
-    * joins on, so chunk text never has to move. */
+    * joins on, so chunk text never has to move.
+    *
+    * Tail policy (deliberate): a window starts at EVERY stride multiple
+    * below n, so a doc can end with a chunk shorter than the overlap
+    * (100 tokens at window 64 / stride 48 → a 4-token tail). Kept
+    * because the invariant "every token's final `window − stride`
+    * context appears at the start of some chunk" is what sliding-window
+    * pretraining wants, and dropping tails silently loses end-of-doc
+    * tokens from short docs. RAG splitters that want tails gone filter
+    * `n_tok_chunk > window − stride` downstream — a filter on the
+    * emitted column, not a second pass. */
   def chunkDocs(docs: DataFrame, id: String, text: String,
                 window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride, "need 0 < stride <= window")
