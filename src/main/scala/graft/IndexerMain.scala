@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Config
-import graft.evm.{Indexer, LogSource, RpcConfig}
+import graft.evm.{Indexer, LogSource, Progress, RpcConfig}
 import java.nio.file.{Files, Path, Paths}
 
 /** The reference's CLI entry point (`cmd/indexer.go:19-74`):
@@ -58,7 +58,20 @@ object IndexerMain {
     val outDir = job.csvOutputDir.getOrElse(
       throw new IllegalArgumentException(
         s"unsupported storage type: ${job.storageType} (csv output_dir required)"))
-    Indexer.run(spark, job, job.rpcUrl, endBlock, outDir)
+    // --progress=<file>: block-range resume (the reference's promised
+    // `.progress.json`). The scan starts after the recorded last block;
+    // output segments by block range so continuations append new
+    // segment dirs while retries overwrite their own; the checkpoint
+    // is rewritten only after every sink landed.
+    val progress = flag(args, "progress").map(Paths.get(_))
+    val effStart = progress.flatMap(Progress.read)
+      .map(_ + 1).filter(_ > job.startBlock).getOrElse(job.startBlock)
+    if (effStart > endBlock) return Seq.empty // already caught up
+    val counts = Indexer.run(spark, job.copy(startBlock = effStart),
+      job.rpcUrl, endBlock, outDir,
+      segment = progress.map(_ => s"$effStart-$endBlock"))
+    progress.foreach(p => Progress.write(p, endBlock))
+    counts
   }
 
   private def flag(args: Array[String], name: String): Option[String] = {

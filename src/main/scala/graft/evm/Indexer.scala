@@ -49,9 +49,18 @@ object Indexer {
     * decoded row is stamped with the recovered `tx_from` — the
     * reference's per-event sender enrichment (parser.go:152-159) in
     * the distinct-tx → recover-once → broadcast-join form (J2). */
+  /** `segment`: when set (the resume path, see [[Progress]]), each
+    * (contract, event) lands under an additional
+    * `segment=<tag>` directory — a continuation run appends new
+    * BLOCK RANGES as new segment dirs while retries within one run
+    * still overwrite exactly their own segment, so both resume and
+    * retry stay idempotent (the `batch=<id>` trick [[runStream]]
+    * already uses, applied to batch re-runs). Readers glob `outDir`
+    * with a basePath and see the union. */
   def run(spark: SparkSession, job: Config.Job, source: String,
           endBlock: Long, outDir: String, chainId: String = "1",
-          txs: Option[DataFrame] = None): Seq[EventCount] = {
+          txs: Option[DataFrame] = None,
+          segment: Option[String] = None): Seq[EventCount] = {
     val logs = sourceOptions(
         spark.read.format("graft.evm.LogSourceProvider"), source, job)
       .option("startBlock", job.startBlock)
@@ -77,9 +86,10 @@ object Indexer {
         // one overwrite per (contract, event) directory: idempotent
         // under retry — a half-visible failed attempt is replaced, not
         // appended to (the partition identity lives in the path)
+        val seg = segment.fold("")(s => s"/segment=$s")
         decoded.drop("contract_name", "event_name")
           .write.mode("overwrite").option("header", "true")
-          .csv(s"$outDir/contract_name=${c.name}/event_name=${ev.name}")
+          .csv(s"$outDir/contract_name=${c.name}/event_name=${ev.name}$seg")
       }
       decoded.unpersist(false)
       EventCount(c.name, ev.name, n)
@@ -129,5 +139,34 @@ object Indexer {
         } finally bin.unpersist(false)
       }
       .start()
+  }
+}
+
+/** Block-range resume checkpoint — the `.progress.json` the reference's
+  * README promises (`/root/reference/README.md:60,178`) but never
+  * implements: a one-line JSON file recording the last fully-indexed
+  * block. `IndexerMain --progress=<file>` reads it to start the scan at
+  * `last_block + 1` and rewrites it after the run's sinks all land, so
+  * a crashed or interrupted backfill re-runs only the unfinished tail.
+  * The write is atomic (temp file + move): a crash mid-write leaves the
+  * previous checkpoint intact, and re-indexing an already-flushed
+  * segment is harmless because segments overwrite their own directory.
+  */
+object Progress {
+  def read(path: java.nio.file.Path): Option[Long] =
+    if (!java.nio.file.Files.exists(path)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(path))
+      val v = n.path("last_block")
+      if (v.isMissingNode || v.isNull) None else Some(v.asLong())
+    }
+
+  def write(path: java.nio.file.Path, lastBlock: Long): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"""{"last_block":$lastBlock}""")
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }

@@ -126,6 +126,69 @@ class IndexerSpec extends SparkSpec {
     assert(bounded.head.rows < counts.head.rows && bounded.head.rows > 0)
   }
 
+  test("--progress resume: continuation indexes only the new tail, union equals full scan") {
+    val dump = Files.createTempDirectory("res_dump").toString
+    LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+      .coalesce(1).write.mode("overwrite").json(dump)
+    val out = Files.createTempDirectory("res_out").toString
+    val confDir = Files.createTempDirectory("res_conf")
+    Files.write(confDir.resolve("token.json"), tokenAbi.getBytes("UTF-8"))
+    Files.write(confDir.resolve("config.yaml"),
+      s"""rpc_url: "$dump"
+         |start_block: 0
+         |chunk_size: 25
+         |contracts:
+         |  - name: "TokenA"
+         |    address: "${addr(0)}"
+         |    abi: "token.json"
+         |    events: ["Transfer"]
+         |storage:
+         |  type: "csv"
+         |  csv:
+         |    output_dir: "$out"
+         |""".stripMargin.getBytes("UTF-8"))
+    val conf = confDir.resolve("config.yaml").toString
+    val prog = confDir.resolve("progress.json").toString
+
+    // run 1: blocks [0, 49]; checkpoint records 49
+    val first = graft.IndexerMain.run(spark,
+      Array(s"--config=$conf", "--end-block=49", s"--progress=$prog"))
+    assert(graft.evm.Progress.read(confDir.resolve("progress.json")) == Some(49L))
+
+    // run 2 ("crash recovery"): same CLI up to the tip — indexes ONLY 50..99
+    val second = graft.IndexerMain.run(spark,
+      Array(s"--config=$conf", s"--progress=$prog"))
+    assert(graft.evm.Progress.read(confDir.resolve("progress.json")) == Some(99L))
+    assert(second.head.rows > 0)
+
+    // union across segment dirs equals an independent full scan of the
+    // dump (an unsegmented Indexer run would overwrite the event dir —
+    // segments exist precisely so continuations DON'T do that)
+    val fullRows = spark.read.json(dump)
+      .filter(col("address") === addr(0) &&
+        col("topic0") === Keccak.eventTopic0(LogPipeline.TransferSig) &&
+        col("block_number") <= 99)
+      .count()
+    assert(first.head.rows + second.head.rows == fullRows)
+    val back = spark.read.option("header", "true").option("basePath", out).csv(out)
+    assert(back.filter(col("segment").isNotNull).count() == fullRows)
+    // segment rows partition cleanly on the block boundary
+    assert(back.filter(col("segment") === "0-49")
+      .agg(max(col("block_number").cast("long"))).head().getLong(0) <= 49L)
+    assert(back.filter(col("segment") === "50-99")
+      .agg(org.apache.spark.sql.functions.min(col("block_number").cast("long")))
+      .head().getLong(0) >= 50L)
+
+    // run 3: nothing new past the checkpoint -> no-op, checkpoint intact
+    val third = graft.IndexerMain.run(spark,
+      Array(s"--config=$conf", s"--progress=$prog"))
+    assert(third.isEmpty)
+    assert(graft.evm.Progress.read(confDir.resolve("progress.json")) == Some(99L))
+  }
+
   test("tx_from enrichment: distinct-tx recover-once, stamped on every row (J2)") {
     val dump = Files.createTempDirectory("idx_txf").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
