@@ -284,7 +284,14 @@ object DataQueries {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val stateTbl = s"graft_band_state_$tag"
     val batchTbl = s"graft_band_batch_$tag"
-    // corpus state: built once per (warehouse, sf); later invocations
+    // The metastore is per-JVM (in-memory catalog) but the managed
+    // tables' files persist in the warehouse dir: a fresh session that
+    // doesn't know the table would fail CREATE on the leftover
+    // location. The index is derived state — rebuilding is always
+    // safe — so clear any orphaned location first.
+    cleanStaleTableDir(s, stateTbl)
+    cleanStaleTableDir(s, batchTbl)
+    // corpus state: built once per (session, sf); later invocations
     // and later batches reuse the files on disk
     if (!s.catalog.tableExists(stateTbl))
       Scale.writeBucketed(
@@ -317,6 +324,28 @@ object DataQueries {
       .distinct()
       .orderBy("new_doc", "old_doc")
   }
+
+  /** Orphaned managed-table location cleanup: the warehouse dir
+    * outlives the per-JVM metastore, and `saveAsTable` refuses to
+    * CREATE over a leftover location. Only used for DERIVED state
+    * (rebuildable indexes), where deleting a stale dir loses nothing. */
+  private def cleanStaleTableDir(s: SparkSession, tbl: String): Unit =
+    if (!s.catalog.tableExists(tbl)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val base =
+        try {
+          val uri = new java.net.URI(wh)
+          if (uri.getScheme == "file") java.nio.file.Paths.get(uri).toFile
+          else new java.io.File(wh)
+        } catch { case _: Exception => new java.io.File(wh) }
+      val dir = new java.io.File(base, tbl)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
 
   /** Cross-source duplication matrix: near-dup pairs (3-gram Jaccard ≥
     * 0.1) rolled up by the (source_a, source_b) of their endpoints —
