@@ -100,6 +100,7 @@ object SparkEntry {
     "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
+    "q_dhash_groups"      -> ((s, d) => DataQueries.dhashGroups(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => DataQueries.winnowPairs(s, d)),
     "q_containment"       -> ((s, d) => DataQueries.containmentPairs(s, d)),
@@ -1084,6 +1085,32 @@ object SparkEntry {
                FROM f a JOIN f b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, round(cos, 6) AS cos
          FROM p WHERE cos >= 0.999 ORDER BY doc_a, doc_b""",
+    "q_dhash_groups" ->
+      """WITH dims AS (SELECT doc_id, doc_id % 12 AS seed FROM documents),
+         d2 AS (SELECT doc_id, seed, 16 + (seed % 5) AS w,
+                  12 + (seed % 4) AS h FROM dims),
+         px AS (SELECT doc_id, seed, w, h, unnest(range(w * h)) AS p FROM d2),
+         xy AS (SELECT doc_id, seed, w, h, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, x, y,
+                 (((seed + 1) * (x * x + 7 * y) + 3 * x * y) % 256
+                   + CASE WHEN (doc_id * 13 + x + 7 * y) % 29 = 0
+                          THEN 2 ELSE 0 END) % 256 AS r,
+                 ((seed * seed + 1) * x + (seed + 5) * y * y) % 256 AS g,
+                 ((seed + 2) * x * y + 11 * y + x) % 256 AS b
+               FROM xy),
+         lum AS (SELECT doc_id, (x * 9) // w AS cx, (y * 8) // h AS cy,
+                   (299 * r + 587 * g + 114 * b) // 1000 AS l FROM v),
+         cell AS (SELECT doc_id, cy, cx, sum(l) // count(*) AS cl
+                  FROM lum GROUP BY 1, 2, 3),
+         bits AS (SELECT a.doc_id, a.cy,
+                    sum(CASE WHEN b.cl > a.cl THEN 1 << a.cx ELSE 0 END) AS byte
+                  FROM cell a JOIN cell b ON a.doc_id = b.doc_id
+                    AND a.cy = b.cy AND b.cx = a.cx + 1
+                  GROUP BY 1, 2),
+         hash AS (SELECT doc_id, string_agg(byte::VARCHAR, '-' ORDER BY cy) AS dhash
+                  FROM bits GROUP BY doc_id)
+         SELECT doc_id, dhash, min(doc_id) OVER (PARTITION BY dhash) AS rep
+         FROM hash ORDER BY doc_id""",
     "q_sales_rollup" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
            round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders

@@ -890,6 +890,62 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image dedup groups via dHash: 12 planted seed groups —
+    * same-seed images share base pixels and dimensions, each doc adds a
+    * sparse +2 luminance perturbation — go through the REAL encode
+    * (BMP/PPM by parity) → decode → [[Multimodal.dHash]] path; docs
+    * collapsing to the same 64-bit gradient hash group under the
+    * minimum doc_id. Every step is integer math on a documented grid,
+    * so the oracle replays the hash bit-for-bit from the pixel
+    * formulas; a decode or grid-partition defect changes the hashes
+    * and fails the gate. */
+  def dhashGroups(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    val hashed = Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val seed = doc % 12
+          val w = 16 + (seed % 5).toInt
+          val h = 12 + (seed % 4).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              // nonlinear in (x, y) per seed: a linear ramp has
+              // seed-independent gradient SIGNS, which is exactly what
+              // dHash keys on — products give each seed its own pattern
+              val perturb = if ((doc * 13L + x + 7L * y) % 29L == 0L) 2L else 0L
+              rgb(p) = ((((seed + 1L) * (x.toLong * x + 7L * y) + 3L * x * y) % 256L
+                + perturb) % 256L).toInt
+              rgb(p + 1) = (((seed * seed + 1L) * x + (seed + 5L) * y.toLong * y) % 256L).toInt
+              rgb(p + 2) = (((seed + 2L) * x.toLong * y + 11L * y + x) % 256L).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes =
+            if (doc % 2 == 0) Multimodal.encodeBmp24(w, h, rgb)
+            else Multimodal.encodePpm(w, h, rgb)
+          val (dw, dh, drgb) =
+            if (bytes(0) == 'B') Multimodal.decodeBmp(bytes)
+            else Multimodal.decodePpm(bytes)
+          Row(doc, Multimodal.dHash(dw, dh, drgb))
+        }
+      }
+    hashed
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy("dhash")))
+      .orderBy("doc_id")
+  }
+
   /** Media near-dup: 16 planted seed groups — same-seed clips share a
     * base waveform and differ by a ±1-per-sample perturbation — through
     * encode → decode → 8-dim signed-sum features → blocked exact cosine

@@ -286,10 +286,61 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup fingerprint, defined here with EXACT integer
+    * math so an independent engine can replay it bit-for-bit (no
+    * resampling-library semantics):
+    *  - luminance = (299·r + 587·g + 114·b) div 1000 (integer Rec.601);
+    *  - the image box-partitions into a 9-col × 8-row grid, pixel
+    *    (x, y) → cell ((x·9) div w, (y·8) div h); cell value =
+    *    sum(lum) div count (integer division);
+    *  - row byte r = Σ_c [cell(r, c+1) > cell(r, c)] · 2^c, c in 0..7.
+    * Returned as the 8 row bytes (hyphen-joined decimal string — a
+    * join/group key both engines produce identically). Brightness and
+    * contrast shifts preserve the gradient signs, so recompressed or
+    * slightly-edited copies collide; requires w ≥ 9 and h ≥ 8. */
+  def dHash(w: Int, h: Int, rgb: Array[Int]): String = {
+    require(w >= 9 && h >= 8, s"dHash needs w>=9, h>=8 (got ${w}x$h)")
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val lum = (299L * rgb(p) + 587L * rgb(p + 1) + 114L * rgb(p + 2)) / 1000L
+        val cx = x * 9 / w
+        sums(cy)(cx) += lum; cnts(cy)(cx) += 1
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    val out = new StringBuilder
+    var r = 0
+    while (r < 8) {
+      var byte = 0
+      var c = 0
+      while (c < 8) {
+        val cur = sums(r)(c) / cnts(r)(c)
+        val nxt = sums(r)(c + 1) / cnts(r)(c + 1)
+        if (nxt > cur) byte |= (1 << c)
+        c += 1
+      }
+      if (r > 0) out.append('-')
+      out.append(byte)
+      r += 1
+    }
+    out.toString
+  }
+
   /** Partition-wise feature extraction: one codec init per partition
     * (the expensive part for real codecs), rows streamed through it.
-    * Output keeps the id plus extracted width/height/features. */
-  def extractFeatures(df: DataFrame): DataFrame = {
+    * Output keeps the id plus extracted width/height/features.
+    * `skipBad = true` drops undecodable payloads instead of failing
+    * the task — the malformed-row-skip policy (P7) a pipeline over
+    * scraped media needs; the default stays loud for curated data. */
+  def extractFeatures(df: DataFrame, skipBad: Boolean): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("width", IntegerType),
@@ -298,14 +349,23 @@ object Multimodal {
     implicit val enc = Encoders.row(outSchema)
     df.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
-        // real compressed codecs init native state here, once per partition
-        rows.map { r =>
-          val (w, h, feat) = decodeFeatures(
-            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), w, h, feat.toSeq)
+        rows.flatMap { r =>
+          val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (skipBad) {
+            try {
+              val (w, h, feat) = decodeFeatures(content)
+              Some(Row(r.getLong(0), w, h, feat.toSeq))
+            } catch { case _: Exception => None }
+          } else {
+            val (w, h, feat) = decodeFeatures(content)
+            Some(Row(r.getLong(0), w, h, feat.toSeq))
+          }
         }
       }
   }
+
+  def extractFeatures(df: DataFrame): DataFrame =
+    extractFeatures(df, skipBad = false)
 
   /** Frame sampling: pure column expressions — slice the payload into
     * `frameSize`-byte frames and keep every `stride`-th one. For real

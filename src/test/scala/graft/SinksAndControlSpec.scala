@@ -149,6 +149,38 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dHash: invariant to uniform brightness shift, changed by a flip") {
+    val w = 16; val h = 12
+    def img(shift: Int, flip: Boolean): Array[Int] =
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val y0 = p / w; val x = p % w
+        val y = if (flip) h - 1 - y0 else y0
+        math.min(255, ((x * 13 + y * 29 + i % 3 * 7) % 200) + shift)
+      }
+    val base = Multimodal.dHash(w, h, img(0, flip = false))
+    val bright = Multimodal.dHash(w, h, img(20, flip = false))
+    val flipped = Multimodal.dHash(w, h, img(0, flip = true))
+    assert(base == bright, "gradient signs must survive a brightness shift")
+    assert(base != flipped, "a vertical flip must change the hash")
+    // survives the real encode->decode round trip
+    val viaCodec = {
+      val (dw, dh, rgb) = Multimodal.decodeBmp(Multimodal.encodeBmp24(w, h, img(0, flip = false)))
+      Multimodal.dHash(dw, dh, rgb)
+    }
+    assert(viaCodec == base)
+  }
+
+  test("skipBad drops undecodable payloads; the default stays loud") {
+    val good = Multimodal.encodeWavPcm16(Array.tabulate(32)(_ - 16), 8000)
+    val df = Seq((1L, good), (2L, "not-a-media-file".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val kept = Multimodal.extractFeatures(df, skipBad = true).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(df).collect()
+    }
+  }
+
   test("image features catch orientation: weighted sums differ between a BMP and its flip") {
     val rgb = Array.tabulate(4 * 4 * 3)(i => i % 256)
     val flipped = Array.tabulate(4 * 4 * 3) { i =>
