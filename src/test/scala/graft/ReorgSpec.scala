@@ -154,6 +154,64 @@ class ReorgSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("durable parquet state: reorg stream folds to the fresh-chain table on disk") {
+    val v1 = mkChain(9, _ => "a")
+    val v2 = mkChain(10, b => if (b >= 8) "b" else "a")
+    val node = new StubChainNode(v1)
+    val state = java.nio.file.Files.createTempDirectory("reorg_state").toString
+    try {
+      val q = spark.readStream.format("graft.evm.ReorgLogSourceProvider")
+        .option("url", node.url).option("reorgDepth", "3")
+        .option("chunkSize", "4").option("rpcAttempts", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          Reorg.applyBatchToParquet(df, state, bucketBlocks = 4)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      node.chain = v2
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(state)
+        .select("block_number", "tx_hash", "data")
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.read.format("graft.evm.LogSourceProvider")
+        .option("url", node.url).option("startBlock", "0")
+        .option("endBlock", "10").option("chunkSize", "4")
+        .option("rpcAttempts", "1").load()
+        .select("block_number", "tx_hash", "data")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "durable state != fresh scan after reorg")
+      // only the buckets the reorg touched were rewritten: bucket 0
+      // (blocks 0-3) kept its original files from the first batch
+      val b0 = new java.io.File(state, "block_bucket=0")
+      assert(b0.exists() && b0.listFiles().nonEmpty)
+    } finally node.stop()
+  }
+
+  test("pure retraction empties its bucket on disk (no surviving dead rows)") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.row(Reorg.schema)
+    val state = java.nio.file.Files.createTempDirectory("reorg_state2").toString
+    def row(bn: Long, tx: String, change: Int): Row =
+      Row(bn, tx, "0xa", "0xt", null, null, null, "0xd", 0L, s"0xh$bn", change)
+    val b1 = spark.createDataFrame(
+      Seq(row(5L, "0xtx5", 1), row(6L, "0xtx6", 1)).asJava, Reorg.schema)
+    Reorg.applyBatchToParquet(b1, state, bucketBlocks = 100)
+    assert(spark.read.parquet(state).count() == 2)
+    // tip regression: block 6 retracted, nothing replaces it
+    val b2 = spark.createDataFrame(Seq(row(6L, null, -1)).asJava, Reorg.schema)
+    Reorg.applyBatchToParquet(b2, state, bucketBlocks = 100)
+    val left = spark.read.parquet(state).collect()
+    assert(left.length == 1 && left.head.getAs[Long]("block_number") == 5L)
+    // retract the last row too -> the bucket dir itself must go
+    val b3 = spark.createDataFrame(Seq(row(5L, null, -1)).asJava, Reorg.schema)
+    Reorg.applyBatchToParquet(b3, state, bucketBlocks = 100)
+    assert(!new java.io.File(state, "block_bucket=0").exists())
+  }
+
   test("quiet chain: identical tip + hashes re-trigger no batch") {
     val v1 = mkChain(5, _ => "a")
     val node = new StubChainNode(v1)
