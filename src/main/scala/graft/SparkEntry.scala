@@ -114,6 +114,10 @@ object SparkEntry {
     "q_pq_encode"         -> ((s, d) => DataQueries.pqCodes(s, d)),
     "q_pq_topk"           -> ((s, d) => DataQueries.pqTopK(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
+    "q_bm25_topk"         -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q_pagerank"          -> ((s, d) => GraphOps.docPageRank(s, d)),
+    "q_snapshot_diff"     -> ((s, d) => DataQueries.snapshotDiff(s, d)),
+    "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -770,6 +774,115 @@ object SparkEntry {
            ${H64.format("regexp_replace(p2, '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')")}
              AS redacted_hash
          FROM r1 ORDER BY doc_id""",
+    // BM25: every inexact float literal carries ::DOUBLE — DuckDB
+    // would otherwise parse 2.2/1.2 as DECIMAL and multiply exactly,
+    // diverging from the binary-double product Spark computes
+    "q_bm25_topk" ->
+      s"""WITH $TOKS_CTE,
+         q(query_id, term) AS (SELECT * FROM (VALUES
+           (1, 'spark'), (1, 'join'), (1, 'window'),
+           (2, 'hash'), (2, 'merge'), (2, 'batch'),
+           (3, 'customer'), (3, 'order'), (3, 'query'),
+           (4, 'vector'), (4, 'scan'), (4, 'filter'))),
+         st AS (SELECT count(*)::DOUBLE AS n,
+                  avg(len(tk)::DOUBLE) AS avgdl FROM toks),
+         tt AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM tt WHERE term IN (SELECT term FROM q)
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT qq.query_id, t.doc_id,
+                  CAST(round(1000000.0
+                    * ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                    * (t.tf * 2.2::DOUBLE)
+                    / (t.tf + 1.2::DOUBLE * (0.25 + 0.75 * t.dl / st.avgdl)))
+                    AS BIGINT) AS s_fx
+                FROM tf t JOIN dfq d USING (term) JOIN q qq USING (term), st),
+         pd AS (SELECT query_id, doc_id, count(*) AS n_terms,
+                  CAST(sum(s_fx) AS BIGINT) AS score_fx
+                FROM sc GROUP BY query_id, doc_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_fx DESC, doc_id ASC) AS rnk FROM pd)
+         SELECT query_id, rnk, doc_id, n_terms,
+           round(score_fx / 1000000.0, 6) AS bm25
+         FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // PageRank in integer micro-units over the symmetrized τ=0.1
+    // jaccard-pair graph: 3 unrolled iterations, damping as the exact
+    // rational 17/20 with floor division, teleport 150000 — every sum
+    // is a sum of BIGINTs, so the replay is bit-exact
+    "q_pagerank" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         c1 AS (SELECT e.dst, CAST(sum((17 * r.r) // (20 * d.deg)) AS BIGINT) AS sc
+                FROM edges e JOIN deg d USING (src) JOIN it0 r ON e.src = r.id
+                GROUP BY e.dst),
+         it1 AS (SELECT n.id, CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN c1 c ON c.dst = n.id),
+         c2 AS (SELECT e.dst, CAST(sum((17 * r.r) // (20 * d.deg)) AS BIGINT) AS sc
+                FROM edges e JOIN deg d USING (src) JOIN it1 r ON e.src = r.id
+                GROUP BY e.dst),
+         it2 AS (SELECT n.id, CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN c2 c ON c.dst = n.id),
+         c3 AS (SELECT e.dst, CAST(sum((17 * r.r) // (20 * d.deg)) AS BIGINT) AS sc
+                FROM edges e JOIN deg d USING (src) JOIN it2 r ON e.src = r.id
+                GROUP BY e.dst),
+         it3 AS (SELECT n.id, CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN c3 c ON c.dst = n.id)
+         SELECT r.id AS doc_id, coalesce(d.deg, 0) AS deg,
+           round(r.r / 1000000.0, 6) AS pagerank
+         FROM it3 r LEFT JOIN deg d ON d.src = r.id
+         ORDER BY pagerank DESC, doc_id""",
+    "q_snapshot_diff" ->
+      s"""WITH news AS (
+           SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' rev2'
+                               ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM documents WHERE doc_id % 23 = 0),
+         oh AS (SELECT doc_id, ${H64.format("text")} AS h_old,
+                  len(text)::BIGINT AS len_old FROM documents),
+         nh AS (SELECT doc_id, ${H64.format("text")} AS h_new,
+                  len(text)::BIGINT AS len_new FROM news),
+         j AS (SELECT doc_id, h_old, h_new, len_old, len_new,
+                 CASE WHEN h_old IS NULL THEN 'added'
+                      WHEN h_new IS NULL THEN 'removed'
+                      WHEN h_old <> h_new THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM oh FULL OUTER JOIN nh USING (doc_id))
+         SELECT doc_id, status, len_old, len_new
+         FROM j WHERE status <> 'unchanged' ORDER BY doc_id""",
+    "q_ngram_diversity" ->
+      s"""WITH $TOKS_CTE,
+         tot AS (SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(len(t.tk)) AS BIGINT) AS total_tokens
+                 FROM toks t JOIN documents d USING (doc_id)
+                 GROUP BY d.source),
+         g AS (SELECT d.source, unnest(CASE WHEN len(t.tk) >= 3 THEN
+                 list_transform(range(len(t.tk) - 2),
+                   i -> array_to_string(list_slice(t.tk, i + 1, i + 3), ' '))
+                 ELSE [] END) AS g
+               FROM toks t JOIN documents d USING (doc_id)),
+         gs AS (SELECT source, count(*) AS total_3grams,
+                  count(DISTINCT g) AS uniq_3grams
+                FROM g GROUP BY source)
+         SELECT source, n_docs, total_tokens, total_3grams, uniq_3grams,
+           round(uniq_3grams::DOUBLE / total_3grams, 6) AS ttr_3gram
+         FROM tot JOIN gs USING (source) ORDER BY source""",
     "q_sample_docs" ->
       s"""WITH $TOKS_CTE,
          lang AS (SELECT doc_id,

@@ -1232,4 +1232,66 @@ object DataQueries {
         round(col("p_value"), 4).as("p_value"))
       .orderBy("event_id")
   }
+
+  /** Corpus snapshot diff — the incremental-refresh detector a
+    * versioned training corpus needs ("what changed between crawl N and
+    * crawl N+1, so only that re-enters the pipeline").
+    *
+    * The "new" snapshot is derived deterministically from the same
+    * table (removals: id % 17 == 0; edits: id % 10 == 0 gets a ' rev2'
+    * suffix; additions: id % 23 == 0 re-enters under id + 1e6), so the
+    * oracle reconstructs both sides from identical SQL. Comparison is
+    * by 60-bit content hash, NOT text equality: at scale the join
+    * carries (key, hash, len) — the documents themselves never shuffle.
+    * One full-outer hash join on the key is the whole plan. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def sig(snap: DataFrame, suffix: String): DataFrame =
+      snap.select(col("doc_id"),
+        TextOps.h64(col("text")).as(s"h_$suffix"),
+        length(col("text")).cast("long").as(s"len_$suffix"))
+    sig(oldSnap, "old").join(sig(newSnap, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("len_old"), col("len_new"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source n-gram diversity: positional (non-distinct) 3-gram
+    * type-token ratio — the standard "how templated/repetitive is this
+    * source" curation signal (low TTR ⇒ boilerplate mill). Token totals
+    * are columnar sums (no explode); only the 3-gram distinct count
+    * shuffles, keyed by (source, shingle) with map-side partial
+    * aggregation. */
+  def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tokTotals = docs
+      .select(col("source"), TextOps.tokenCount(col("text")).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+    val grams = docs
+      .select(col("source"),
+        explode_outer(TextOps.shinglesAll(col("text"), 3)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_3grams"),
+        countDistinct(col("g")).as("uniq_3grams"))
+    tokTotals.join(grams, Seq("source"))
+      .withColumn("ttr_3gram",
+        round(col("uniq_3grams").cast("double") / col("total_3grams"), 6))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_3grams"), col("uniq_3grams"), col("ttr_3gram"))
+      .orderBy("source")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over corpus-derived graphs.
+  *
+  * The motivating use is webgraph-style importance weighting for
+  * training-data curation (rank pages/documents by link or similarity
+  * structure, then sample high-rank strata harder) — the same family of
+  * signal as Common Crawl's harmonic-centrality lists. Here the graph
+  * is the near-dup similarity graph the dedup operators already build,
+  * so the rank doubles as a "how central is this document in its
+  * duplication neighborhood" score.
+  *
+  * Everything is integer fixed point so the DuckDB oracle replays it
+  * bit-for-bit: ranks live in micro-units (1e6 = rank 1.0), damping
+  * 0.85 is applied as the exact rational 17/20 with floor division
+  * (`div` on longs in Spark, `//` on BIGINTs in DuckDB — both floor for
+  * non-negative operands), and every per-node sum is a sum of longs —
+  * immune to accumulation order on both engines.
+  */
+object GraphOps {
+
+  /** Fixed-iteration damped PageRank in integer micro-units.
+    *
+    * `edges` is a DIRECTED edge list `(src, dst)`; pass both directions
+    * for an undirected graph. `nodes` is the full vertex set `(id)` —
+    * isolated vertices stay in the result at the bare teleport rank.
+    *
+    * Per iteration: each node sends `floor(17·r / (20·deg))` along each
+    * out-edge and every node restarts from the teleport term
+    * `0.15 · 1e6 = 150000`. (Dangling mass is dropped, not
+    * redistributed — the standard simplification when the rank is used
+    * as a relative ordering signal; documented so the oracle matches.)
+    *
+    * Scale shape: out-degree is joined into the edge table ONCE before
+    * the loop (edges carry `deg`, so iterations don't re-aggregate it).
+    * Each iteration is one equi-join of the node-sized rank table
+    * against the edge table on `src`, one map-combined sum by `dst`,
+    * and one node-sized left join — 100 TB of edges means the edge
+    * table dominates and each iteration is two edge shuffles, the
+    * textbook distributed PageRank round. K is a constant (monitoring
+    * signal, not convergence-to-epsilon), so the lineage stays bounded.
+    */
+  def pageRankFixed(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // AQE picks broadcast vs shuffle for the deg attach at runtime; at
+    // corpus scale deg is node-sized (≪ edges) but not literal-sized
+    val edgesDeg = edges.join(deg, Seq("src"))
+    val ids = nodes.select(col("id"))
+    var ranks = ids.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), expr("(17 * r) div (20 * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+      ranks = ids
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), (lit(150000L) + coalesce(col("sc"), lit(0L))).as("r"))
+    }
+    ranks
+  }
+
+  /** PageRank over the document near-dup graph: edges = symmetrized
+    * 3-gram Jaccard pairs at τ=0.1 (exactly `q_jaccard_pairs`' pair
+    * set), 3 iterations. Output carries the degree so the rank is
+    * interpretable (deg=0 rows receive no contributions and sit at
+    * exactly the 150000-micro-unit teleport floor after iteration 1). */
+  def docPageRank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = docs.select(col("doc_id").as("id"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    pageRankFixed(nodes, edges, iters)
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        round(col("r") / 1e6, 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
+  }
+}

@@ -32,6 +32,17 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Positional (NON-distinct) word n-gram shingles — one entry per
+    * window position, duplicates kept. The diversity/TTR operators need
+    * occurrence counts, which [[shingles]]' distinct form would destroy. */
+  def shinglesAll(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
