@@ -206,4 +206,34 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "sessionize and session_window disagree")
   }
+
+  test("bm25: query-vocabulary probe broadcasts; only the stats scalar nests") {
+    val p = plan(graft.ops.RetrievalOps.bm25TopK(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"bm25 degraded:\n$p")
+    // term semi-join + df + query expansion are all literal/tiny-side
+    // broadcast hash joins; the lone nested loop is the 1-row N/avgdl
+    // scalar attach (same legitimate shape as lm_score's vocab scalar)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"bm25 lost its broadcast probe shape:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"unexpected nested-loop joins:\n$p")
+  }
+
+  test("pagerank: every per-iteration join is hash-able, never a nested loop") {
+    val p = plan(graft.ops.GraphOps.docPageRank(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank planned a non-equi join:\n$p")
+  }
+
+  test("snapshot diff: one full-outer hash join, text never shuffles") {
+    val p = plan(DataQueries.snapshotDiff(spark, sf))
+    assert(p.contains("FullOuter"), s"diff lost its full-outer form:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"diff degraded:\n$p")
+    // the join carries (doc_id, hash, len) only — a plan that shuffles
+    // `text` would show it in an Exchange's output schema
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text rides a shuffle:\n$exchanges")
+  }
 }
