@@ -118,6 +118,8 @@ object SparkEntry {
     "q_pagerank"          -> ((s, d) => GraphOps.docPageRank(s, d)),
     "q_snapshot_diff"     -> ((s, d) => DataQueries.snapshotDiff(s, d)),
     "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
+    "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
+    "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -219,6 +221,51 @@ object SparkEntry {
                  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                          ORDER BY d, cidx) AS rn FROM dists)
                  WHERE rn = 1)"""
+
+  /** Gopher rule-gate signal CTE (expects `toks` in scope) — shared by
+    * q_gopher_quality and the quality-classifier queries that distill
+    * the same gate. */
+  private val GOPHER_SIG_CTE =
+    """gsig AS (SELECT doc_id, len(tk) AS n_words,
+         CASE WHEN len(tk) > 0 THEN
+           list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+         END AS mean_word_len,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+             / len(tk)
+         END AS alpha_frac,
+         (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(tk, 'a')   THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(tk, 'of')  THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(tk, 'is')  THEN 1 ELSE 0 END) AS stop_hits
+       FROM toks)"""
+  private val GOPHER_KEEP_EXPR =
+    """(n_words >= 20 AND n_words <= 100000
+       AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+       AND coalesce(alpha_frac >= 0.8, false)
+       AND stop_hits >= 2)"""
+
+  /** Pinned quality-model weights (micro-units) injected as literals —
+    * same Scala source of truth as the serving path. */
+  private val QUALITY_W_VALUES = graft.ml.PinnedQualityModel.WFx.zipWithIndex
+    .map { case (w, i) => s"($i, $w)" }.mkString(", ")
+  /** Scoring CTEs (expect `toks`): hashed counts → weight dot → logit
+    * beside the rule gate. */
+  private lazy val QUALITY_SCORE_CTE =
+    s"""qw(bucket, w_fx) AS (SELECT * FROM (VALUES $QUALITY_W_VALUES)),
+       qtt AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+       qcnt AS (SELECT doc_id, (${H64.format("term")} % 64) AS bucket,
+                  count(*) AS cnt
+                FROM qtt GROUP BY 1, 2),
+       qdot AS (SELECT c.doc_id, CAST(sum(w.w_fx * c.cnt) AS BIGINT) AS dot_fx
+                FROM qcnt c JOIN qw w USING (bucket) GROUP BY 1),
+       $GOPHER_SIG_CTE,
+       qr AS (SELECT s.doc_id,
+                CAST(${graft.ml.PinnedQualityModel.BFx}
+                  + coalesce(d.dot_fx, 0) AS BIGINT) AS logit_fx,
+                $GOPHER_KEEP_EXPR AS keep_rule
+              FROM gsig s LEFT JOIN qdot d USING (doc_id))"""
 
   /** MinHash affine-rehash parameters shared with DedupOps (same Scala
     * source of truth, injected as literals into the oracle SQL). */
@@ -874,15 +921,43 @@ object SparkEntry {
                  GROUP BY d.source),
          g AS (SELECT d.source, unnest(CASE WHEN len(t.tk) >= 3 THEN
                  list_transform(range(len(t.tk) - 2),
-                   i -> array_to_string(list_slice(t.tk, i + 1, i + 3), ' '))
+                   i -> ${H64.format(
+                     "array_to_string(list_slice(t.tk, i + 1, i + 3), ' ')")})
                  ELSE [] END) AS g
                FROM toks t JOIN documents d USING (doc_id)),
-         gs AS (SELECT source, count(*) AS total_3grams,
-                  count(DISTINCT g) AS uniq_3grams
-                FROM g GROUP BY source)
+         pg AS (SELECT source, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+         gs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_3grams,
+                  count(*) AS uniq_3grams
+                FROM pg GROUP BY source)
          SELECT source, n_docs, total_tokens, total_3grams, uniq_3grams,
            round(uniq_3grams::DOUBLE / total_3grams, 6) AS ttr_3gram
          FROM tot JOIN gs USING (source) ORDER BY source""",
+    // Distilled quality model: integer micro-unit weight literals ×
+    // integer counts → the logit sum is exact on both engines; keep
+    // decisions compare in logit space (no exp)
+    "q_quality_model" ->
+      s"""WITH $TOKS_CTE,
+         $QUALITY_SCORE_CTE
+         SELECT doc_id, round(logit_fx / 1000000.0, 6) AS logit,
+           logit_fx >= 0 AS keep_model, keep_rule,
+           (logit_fx >= 0) = keep_rule AS agree
+         FROM qr ORDER BY doc_id""",
+    "q_quality_agreement" ->
+      s"""WITH $TOKS_CTE,
+         $QUALITY_SCORE_CTE,
+         ag AS (SELECT d.source,
+                  count(*) AS n_docs,
+                  CAST(sum(CASE WHEN (r.logit_fx >= 0) = r.keep_rule
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                  CAST(sum(CASE WHEN r.logit_fx >= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep_model,
+                  CAST(sum(CASE WHEN r.keep_rule THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep_rule
+                FROM qr r JOIN documents d USING (doc_id)
+                GROUP BY d.source)
+         SELECT source, n_docs, n_agree, n_keep_model, n_keep_rule,
+           round(n_agree::DOUBLE / n_docs, 6) AS agree_rate
+         FROM ag ORDER BY source""",
     "q_sample_docs" ->
       s"""WITH $TOKS_CTE,
          lang AS (SELECT doc_id,

@@ -1271,22 +1271,29 @@ object DataQueries {
   /** Per-source n-gram diversity: positional (non-distinct) 3-gram
     * type-token ratio — the standard "how templated/repetitive is this
     * source" curation signal (low TTR ⇒ boilerplate mill). Token totals
-    * are columnar sums (no explode); only the 3-gram distinct count
-    * shuffles, keyed by (source, shingle) with map-side partial
-    * aggregation. */
+    * are columnar sums (no explode). Distinctness runs over 60-bit
+    * shingle HASHES (`shingle_h64s_all`, one tight JVM pass), so the
+    * (source, gram) shuffle carries 8-byte keys, never shingle strings
+    * — and as a two-level aggregate (per-gram counts, then per-source
+    * sums) rather than countDistinct, whose Expand doubles the stream;
+    * map-side combine collapses repeated grams before the exchange.
+    * The oracle hashes with the same md5-derived h64, so a collision
+    * (negligible at 2^60) would undercount identically on both sides. */
   def ngramDiversity(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tokTotals = docs
       .select(col("source"), TextOps.tokenCount(col("text")).as("ntok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
-    val grams = docs
+    val perGram = docs
       .select(col("source"),
-        explode_outer(TextOps.shinglesAll(col("text"), 3)).as("g"))
+        explode_outer(call_function("shingle_h64s_all",
+          TextOps.tokens(col("text")), lit(3))).as("g"))
       .filter(col("g").isNotNull)
-      .groupBy("source")
-      .agg(count(lit(1)).as("total_3grams"),
-        countDistinct(col("g")).as("uniq_3grams"))
+      .groupBy("source", "g").agg(count(lit(1)).as("cnt"))
+    val grams = perGram.groupBy("source")
+      .agg(sum(col("cnt")).as("total_3grams"),
+        count(lit(1)).as("uniq_3grams"))
     tokTotals.join(grams, Seq("source"))
       .withColumn("ttr_3gram",
         round(col("uniq_3grams").cast("double") / col("total_3grams"), 6))

@@ -107,6 +107,50 @@ case class ShingleH64sExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** shingle_h64s_all(tokens array<string>, n) → array<long>: h64 hashes
+  * of ALL positional word n-gram shingles — duplicates kept, one entry
+  * per window position ([[ShingleH64sExpr]] without the distinct).
+  * Occurrence-counting consumers (n-gram diversity/TTR) need
+  * multiplicity; at scale this also means 8-byte hashes ride the
+  * distinct-count shuffle instead of shingle strings. */
+case class ShingleH64sAllExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_h64s_all"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = Hashing.h64(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** winnow_fps(tokens array<string>, n, w) → array<long>: winnowing
   * fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) in one
   * pass: positional word n-gram shingles → h64 → min hash of every
