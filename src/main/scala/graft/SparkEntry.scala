@@ -118,6 +118,7 @@ object SparkEntry {
     "q_pagerank"          -> ((s, d) => GraphOps.docPageRank(s, d)),
     "q_snapshot_diff"     -> ((s, d) => DataQueries.snapshotDiff(s, d)),
     "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
+    "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -932,6 +933,22 @@ object SparkEntry {
          SELECT source, n_docs, total_tokens, total_3grams, uniq_3grams,
            round(uniq_3grams::DOUBLE / total_3grams, 6) AS ttr_3gram
          FROM tot JOIN gs USING (source) ORDER BY source""",
+    // hash-grouped counting with min(gram) carrying the (unique) text —
+    // the oracle mirror of count-on-hashes + winner rehydration
+    "q_top_ngrams" ->
+      s"""WITH $TOKS_CTE,
+         g AS (SELECT d.source, unnest(CASE WHEN len(t.tk) >= 3 THEN
+                 list_transform(range(len(t.tk) - 2),
+                   i -> array_to_string(list_slice(t.tk, i + 1, i + 3), ' '))
+                 ELSE [] END) AS gram
+               FROM toks t JOIN documents d USING (doc_id)),
+         counts AS (SELECT source, ${H64.format("gram")} AS g,
+                      min(gram) AS ngram, count(*) AS cnt
+                    FROM g GROUP BY source, ${H64.format("gram")}),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, g ASC) AS rnk FROM counts)
+         SELECT source, rnk, ngram, cnt
+         FROM rk WHERE rnk <= 3 ORDER BY source, rnk""",
     // Distilled quality model: integer micro-unit weight literals ×
     // integer counts → the logit sum is exact on both engines; keep
     // decisions compare in logit space (no exp)

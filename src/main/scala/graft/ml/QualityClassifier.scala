@@ -94,6 +94,31 @@ object QualityClassifier {
         ((col("logit_fx") >= 0L) === col("keep_rule")).as("agree"))
   }
 
+  /** Map-only logit: the 64 micro-unit weights as a LITERAL array
+    * indexed per token instance — Σ w[h64(t) mod 64] + b over the token
+    * array is algebraically identical to the batch join's Σ w·cnt, and
+    * every step is integer, so the two forms are bit-equal. Because
+    * there is no aggregation, the plan is stateless: it runs unchanged
+    * in a Structured Streaming micro-batch (no state store, no
+    * watermark). The literal-array form is the small-Dim special case
+    * of the broadcast weight join [[scorePinned]] uses. */
+  def logitFxMapOnly(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = typedLit(PinnedQualityModel.WFx.toSeq)
+    lit(PinnedQualityModel.BFx) +
+      coalesce(aggregate(TextOps.tokens(textCol), lit(0L),
+        (acc, t) =>
+          acc + element_at(w, ((TextOps.h64(t) % Dim) + 1).cast("int"))),
+        lit(0L))
+  }
+
+  /** Streaming (or batch) quality scoring over `(doc_id, text)` rows —
+    * one artifact, two runtimes; a spec pins equality with the batch
+    * join form. */
+  def scoreStream(docs: DataFrame): DataFrame =
+    docs.withColumn("__fx", logitFxMapOnly(col("text")))
+      .select(col("doc_id"), round(col("__fx") / 1e6, 6).as("logit"),
+        (col("__fx") >= 0L).as("keep_model"))
+
   /** Per-doc serving query (oracled). */
   def qualityModel(s: SparkSession, d: String): DataFrame =
     scorePinned(s, d)

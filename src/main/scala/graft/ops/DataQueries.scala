@@ -1279,6 +1279,38 @@ object DataQueries {
     * map-side combine collapses repeated grams before the exchange.
     * The oracle hashes with the same md5-derived h64, so a collision
     * (negligible at 2^60) would undercount identically on both sides. */
+  /** Top-k most frequent 3-grams per source — the boilerplate-mining
+    * readout beside [[ngramDiversity]]'s TTR score ("what exactly is
+    * this source's template"). Counting and ranking run entirely on
+    * 60-bit shingle hashes; the winning hashes (k × sources rows) are
+    * then REHYDRATED to text by a broadcast semi-join against a
+    * map-side re-derivation of (hash, gram) — so full shingle strings
+    * only ever shuffle for the ~k·|sources| winners, never for the
+    * corpus. */
+  def topNgrams(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs
+      .select(col("source"),
+        explode_outer(call_function("shingle_h64s_all",
+          TextOps.tokens(col("text")), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("source", "g").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("g").asc)
+    val top = counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val winners = top.select("g").distinct()
+    val rehydrated = docs
+      .select(explode_outer(TextOps.shinglesAll(col("text"), 3)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(TextOps.h64(col("gram")).as("g"), col("gram"))
+      .join(broadcast(winners), Seq("g"))
+      .groupBy("g").agg(min(col("gram")).as("ngram"))
+    top.join(rehydrated, Seq("g"))
+      .select(col("source"), col("rnk"), col("ngram"), col("cnt"))
+      .orderBy("source", "rnk")
+  }
+
   def ngramDiversity(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tokTotals = docs

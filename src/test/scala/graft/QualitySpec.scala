@@ -44,6 +44,28 @@ class QualitySpec extends SparkSpec {
     assert(rate >= 0.75, f"agreement $rate%.3f below the distillation floor")
   }
 
+  test("streaming map-only scorer equals the batch weight-join form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = QualityClassifier.scoreStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("q_scores")
+      .outputMode("append").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("q_scores").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    q.stop()
+    val want = QualityClassifier.qualityModel(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, wv) =>
+      assert(got(id) == wv, s"doc $id: stream ${got(id)} vs batch $wv")
+    }
+  }
+
   test("hashed featurizer: counts reconstruct token totals, buckets in range") {
     val docs = Tables.documents(spark, sf001)
     val counts = QualityClassifier.hashedCounts(docs)
