@@ -119,6 +119,7 @@ object SparkEntry {
     "q_snapshot_diff"     -> ((s, d) => DataQueries.snapshotDiff(s, d)),
     "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
     "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
+    "q_hard_negatives"    -> ((s, d) => DataQueries.hardNegatives(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1719,6 +1720,21 @@ object SparkEntry {
          FROM simh a JOIN simh b ON a.doc < b.doc
          WHERE bit_count(xor(a.sh48, b.sh48)) <= 4
          ORDER BY 1, 2""",
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+           FROM embeddings WHERE embedding IS NOT NULL),
+         sc AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+                  c.vec_id AS cand_id, c.label AS c_label,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM v q JOIN v c
+                  ON q.vec_id % 5 = 0 AND q.label <> c.label),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, q_label, cand_id, c_label,
+           round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
     "q_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
          sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -645,6 +645,18 @@ object DataQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Hard negatives: every 5th vector as the query batch, top-3
+    * other-label neighbors each. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    VectorOps.hardNegatives(e.filter(col("vec_id") % 5 === 0), e,
+        "vec_id", "embedding", "label", k = 3)
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding near-dup pairs, cosine ≥ 0.4 — exact, via the blocked
     * distributed all-pairs plan (equi-join fan-out, no nested-loop
     * join; τ=0.4 is below where LSH can prune, see

@@ -35,6 +35,34 @@ object VectorOps {
       .withColumn(nOut, norm(col(vecOut)))
       .filter(col(nOut) > 0)
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query vector, the k most-cosine-similar candidates with a
+    * DIFFERENT label — the "confusable but wrong" examples a triplet
+    * or InfoNCE loss wants. Same broadcast-queries shape as
+    * [[cosineTopK]] (query batches are ≪ corpus in mining loops); the
+    * label inequality rides the join predicate so same-class pairs are
+    * dropped before any dot product. For all-vs-all mining at corpus
+    * scale, run the [[cosineNearDupBlocked]] fan-out with the label
+    * check in the pair filter instead. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, id: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, idOut: String, labOut: String,
+             vecOut: String, nOut: String): DataFrame =
+      df.select(col(id).as(idOut), col(label).as(labOut),
+          asDouble(col(vec)).as(vecOut))
+        .withColumn(nOut, norm(col(vecOut)))
+        .filter(col(nOut) > 0)
+    val q = prep(queries, "query_id", "q_label", "qv", "qn")
+    val c = prep(candidates, "cand_id", "c_label", "cv", "cn")
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "q_label", "cand_id", "c_label", "cos", "rank")
+  }
+
   /** Int8 scalar quantization: per-dimension [min, max] over the
     * corpus, then code_d = round((x_d − min_d) / span_d · 255) − 128
     * stored as a byte — a 4× smaller ANN scan (float32 → int8) with

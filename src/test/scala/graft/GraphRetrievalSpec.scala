@@ -102,6 +102,22 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(m(3L).isEmpty)
   }
 
+  test("hard negatives: nearest other-label wins, same-label never appears") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),    // same label as 1 — must not appear
+      (3L, Array(0.95f, 0.05f), 1),  // confusable cross-label — the hard negative
+      (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ops.VectorOps
+      .hardNegatives(vecs.filter($"vec_id" === 1), vecs,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getInt(5)))
+    assert(out.length == 2)
+    assert(out.forall(_._2 == 1), s"same-label leak: ${out.toSeq}")
+    assert(out.toSeq == Seq((3L, 1, 1), (4L, 1, 2)), s"ranking: ${out.toSeq}")
+  }
+
   test("ngram diversity: totals reconcile against an independent columnar sum") {
     val docs = graft.Tables.documents(spark, sf)
     val expected = docs
