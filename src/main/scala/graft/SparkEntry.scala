@@ -120,6 +120,7 @@ object SparkEntry {
     "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
     "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
     "q_hard_negatives"    -> ((s, d) => DataQueries.hardNegatives(s, d)),
+    "q_cdc_dedup"         -> ((s, d) => DataQueries.cdcDedup(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1720,6 +1721,31 @@ object SparkEntry {
          FROM simh a JOIN simh b ON a.doc < b.doc
          WHERE bit_count(xor(a.sh48, b.sh48)) <= 4
          ORDER BY 1, 2""",
+    // Content-defined chunking: a chunk closes after every token whose
+    // h64 ≡ 0 (mod 8); the cumulative boundary count BEFORE a position
+    // is its chunk group
+    "q_cdc_dedup" ->
+      s"""WITH $TOKS_CTE,
+         tt AS (SELECT doc_id, unnest(range(len(tk))) AS pos,
+                  unnest(tk) AS tok FROM toks),
+         bf AS (SELECT doc_id, pos, tok,
+                  CASE WHEN ${H64.format("tok")} % 8 = 0 THEN 1 ELSE 0 END AS b
+                FROM tt),
+         gp AS (SELECT doc_id, pos, tok,
+                  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+                FROM bf),
+         ch AS (SELECT doc_id, grp,
+                  ${H64.format("string_agg(tok, ' ' ORDER BY pos)")} AS h
+                FROM gp GROUP BY doc_id, grp),
+         oc AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h),
+         st AS (SELECT c.doc_id, count(*) AS n_chunks,
+                  CAST(sum(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup
+                FROM ch c JOIN oc o USING (h) GROUP BY c.doc_id)
+         SELECT doc_id, n_chunks, n_dup,
+           round(n_dup::DOUBLE / n_chunks, 6) AS dup_frac
+         FROM st ORDER BY doc_id""",
     "q_hard_negatives" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
            FROM embeddings WHERE embedding IS NOT NULL),

@@ -645,6 +645,14 @@ object DataQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** CDC chunk duplication over the corpus (expected chunk ≈ 8
+    * tokens). */
+  def cdcDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps.cdcStats(Tables.documents(s, d), "doc_id", "text", m = 8)
+      .select(col("doc").as("doc_id"), col("n_chunks"), col("n_dup"),
+        col("dup_frac"))
+      .orderBy("doc_id")
+
   /** Hard negatives: every 5th vector as the query batch, top-3
     * other-label neighbors each. */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {

@@ -99,6 +99,29 @@ object DedupOps {
         round(col("n_dup").cast("double") / col("n_passages"), 6))
   }
 
+  /** Content-defined-chunk duplication stats — [[passageStats]] with
+    * CDC boundaries instead of fixed windows. A fixed-window pass is
+    * blind to duplicates after a single head-of-document insertion
+    * (every window shifts); CDC boundaries re-synchronize at the next
+    * boundary token, so shared spans are found regardless of offset.
+    * Same 100 TB shape as the fixed pass: chunking is map-only inside
+    * the scan (one JVM pass per row), occurrence counting is a window
+    * over the 8-byte chunk hash — text never shuffles. */
+  def cdcStats(df: DataFrame, id: String, text: String, m: Int): DataFrame = {
+    val ex = df
+      .select(col(id).as("doc"), TextOps.tokens(col(text)).as("tk"))
+      .select(col("doc"),
+        call_function("cdc_chunk_h64s", col("tk"), lit(m)).as("hs"))
+      .select(col("doc"), size(col("hs")).cast("long").as("n_chunks"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull) // InferFiltersFromGenerate dodge
+    ex.withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc", "n_chunks")
+      .agg(sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+  }
+
   /** CCNet-style boilerplate removal: strip every `w`-token passage
     * that occurs at least `maxFreq` times across the corpus (nav bars,
     * cookie banners, license footers — the passages shared by many

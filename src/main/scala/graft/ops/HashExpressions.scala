@@ -151,6 +151,51 @@ case class ShingleH64sAllExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** cdc_chunk_h64s(tokens array<string>, m) → array<long>: h64 hashes
+  * of CONTENT-DEFINED chunks — a chunk closes after every token whose
+  * h64 is ≡ 0 (mod m), so expected chunk length is m tokens and chunk
+  * boundaries are decided by content, not position. This is the
+  * rsync/FastCDC idea at token granularity: inserting one token near
+  * the head of a document shifts every FIXED window (passage dedup
+  * finds nothing) but only perturbs the single chunk containing the
+  * edit — every later boundary re-synchronizes. The trailing partial
+  * chunk (after the last boundary) is kept. */
+case class CdcChunkH64sExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "cdc_chunk_h64s"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val m: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val tok = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      if (sb.length > 0) sb.append(' ')
+      sb.append(tok)
+      if (Hashing.h64(tok) % m == 0) {
+        out += Hashing.h64(sb.toString)
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out += Hashing.h64(sb.toString)
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** winnow_fps(tokens array<string>, n, w) → array<long>: winnowing
   * fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) in one
   * pass: positional word n-gram shingles → h64 → min hash of every

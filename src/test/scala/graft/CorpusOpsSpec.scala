@@ -28,6 +28,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, 0.0)), s"unique: ${out(3L)}")
   }
 
+  test("CDC chunks survive a head insertion that blinds fixed windows") {
+    import graft.ops.Hashing
+    // pick boundary/non-boundary words by their actual h64 (mod 8)
+    val words = (0 until 400).map(i => s"w$i")
+    val bnd = words.filter(w => Hashing.h64(w) % 8 == 0)
+    val plain = words.filterNot(w => Hashing.h64(w) % 8 == 0)
+    assert(bnd.size >= 2 && plain.size >= 6, "fixture vocabulary too small")
+    val (b1, b2) = (bnd(0), bnd(1))
+    val Seq(a1, a2, a3, a4, a5, x) = plain.take(6)
+    val docA = s"$a1 $a2 $b1 $a3 $a4 $b2 $a5"
+    val docB = s"$x $docA" // one token prepended
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    // CDC: chunks re-sync at b1/b2 — 2 of A's 3 chunks survive in B
+    val cdc = DedupOps.cdcStats(docs, "doc_id", "text", m = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cdc(1L) == ((3L, 2L)), s"doc A: ${cdc(1L)}")
+    assert(cdc(2L) == ((3L, 2L)), s"doc B: ${cdc(2L)}")
+    // fixed windows: the same insertion shifts every window — zero dups
+    val fixed = DedupOps.passageStats(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(1L) == 0L && fixed(2L) == 0L,
+      s"fixed windows unexpectedly matched: $fixed")
+  }
+
   test("passage stats: within-doc repetition counts as duplication") {
     // one doc whose two 4-token passages are identical — boilerplate
     // self-repetition is exactly what the pass should flag
