@@ -121,6 +121,7 @@ object SparkEntry {
     "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
     "q_hard_negatives"    -> ((s, d) => DataQueries.hardNegatives(s, d)),
     "q_cdc_dedup"         -> ((s, d) => DataQueries.cdcDedup(s, d)),
+    "q_ivf_state_probe"   -> ((s, d) => DataQueries.ivfStateProbe(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -269,6 +270,40 @@ object SparkEntry {
                   + coalesce(d.dot_fx, 0) AS BIGINT) AS logit_fx,
                 $GOPHER_KEEP_EXPR AS keep_rule
               FROM gsig s LEFT JOIN qdot d USING (doc_id))"""
+
+  /** IVF top-k oracle (nlists=16, nprobe=2, k=3, queries vec_id<10) —
+    * shared verbatim by `q_ivf_topk` (inline broadcast-join plan) and
+    * `q_ivf_state_probe` (persisted bucketed inverted lists, zero-
+    * exchange probe): one oracle, two physical paths. */
+  private lazy val IVF_TOPK_SQL =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       cent AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),
+       ac AS (SELECT v.vec_id, cent.cid,
+                list_dot_product(v.ve, cent.cv) /
+                  (sqrt(list_dot_product(v.ve, v.ve)) *
+                   sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+              FROM v CROSS JOIN cent),
+       asg AS (SELECT vec_id, cid AS list_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cid ASC) AS rn FROM ac)
+               WHERE rn = 1),
+       probe AS (SELECT vec_id, cid AS list_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cid ASC) AS rn
+                  FROM ac WHERE vec_id < 10)
+               WHERE rn <= 2), -- (ivf)
+       sc AS (SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
+                list_dot_product(q.ve, c.ve) /
+                  (sqrt(list_dot_product(q.ve, q.ve)) *
+                   sqrt(list_dot_product(c.ve, c.ve))) AS cos
+              FROM probe p JOIN asg a ON p.list_id = a.list_id
+                AND p.vec_id <> a.vec_id
+              JOIN v q ON q.vec_id = p.vec_id
+              JOIN v c ON c.vec_id = a.vec_id),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+       SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+       FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
   /** MinHash affine-rehash parameters shared with DedupOps (same Scala
     * source of truth, injected as literals into the oracle SQL). */
@@ -1931,35 +1966,10 @@ object SparkEntry {
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
          FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
-    "q_ivf_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-         cent AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),
-         ac AS (SELECT v.vec_id, cent.cid,
-                  list_dot_product(v.ve, cent.cv) /
-                    (sqrt(list_dot_product(v.ve, v.ve)) *
-                     sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
-                FROM v CROSS JOIN cent),
-         asg AS (SELECT vec_id, cid AS list_id FROM
-                   (SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY cos DESC, cid ASC) AS rn FROM ac)
-                 WHERE rn = 1),
-         probe AS (SELECT vec_id, cid AS list_id FROM
-                   (SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY cos DESC, cid ASC) AS rn
-                    FROM ac WHERE vec_id < 10)
-                 WHERE rn <= 2), -- (ivf)
-         sc AS (SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
-                  list_dot_product(q.ve, c.ve) /
-                    (sqrt(list_dot_product(q.ve, q.ve)) *
-                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
-                FROM probe p JOIN asg a ON p.list_id = a.list_id
-                  AND p.vec_id <> a.vec_id
-                JOIN v q ON q.vec_id = p.vec_id
-                JOIN v c ON c.vec_id = a.vec_id),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
-         SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
-         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    "q_ivf_topk" -> IVF_TOPK_SQL,
+    // persisted-inverted-lists probe: same semantics, different
+    // physical plan (zero-exchange co-bucketed join) — one oracle
+    "q_ivf_state_probe" -> IVF_TOPK_SQL,
     "q_semdedup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
          cent AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),

@@ -753,6 +753,48 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** IVF probe against PERSISTED inverted lists — the "build the index
+    * once, probe every batch shuffle-free" production path, sharing
+    * `q_ivf_topk`'s oracle verbatim (one oracle, two physical plans;
+    * the LSH analog is `q_state_probe`). The corpus lists and the
+    * query probe set are both bucketed+sorted on `list_id`, so the
+    * probe join plans with ZERO exchanges (construction throws
+    * otherwise); only the candidate-sized top-k window shuffles. */
+  def ivfStateProbe(s: SparkSession, d: String): DataFrame = {
+    val buckets = 8
+    val (assigned, q) = VectorOps.ivfAssignments(Tables.embeddings(s, d),
+      "vec_id", "embedding", nlists = 16, nprobe = 2,
+      queryPred = col("vec_id") < 10)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val stateTbl = s"graft_ivf_state_$tag"
+    val batchTbl = s"graft_ivf_batch_$tag"
+    cleanStaleTableDir(s, stateTbl)
+    cleanStaleTableDir(s, batchTbl)
+    if (!s.catalog.tableExists(stateTbl))
+      Scale.writeBucketed(
+        assigned.select(col("list_id"), col("vid").as("cand_id"),
+          col("v").as("cv"), VectorOps.norm(col("v")).as("cn")),
+        stateTbl, "list_id", buckets)
+    Scale.writeBucketed(
+      q.select(col("list_id"), col("query_id"), col("qv"), col("qn")),
+      batchTbl, "list_id", buckets)
+    val joined = s.table(batchTbl).hint("merge")
+      .join(s.table(stateTbl), Seq("list_id"))
+    require(Scale.isShuffleFree(joined),
+      "IVF state probe plan contains an Exchange — bucketed co-location broken:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    joined.filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Deterministic 20% hash sample of documents + per-language quota
     * sample (3 per language, hash-ordered) — the reproducible subset
     * selection a corpus export runs. */

@@ -452,6 +452,26 @@ object VectorOps {
     rerankLists(assigned, q, k)
   }
 
+  /** The literal-centroid assignment pair exposed for index-
+    * persistence flows (build the inverted lists ONCE, probe many):
+    * returns (assigned corpus rows: vid, v, vn?, __isq, list_id) and
+    * (probe rows: query_id, qv, qn, list_id — one row per query ×
+    * probed list). Same base projection and centroid choice as
+    * [[ivfTopK]]'s small-nlists path, so a probe over the persisted
+    * lists returns bit-identical results to the inline join. */
+  def ivfAssignments(df: DataFrame, id: String, vec: String, nlists: Int,
+                     nprobe: Int, queryPred: Column): (DataFrame, DataFrame) = {
+    val base = df.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"),
+        asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+      .filter(norm(col("v")) > 0)
+    val cents: Array[(Long, Seq[Double])] =
+      base.filter(col("v").isNotNull).orderBy("vid").limit(nlists).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "ivfAssignments: no non-null vectors")
+    literalAssignment(base, cents, nprobe)
+  }
+
   /** Broadcast-join assignment for large list counts: centroids stay a
     * (cid, cv) DataFrame, assignment is a broadcast cross join +
     * max_by argmax — the nlists-way expansion collapses map-side into

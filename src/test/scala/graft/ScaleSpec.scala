@@ -86,4 +86,18 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("IVF persisted-list probe equals the inline broadcast-join plan") {
+    // one semantics, two physical paths: the bucketed state probe must
+    // reproduce ivfTopK row-for-row (its construction already asserts
+    // the probe join plans with zero exchanges)
+    val sf = "/root/testdata/sf0.001"
+    val viaState = graft.ops.DataQueries.ivfStateProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val inline = graft.ops.DataQueries.ivfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(viaState.nonEmpty)
+    assert(viaState.sameElements(inline),
+      s"state ${viaState.toSeq.take(5)} vs inline ${inline.toSeq.take(5)}")
+  }
 }
