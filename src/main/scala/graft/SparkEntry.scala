@@ -122,6 +122,7 @@ object SparkEntry {
     "q_hard_negatives"    -> ((s, d) => DataQueries.hardNegatives(s, d)),
     "q_cdc_dedup"         -> ((s, d) => DataQueries.cdcDedup(s, d)),
     "q_ivf_state_probe"   -> ((s, d) => DataQueries.ivfStateProbe(s, d)),
+    "q_epoch_manifest"    -> ((s, d) => DataQueries.epochManifest(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1492,6 +1493,37 @@ object SparkEntry {
            round(qfx::DOUBLE / sfx, 6) AS w_alpha,
            CAST(round(qfx::DOUBLE / sfx * 1000) AS BIGINT) AS exp_docs
          FROM p, z ORDER BY lang""",
+    // epoch manifest = q_temp_mix targets ⋈ q_pack_bins inventory
+    "q_epoch_manifest" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         p AS (SELECT lang, n,
+                 CAST(round(pow(n::DOUBLE / total, 0.3) * 1000000.0) AS BIGINT)
+                   AS qfx
+               FROM c, t),
+         z AS (SELECT CAST(sum(qfx) AS BIGINT) AS sfx FROM p),
+         mix AS (SELECT lang, n, round(qfx::DOUBLE / sfx, 6) AS w_alpha
+                 FROM p, z),
+         tt AS (SELECT lang, doc_id,
+                  len(regexp_extract_all(text,
+                    '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +',
+                    0)) AS n_tok
+                FROM documents),
+         cb AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+                FROM tt),
+         pb AS (SELECT lang, floor(cumb / 2048.0)::BIGINT AS bin,
+                  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+                FROM cb GROUP BY 1, 2),
+         ag AS (SELECT lang, count(*) AS n_bins,
+                  CAST(sum(bin_tokens) AS BIGINT) AS tokens_avail
+                FROM pb GROUP BY lang)
+         SELECT m.lang, m.n, m.w_alpha, a.n_bins, a.tokens_avail,
+           CAST(round(m.w_alpha * 1000000.0) AS BIGINT) AS target_tokens,
+           round(CAST(round(m.w_alpha * 1000000.0) AS BIGINT)::DOUBLE
+             / a.tokens_avail, 6) AS oversample
+         FROM mix m JOIN ag a USING (lang) ORDER BY lang""",
     "q_corpus_funnel" ->
       s"""WITH $TOKS_CTE,
          c AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),

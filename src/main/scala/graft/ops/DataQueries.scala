@@ -387,6 +387,27 @@ object DataQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Epoch manifest: the sampling plan a training run actually
+    * executes, composed from two existing operators — α-temperature
+    * mixture targets ([[tempMix]]) joined against the packed-sequence
+    * inventory ([[packBins]] rolled up per language). `oversample` > 1
+    * means the epoch repeats that language's bins (upsampling);
+    * < 1 means it subsamples. Join is language-keyed (stratum-sized);
+    * both inputs keep their own documented scale shapes. */
+  def epochManifest(s: SparkSession, d: String): DataFrame = {
+    val mix = tempMix(s, d).select(col("lang"), col("n"), col("w_alpha"))
+    val bins = packBins(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_bins"), sum(col("bin_tokens")).as("tokens_avail"))
+    mix.join(bins, Seq("lang"))
+      .withColumn("target_tokens",
+        round(col("w_alpha") * lit(1000000.0), 0).cast("long"))
+      .withColumn("oversample",
+        round(col("target_tokens").cast("double") / col("tokens_avail"), 6))
+      .select(col("lang"), col("n"), col("w_alpha"), col("n_bins"),
+        col("tokens_avail"), col("target_tokens"), col("oversample"))
+      .orderBy("lang")
+  }
+
   /** Sharded sequence packing — the bounded-stratum form of [[packBins]]
     * its scale note promises: the window stratum is (lang, shard) with
     * shard = doc_id mod nShards, so no partition-key group grows with
