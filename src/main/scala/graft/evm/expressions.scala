@@ -274,6 +274,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_h64s_all"),
       new ExpressionInfo(classOf[graft.ops.ShingleH64sAllExpr].getName, "shingle_h64s_all"),
       (args: Seq[Expression]) => graft.ops.ShingleH64sAllExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_pairs"),
+      new ExpressionInfo(classOf[graft.ops.ShinglePairsExpr].getName, "shingle_pairs"),
+      (args: Seq[Expression]) => graft.ops.ShinglePairsExpr(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("cdc_chunk_h64s"),
       new ExpressionInfo(classOf[graft.ops.CdcChunkH64sExpr].getName, "cdc_chunk_h64s"),
       (args: Seq[Expression]) => graft.ops.CdcChunkH64sExpr(args(0), args(1))))

@@ -1384,9 +1384,10 @@ object DataQueries {
       .filter(col("rnk") <= k)
     val winners = top.select("g").distinct()
     val rehydrated = docs
-      .select(explode_outer(TextOps.shinglesAll(col("text"), 3)).as("gram"))
-      .filter(col("gram").isNotNull)
-      .select(TextOps.h64(col("gram")).as("g"), col("gram"))
+      .select(explode_outer(call_function("shingle_pairs",
+        TextOps.tokens(col("text")), lit(3))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.h").as("g"), col("p.s").as("gram"))
       .join(broadcast(winners), Seq("g"))
       .groupBy("g").agg(min(col("gram")).as("ngram"))
     top.join(rehydrated, Seq("g"))

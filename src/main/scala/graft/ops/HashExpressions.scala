@@ -151,6 +151,56 @@ case class ShingleH64sAllExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** shingle_pairs(tokens array<string>, n) → array<struct<h:long,
+  * s:string>>: every positional n-gram with its h64, one JVM pass —
+  * for consumers that aggregate on the hash but need the text of a
+  * FILTERED subset afterwards (top-ngram rehydration). The interpreted
+  * `transform(sequence…, concat_ws(slice…))` + column-md5 spelling of
+  * the same thing measured ~7× slower on the rehydration branch. */
+case class ShinglePairsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_pairs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("s", StringType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val s = sb.toString
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        Hashing.h64(s),
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** cdc_chunk_h64s(tokens array<string>, m) → array<long>: h64 hashes
   * of CONTENT-DEFINED chunks — a chunk closes after every token whose
   * h64 is ≡ 0 (mod m), so expected chunk length is m tokens and chunk
