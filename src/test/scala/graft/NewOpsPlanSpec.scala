@@ -225,6 +225,17 @@ class NewOpsPlanSpec extends SparkSpec {
       s"pagerank planned a non-equi join:\n$p")
   }
 
+  test("top ngrams: counting never shuffles text; winners join broadcast") {
+    val p = plan(DataQueries.topNgrams(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degraded join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"winner semi-join lost:\n$p")
+    // document text must never appear in any exchange's schema — only
+    // hashes (counting) and the winner-filtered grams move
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
+  }
+
   test("snapshot diff: one full-outer hash join, text never shuffles") {
     val p = plan(DataQueries.snapshotDiff(spark, sf))
     assert(p.contains("FullOuter"), s"diff lost its full-outer form:\n$p")
