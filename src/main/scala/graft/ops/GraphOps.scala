@@ -67,10 +67,18 @@ object GraphOps {
     * 3-gram Jaccard pairs at τ=0.1 (exactly `q_jaccard_pairs`' pair
     * set), 3 iterations. Output carries the degree so the rank is
     * interpretable (deg=0 rows receive no contributions and sit at
-    * exactly the 150000-micro-unit teleport floor after iteration 1). */
-  def docPageRank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    * exactly the 150000-micro-unit teleport floor after iteration 1).
+    *
+    * `maxDocFreq` is the duplication-skew lever inherited from the
+    * pair generator: uncapped pairs are the small-sf oracle baseline,
+    * but on a duplication-heavy corpus candidate pairs grow as
+    * docFreq² per shingle — at scale pass the cap (a small multiple of
+    * the expected duplication factor), exactly as `q_jaccard_capped`
+    * does for the dedup path. The iteration shape is unaffected. */
+  def docPageRank(s: SparkSession, d: String, iters: Int = 3,
+                  maxDocFreq: Option[Long] = None): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val nodes = docs.select(col("doc_id").as("id"))

@@ -301,3 +301,65 @@ object KmvProps extends Properties("KMV") {
       else est(s) > 0.0 && est(s) == (K - 1).toDouble * (HSpace / kmin(s).last)
     }
 }
+
+/** Random-token invariants for the one-pass shingle/CDC expressions —
+  * each case evaluates the real Catalyst expression through a 1-row
+  * Spark job and checks it against independently-computed references. */
+object ShingleExprProps extends SparkProps("ShingleExprs") {
+  import org.apache.spark.sql.functions._
+  import graft.ops.{Hashing, TextOps}
+
+  private val word: Gen[String] =
+    Gen.choose(0, 29).map(i => s"w$i")
+  private val toks: Gen[List[String]] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, word))
+
+  private def evalExpr(fn: String, tokens: List[String], arg: Int): Seq[Long] = {
+    val sp = spark
+    import sp.implicits._
+    Seq(Tuple1(tokens)).toDF("tk")
+      .select(call_function(fn, col("tk"), lit(arg)).as("out"))
+      .collect().head.getSeq[Long](0)
+  }
+
+  property("shingle_h64s_all = h64 of every positional 3-gram, in order") =
+    forAll(toks) { tk =>
+      val want = tk.sliding(3).filter(_.size == 3)
+        .map(g => Hashing.h64(g.mkString(" "))).toSeq
+      evalExpr("shingle_h64s_all", tk, 3) == want
+    }
+
+  property("shingle_pairs zips each gram with its own h64") =
+    forAll(toks) { tk =>
+      val sp = spark
+      import sp.implicits._
+      val rows = Seq(Tuple1(tk)).toDF("tk")
+        .select(explode_outer(call_function("shingle_pairs", col("tk"), lit(3))).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("p.h"), col("p.s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      rows.map(_._2) == want && rows.forall { case (h, s) => h == Hashing.h64(s) }
+    }
+
+  property("cdc chunk count = boundary tokens + trailing partial") =
+    forAll(toks) { tk =>
+      val bounds = tk.count(t => Hashing.h64(t) % 8 == 0)
+      val trailing =
+        if (tk.isEmpty) 0
+        else if (Hashing.h64(tk.last) % 8 == 0) 0 else 1
+      evalExpr("cdc_chunk_h64s", tk, 8).size == bounds + trailing
+    }
+
+  property("cdc re-sync: a non-boundary head insertion changes ONLY chunk 1") =
+    forAll(toks) { tk0 =>
+      // make the inserted token non-boundary, and ensure ≥1 boundary
+      // exists so there IS a tail to re-sync
+      val ins = (0 to 40).map(i => s"x$i")
+        .find(t => Hashing.h64(t) % 8 != 0).get
+      val a = evalExpr("cdc_chunk_h64s", tk0, 8)
+      val b = evalExpr("cdc_chunk_h64s", ins :: tk0, 8)
+      // every chunk after the first is identical — boundaries re-sync
+      a.isEmpty || (b.size == a.size && b.drop(1) == a.drop(1).toSeq)
+    }
+}

@@ -87,6 +87,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("capped pagerank stays tractable on a 5x-duplicated corpus") {
+    // the uncapped pair generator is the oracle baseline; under 5x
+    // duplication every shared shingle's candidate pairs grow 25x, so
+    // the scale path MUST pass the doc-freq cap (same lever as
+    // q_jaccard_capped) — this pins that the capped form completes
+    // quickly on replicated data and keeps the rank distribution valid
+    import graft.ops.{DedupOps, GraphOps}
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rep = (0 until 5).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_))
+    val pairs = DedupOps.jaccardPairs(rep, "doc_id", "text", 3, 0.1,
+      maxDocFreq = Some(30L))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val t0 = System.nanoTime()
+    val out = GraphOps.pageRankFixed(rep.select(col("doc_id").as("id")),
+      edges, iters = 2)
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 2500, s"node count $n")
+    assert(secs < 120, f"capped pagerank took $secs%.1f s")
+    // ranks remain valid micro-unit masses: floor at teleport for
+    // isolated nodes, every exact-copy clique holds mass above it
+    val stats = out.agg(min("r"), max("r")).head()
+    assert(stats.getLong(0) >= 150000L && stats.getLong(1) > 150000L)
+  }
+
   test("IVF persisted-list probe equals the inline broadcast-join plan") {
     // one semantics, two physical paths: the bucketed state probe must
     // reproduce ivfTopK row-for-row (its construction already asserts
