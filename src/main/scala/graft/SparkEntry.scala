@@ -123,6 +123,7 @@ object SparkEntry {
     "q_cdc_dedup"         -> ((s, d) => DataQueries.cdcDedup(s, d)),
     "q_ivf_state_probe"   -> ((s, d) => DataQueries.ivfStateProbe(s, d)),
     "q_epoch_manifest"    -> ((s, d) => DataQueries.epochManifest(s, d)),
+    "q_balanced_sample"   -> ((s, d) => DataQueries.balancedSample(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1493,6 +1494,22 @@ object SparkEntry {
            round(qfx::DOUBLE / sfx, 6) AS w_alpha,
            CAST(round(qfx::DOUBLE / sfx * 1000) AS BIGINT) AS exp_docs
          FROM p, z ORDER BY lang""",
+    // the mixWeights plan EXECUTED: salted-hash keep decision against
+    // the micro-unit uniform-target threshold — rand()-free, so the
+    // sample is reproducible across engines and retries
+    "q_balanced_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS k FROM c),
+         w AS (SELECT lang,
+                 least(1000000, CAST(round(
+                   round((1.0 / k) / (n / total), 6) * 1000000.0)
+                   AS BIGINT)) AS p_fx
+               FROM c, t),
+         b AS (SELECT d.doc_id, d.lang, w.p_fx,
+                 ${H64.format("'bsample:' || d.doc_id")} % 1000000 AS bucket
+               FROM documents d JOIN w USING (lang))
+         SELECT doc_id, lang, bucket, p_fx
+         FROM b WHERE bucket < p_fx ORDER BY doc_id""",
     // epoch manifest = q_temp_mix targets ⋈ q_pack_bins inventory
     "q_epoch_manifest" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

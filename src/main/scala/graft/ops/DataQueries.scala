@@ -1189,6 +1189,28 @@ object DataQueries {
     * any future document joins back to the SAME split forever — the
     * property leakage audits depend on. Salting the id ("split:" prefix)
     * decorrelates this partition from every other id-hash use. Map-only. */
+  /** Deterministic rebalancing subsample: keep each document with
+    * per-language probability min(1, uniform-target weight) — the
+    * EXECUTION of [[mixWeights]]'s plan (over-represented languages
+    * downsample toward the uniform mix; under-represented ones keep
+    * everything). The keep decision is a salted content hash against
+    * an integer micro-unit threshold — no `rand()`, so the sample is
+    * identical across runs, engines, and retries (the property that
+    * makes corpus exports reproducible). Map-only after a broadcast
+    * join of the language-sized weight table. */
+  def balancedSample(s: SparkSession, d: String): DataFrame = {
+    val w = mixWeights(s, d).select(col("lang"),
+      least(lit(1000000L),
+        round(col("weight") * lit(1000000.0), 0).cast("long")).as("p_fx"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(w), Seq("lang"))
+      .withColumn("bucket",
+        pmod(TextOps.h64(concat(lit("bsample:"), col("doc_id"))), lit(1000000L)))
+      .filter(col("bucket") < col("p_fx"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("p_fx"))
+      .orderBy("doc_id")
+  }
+
   def splitAssign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),

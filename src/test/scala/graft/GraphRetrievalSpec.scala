@@ -102,6 +102,28 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(m(3L).isEmpty)
   }
 
+  test("balanced sample flattens the language mix and is reproducible") {
+    val before = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = DataQueries.balancedSample(spark, sf)
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniform = before.values.sum.toDouble / before.size
+    // every over-represented language moves TOWARD uniform, never past
+    // double the target; under-represented languages keep everything
+    after.foreach { case (lang, n) =>
+      assert(n <= before(lang))
+      if (before(lang) <= uniform) assert(n == before(lang), s"$lang dropped")
+    }
+    val spreadBefore = before.values.max - before.values.min
+    val spreadAfter = after.values.max - after.values.min
+    assert(spreadAfter < spreadBefore, s"no flattening: $before -> $after")
+    // rand()-free: a second run is row-identical
+    val again = DataQueries.balancedSample(spark, sf).collect()
+    assert(out.collect().sameElements(again))
+  }
+
   test("hard negatives: nearest other-label wins, same-label never appears") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),
