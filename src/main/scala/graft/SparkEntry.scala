@@ -40,6 +40,7 @@ object SparkEntry {
     "q_polarity_price"    -> ((s, d) => SeriesQueries.polarityPrice(s, d)),
     "q_canonical_pair"    -> ((s, d) => SeriesQueries.canonicalPair(s, d)),
     "q_sessionize"        -> ((s, d) => SeriesQueries.sessionize(s, d)),
+    "q_session_threads"   -> ((s, d) => SeriesQueries.sessionThreads(s, d)),
     "q_interval_join"     -> ((s, d) => SeriesQueries.intervalJoin(s, d)),
     "q_funnel"            -> ((s, d) => SeriesQueries.funnel(s, d)),
     "q_retention"         -> ((s, d) => SeriesQueries.retention(s, d)),
@@ -1680,6 +1681,30 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM g GROUP BY user_id, session_no
          ORDER BY user_id, session_start""",
+    // session threads: same gap-break CTEs as q_sessionize, then the
+    // ordered event-type sequence hashed + a corpus-wide pattern count
+    "q_session_threads" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type
+                    FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+                 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               FROM m),
+         th AS (SELECT user_id, session_no, min(ts) AS session_start,
+                  count(*) AS n_events,
+                  ${H64.format(
+                    "string_agg(event_type, ' ' ORDER BY ts, event_id, event_type)")}
+                    AS seq_hash
+                FROM g GROUP BY user_id, session_no),
+         pc AS (SELECT *, count(*) OVER (PARTITION BY seq_hash)
+                  AS pattern_count FROM th)
+         SELECT user_id, session_no, session_start, n_events, seq_hash,
+           pattern_count
+         FROM pc ORDER BY user_id, session_no""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
          s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)

@@ -142,6 +142,33 @@ object SeriesQueries {
       .select("user_id", "session_start", "session_end", "n_events", "total_value")
       .orderBy("user_id", "session_start")
 
+  /** Session threads: each user session rendered as its ordered
+    * event-type sequence — the "assemble interaction logs into
+    * training sequences" step of a chat/agent-model data pipeline —
+    * plus behavioral dedup (how many sessions corpus-wide share the
+    * exact same sequence). In-aggregate order is made deterministic by
+    * sorting (ts, event_id, event_type) structs, never by trusting
+    * collect_list's arrival order; the sequence leaves the query as a
+    * 60-bit hash, so the pattern-count window shuffles 8-byte keys. */
+  def sessionThreads(s: SparkSession, d: String): DataFrame = {
+    val sess = TimeSeries.sessionize(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+      "user_id", "ts", gapSeconds = 7200, tieBreak = "event_id")
+    val threads = sess.groupBy("user_id", "session_no")
+      .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        count(lit(1)).as("n_events"),
+        TextOps.h64(array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " ")).as("seq_hash"))
+    threads.withColumn("pattern_count",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("seq_hash")))
+      .select(col("user_id"), col("session_no"), col("session_start"),
+        col("n_events"), col("seq_hash"), col("pattern_count"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** Bucketed interval join: for each purchase, the count and value sum
     * of the same user's clicks in the preceding hour. */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {

@@ -40,6 +40,24 @@ object Sinks {
   def writeSingleCsv(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
 
+  /** JSONL training-data export, optionally partitioned (the standard
+    * interchange format for LLM corpora — one JSON object per line,
+    * split/shard directories). Spark's `json` source IS JSONL (one
+    * object per line per file); partition columns become directories
+    * (`split=train/part-*.json`), which is exactly the layout a
+    * training loader globs. Dynamic partition overwrite keeps re-runs
+    * idempotent per split. */
+  def writeJsonl(df: DataFrame, dir: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(dir)
+  }
+
+  /** JSONL read-back (schema-inferring; pass a schema in production). */
+  def readJsonl(s: SparkSession, dir: String): DataFrame = s.read.json(dir)
+
   /** S5: the JDBC sink the reference declares but never implements
     * (`internal/sink/mysql.go:3`). Configured writer, ABI-typed schema
     * courtesy of the DataFrame; caller supplies url/table/creds and

@@ -22,6 +22,36 @@ class SinksSpec extends SparkSpec {
     assert(back == Set((1L, "d1", 11.0), (3L, "d2", 30.0)))
   }
 
+  test("JSONL export: split-partitioned layout, line-valid JSON, lossless roundtrip") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .join(graft.ops.DataQueries.splitAssign(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "split"), Seq("doc_id"))
+      .select("doc_id", "text", "lang", "split")
+    Sinks.writeJsonl(docs, dir, Seq("split"))
+    // the loader-facing layout: one directory per split
+    val splits = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splits == Set("split=train", "split=val", "split=test"))
+    // every line of every part file parses as a standalone JSON object
+    val partFiles = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".json"))
+    assert(partFiles.nonEmpty)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    partFiles.take(3).foreach { f =>
+      scala.io.Source.fromFile(f).getLines().take(5).foreach { line =>
+        val node = mapper.readTree(line)
+        assert(node.has("doc_id") && node.has("text"), s"bad line: $line")
+      }
+    }
+    // lossless roundtrip
+    val back = Sinks.readJsonl(spark, dir)
+      .select("doc_id", "text", "lang", "split")
+      .as[(Long, String, String, String)].collect().toSet
+    val want = docs.as[(Long, String, String, String)].collect().toSet
+    assert(back == want)
+  }
+
   test("partitioned CSV sink roundtrips with stable per-partition schema (S4)") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val df = Seq(
