@@ -125,6 +125,7 @@ object SparkEntry {
     "q_ivf_state_probe"   -> ((s, d) => DataQueries.ivfStateProbe(s, d)),
     "q_epoch_manifest"    -> ((s, d) => DataQueries.epochManifest(s, d)),
     "q_balanced_sample"   -> ((s, d) => DataQueries.balancedSample(s, d)),
+    "q_topic_quality"     -> ((s, d) => DataQueries.topicQuality(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1495,6 +1496,35 @@ object SparkEntry {
            round(qfx::DOUBLE / sfx, 6) AS w_alpha,
            CAST(round(qfx::DOUBLE / sfx * 1000) AS BIGINT) AS exp_docs
          FROM p, z ORDER BY lang""",
+    // per-IVF-cluster quality telemetry: documents bucket by their
+    // embedding's nearest centroid (same 16 lowest-id centroids as
+    // q_ivf_topk), then per-cluster rule-gate keep rates
+    "q_topic_quality" ->
+      s"""WITH $TOKS_CTE,
+         $GOPHER_SIG_CTE,
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+               WHERE embedding IS NOT NULL),
+         cent AS (SELECT vec_id AS cid, ve AS cv FROM v
+                  ORDER BY vec_id LIMIT 16),
+         ac AS (SELECT v.vec_id, cent.cid,
+                  list_dot_product(v.ve, cent.cv) /
+                    (sqrt(list_dot_product(v.ve, v.ve)) *
+                     sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+                FROM v CROSS JOIN cent),
+         asg AS (SELECT vec_id, cid AS list_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid ASC) AS rn FROM ac)
+                 WHERE rn = 1),
+         dq AS (SELECT s.doc_id,
+                  CASE WHEN $GOPHER_KEEP_EXPR THEN 1 ELSE 0 END AS keep,
+                  d.n_chars
+                FROM gsig s JOIN documents d USING (doc_id))
+         SELECT a.list_id, count(*) AS n_docs,
+           CAST(sum(q.keep) AS BIGINT) AS n_keep,
+           round(avg(q.n_chars), 4) AS mean_chars,
+           round(sum(q.keep)::DOUBLE / count(*), 6) AS keep_rate
+         FROM asg a JOIN dq q ON q.doc_id = a.vec_id
+         GROUP BY a.list_id ORDER BY a.list_id""",
     // the mixWeights plan EXECUTED: salted-hash keep decision against
     // the micro-unit uniform-target threshold — rand()-free, so the
     // sample is reproducible across engines and retries

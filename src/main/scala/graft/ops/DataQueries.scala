@@ -816,6 +816,33 @@ object DataQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-topic quality telemetry — the cross-modal curation readout:
+    * documents bucket by their embedding's IVF list (topic proxy), and
+    * each cluster reports doc count, rule-gate keep rate, and mean
+    * length. This is the SemDeDup-era "prune low-quality clusters
+    * wholesale" signal: a topic whose keep_rate collapses is boiler-
+    * plate/spam territory regardless of per-doc scores. Assignment is
+    * the map-only literal-centroid projection; the doc join is id-
+    * keyed; the aggregate is cluster-count-sized. */
+  def topicQuality(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) = VectorOps.ivfAssignments(Tables.embeddings(s, d),
+      "vec_id", "embedding", nlists = 16, nprobe = 1, queryPred = lit(false))
+    val (nW, mL, aF, sH) = TextOps.gopherSignals(col("text"))
+    val docsQ = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      TextOps.gopherKeep(nW, mL, aF, sH).cast("long").as("keep"))
+    assigned.select(col("vid").as("doc_id"), col("list_id"))
+      .join(docsQ, Seq("doc_id"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        round(avg(col("n_chars")), 4).as("mean_chars"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .select(col("list_id"), col("n_docs"), col("n_keep"),
+        col("mean_chars"), col("keep_rate"))
+      .orderBy("list_id")
+  }
+
   /** Deterministic 20% hash sample of documents + per-language quota
     * sample (3 per language, hash-ordered) — the reproducible subset
     * selection a corpus export runs. */
