@@ -128,6 +128,10 @@ object SparkEntry {
     "q_topic_quality"     -> ((s, d) => DataQueries.topicQuality(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
+    "q_hybrid_rrf"        -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
+    "q_dup_coverage"      -> ((s, d) => DataQueries.dupCoverage(s, d)),
+    "q_k_anon"            -> ((s, d) => DataQueries.kAnon(s, d)),
+    "q_curriculum"        -> ((s, d) => DataQueries.curriculum(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -895,6 +899,133 @@ object SparkEntry {
          SELECT query_id, rnk, doc_id, n_terms,
            round(score_fx / 1000000.0, 6) AS bm25
          FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // RRF hybrid: both legs replayed (BM25 top-20 + dense cosine
+    // top-20 with query vector = embedding[query_id]), fused in exact
+    // integer micro-units (1000000 // (60 + rank)) over a full-outer
+    // merge — no float enters the fusion or the final ranking
+    "q_hybrid_rrf" ->
+      s"""WITH $TOKS_CTE,
+         q(query_id, term) AS (SELECT * FROM (VALUES
+           (1, 'spark'), (1, 'join'), (1, 'window'),
+           (2, 'hash'), (2, 'merge'), (2, 'batch'),
+           (3, 'customer'), (3, 'order'), (3, 'query'),
+           (4, 'vector'), (4, 'scan'), (4, 'filter'))),
+         st AS (SELECT count(*)::DOUBLE AS n,
+                  avg(len(tk)::DOUBLE) AS avgdl FROM toks),
+         tt AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM tt WHERE term IN (SELECT term FROM q)
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT qq.query_id, t.doc_id,
+                  CAST(round(1000000.0
+                    * ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                    * (t.tf * 2.2::DOUBLE)
+                    / (t.tf + 1.2::DOUBLE * (0.25 + 0.75 * t.dl / st.avgdl)))
+                    AS BIGINT) AS s_fx
+                FROM tf t JOIN dfq d USING (term) JOIN q qq USING (term), st),
+         pd AS (SELECT query_id, doc_id,
+                  CAST(sum(s_fx) AS BIGINT) AS score_fx
+                FROM sc GROUP BY query_id, doc_id),
+         lrk AS (SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_fx DESC, doc_id ASC) AS r_lex FROM pd),
+         lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, r_lex
+                 FROM lrk WHERE r_lex <= 20),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                WHERE vec_id BETWEEN 1 AND 4),
+         dsc AS (SELECT q.query_id, c.vec_id AS doc_id,
+                   list_dot_product(q.qe, c.ve) /
+                     (sqrt(list_dot_product(q.qe, q.qe)) *
+                      sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                 FROM qv q JOIN v c ON c.vec_id <> q.query_id),
+         drk AS (SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id ASC) AS r_dense FROM dsc),
+         dense AS (SELECT query_id, doc_id, r_dense FROM drk
+                   WHERE r_dense <= 20),
+         fused AS (SELECT coalesce(l.query_id, de.query_id) AS query_id,
+                     coalesce(l.doc_id, de.doc_id) AS doc_id,
+                     CAST(coalesce(1000000 // (60 + l.r_lex), 0)
+                        + coalesce(1000000 // (60 + de.r_dense), 0)
+                       AS BIGINT) AS rrf_fx,
+                     CAST((l.r_lex IS NOT NULL)::INT
+                        + (de.r_dense IS NOT NULL)::INT AS INT) AS n_src
+                   FROM lex l FULL OUTER JOIN dense de
+                     ON l.query_id = de.query_id AND l.doc_id = de.doc_id),
+         frk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_fx DESC, doc_id ASC) AS rnk FROM fused)
+         SELECT query_id, rnk, doc_id, rrf_fx, n_src
+         FROM frk WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // Duplicate-span coverage: shingle doc-frequency over the same
+    // distinct 3-gram shingle set (strings here; the Spark side counts
+    // on their h64 images — same alignment every dedup oracle uses)
+    "q_dup_coverage" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         dfx AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+         SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS coverage
+         FROM ex e JOIN dfx d USING (s)
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
+    // k-anonymity ladder: published-group sizes (not raw stratum
+    // counts) gate each generalization level; k = max(5, N // 100)
+    "q_k_anon" ->
+      """WITH tot AS (SELECT greatest(5, count(*) // 100) AS k
+                      FROM documents),
+         pc AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS pair_n
+                FROM documents GROUP BY 1, 2),
+         lr AS (SELECT lang, CAST(sum(pair_n) AS BIGINT) AS lang_rest
+                FROM pc, tot WHERE pair_n < k GROUP BY lang),
+         sr AS (SELECT CAST(coalesce(sum(lang_rest), 0) AS BIGINT)
+                  AS star_rest
+                FROM lr, tot WHERE lang_rest < k)
+         SELECT d.doc_id,
+           CASE WHEN p.pair_n >= t.k THEN d.lang
+                WHEN l.lang_rest >= t.k THEN d.lang
+                ELSE '*' END AS lang_k,
+           CASE WHEN p.pair_n >= t.k THEN d.source
+                ELSE '*' END AS source_k,
+           CASE WHEN p.pair_n >= t.k THEN p.pair_n
+                WHEN l.lang_rest >= t.k THEN l.lang_rest
+                ELSE s.star_rest END AS grp_n
+         FROM documents d
+         JOIN pc p USING (lang, source)
+         LEFT JOIN lr l USING (lang)
+         CROSS JOIN tot t CROSS JOIN sr s
+         ORDER BY d.doc_id""",
+    // Curriculum: per-lang quality-desc token cumsum; the phase split
+    // ((cum_before * 3) // total, capped at 2) is pure integer
+    "q_curriculum" ->
+      s"""WITH $TOKS_CTE,
+         q AS (SELECT doc_id, d.lang, len(tk) AS n_tok,
+                 0.4 * least(len(tk) / 100.0, 1.0)
+                 + 0.3 * (1.0 - coalesce(CASE WHEN len(toks.text) > 0 THEN
+                     (len(toks.text) - len(regexp_replace(toks.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / len(toks.text) END, 0.0))
+                 + 0.3 * least(coalesce(CASE WHEN len(tk) > 0 THEN
+                     len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                       / len(tk) END, 0.0) * 5.0, 1.0) AS qual
+               FROM toks JOIN documents d USING (doc_id)),
+         c AS (SELECT doc_id, lang, qual, CAST(n_tok AS BIGINT) AS n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY lang
+                   ORDER BY qual DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT)
+                   AS t_tok
+               FROM q)
+         SELECT doc_id, lang, round(qual, 6) AS quality, n_tok,
+           CASE WHEN t_tok > 0
+             THEN least(((cum_tok - n_tok) * 3) // t_tok, 2)
+             ELSE 0 END AS phase
+         FROM c ORDER BY doc_id""",
     // PageRank in integer micro-units over the symmetrized τ=0.1
     // jaccard-pair graph: 3 unrolled iterations, damping as the exact
     // rational 17/20 with floor division, teleport 150000 — every sum

@@ -1466,4 +1466,112 @@ object DataQueries {
         col("total_3grams"), col("uniq_3grams"), col("ttr_3gram"))
       .orderBy("source")
   }
+
+  /** Per-document duplicate-shingle coverage: the fraction of a doc's
+    * distinct 3-gram shingles that also occur in some OTHER document —
+    * the "how much of this doc is boilerplate/copied" span-level signal
+    * (the per-doc summary of exact-substring dedup à la Lee et al.,
+    * without materializing the substrings). A doc can survive every
+    * whole-doc dedup pass and still be 90% duplicated spans; this is
+    * the gate that catches it.
+    *
+    * Scale shape: only (doc_id, h64) rows ever shuffle — document text
+    * stays in the scan. Shingle doc-frequency is a map-combined
+    * hash-agg on the 60-bit hash; the join back is hash-to-hash.
+    * Docs with < 3 tokens have no shingles and drop out (mirrored by
+    * the oracle). */
+  def dupCoverage(s: SparkSession, d: String): DataFrame =
+    dupCoverageOf(Tables.documents(s, d))
+
+  /** [[dupCoverage]] over an arbitrary `(doc_id, text)` frame. */
+  def dupCoverageOf(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") >= 2).cast("long")).as("n_dup"))
+      .withColumn("coverage",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "n_dup", "coverage")
+      .orderBy("doc_id")
+  }
+
+  /** k-anonymity generalization over the (lang, source) quasi-identifier
+    * pair — the privacy gate a corpus release runs over its metadata.
+    * k is scale-relative (max(5, N div 100)) so the suppression is
+    * exercised at every scale factor. Two-level ladder: a (lang, source)
+    * group of size ≥ k publishes as-is; a failing pair generalizes
+    * source→'*' and re-checks the size of the PUBLISHED (lang, '*')
+    * group (= the sum of that lang's failing pairs — not the whole
+    * lang count, which would overstate the anonymity set); still
+    * failing → full suppression to ('*','*'). `grp_n` is the size of
+    * the group each row is published in, so `min(grp_n) ≥ k` holds on
+    * the output whenever any level passes.
+    *
+    * Scale shape: three telemetry-sized aggregates (pairs, langs, one
+    * scalar), all broadcast back onto a map-only pass over the ids —
+    * no data-sized shuffle at all. */
+  def kAnon(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+    val kDf = docs.agg(count(lit(1)).as("__n"))
+      .select(greatest(lit(5L), expr("__n div 100")).as("k"))
+    val pairCnt = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("pair_n"))
+      .crossJoin(broadcast(kDf))
+    val langRest = pairCnt.filter(col("pair_n") < col("k"))
+      .groupBy("lang", "k").agg(sum(col("pair_n")).as("lang_rest"))
+    val starRest = langRest.filter(col("lang_rest") < col("k"))
+      .agg(coalesce(sum(col("lang_rest")), lit(0L)).as("star_rest"))
+    docs
+      .join(broadcast(pairCnt), Seq("lang", "source"))
+      .join(broadcast(langRest.select("lang", "lang_rest")), Seq("lang"), "left")
+      .crossJoin(broadcast(starRest))
+      .withColumn("lang_k",
+        when(col("pair_n") >= col("k"), col("lang"))
+          .when(col("lang_rest") >= col("k"), col("lang"))
+          .otherwise(lit("*")))
+      .withColumn("source_k",
+        when(col("pair_n") >= col("k"), col("source")).otherwise(lit("*")))
+      .withColumn("grp_n",
+        when(col("pair_n") >= col("k"), col("pair_n"))
+          .when(col("lang_rest") >= col("k"), col("lang_rest"))
+          .otherwise(col("star_rest")))
+      .select("doc_id", "lang_k", "source_k", "grp_n")
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum phase assignment: within each language, documents are
+    * ordered best-quality-first and the running token mass splits into
+    * three phases of equal token budget — the quality-annealed ordering
+    * (clean data early, tail later) a pretraining run consumes. Phase
+    * arithmetic is pure integer (`(cum_before * 3) div total`), so the
+    * boundary is engine-exact; only the ordering key itself is float,
+    * with ties broken by doc_id like every other ranking here.
+    *
+    * Scale shape: one shuffle on lang for both windows (cumsum and the
+    * per-lang total share the partitioning). Languages are a bounded
+    * stratum; for per-source curricula at huge fan-out, the same shape
+    * applies per (lang, shard) as in q_pack_shards. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val wc = Window.partitionBy("lang")
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("lang")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum("n_tok").over(wc))
+      .withColumn("t_tok", sum("n_tok").over(wt))
+      .withColumn("phase",
+        when(col("t_tok") > 0,
+          least(expr("((cum_tok - n_tok) * 3) div t_tok"), lit(2L)))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("lang"), round(col("q"), 6).as("quality"),
+        col("n_tok"), col("phase"))
+      .orderBy("doc_id")
+  }
 }

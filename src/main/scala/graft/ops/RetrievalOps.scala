@@ -87,4 +87,45 @@ object RetrievalOps {
         round(col("score_fx") / 1e6, 6).as("bm25"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    * top-`kEach` and a dense cosine top-`kEach` (query vector = the
+    * embedding whose vec_id equals the query_id, over the shared
+    * doc_id↔vec_id key space) merge with the standard RRF score
+    * `Σ 1/(60 + rank)` — here in exact integer micro-units
+    * (`1000000 div (60 + r)`), so fusion, ties and the final ranking
+    * are engine-identical with no float in sight. A doc ranked by only
+    * one side contributes only that side (full-outer merge) — exactly
+    * the partial-coverage case of a dense index that lags the lexical
+    * one (sf0.1 ships 5000 docs but only 2000 embeddings).
+    *
+    * Scale shape: both legs end in per-query top-`kEach` lists (query
+    * count × kEach rows — telemetry-sized), so the fusion join and
+    * final window cost nothing; the heavy lifting is the legs
+    * themselves, which keep their documented inverted-probe /
+    * broadcast-queries shapes. */
+  def hybridRrf(s: SparkSession, d: String, kEach: Int = 20,
+                topK: Int = 5): DataFrame = {
+    val lex = bm25TopKOf(Tables.documents(s, d), QuerySet, kEach)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id"), col("rnk").as("r_lex"))
+    val emb = Tables.embeddings(s, d)
+    val dense = VectorOps.cosineTopK(
+        emb.filter(col("vec_id").between(1, 4)), emb, "vec_id", "embedding",
+        kEach)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fx",
+        coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_dense)"), lit(0L)))
+      .withColumn("n_src",
+        col("r_lex").isNotNull.cast("int") +
+          col("r_dense").isNotNull.cast("int"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fx").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select("query_id", "rnk", "doc_id", "rrf_fx", "n_src")
+      .orderBy("query_id", "rnk")
+  }
 }

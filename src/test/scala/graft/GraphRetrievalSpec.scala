@@ -157,4 +157,98 @@ class GraphRetrievalSpec extends SparkSpec {
       assert(ttr > 0 && ttr <= 1.0)
     }
   }
+
+  test("hybrid rrf: integer fusion scores, per-query ranking laws, determinism") {
+    val out = RetrievalOps.hybridRrf(spark, sf).collect()
+    assert(out.length == 20, s"4 queries x top-5: ${out.length}")
+    // every fused score decomposes into at most two legal RRF terms
+    val legal = (1 to 20).map(r => 1000000L / (60 + r)).toSet
+    out.foreach { r =>
+      val (fx, nSrc) = (r.getLong(3), r.getInt(4))
+      assert(nSrc == 1 || nSrc == 2, s"n_src: $nSrc")
+      if (nSrc == 1) assert(legal(fx), s"single-source score $fx not 1e6//(60+r)")
+      else assert(legal.exists(a => legal(fx - a)), s"two-source score $fx")
+    }
+    // rank-desc within each query, rnk dense 1..5
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"q$q ranks")
+      val fxs = sorted.map(_.getLong(3))
+      assert(fxs.zip(fxs.tail).forall { case (a, b) => a >= b }, s"q$q order")
+    }
+    val again = RetrievalOps.hybridRrf(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("dup coverage: exact-duplicate docs are fully covered; bounds hold") {
+    val out = DataQueries.dupCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, d, c) =>
+      assert(n > 0 && d >= 0 && d <= n)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // fixture: a copied doc is fully covered, a unique one not at all,
+    // and a half-copied one covers exactly its shared shingles
+    val fx = Seq(
+      (1L, "aa bb cc dd ee"),            // copied verbatim by doc 2
+      (2L, "aa bb cc dd ee"),
+      (3L, "xx yy zz ww vv"),            // unique
+      (4L, "aa bb cc qq rr ss tt"))      // shares exactly "aa bb cc" with 1/2
+      .toDF("doc_id", "text")
+    val f = DataQueries.dupCoverageOf(fx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(f(1L) == ((3L, 3L, 1.0)) && f(2L) == ((3L, 3L, 1.0)), s"$f")
+    assert(f(3L) == ((3L, 0L, 0.0)), s"$f")
+    assert(f(4L) == ((5L, 1L, 0.2)), s"$f")
+  }
+
+  test("k-anon: grp_n is the true published-group size; non-star groups pass k") {
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val k = math.max(5L, n / 100)
+    val out = DataQueries.kAnon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == n)
+    val published = out.groupBy(t => (t._2, t._3)).map { case (g, rows) =>
+      g -> rows.length.toLong
+    }
+    out.foreach { case (id, lk, sk, grpN) =>
+      assert(grpN == published((lk, sk)),
+        s"doc $id claims grp_n=$grpN but published group ${(lk, sk)} has ${published((lk, sk))}")
+      // any group still carrying real identifiers satisfies k-anonymity;
+      // only the last-resort ('*','*') bucket may fall below k
+      if (lk != "*") assert(grpN >= k, s"group ${(lk, sk)} size $grpN < k=$k")
+      if (sk != "*") assert(lk != "*", "source kept but lang suppressed")
+    }
+  }
+
+  test("curriculum: phases partition each language's token mass into thirds") {
+    val out = DataQueries.curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.forall(t => t._5 >= 0 && t._5 <= 2))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      // phase is monotone along the curriculum order; the output carries
+      // ROUNDED quality, so compare across distinct quality values only
+      // (rounding is monotone, so distinct rounded values order exactly)
+      val byQ = rows.groupBy(_._3).toSeq.sortBy(-_._1)
+        .map { case (q, rs) => (q, rs.map(_._5)) }
+      byQ.zip(byQ.tail).foreach { case ((qHi, hi), (qLo, lo)) =>
+        assert(hi.max <= lo.min,
+          s"$lang: phase not monotone across quality $qHi -> $qLo")
+      }
+      val total = rows.map(_._4).sum
+      if (total > 0) {
+        val maxDoc = rows.map(_._4).max
+        val p0 = rows.filter(_._5 == 0L).map(_._4).sum
+        // the straddling doc is the only slack around the exact third
+        assert(math.abs(p0 - total / 3) <= maxDoc,
+          s"$lang: phase-0 mass $p0 vs third ${total / 3} (maxDoc $maxDoc)")
+      }
+    }
+  }
 }
