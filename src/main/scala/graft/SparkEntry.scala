@@ -132,6 +132,8 @@ object SparkEntry {
     "q_dup_coverage"      -> ((s, d) => DataQueries.dupCoverage(s, d)),
     "q_k_anon"            -> ((s, d) => DataQueries.kAnon(s, d)),
     "q_curriculum"        -> ((s, d) => DataQueries.curriculum(s, d)),
+    "q_minhash_err"       -> ((s, d) => DataQueries.minhashErr(s, d)),
+    "q_skew_report"       -> ((s, d) => DataQueries.skewReport(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1930,6 +1932,84 @@ object SparkEntry {
          FROM cand JOIN sig x ON x.doc = doc_a
                    JOIN sig y ON y.doc = doc_b AND x.i = y.i
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Estimator calibration: q_lsh_pairs' candidates + estimate, next
+    // to the exact shingle-set Jaccard (left join keeps pure band-hash
+    // collisions at jaccard 0)
+    "q_minhash_err" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         bands AS (SELECT doc, i // 2 AS band,
+                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         est AS (SELECT doc_a, doc_b,
+                   count(*) FILTER (x.sigv = y.sigv) / 32.0 AS est
+                 FROM cand JOIN sig x ON x.doc = doc_a
+                           JOIN sig y ON y.doc = doc_b AND x.i = y.i
+                 GROUP BY 1, 2),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                     count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT e.doc_a, e.doc_b, e.est,
+                 coalesce(i.inter, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jac
+               FROM est e
+               LEFT JOIN inter i ON i.da = e.doc_a AND i.db = e.doc_b
+               JOIN sizes sa ON e.doc_a = sa.doc_id
+               JOIN sizes sb ON e.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, round(est, 6) AS est_jaccard,
+           round(jac, 6) AS jaccard, round(abs(est - jac), 6) AS abs_err
+         FROM j ORDER BY doc_a, doc_b""",
+    // Skew telemetry: per candidate-generation key space, bucket-count
+    // stats and the exact pair fan-out Σ c·(c−1)/2 the bucket
+    // self-join would emit
+    "q_skew_report" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         exsh AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         shc AS (SELECT count(*) AS c FROM exsh GROUP BY s),
+         bands AS (SELECT doc, i // 2 AS band,
+                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY 1, 2),
+         bc AS (SELECT count(*) AS c FROM bands GROUP BY band, bh),
+         tt AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+         th AS (SELECT doc_id, ${H64.format("t")} AS h FROM tt),
+         bits AS (SELECT doc_id, j,
+                    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+                  FROM th, range(48) AS r(j) GROUP BY 1, 2),
+         simh AS (SELECT doc_id AS doc,
+                    sum(CASE WHEN sc > 0 THEN 1::BIGINT << j ELSE 0 END) AS sh48
+                  FROM bits GROUP BY 1),
+         segs AS (SELECT doc, sg.j AS seg, (sh48 >> (sg.j * 9)) & 511 AS segbits
+                  FROM simh, range(5) AS sg(j)),
+         sgc AS (SELECT count(*) AS c FROM segs GROUP BY seg, segbits),
+         stats AS (
+           SELECT 'band' AS domain, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_bucket,
+             round(sum(c)::DOUBLE / count(*), 6) AS mean_bucket,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_fanout
+           FROM bc
+           UNION ALL
+           SELECT 'shingle', CAST(count(*) AS BIGINT),
+             CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT),
+             round(sum(c)::DOUBLE / count(*), 6),
+             CAST(sum(c * (c - 1) // 2) AS BIGINT)
+           FROM shc
+           UNION ALL
+           SELECT 'simseg', CAST(count(*) AS BIGINT),
+             CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT),
+             round(sum(c)::DOUBLE / count(*), 6),
+             CAST(sum(c * (c - 1) // 2) AS BIGINT)
+           FROM sgc)
+         SELECT * FROM stats ORDER BY domain""",
     // LSH candidates re-confirmed by Levenshtein on a 256-char prefix;
     // both engines' levenshtein are unit-cost char DPs, so the distance
     // and the normalized similarity agree exactly

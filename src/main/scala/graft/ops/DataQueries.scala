@@ -1574,4 +1574,88 @@ object DataQueries {
         col("n_tok"), col("phase"))
       .orderBy("doc_id")
   }
+
+  /** MinHash estimator calibration: for every LSH candidate pair
+    * (k=32, r=2 — the q_lsh_pairs config), the signature-agreement
+    * Jaccard estimate next to the EXACT shingle-set Jaccard and the
+    * absolute error — the "can I trust the screen's τ threshold"
+    * telemetry that decides band/row parameters before a corpus-wide
+    * dedup run commits to them.
+    *
+    * Scale shape: exact Jaccard is computed ONLY for documents that
+    * appear in some candidate pair (semi-join prune before the
+    * inverted-index self-join), so the exact pass costs candidate-set
+    * work, not corpus² — the calibration-sample pattern. A candidate
+    * pair with zero truly-shared shingles (pure band-hash collision)
+    * keeps jaccard 0 via the left join. */
+  def minhashErr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32)
+    val cand = DedupOps.lshCandidates(sig, k = 32, r = 2)
+    val inCand = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val ex = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
+      .join(inCand, Seq("doc_id"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("h"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+        Seq("doc_b"))
+      .withColumn("jac", coalesce(col("inter"), lit(0L)).cast("double") /
+        (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jac"), 6).as("jaccard"),
+        round(abs(col("est_jaccard") - col("jac")), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Join-key skew report over the three candidate-generation key
+    * spaces the dedup pipeline shuffles on — shingle inverted index,
+    * MinHash-LSH band buckets (k=32, r=2), and SimHash pigeonhole
+    * segments (48 bits, 5 segments) — with, per domain, the bucket
+    * count, row count, heaviest bucket, mean bucket, and the
+    * worst-case candidate fan-out Σ c·(c−1)/2: the single number that
+    * predicts whether the bucket self-join blows up at the next scale
+    * jump (it's the row count the join EMITS). This is the telemetry
+    * that justifies the doc-freq cap / banded-LSH skew levers before a
+    * 100 TB run, instead of discovering the hot key from a straggler.
+    *
+    * Scale shape: each domain is a map-combined count on its own key
+    * followed by a 1-row aggregate — no pair is ever materialized. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def stats(dom: String, counts: DataFrame): DataFrame =
+      counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_bucket"),
+          sum(expr("c * (c - 1) div 2")).as("pair_fanout"))
+        .select(lit(dom).as("domain"), col("n_keys"), col("n_rows"),
+          col("max_bucket"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6)
+            .as("mean_bucket"),
+          col("pair_fanout"))
+    val shingle = docs
+      .select(explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val band = DedupOps.lshBands(
+        DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32), k = 32, r = 2)
+      .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+    val simseg = DedupOps.simhash(docs, "doc_id", "text")
+      .select(col("doc"), explode(sequence(lit(0), lit(4))).as("seg"),
+        col("simhash"))
+      .withColumn("segbits", expr("shiftright(simhash, seg * 9) & 511"))
+      .groupBy("seg", "segbits").agg(count(lit(1)).as("c"))
+    stats("band", band)
+      .unionByName(stats("shingle", shingle))
+      .unionByName(stats("simseg", simseg))
+      .orderBy("domain")
+  }
 }

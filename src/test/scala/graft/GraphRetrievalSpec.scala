@@ -225,6 +225,50 @@ class GraphRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("minhash err: estimates are multiples of 1/32 and err is |est - exact|") {
+    val out = DataQueries.minhashErr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, est, jac, err) =>
+      assert(a < b)
+      // 32-component signature: agreement fraction is m/32
+      assert((est * 32).round / 32.0 == est, s"($a,$b) est $est not m/32")
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(err - math.abs(est - jac)) < 1.5e-6,
+        s"($a,$b) err $err vs |$est - $jac|")
+    }
+    // the LSH screen threshold story holds: most candidates are real
+    // near-dups, so the mean abs error stays well under the tau=0.3 gap
+    val meanErr = out.map(_._5).sum / out.length
+    assert(meanErr < 0.25, s"mean |est-exact| $meanErr — estimator broken?")
+  }
+
+  test("skew report: per-domain totals reconcile; fan-out bounds hold") {
+    val out = DataQueries.skewReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(out.keySet == Set("band", "shingle", "simseg"))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(TextOps.tokenCount(col("text")).as("nt"))
+    val nDocsShingled = docs.filter(col("nt") >= 3).count()
+    val nDocsTok = docs.filter(col("nt") > 0).count()
+    // every doc with >=3 tokens lands in exactly 16 band buckets (k=32, r=2)
+    assert(out("band")._2 == 16 * nDocsShingled,
+      s"band rows ${out("band")._2} vs 16*$nDocsShingled")
+    // and in exactly 5 simhash segments when it has any token
+    assert(out("simseg")._2 == 5 * nDocsTok,
+      s"simseg rows ${out("simseg")._2} vs 5*$nDocsTok")
+    out.foreach { case (dom, (nKeys, nRows, maxB, meanB, fanout)) =>
+      assert(nKeys > 0 && nRows >= nKeys && maxB >= 1)
+      assert(math.abs(meanB - nRows.toDouble / nKeys) < 1e-6, s"$dom mean")
+      // the heaviest bucket alone contributes max*(max-1)/2 pairs
+      assert(fanout >= maxB * (maxB - 1) / 2, s"$dom fanout lower bound")
+      assert(fanout <= nRows * (nRows - 1) / 2, s"$dom fanout upper bound")
+    }
+  }
+
   test("curriculum: phases partition each language's token mass into thirds") {
     val out = DataQueries.curriculum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
