@@ -134,6 +134,8 @@ object SparkEntry {
     "q_curriculum"        -> ((s, d) => DataQueries.curriculum(s, d)),
     "q_minhash_err"       -> ((s, d) => DataQueries.minhashErr(s, d)),
     "q_skew_report"       -> ((s, d) => DataQueries.skewReport(s, d)),
+    "q_pca_project"       -> ((s, d) =>
+      graft.ops.VectorOps.pcaProject(graft.Tables.embeddings(s, d))),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -2281,6 +2283,35 @@ object SparkEntry {
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
          FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    // Fixed-point power iteration: integer second-moment matrix, 3
+    // unrolled integer matvec+rescale steps (div/`//` both truncate
+    // toward zero), integer projections — bit-exact replay
+    "q_pca_project" ->
+      """WITH f0 AS (SELECT vec_id, label,
+                  unnest(range(len(embedding))) AS i,
+                  unnest(embedding) AS x FROM embeddings),
+         f AS (SELECT vec_id, label, i,
+                 CAST(round(x::DOUBLE * 1e6) AS BIGINT) AS vi FROM f0),
+         cov AS (SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.vi * b.vi) AS BIGINT) AS sij
+                 FROM f a JOIN f b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         cq AS (SELECT i, j, sij // 1000000 AS cq FROM cov),
+         w1p AS (SELECT i, CAST(sum(cq * 1000000) AS BIGINT) AS wp
+                 FROM cq GROUP BY i),
+         m1 AS (SELECT greatest(max(abs(wp)) // 1000000, 1) AS mq FROM w1p),
+         w1 AS (SELECT i, wp // mq AS wv FROM w1p, m1),
+         w2p AS (SELECT c.i, CAST(sum(c.cq * w.wv) AS BIGINT) AS wp
+                 FROM cq c JOIN w1 w ON w.i = c.j GROUP BY c.i),
+         m2 AS (SELECT greatest(max(abs(wp)) // 1000000, 1) AS mq FROM w2p),
+         w2 AS (SELECT i, wp // mq AS wv FROM w2p, m2),
+         w3p AS (SELECT c.i, CAST(sum(c.cq * w.wv) AS BIGINT) AS wp
+                 FROM cq c JOIN w2 w ON w.i = c.j GROUP BY c.i),
+         m3 AS (SELECT greatest(max(abs(wp)) // 1000000, 1) AS mq FROM w3p),
+         w3 AS (SELECT i, wp // mq AS wv FROM w3p, m3)
+         SELECT f.vec_id, f.label,
+           CAST(sum(f.vi * w.wv) AS BIGINT) AS proj_fx
+         FROM f JOIN w3 w ON w.i = f.i
+         GROUP BY 1, 2 ORDER BY vec_id""",
     "q_ivf_topk" -> IVF_TOPK_SQL,
     // persisted-inverted-lists probe: same semantics, different
     // physical plan (zero-exchange co-bucketed join) — one oracle

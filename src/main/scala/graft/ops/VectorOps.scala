@@ -737,4 +737,60 @@ object VectorOps {
           .filter(col("rank") <= k)
           .select("query_id", "cand_id", "cos", "rank")
     }
+
+  /** Dominant principal direction by fixed-point power iteration, plus
+    * every vector's projection onto it — the "what axis carries the
+    * variance, and which examples sit at its extremes" telemetry behind
+    * embedding whitening / outlier triage. ALL arithmetic is integer:
+    * components quantize to micro-units, the (uncentered) second-moment
+    * matrix is an exact integer sum, each of the 3 unrolled iterations
+    * is an integer matvec followed by a truncating-div rescale (Spark
+    * `div` and DuckDB `//` both truncate toward zero, so negative
+    * components agree), and the projection is a sum of exact products —
+    * the whole thing replays bit-for-bit in the oracle. Sign is pinned
+    * by the deterministic all-ones start.
+    *
+    * Scale shape: the moment matrix comes from a DOUBLE EXPLODE of each
+    * row (d² map-only products, no join, no shuffle of vector rows)
+    * into a d²-group hash-agg; every iteration then runs on d-sized
+    * tables (broadcast matvec against the d²-row matrix); the final
+    * projection is one broadcast join against the exploded scan.
+    * Nothing data-sized ever shuffles except the d²-key partial agg.
+    * Overflow headroom: |Σ v_i·v_j| ≤ N·1e12 micro² keeps the partial
+    * sums in BIGINT up to ~9M vectors; past that, rescale the unit (the
+    * comment contract, not a silent cap). */
+  def pcaProject(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val fix = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        round(col("x") * lit(1e6), 0).cast("long").as("vi"))
+    // second-moment matrix via double explode: (i, j, vi*vj) per row
+    val exi = emb
+      .select(col("embedding").cast("array<double>").as("ve"))
+      .select(col("ve"), posexplode(col("ve")).as(Seq("i", "x")))
+      .select(col("i"), round(col("x") * lit(1e6), 0).cast("long").as("vi"),
+        posexplode(col("ve")).as(Seq("j", "y")))
+      .select(col("i"), col("j"),
+        (col("vi") * round(col("y") * lit(1e6), 0).cast("long")).as("p"))
+    val cov = exi.groupBy("i", "j").agg(sum("p").as("sij"))
+      .withColumn("cq", expr("sij div 1000000"))
+      .select("i", "j", "cq")
+    def matvec(w: DataFrame): DataFrame =
+      cov.join(broadcast(w.select(col("i").as("j"), col("wv"))), Seq("j"))
+        .groupBy("i").agg(sum(expr("cq * wv")).as("wp"))
+    def renorm(wp: DataFrame): DataFrame = {
+      val m = wp.agg(greatest(expr("max(abs(wp)) div 1000000"), lit(1L))
+        .as("mq"))
+      wp.crossJoin(broadcast(m)).select(col("i"), expr("wp div mq").as("wv"))
+    }
+    val s = emb.sparkSession
+    val w0 = s.range(dim).select(col("id").cast("int").as("i"),
+      lit(1000000L).as("wv"))
+    val w3 = (1 to 3).foldLeft(w0)((w, _) => renorm(matvec(w)))
+    fix.join(broadcast(w3), Seq("i"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("vi * wv")).as("proj_fx"))
+      .select("vec_id", "label", "proj_fx")
+      .orderBy("vec_id")
+  }
 }

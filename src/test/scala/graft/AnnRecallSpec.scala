@@ -58,4 +58,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(rm >= rs)
     assert(rm >= 0.4, f"multi-table recall too low: $rm%.3f")
   }
+
+  test("pca power iteration: hand-computed integer trace on a 2-d fixture") {
+    import spark.implicits._
+    // dominant axis e0 (two unit vectors), minor axis e1 (one half vector)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.pcaProject(emb, dim = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // cq = [[2e6, 0], [0, 250000]]; w0=(1e6,1e6)
+    // it1: wp=(2e12, 2.5e11)  m=2e6 -> w=(1e6, 125000)
+    // it2: wp=(2e12, 3.125e10)      -> w=(1e6, 15625)
+    // it3: wp=(2e12, 3.90625e9)     -> w=(1e6, 1953)   [trunc div]
+    assert(out(1L) == 1000000000000L, s"$out")
+    assert(out(2L) == 1000000000000L, s"$out")
+    assert(out(3L) == 500000L * 1953L, s"$out")
+  }
+
+  test("pca on the real table: projections are sign-pinned and discriminative") {
+    val out = VectorOps.pcaProject(Tables.embeddings(spark, d)).collect()
+    assert(out.length == 500)
+    val projs = out.map(_.getLong(2))
+    assert(projs.distinct.length > 400, "projections should spread")
+    // deterministic: a second run is bit-identical
+    val again = VectorOps.pcaProject(Tables.embeddings(spark, d)).collect()
+      .map(_.getLong(2))
+    assert(projs.sameElements(again))
+  }
 }
