@@ -66,9 +66,12 @@ object RetrievalOps {
     val hits = toks.join(broadcast(q.select("term").distinct()), Seq("term"))
     val tf = hits.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency as a window over the (small) tf table — one
+    // exchange of query-term-sized data, instead of a broadcast whose
+    // subtree would re-run the corpus explode a second time
     val scored = tf
-      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
       // association order mirrored EXACTLY by the oracle SQL

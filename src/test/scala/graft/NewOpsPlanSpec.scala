@@ -210,13 +210,17 @@ class NewOpsPlanSpec extends SparkSpec {
   test("bm25: query-vocabulary probe broadcasts; only the stats scalar nests") {
     val p = plan(graft.ops.RetrievalOps.bm25TopK(spark, sf))
     assert(!p.contains("CartesianProduct"), s"bm25 degraded:\n$p")
-    // term semi-join + df + query expansion are all literal/tiny-side
-    // broadcast hash joins; the lone nested loop is the 1-row N/avgdl
-    // scalar attach (same legitimate shape as lm_score's vocab scalar)
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+    // term semi-join + query expansion are literal/tiny-side broadcast
+    // hash joins; df rides a window over the tf table (NOT a broadcast
+    // whose subtree would re-scan the corpus); the lone nested loop is
+    // the 1-row N/avgdl scalar attach (same shape as lm_score's vocab)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"bm25 lost its broadcast probe shape:\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       s"unexpected nested-loop joins:\n$p")
+    // exactly two corpus passes: the token probe and the N/avgdl scalar
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"bm25 re-scans the corpus:\n$p")
   }
 
   test("pagerank: every per-iteration join is hash-able, never a nested loop") {
