@@ -136,6 +136,8 @@ object SparkEntry {
     "q_skew_report"       -> ((s, d) => DataQueries.skewReport(s, d)),
     "q_pca_project"       -> ((s, d) =>
       graft.ops.VectorOps.pcaProject(graft.Tables.embeddings(s, d))),
+    "q_para_pairs"        -> ((s, d) => DataQueries.paraPairs(s, d)),
+    "q_cluster_sample"    -> ((s, d) => DataQueries.clusterSample(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1968,6 +1970,49 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(est, 6) AS est_jaccard,
            round(jac, 6) AS jaccard, round(abs(est - jac), 6) AS abs_err
          FROM j ORDER BY doc_a, doc_b""",
+    // Cross-source near-dup mining: q_jaccard_pairs' pair set with
+    // sources attached, same-source pairs dropped
+    "q_para_pairs" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b,
+                 inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
+           round(jac, 6) AS jaccard
+         FROM j JOIN documents da ON da.doc_id = doc_a
+                JOIN documents db ON db.doc_id = doc_b
+         WHERE jac >= 0.1 AND da.source <> db.source
+         ORDER BY doc_a, doc_b""",
+    // Cluster-balanced subsample: the q_topic_quality IVF assignment +
+    // salted-hash quota rank per cluster (no rand())
+    "q_cluster_sample" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+               WHERE embedding IS NOT NULL),
+         cent AS (SELECT vec_id AS cid, ve AS cv FROM v
+                  ORDER BY vec_id LIMIT 16),
+         ac AS (SELECT v.vec_id, cent.cid,
+                  list_dot_product(v.ve, cent.cv) /
+                    (sqrt(list_dot_product(v.ve, v.ve)) *
+                     sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+                FROM v CROSS JOIN cent),
+         asg AS (SELECT vec_id, cid AS list_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid ASC) AS rn FROM ac)
+                 WHERE rn = 1),
+         h AS (SELECT vec_id, list_id,
+                 ${H64.format("'csample:' || vec_id")} AS hk FROM asg),
+         r AS (SELECT *, row_number() OVER (PARTITION BY list_id
+                 ORDER BY hk, vec_id) AS rk FROM h)
+         SELECT list_id, rk, vec_id FROM r WHERE rk <= 20
+         ORDER BY list_id, rk""",
     // Skew telemetry: per candidate-generation key space, bucket-count
     // stats and the exact pair fan-out Σ c·(c−1)/2 the bucket
     // self-join would emit

@@ -1658,4 +1658,56 @@ object DataQueries {
       .unionByName(stats("simseg", simseg))
       .orderBy("domain")
   }
+
+  /** Cross-source near-duplicate mining: the τ=0.1 Jaccard pairs whose
+    * two documents come from DIFFERENT sources — mirror/syndication
+    * detection, and the positive-pair mining step a contrastive
+    * (paraphrase) training set consumes, where same-source near-dups
+    * are template noise but cross-source ones are genuine rephrasings.
+    *
+    * Scale shape: rides jaccardPairs' shared-exchange inverted index
+    * unchanged; sources attach by id-keyed joins against the (small)
+    * pair table, so text and metadata never enter the pair shuffle.
+    * On a duplication-heavy corpus pass a doc-freq cap exactly as
+    * q_jaccard_capped does — the pair generator is the same. */
+  def paraPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, None)
+    val meta = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), Seq("doc_b"))
+      .filter(col("source_a") =!= col("source_b"))
+      .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Semantic-diversity subsample: per IVF cluster (the 16 lowest-id
+    * centroids — q_topic_quality's assignment), keep up to `quota`
+    * vectors in salted-hash order. Clusters smaller than the quota
+    * survive whole; dominant topics are capped — the
+    * cluster-balanced selection that keeps a subsample semantically
+    * representative instead of mirroring the corpus's topic skew.
+    * Deterministic (no rand()): same members on every engine, run,
+    * and retry.
+    *
+    * Scale shape: assignment is the literal-centroid map-only pass;
+    * the quota rank is one window keyed by cluster (bounded stratum
+    * count — same posture as q_pack_shards for huge fan-outs). */
+  def clusterSample(s: SparkSession, d: String, quota: Int = 20): DataFrame = {
+    val (assigned, _) = VectorOps.ivfAssignments(Tables.embeddings(s, d),
+      "vec_id", "embedding", nlists = 16, nprobe = 1, queryPred = lit(false))
+    val w = Window.partitionBy("list_id")
+      .orderBy(col("hk").asc, col("vid").asc)
+    assigned.select(col("vid"), col("list_id"))
+      .withColumn("hk",
+        TextOps.h64(concat(lit("csample:"), col("vid"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("list_id"), col("rk"), col("vid").as("vec_id"))
+      .orderBy("list_id", "rk")
+  }
 }

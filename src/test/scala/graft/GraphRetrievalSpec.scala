@@ -269,6 +269,43 @@ class GraphRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("para pairs: exactly the cross-source subset of the jaccard pairs") {
+    val all = graft.ops.DedupOps
+      .jaccardPairs(graft.Tables.documents(spark, sf), "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val para = DataQueries.paraPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getString(3), r.getDouble(4))))
+    assert(para.nonEmpty)
+    para.foreach { case (k @ (a, b), (sa, sb, j)) =>
+      assert(sa != sb, s"same-source pair $k leaked")
+      assert(sa == srcOf(a) && sb == srcOf(b), s"source mismatch $k")
+      assert(all.contains(k), s"pair $k not in the jaccard set")
+      assert(math.abs(all(k) - j) < 1e-6)
+    }
+    val expected = all.keys.count { case (a, b) => srcOf(a) != srcOf(b) }
+    assert(para.length == expected,
+      s"cross-source subset: got ${para.length}, expected $expected")
+  }
+
+  test("cluster sample: quota per cluster, dense ranks, deterministic") {
+    val out = DataQueries.clusterSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).distinct.length == out.length, "member repeated")
+    out.groupBy(_._1).foreach { case (cl, rows) =>
+      val rks = rows.map(_._2).sorted
+      assert(rks.length <= 20, s"cluster $cl over quota")
+      assert(rks.toSeq == (1 to rks.length), s"cluster $cl ranks not dense")
+    }
+    val again = DataQueries.clusterSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sameElements(again), "sample not deterministic")
+  }
+
   test("curriculum: phases partition each language's token mass into thirds") {
     val out = DataQueries.curriculum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
