@@ -778,11 +778,14 @@ object VectorOps {
     def matvec(w: DataFrame): DataFrame =
       cov.join(broadcast(w.select(col("i").as("j"), col("wv"))), Seq("j"))
         .groupBy("i").agg(sum(expr("cq * wv")).as("wp"))
-    def renorm(wp: DataFrame): DataFrame = {
-      val m = wp.agg(greatest(expr("max(abs(wp)) div 1000000"), lit(1L))
-        .as("mq"))
-      wp.crossJoin(broadcast(m)).select(col("i"), expr("wp div mq").as("wv"))
-    }
+    // rescale via a global window over the d-row vector (d is tiny by
+    // construction) — an agg + crossJoin here would duplicate the wp
+    // subtree per iteration and double the plan each step
+    def renorm(wp: DataFrame): DataFrame =
+      wp.withColumn("mx",
+          max(abs(col("wp"))).over(Window.partitionBy(lit(1))))
+        .select(col("i"),
+          expr("wp div greatest(mx div 1000000, 1L)").as("wv"))
     val s = emb.sparkSession
     val w0 = s.range(dim).select(col("id").cast("int").as("i"),
       lit(1000000L).as("wv"))

@@ -251,4 +251,46 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!exchanges.contains("text"),
       s"document text rides a shuffle:\n$exchanges")
   }
+
+  test("dup coverage: only (doc_id, h64) rows shuffle — never text") {
+    val p = plan(DataQueries.dupCoverage(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"coverage degraded:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
+  }
+
+  test("skew report: pure aggregates and a union — no join anywhere") {
+    val p = plan(DataQueries.skewReport(spark, sf))
+    assert(!p.contains("Join"), s"skew telemetry should never join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
+  }
+
+  test("pca: moment matrix is map-only into a d²-key agg; matvecs broadcast") {
+    val p = plan(graft.ops.VectorOps.pcaProject(
+      Tables.embeddings(spark, sf)))
+    // no sort-merge join anywhere: the per-iteration matvec joins the
+    // d²-row matrix against a broadcast d-row vector, the projection
+    // joins the exploded scan against the broadcast final vector
+    assert(!p.contains("SortMergeJoin"), s"matvec shuffled:\n$p")
+    // rescales are windows over the d-row vector — no nested loops at
+    // all, and no per-iteration plan doubling
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"unexpected nested loops:\n$p")
+    // no embedding array ever rides an exchange: the double explode
+    // reduces rows to (i, j, product) before the first shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("embedding"),
+      s"raw vectors ride a shuffle:\n$exchanges")
+  }
+
+  test("k-anon / cluster sample: map-only passes over broadcast stats") {
+    val pk = plan(DataQueries.kAnon(spark, sf))
+    assert(!pk.contains("SortMergeJoin"),
+      s"k-anon stats should broadcast, not shuffle the ids:\n$pk")
+    val pc = plan(DataQueries.clusterSample(spark, sf))
+    assert(!pc.contains("Join"),
+      s"cluster sample is assignment + window, no join:\n$pc")
+  }
 }
