@@ -138,6 +138,7 @@ object SparkEntry {
       graft.ops.VectorOps.pcaProject(graft.Tables.embeddings(s, d))),
     "q_para_pairs"        -> ((s, d) => DataQueries.paraPairs(s, d)),
     "q_cluster_sample"    -> ((s, d) => DataQueries.clusterSample(s, d)),
+    "q_weighted_sample"   -> ((s, d) => DataQueries.weightedSample(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -2013,6 +2014,22 @@ object SparkEntry {
                  ORDER BY hk, vec_id) AS rk FROM h)
          SELECT list_id, rk, vec_id FROM r WHERE rk <= 20
          ORDER BY list_id, rk""",
+    // Exponential-keys weighted sample: u from the salted hash,
+    // key = -ln(u)/weight in nano-units, k smallest win (ties by id)
+    "q_weighted_sample" ->
+      s"""WITH $TOKS_CTE,
+         w AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok
+               FROM toks WHERE len(tk) > 0),
+         kx AS (SELECT doc_id, n_tok,
+                  CAST(round(
+                    -ln(((${H64.format("'wsample:' || doc_id")} % 1000000) + 1)
+                      / 1000000.0)
+                    / n_tok * 1000000000.0) AS BIGINT) AS key_fx
+                FROM w),
+         r AS (SELECT *, row_number() OVER (ORDER BY key_fx, doc_id) AS rk
+               FROM kx)
+         SELECT rk, doc_id, n_tok, key_fx FROM r WHERE rk <= 50
+         ORDER BY rk""",
     // Skew telemetry: per candidate-generation key space, bucket-count
     // stats and the exact pair fan-out Σ c·(c−1)/2 the bucket
     // self-join would emit

@@ -1710,4 +1710,28 @@ object DataQueries {
       .select(col("list_id"), col("rk"), col("vid").as("vec_id"))
       .orderBy("list_id", "rk")
   }
+
+  /** Weighted sampling without replacement, rand()-free: documents
+    * weighted by token count through [[SamplingOps.weightedKey]]'s
+    * exponential-keys scheme — longer docs proportionally likelier,
+    * yet the winners are a pure function of content ids, identical on
+    * every engine, run, and retry.
+    *
+    * Scale shape: the key is map-only; the k-smallest selection is
+    * sort-LIMIT, which Spark executes as TakeOrdered — per-partition
+    * top-k then one k-row merge, never a global sort or a
+    * one-partition row_number window. The rank attach runs on the
+    * k surviving rows only. */
+  def weightedSample(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("key_fx",
+        SamplingOps.weightedKey(col("doc_id"), col("n_tok"), "wsample"))
+    base.orderBy(col("key_fx").asc, col("doc_id").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("key_fx").asc, col("doc_id").asc)))
+      .select("rk", "doc_id", "n_tok", "key_fx")
+  }
 }

@@ -43,4 +43,22 @@ object SamplingOps {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Deterministic weighted sampling without replacement (the
+    * exponential-keys / A-ES scheme, rand()-free): each row draws the
+    * pseudo-uniform u = (h64(salt‖key) mod 1e6 + 1)/1e6 and ranks by
+    * −ln(u)/weight — the k SMALLEST keys are a weight-proportional
+    * sample. The key is quantized to integer nano-units before ranking
+    * (ln and ÷ are correctly rounded on both engines; ties break by
+    * id), so selection is engine/run/retry-identical like every other
+    * sampler here.
+    *
+    * Returns the key column; the caller takes the k smallest. At scale
+    * that selection must be a sort-LIMIT (TakeOrdered: per-partition
+    * top-k then a k-row merge), never a global row_number window. */
+  def weightedKey(key: Column, weight: Column, salt: String): Column = {
+    val u = (pmod(h64(concat(lit(salt + ":"), key.cast("string"))),
+      lit(1000000L)) + lit(1L)).cast("double") / lit(1000000.0)
+    round(-log(u) / weight.cast("double") * lit(1e9), 0).cast("long")
+  }
 }

@@ -306,6 +306,30 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(out.sameElements(again), "sample not deterministic")
   }
 
+  test("weighted sample: matches an independent exponential-keys recompute") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .filter(_._2 > 0)
+    // reimplement the key independently: driver-side h64 + scala math
+    val expected = docs.map { case (id, w) =>
+      val u = (graft.ops.Hashing.h64(s"wsample:$id") % 1000000L + 1L)
+        .toDouble / 1000000.0
+      val key = math.round(-math.log(u) / w * 1e9)
+      (key, id, w)
+    }.sorted.take(50)
+    val out = DataQueries.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
+    assert(out.length == 50)
+    assert(out.toSeq == expected.toSeq, "engine vs driver-side recompute")
+    // the sample is weight-biased: winners' mean token count clearly
+    // exceeds the corpus mean (exponential keys shrink with weight)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = out.map(_._3).sum.toDouble / out.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("curriculum: phases partition each language's token mass into thirds") {
     val out = DataQueries.curriculum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
