@@ -139,6 +139,7 @@ object SparkEntry {
     "q_para_pairs"        -> ((s, d) => DataQueries.paraPairs(s, d)),
     "q_cluster_sample"    -> ((s, d) => DataQueries.clusterSample(s, d)),
     "q_weighted_sample"   -> ((s, d) => DataQueries.weightedSample(s, d)),
+    "q_bloom_screen"      -> ((s, d) => DataQueries.bloomScreen(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -853,6 +854,44 @@ object SparkEntry {
            END AS hit_frac,
            coalesce(h.n_hits, 0) >= 5 AS contaminated
          FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY doc""",
+    // Bloom screen: 3 bucket bits from disjoint 20-bit fields of the
+    // shingle h64; per-doc bloom-positive vs exact counts pin the
+    // screen's false-positive rate as data
+    "q_bloom_screen" ->
+      s"""WITH $TOKS_CTE,
+         sh5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5
+                   THEN list_distinct([array_to_string(tk[i+1:i+5], ' ')
+                                       for i in range(0, len(tk) - 4)])
+                   ELSE [] END AS shs FROM toks),
+         bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh5
+                   WHERE doc_id % 20 = 0),
+         bh AS (SELECT ${H64.format("s")} AS h FROM bench),
+         bits AS (SELECT DISTINCT (h >> (j * 20)) & 1048575 AS b
+                  FROM bh, range(3) AS r(j)),
+         corpus AS (SELECT doc_id, shs FROM sh5 WHERE doc_id % 20 <> 0),
+         cx AS (SELECT doc_id, len(shs) AS n_shingles,
+                  unnest(shs) AS s FROM corpus),
+         ch AS (SELECT doc_id, n_shingles, s, ${H64.format("s")} AS h
+                FROM cx),
+         probe AS (SELECT c.doc_id, c.n_shingles, c.s,
+                     count(b.b) AS nb
+                   FROM (SELECT doc_id, n_shingles, s,
+                           (h >> (j * 20)) & 1048575 AS pb
+                         FROM ch, range(3) AS r(j)) c
+                   LEFT JOIN bits b ON b.b = c.pb
+                   GROUP BY 1, 2, 3),
+         ex AS (SELECT doc_id, n_shingles,
+                  CAST(sum(CASE WHEN nb = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_bloom_pos,
+                  CAST(sum(CASE WHEN s IN (SELECT s FROM bench)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pos
+                FROM probe GROUP BY 1, 2)
+         SELECT c.doc_id AS doc, len(c.shs) AS n_shingles,
+           coalesce(e.n_bloom_pos, 0) AS n_bloom_pos,
+           coalesce(e.n_exact_pos, 0) AS n_exact_pos,
+           coalesce(e.n_bloom_pos, 0) - coalesce(e.n_exact_pos, 0)
+             AS n_false_pos
+         FROM corpus c LEFT JOIN ex e USING (doc_id) ORDER BY doc""",
     "q_redact" ->
       s"""WITH pii AS (SELECT doc_id,
            text || ' reach me at user' || doc_id::VARCHAR

@@ -570,6 +570,21 @@ object DataQueries {
       .orderBy("doc")
   }
 
+  /** Bloom-screened decontamination over the same benchmark split as
+    * [[decontam]]: per corpus doc, bloom-positive vs exact-positive
+    * 5-gram counts — the screen's false-positive rate as an oracled
+    * output. */
+  def bloomScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupOps.bloomScreen(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc"), col("n_shingles"), col("n_bloom_pos"),
+        col("n_exact_pos"), col("n_false_pos"))
+      .orderBy("doc")
+  }
+
   /** Near-dup clusters: Jaccard pairs → connected components → one
     * group id (min doc) + size per clustered document. */
   def dedupGroups(s: SparkSession, d: String): DataFrame =

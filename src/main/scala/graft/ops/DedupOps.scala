@@ -63,6 +63,54 @@ object DedupOps {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** Bloom-filter screen for decontamination — the scale path when the
+    * benchmark shingle set itself is too big to broadcast: the filter
+    * compresses it to a bit-set (distinct bit indices, ≤ k·|bench|
+    * rows, ~1 MB at 2²⁰ bits) that broadcasts no matter how large the
+    * eval suite grows. Three bucket indices per shingle come from
+    * DISJOINT 20-bit fields of the 60-bit content hash (no extra
+    * hashing, engine-replayable); a shingle is bloom-positive iff all
+    * three bits are set. The output reports, per document, the
+    * bloom-positive count next to the exact count, so the
+    * false-positive rate of the screen is itself a pinned, oracled
+    * quantity — the telemetry that sizes m before trusting the screen
+    * at 100 TB.
+    *
+    * Scale shape: filter build is a distinct over bench-sized rows;
+    * probing is map-side against the broadcast bit-set; the only
+    * corpus-sized shuffle is the per-(doc, shingle) partial aggregate,
+    * carrying hashes only. */
+  def bloomScreen(corpus: DataFrame, bench: DataFrame, id: String,
+                  text: String, n: Int): DataFrame = {
+    val mMask = (1L << 20) - 1
+    val benchSh = bench
+      .select(explode(TextOps.shingleHashes(col(text), n)).as("s"))
+      .distinct()
+    val bitSet = benchSh
+      .select(explode(sequence(lit(0), lit(2))).as("j"), col("s"))
+      .select(expr(s"shiftright(s, j * 20) & $mMask").as("b"))
+      .distinct().withColumn("__set", lit(1L))
+    val probes = corpus
+      .select(col(id).as("doc"), TextOps.shingleHashes(col(text), n).as("shs"))
+      .select(col("doc"), size(col("shs")).as("n_shingles"),
+        explode_outer(col("shs")).as("s"))
+      .select(col("doc"), col("n_shingles"), col("s"),
+        explode(sequence(lit(0), lit(2))).as("j"))
+      .withColumn("b", expr(s"shiftright(s, j * 20) & $mMask"))
+    val perShingle = probes
+      .join(broadcast(bitSet), Seq("b"), "left")
+      .groupBy("doc", "n_shingles", "s")
+      .agg(sum(coalesce(col("__set"), lit(0L))).as("nb"))
+    perShingle
+      .join(broadcast(benchSh.withColumn("__hit", lit(1L))), Seq("s"), "left")
+      .groupBy("doc", "n_shingles")
+      .agg(
+        sum(when(col("s").isNotNull && col("nb") === 3, lit(1L))
+          .otherwise(lit(0L))).as("n_bloom_pos"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_exact_pos"))
+      .withColumn("n_false_pos", col("n_bloom_pos") - col("n_exact_pos"))
+  }
+
   /** Passage-level exact dedup stats: split each document's token
     * stream into fixed `w`-token windows, hash each window, and report
     * per document how many of its passages occur more than once in the

@@ -306,6 +306,25 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(out.sameElements(again), "sample not deterministic")
   }
 
+  test("bloom screen: no false negatives; exact counts reconcile with decontam") {
+    val out = DataQueries.bloomScreen(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { case (doc, (bloom, exact, fp)) =>
+      // a Bloom filter can over-approximate, never under-approximate
+      assert(bloom >= exact, s"doc $doc: false negative ($bloom < $exact)")
+      assert(fp == bloom - exact)
+    }
+    // the exact side IS decontam's hit count (same split, same 5-grams)
+    val dec = DataQueries.decontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == dec.keySet)
+    out.foreach { case (doc, (_, exact, _)) =>
+      assert(exact == dec(doc), s"doc $doc: exact $exact vs decontam ${dec(doc)}")
+    }
+  }
+
   test("weighted sample: matches an independent exponential-keys recompute") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt"))
