@@ -140,6 +140,7 @@ object SparkEntry {
     "q_cluster_sample"    -> ((s, d) => DataQueries.clusterSample(s, d)),
     "q_weighted_sample"   -> ((s, d) => DataQueries.weightedSample(s, d)),
     "q_bloom_screen"      -> ((s, d) => DataQueries.bloomScreen(s, d)),
+    "q_cms_err"           -> ((s, d) => DataQueries.cmsErr(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1167,6 +1168,32 @@ object SparkEntry {
                   ORDER BY cnt DESC, g ASC) AS rnk FROM counts)
          SELECT source, rnk, ngram, cnt
          FROM rk WHERE rnk <= 3 ORDER BY source, rnk""",
+    // CMS calibration: 4×2^15 counters are plain integer sums over the
+    // hash's disjoint 15-bit fields — the sketch itself replays exactly
+    "q_cms_err" ->
+      s"""WITH $TOKS_CTE,
+         g0 AS (SELECT unnest(CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(len(tk) - 2),
+                    i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+                  ELSE [] END) AS gram
+                FROM toks),
+         counts AS (SELECT ${H64.format("gram")} AS g, min(gram) AS ngram,
+                      CAST(count(*) AS BIGINT) AS cnt
+                    FROM g0 GROUP BY ${H64.format("gram")}),
+         counters AS (SELECT r.j AS r, (g >> (r.j * 15)) & 32767 AS b,
+                        CAST(sum(cnt) AS BIGINT) AS c
+                      FROM counts, range(4) AS r(j) GROUP BY 1, 2),
+         top AS (SELECT g, ngram, cnt FROM counts
+                 ORDER BY cnt DESC, g ASC LIMIT 20),
+         probe AS (SELECT t.g, t.ngram, t.cnt, min(co.c) AS cms_est
+                   FROM (SELECT g, ngram, cnt, r.j AS r,
+                           (g >> (r.j * 15)) & 32767 AS b
+                         FROM top, range(4) AS r(j)) t
+                   JOIN counters co ON co.r = t.r AND co.b = t.b
+                   GROUP BY 1, 2, 3)
+         SELECT row_number() OVER (ORDER BY cnt DESC, g ASC) AS rk,
+           ngram, cnt AS exact_cnt, cms_est, cms_est - cnt AS over_est
+         FROM probe ORDER BY rk""",
     // Distilled quality model: integer micro-unit weight literals ×
     // integer counts → the logit sum is exact on both engines; keep
     // decisions compare in logit space (no exp)

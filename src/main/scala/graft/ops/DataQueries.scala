@@ -570,6 +570,56 @@ object DataQueries {
       .orderBy("doc")
   }
 
+  /** Count-min-sketch calibration for heavy hitters: corpus-wide
+    * 3-gram counts summarized into a 4×2¹⁵ CMS (bucket r of gram g =
+    * bits [15r, 15r+15) of its content hash — four disjoint fields, no
+    * extra hashing), then the exact top-k grams are probed and the
+    * sketch estimate (min over the 4 counters) sits next to the true
+    * count. CMS counters are plain SUMs — mergeable, partition-order
+    * independent, engine-exact — so unlike SpaceSaving-style summaries
+    * the whole sketch replays bit-for-bit in the oracle, and the
+    * overestimate column (≥ 0 always) is pinned data: the telemetry
+    * that sizes width/depth before shipping the sketch in place of the
+    * exact count at 100 TB. Completes the sketch-with-oracled-error
+    * set: KMV (distinct), Bloom (membership), CMS (frequency).
+    *
+    * Scale shape: one hash-keyed count shuffle (shared by the sketch
+    * build and the exact top-k via the same exchange), a bounded
+    * (4·2¹⁵)-key sketch agg, top-k by sort-LIMIT, probes broadcast
+    * against the sketch, winner-only text rehydration as in
+    * [[topNgrams]]. */
+  def cmsErr(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select(explode_outer(call_function("shingle_h64s_all",
+        TextOps.tokens(col("text")), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val counters = cnt
+      .select(explode(sequence(lit(0), lit(3))).as("r"), col("g"), col("cnt"))
+      .withColumn("b", expr("shiftright(g, r * 15) & 32767"))
+      .groupBy("r", "b").agg(sum("cnt").as("c"))
+    val top = cnt.orderBy(col("cnt").desc, col("g").asc).limit(k)
+    val probes = top
+      .select(col("g"), col("cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("b", expr("shiftright(g, r * 15) & 32767"))
+    val est = counters.join(broadcast(probes), Seq("r", "b"))
+      .groupBy("g", "cnt").agg(min("c").as("cms_est"))
+    val rehydrated = docs
+      .select(explode_outer(call_function("shingle_pairs",
+        TextOps.tokens(col("text")), lit(3))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.h").as("g"), col("p.s").as("gram"))
+      .join(broadcast(top.select("g")), Seq("g"))
+      .groupBy("g").agg(min(col("gram")).as("ngram"))
+    est.join(rehydrated, Seq("g"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("g").asc)))
+      .select(col("rk"), col("ngram"), col("cnt").as("exact_cnt"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("over_est"))
+      .orderBy("rk")
+  }
+
   /** Bloom-screened decontamination over the same benchmark split as
     * [[decontam]]: per corpus doc, bloom-positive vs exact-positive
     * 5-gram counts — the screen's false-positive rate as an oracled

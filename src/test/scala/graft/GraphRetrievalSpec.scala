@@ -325,6 +325,31 @@ class GraphRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("cms err: never underestimates; exact counts match a driver recount") {
+    val out = DataQueries.cmsErr(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 20)
+    out.foreach { case (_, ng, exact, est, over) =>
+      assert(est >= exact, s"'$ng': CMS underestimated ($est < $exact)")
+      assert(over == est - exact)
+    }
+    // independent recount: whitespace-tokenize driver-side, slide 3-grams
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val tk = r.getString(0).split("\\s+").filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3)
+        .foreach { w => val g = w.mkString(" "); counts(g) = counts.getOrElse(g, 0L) + 1 }
+    }
+    out.foreach { case (_, ng, exact, _, _) =>
+      assert(counts(ng) == exact, s"'$ng': $exact vs recount ${counts(ng)}")
+    }
+    // the top-20 really are the heaviest grams
+    val floor = out.map(_._3).min
+    val heavier = counts.valuesIterator.count(_ > floor)
+    assert(heavier <= 20, s"missed a heavy hitter (floor $floor, $heavier above)")
+  }
+
   test("weighted sample: matches an independent exponential-keys recompute") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt"))
