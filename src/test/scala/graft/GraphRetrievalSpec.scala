@@ -325,6 +325,20 @@ class GraphRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("skew report's pair fan-out equals the actual candidate-join emission") {
+    val fanout = DataQueries.skewReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    // the shingle domain's Σ c·(c−1)/2 must be EXACTLY the row count the
+    // inverted-index self-join emits before pair aggregation — the
+    // prediction is the join's work, not an estimate of it
+    val ex = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
+    val emitted = ex.toDF("a", "h").join(ex.toDF("b", "h"), Seq("h"))
+      .filter(col("a") < col("b")).count()
+    assert(fanout("shingle") == emitted,
+      s"predicted ${fanout("shingle")} vs emitted $emitted")
+  }
+
   test("cms err: never underestimates; exact counts match a driver recount") {
     val out = DataQueries.cmsErr(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),

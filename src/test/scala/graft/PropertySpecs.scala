@@ -363,3 +363,60 @@ object ShingleExprProps extends SparkProps("ShingleExprs") {
       a.isEmpty || (b.size == a.size && b.drop(1) == a.drop(1).toSeq)
     }
 }
+
+/** Sketch laws on random corpora: a Bloom screen may overestimate
+  * membership but never underestimate, and a CMS counter is an upper
+  * bound on every true count — the two inequalities the calibration
+  * queries (q_bloom_screen / q_cms_err) rely on, checked here on
+  * adversarially random inputs rather than the fixture corpus. */
+object SketchProps extends SparkProps("Sketches") {
+  import org.apache.spark.sql.functions._
+  import graft.ops.{DedupOps, Hashing}
+
+  // random tiny corpus: each doc is 5-12 tokens from a 10-token vocab
+  // (heavy collisions on purpose)
+  private val corpusGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.chooseNum(5, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((0 until 10).map(i => s"w$i")))
+        .map(_.mkString(" "))))
+
+  property("bloom screen never under-reports the exact hits") =
+    forAll(corpusGen) { texts =>
+      val sp = spark
+      import sp.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = DedupOps.bloomScreen(
+          docs.filter($"doc_id" % 3 =!= 0), docs.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", n = 3)
+        .collect()
+      Prop(out.forall { r =>
+        val (bloom, exact) = (r.getLong(2), r.getLong(3))
+        bloom >= exact && bloom <= r.getInt(1)
+      })
+    }
+
+  property("cms estimate upper-bounds the exact count for every gram") =
+    forAll(corpusGen) { texts =>
+      val sp = spark
+      import sp.implicits._
+      // exact counts, driver side
+      val exact = scala.collection.mutable.Map.empty[String, Long]
+      texts.foreach(_.split(" ").sliding(3).filter(_.length == 3)
+        .foreach { w => val g = w.mkString(" "); exact(g) = exact.getOrElse(g, 0L) + 1 })
+      // CMS replayed driver side with the same disjoint-field buckets
+      val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      exact.foreach { case (g, c) =>
+        val h = Hashing.h64(g)
+        (0 until 4).foreach { r =>
+          val b = (h >> (r * 15)) & 32767L
+          counters((r, b)) = counters.getOrElse((r, b), 0L) + c
+        }
+      }
+      Prop(exact.forall { case (g, c) =>
+        val h = Hashing.h64(g)
+        val est = (0 until 4).map(r => counters((r, (h >> (r * 15)) & 32767L))).min
+        est >= c
+      })
+    }
+}
