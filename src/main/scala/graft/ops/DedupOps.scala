@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import TextOps.h64
@@ -109,6 +109,56 @@ object DedupOps {
           .otherwise(lit(0L))).as("n_bloom_pos"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_exact_pos"))
       .withColumn("n_false_pos", col("n_bloom_pos") - col("n_exact_pos"))
+  }
+
+  /** The benchmark bit-set of [[bloomScreen]] packed into 2¹⁴ longs
+    * (2²⁰ bits, 128 KiB) — bounded by m REGARDLESS of eval-suite size,
+    * so it ships as a plan literal the way the ≤64-vector IVF
+    * centroids do (same bounded construction-time driver action,
+    * documented contract). This is the form a stateless streaming
+    * probe needs: membership becomes pure column arithmetic with no
+    * join and no state store. */
+  def bloomBitmap(bench: DataFrame, text: String, n: Int): Array[Long] = {
+    val mMask = (1L << 20) - 1
+    val bits = bench
+      .select(explode(TextOps.shingleHashes(col(text), n)).as("s"))
+      .distinct()
+      .select(explode(sequence(lit(0), lit(2))).as("j"), col("s"))
+      .select(expr(s"shiftright(s, j * 20) & $mMask").as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](1 << 14)
+    bits.foreach(b => words((b >>> 6).toInt) |= (1L << (b & 63)))
+    words
+  }
+
+  /** Bloom membership of one shingle hash against a packed bitmap
+    * literal — all three bucket bits must be set. Pure expression:
+    * usable identically in batch projections and streaming maps. */
+  private def bloomHit(s: Column, bm: Column): Column = {
+    val mMask = (1L << 20) - 1
+    (0 to 2).map { j =>
+      val b = call_function("shiftright", s, lit(j * 20))
+        .bitwiseAND(lit(mMask))
+      val word = element_at(bm, shiftright(b, 6).cast("int") + lit(1))
+      call_function("shiftright", word, b.bitwiseAND(lit(63L)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Per-document bloom-positive shingle count via the packed bitmap —
+    * one higher-order `filter` over the shingle array, no explode, no
+    * join, no shuffle. The streaming twin of [[bloomScreen]]'s
+    * bloom-positive column (the exact-confirm stage stays a batch
+    * join; a stream wants the cheap gate first). */
+  def bloomScreenStream(stream: DataFrame, bitmap: Array[Long], id: String,
+                        text: String, n: Int): DataFrame = {
+    val bm = typedLit(bitmap.toSeq)
+    val shs = TextOps.shingleHashes(col(text), n)
+    stream
+      .withColumn("__shs", shs)
+      .select(col(id).as("doc"), size(col("__shs")).as("n_shingles"),
+        size(filter(col("__shs"), s => bloomHit(s, bm)))
+          .cast("long").as("n_bloom_pos"))
   }
 
   /** Passage-level exact dedup stats: split each document's token

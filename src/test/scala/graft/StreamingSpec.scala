@@ -9,6 +9,32 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloomScreenStream equals the batch screen's bloom-positive counts") {
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bitmap = graft.ops.DedupOps.bloomBitmap(bench, "text", 5)
+    val batch = graft.ops.DedupOps
+      .bloomScreen(corpus, bench, "doc_id", "text", 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.DedupOps
+      .bloomScreenStream(input.toDF().toDF("doc_id", "text"), bitmap,
+        "doc_id", "text", 5)
+      .writeStream.format("memory").queryName("bloom_stream_out")
+      .outputMode("append").start()
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM bloom_stream_out").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.size == batch.size)
+    assert(got == batch, "stream bloom counts diverge from batch")
+  }
+
   test("resampleLastStream matches batch resampleLast after watermark close") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
