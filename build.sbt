@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced heavy old-gen GC by the tail of the 127-query bench
+  // sweep (q_simhash measured 3.2 s in-suite vs 0.26 s isolated, pure
+  // collector interference); the box has 128 GiB, so give the forked
+  // driver real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

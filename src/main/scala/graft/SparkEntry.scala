@@ -141,6 +141,7 @@ object SparkEntry {
     "q_weighted_sample"   -> ((s, d) => DataQueries.weightedSample(s, d)),
     "q_bloom_screen"      -> ((s, d) => DataQueries.bloomScreen(s, d)),
     "q_cms_err"           -> ((s, d) => DataQueries.cmsErr(s, d)),
+    "q_hll_err"           -> ((s, d) => DataQueries.hllErr(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1194,6 +1195,39 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY cnt DESC, g ASC) AS rk,
            ngram, cnt AS exact_cnt, cms_est, cms_est - cnt AS over_est
          FROM probe ORDER BY rk""",
+    // HLL replay: trailing-zero rank via exact bit ops, harmonic sum as
+    // an exact integer Σ2^(52−ρ), estimate via IEEE-exact doubles only
+    // (α·m² = 38 significant bits; ·2^52 = exponent shift; then one
+    // cast, one multiply, one correctly-rounded divide) — bit-for-bit
+    // across engines, no transcendentals.
+    "q_hll_err" ->
+      s"""WITH $TOKS_CTE,
+         g0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(len(tk) - 2),
+                    i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+                  ELSE [] END) AS gram
+                FROM toks),
+         gh AS (SELECT d.source, ${H64.format("gram")} AS g
+                FROM g0 JOIN documents d USING (doc_id)),
+         regs AS (SELECT source, g & 511 AS b,
+                    max(CASE WHEN (g >> 9) = 0 THEN 52
+                        ELSE bit_count(((g >> 9) & -(g >> 9)) - 1) + 1
+                        END) AS r
+                  FROM gh GROUP BY 1, 2),
+         sk AS (SELECT source, count(*) AS n_regs_hit,
+                  CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s_hit
+                FROM regs GROUP BY 1),
+         ex AS (SELECT source, count(DISTINCT g) AS n_exact
+                FROM gh GROUP BY 1),
+         est AS (SELECT sk.source, ex.n_exact, sk.n_regs_hit,
+                   CAST(round((719783e0 * 262144 * 4503599627370496e0)
+                     / (CAST(s_hit + (512 - n_regs_hit)
+                             * (1::BIGINT << 52) AS DOUBLE) * 1e6))
+                     AS BIGINT) AS hll_est
+                 FROM sk JOIN ex USING (source))
+         SELECT source, n_exact, hll_est, hll_est - n_exact AS err,
+           n_regs_hit
+         FROM est ORDER BY source""",
     // Distilled quality model: integer micro-unit weight literals ×
     // integer counts → the logit sum is exact on both engines; keep
     // decisions compare in logit space (no exp)

@@ -620,6 +620,61 @@ object DataQueries {
       .orderBy("rk")
   }
 
+  /** HyperLogLog distinct-count calibration per source: 512 registers
+    * (bucket = low 9 bits of the 60-bit content hash; register value =
+    * trailing-zero rank ρ of the remaining 51 bits — Flajolet-Martin
+    * trailing-zero form, identical distribution to leading zeros on a
+    * uniform hash but computable with pure bit ops `bit_count((w & -w)
+    * - 1) + 1` that both engines evaluate exactly, no log2). The raw
+    * HLL estimate α·m²/Σ2^−ρ is kept engine-exact: the harmonic sum is
+    * an exact INTEGER Σ2^(52−ρ) (missing buckets contribute 2^52), and
+    * the final α·m²·2^52/S is two IEEE-exact double products (α·m² has
+    * 38 significant bits; ·2^52 is a pure exponent shift), one cast,
+    * one multiply, one correctly-rounded divide — no transcendentals,
+    * so the DuckDB oracle replays the estimate bit-for-bit. No
+    * small-range ln correction on purpose (it would need cross-engine
+    * `ln`); the raw estimate IS the sketch law being calibrated, and
+    * the signed error next to the exact count is the telemetry.
+    *
+    * Scale shape: the register file is a map-side partial `max` —
+    * duplicates collapse before the shuffle and the exchange carries
+    * ≤ m rows per source, NOT the gram stream (no distinct needed on
+    * the sketch path, unlike KMV). The exact side is the one big
+    * hash-distinct — it exists only to calibrate; at 100 TB you ship
+    * the register file (mergeable by `max`) and drop the exact scan.
+    * Completes the oracled-sketch set: KMV + HLL (distinct), Bloom
+    * (membership), CMS (frequency). */
+  def hllErr(s: SparkSession, d: String): DataFrame = {
+    val m = 512 // p = 9 bucket bits; 51-bit residue; ρ ∈ [1, 52]
+    val alphaMicro = 719783L // 0.7213/(1 + 1.079/512), micro-units
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select(col("source"), explode_outer(call_function("shingle_h64s_all",
+        TextOps.tokens(col("text")), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
+    val regs = grams
+      .withColumn("b", expr(s"g & ${m - 1}"))
+      .withColumn("w", expr("shiftright(g, 9)"))
+      .withColumn("rho", when(col("w") === 0, lit(52))
+        .otherwise(expr("bit_count((w & -w) - 1) + 1")))
+      .groupBy("source", "b").agg(max("rho").as("r"))
+    val sketch = regs.groupBy("source").agg(
+      count(lit(1)).as("n_regs_hit"),
+      sum(expr("shiftleft(cast(1 as bigint), 52 - r)")).as("s_hit"))
+    val exact = grams.distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, Seq("source"))
+      .withColumn("s_total",
+        col("s_hit") + (lit(m.toLong) - col("n_regs_hit"))
+          * expr("shiftleft(cast(1 as bigint), 52)"))
+      .withColumn("hll_est", expr(
+        s"cast(round(($alphaMicro" + "e0 * 262144 * 4503599627370496e0)" +
+        " / (cast(s_total as double) * 1e6)) as bigint)"))
+      .select(col("source"), col("n_exact"), col("hll_est"),
+        (col("hll_est") - col("n_exact")).as("err"), col("n_regs_hit"))
+      .orderBy("source")
+  }
+
   /** Bloom-screened decontamination over the same benchmark split as
     * [[decontam]]: per corpus doc, bloom-positive vs exact-positive
     * 5-gram counts — the screen's false-positive rate as an oracled
