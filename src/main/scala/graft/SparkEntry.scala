@@ -142,6 +142,8 @@ object SparkEntry {
     "q_bloom_screen"      -> ((s, d) => DataQueries.bloomScreen(s, d)),
     "q_cms_err"           -> ((s, d) => DataQueries.cmsErr(s, d)),
     "q_hll_err"           -> ((s, d) => DataQueries.hllErr(s, d)),
+    "q_hist_quantile"     -> ((s, d) => DataQueries.histQuantile(s, d)),
+    "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1228,6 +1230,50 @@ object SparkEntry {
          SELECT source, n_exact, hll_est, hll_est - n_exact AS err,
            n_regs_hit
          FROM est ORDER BY source""",
+    // Histogram-quantile calibration: one explicit rank definition
+    // (value at 1-based rank ⌈q·n⌉), integer arithmetic end to end.
+    "q_hist_quantile" ->
+      s"""WITH $TOKS_CTE,
+         nt AS (SELECT d.source, t.doc_id, CAST(len(tk) AS BIGINT) AS ntok
+                FROM toks t JOIN documents d USING (doc_id)),
+         cnts AS (SELECT source, count(*) AS n_docs FROM nt GROUP BY 1),
+         tgt AS (SELECT source, n_docs, q.stat,
+                   ((q.p * n_docs + 99) // 100) AS target
+                 FROM cnts,
+                   (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+                     q(stat, p)),
+         rk AS (SELECT source, ntok, row_number() OVER (PARTITION BY
+                  source ORDER BY ntok, doc_id) AS rk FROM nt),
+         ex AS (SELECT t.source, t.stat, t.n_docs, r.ntok AS exact
+                FROM tgt t JOIN rk r
+                  ON r.source = t.source AND r.rk = t.target),
+         hist AS (SELECT source, ntok // 16 AS bin, count(*) AS c
+                  FROM nt GROUP BY 1, 2),
+         cum AS (SELECT source, bin, sum(c) OVER (PARTITION BY source
+                   ORDER BY bin) AS cum FROM hist),
+         est AS (SELECT t.source, t.stat,
+                   min((c.bin + 1) * 16 - 1) AS hist_est
+                 FROM tgt t JOIN cum c
+                   ON c.source = t.source AND c.cum >= t.target
+                 GROUP BY 1, 2)
+         SELECT e.source, e.stat, e.n_docs, e.exact, s.hist_est,
+           s.hist_est - e.exact AS err
+         FROM ex e JOIN est s USING (source, stat)
+         ORDER BY source, stat""",
+    // Novelty rate by arrival batch: distinct (batch, gram-hash), then
+    // first-occurrence batch per hash.
+    "q_novelty" ->
+      s"""WITH $TOKS_CTE, $SHING_CTE,
+         bg AS (SELECT DISTINCT doc_id % 10 AS batch,
+                  ${H64.format("gram")} AS g
+                FROM (SELECT doc_id, unnest(shs) AS gram FROM shing)),
+         tot AS (SELECT batch, count(*) AS n_grams FROM bg GROUP BY 1),
+         nov AS (SELECT batch, count(*) AS n_novel
+                 FROM (SELECT g, min(batch) AS batch FROM bg GROUP BY g)
+                 GROUP BY 1)
+         SELECT t.batch, n_grams, n_novel,
+           round(n_novel::DOUBLE / n_grams, 6) AS novelty
+         FROM tot t JOIN nov USING (batch) ORDER BY batch""",
     // Distilled quality model: integer micro-unit weight literals ×
     // integer counts → the logit sum is exact on both engines; keep
     // decisions compare in logit space (no exp)

@@ -675,6 +675,77 @@ object DataQueries {
       .orderBy("source")
   }
 
+  /** Fixed-width-histogram quantile calibration per source: exact
+    * p50/p90/p99 of per-doc token counts (value at 1-based rank
+    * ⌈q·n⌉ — one explicit definition, no engine-specific percentile
+    * semantics) next to the estimate a 16-token-wide counting
+    * histogram gives (upper edge of the first bin whose cumulative
+    * count reaches the rank). Everything is integer, so the oracle
+    * replays both sides exactly and the signed error column is pinned
+    * data — the telemetry that decides whether the histogram can
+    * replace the exact sort at 100 TB.
+    *
+    * Scale shape: the histogram side is a map-side-combined
+    * `(source, bin)` count — bounded keys, mergeable by sum, no sort;
+    * the exact side is the per-group rank (one sort within source
+    * partitions) and exists only to calibrate. Completes the oracled
+    * sketch set with quantiles: KMV+HLL (distinct), Bloom
+    * (membership), CMS (frequency), histogram (quantile). */
+  def histQuantile(s: SparkSession, d: String, binW: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nt = docs.select(col("source"), col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val counts = nt.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val qs = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+    val targets = counts.select(col("source"), col("n_docs"),
+        explode(typedLit(qs)).as("q"))
+      .select(col("source"), col("n_docs"), col("q._1").as("stat"),
+        // ⌈q·n/100⌉ in pure integer arithmetic (div, not fp division)
+        expr("(q._2 * n_docs + 99) div 100").cast("long").as("target"))
+    val ranked = nt.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy("ntok", "doc_id")))
+    val exact = ranked.as("r").join(targets.as("t"),
+        col("r.source") === col("t.source") && col("r.rk") === col("t.target"))
+      .select(col("t.source"), col("t.stat"), col("t.n_docs"),
+        col("r.ntok").as("exact"))
+    val hist = nt.groupBy(col("source"), (col("ntok") / binW).cast("long")
+        .as("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val est = hist.join(targets, Seq("source"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("source", "stat")
+      .agg(min((col("bin") + 1) * binW - 1).as("hist_est"))
+    exact.join(est, Seq("source", "stat"))
+      .select(col("source"), col("stat"), col("n_docs"), col("exact"),
+        col("hist_est"), (col("hist_est") - col("exact")).as("err"))
+      .orderBy("source", "stat")
+  }
+
+  /** Corpus novelty rate by arrival batch (batch = doc_id mod 10 —
+    * the fixture's stand-in for ingest day): per batch, the fraction
+    * of its distinct 3-gram hashes never seen in ANY earlier batch.
+    * The curve that says whether the next 10 TB of a crawl still buys
+    * new content or is re-crawling the same pages. Hash-only
+    * exchanges: one distinct on (batch, gram-hash), one min-batch agg
+    * per hash — document text never shuffles. */
+  def noveltyRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bg = docs.select((col("doc_id") % 10).as("batch"),
+        explode_outer(call_function("shingle_h64s",
+          TextOps.tokens(col("text")), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val totals = bg.groupBy("batch").agg(count(lit(1)).as("n_grams"))
+    val novel = bg.groupBy("g").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("batch"))
+      .select(col("batch"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 6).as("novelty"))
+      .orderBy("batch")
+  }
+
   /** Bloom-screened decontamination over the same benchmark split as
     * [[decontam]]: per corpus doc, bloom-positive vs exact-positive
     * 5-gram counts — the screen's false-positive rate as an oracled

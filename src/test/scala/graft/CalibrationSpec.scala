@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.DataQueries
+
+/** Laws of the two newest calibration queries, checked on the fixture
+  * corpus independently of the DuckDB oracle.
+  *
+  * Histogram quantile: the estimate is the UPPER edge of the bin
+  * holding the rank-target value, so the signed error is always in
+  * [0, binW) — never an underestimate, never off by a full bin.
+  *
+  * Novelty: batch 0 is all-novel by construction (min-batch of any
+  * gram present in batch 0 is 0), and the novel counts partition the
+  * distinct gram space (Σ n_novel = global distinct grams).
+  */
+class CalibrationSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("histogram quantile error is bounded by the bin width") {
+    val rows = DataQueries.histQuantile(spark, sf).collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      val err = r.getLong(5)
+      assert(err >= 0 && err < 16,
+        s"${r.getString(0)}/${r.getString(1)}: err=$err")
+    }
+  }
+
+  test("novelty: batch 0 is all-novel; novel counts partition the gram space") {
+    val rows = DataQueries.noveltyRate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val b0 = rows.find(_._1 == 0L).get
+    assert(b0._2 == b0._3, "batch 0 must be entirely novel")
+    val globalDistinct = {
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, sf)
+        .select(explode(graft.ops.TextOps.shingles(col("text"), 3)).as("s"))
+        .agg(countDistinct(col("s"))).head().getLong(0)
+    }
+    assert(rows.map(_._3).sum == globalDistinct,
+      "sum of per-batch novel grams must equal global distinct grams")
+  }
+}
