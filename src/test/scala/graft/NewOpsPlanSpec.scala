@@ -293,4 +293,31 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!pc.contains("Join"),
       s"cluster sample is assignment + window, no join:\n$pc")
   }
+
+  test("hll: register file partial-aggregates map-side; text never shuffles") {
+    val p = plan(DataQueries.hllErr(spark, sf))
+    // (source, b) max must partial-combine before its exchange — the
+    // whole point of the sketch is that the shuffle carries ≤ m
+    // registers per source, not the gram stream
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"no partial agg:\n$p")
+    assert(!p.contains("Window"), s"sketch must not need a sort/window:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
+  }
+
+  test("hist quantile: histogram side partial-combines; no degraded joins") {
+    val p = plan(DataQueries.histQuantile(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degraded join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
+  }
+
+  test("novelty: only (batch, gram-hash) rows shuffle — never text") {
+    val p = plan(DataQueries.noveltyRate(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degraded join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
+  }
 }
