@@ -143,6 +143,7 @@ object SparkEntry {
     "q_cms_err"           -> ((s, d) => DataQueries.cmsErr(s, d)),
     "q_hll_err"           -> ((s, d) => DataQueries.hllErr(s, d)),
     "q_hist_quantile"     -> ((s, d) => DataQueries.histQuantile(s, d)),
+    "q_join_size"         -> ((s, d) => DataQueries.joinSizeEst(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -1260,6 +1261,56 @@ object SparkEntry {
            s.hist_est - e.exact AS err
          FROM ex e JOIN est s USING (source, stat)
          ORDER BY source, stat""",
+    // CMS inner-product join-size prediction: per-side 4×2¹⁵ counters,
+    // estimate = min over rows of Σ_bucket cA·cB — all integer sums,
+    // bit-exact replay.
+    "q_join_size" ->
+      s"""WITH
+         k1a AS (SELECT ${H64.format("c_custkey::VARCHAR")} AS h,
+                   count(*) AS c FROM customer GROUP BY 1),
+         k1b AS (SELECT ${H64.format("o_custkey::VARCHAR")} AS h,
+                   count(*) AS c FROM orders GROUP BY 1),
+         k2a AS (SELECT ${H64.format("o_orderkey::VARCHAR")} AS h,
+                   count(*) AS c FROM orders GROUP BY 1),
+         k2b AS (SELECT ${H64.format("l_orderkey::VARCHAR")} AS h,
+                   count(*) AS c FROM lineitem GROUP BY 1),
+         c1a AS (SELECT r.j AS r, (h >> (r.j * 15)) & 32767 AS b,
+                   CAST(sum(c) AS BIGINT) AS c
+                 FROM k1a, range(4) r(j) GROUP BY 1, 2),
+         c1b AS (SELECT r.j AS r, (h >> (r.j * 15)) & 32767 AS b,
+                   CAST(sum(c) AS BIGINT) AS c
+                 FROM k1b, range(4) r(j) GROUP BY 1, 2),
+         c2a AS (SELECT r.j AS r, (h >> (r.j * 15)) & 32767 AS b,
+                   CAST(sum(c) AS BIGINT) AS c
+                 FROM k2a, range(4) r(j) GROUP BY 1, 2),
+         c2b AS (SELECT r.j AS r, (h >> (r.j * 15)) & 32767 AS b,
+                   CAST(sum(c) AS BIGINT) AS c
+                 FROM k2b, range(4) r(j) GROUP BY 1, 2),
+         ip1 AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM
+                   (SELECT a.r, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+                    FROM c1a a JOIN c1b b ON a.r = b.r AND a.b = b.b
+                    GROUP BY 1)),
+         ip2 AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM
+                   (SELECT a.r, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+                    FROM c2a a JOIN c2b b ON a.r = b.r AND a.b = b.b
+                    GROUP BY 1)),
+         ex1 AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_rows
+                 FROM (SELECT c_custkey AS k, count(*) AS c
+                       FROM customer GROUP BY 1) a
+                 JOIN (SELECT o_custkey AS k, count(*) AS c
+                       FROM orders GROUP BY 1) b USING (k)),
+         ex2 AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_rows
+                 FROM (SELECT o_orderkey AS k, count(*) AS c
+                       FROM orders GROUP BY 1) a
+                 JOIN (SELECT l_orderkey AS k, count(*) AS c
+                       FROM lineitem GROUP BY 1) b USING (k))
+         SELECT join_name, exact_rows, cms_est,
+           cms_est - exact_rows AS over_est FROM (
+           SELECT 'customer_orders' AS join_name, exact_rows, cms_est
+           FROM ex1, ip1
+           UNION ALL
+           SELECT 'orders_lineitem', exact_rows, cms_est FROM ex2, ip2)
+         ORDER BY join_name""",
     // Novelty rate by arrival batch: distinct (batch, gram-hash), then
     // first-occurrence batch per hash.
     "q_novelty" ->

@@ -1850,6 +1850,51 @@ object DataQueries {
       .orderBy("domain")
   }
 
+  /** Join-cardinality estimation from per-side CMS sketches — the
+    * pre-flight check that predicts a shuffle join's output size
+    * WITHOUT executing the join (AMS/CMS inner product: for each of
+    * the 4 counter rows, Σ_bucket cA·cB; the estimate is the min over
+    * rows). Collisions only ADD non-negative cross terms, so the
+    * estimate upper-bounds the true size — same one-sided law as the
+    * CMS point estimate, and the signed overestimate next to the exact
+    * join count is pinned data. At 100 TB each side's sketch is one
+    * map-combined pass (4×2¹⁵ mergeable integer counters, a few
+    * hundred KB), so two table scans answer "is this join about to
+    * produce 10¹³ rows?" before any exchange is scheduled; the exact
+    * side here is the calibration and IS the join being predicted.
+    *
+    * Keys are hashed with the engine-stable 60-bit content hash over
+    * their decimal string (same convention as the samplers), bucket r
+    * of key k = bits [15r, 15r+15) — disjoint fields, no re-hashing. */
+  def joinSizeEst(s: SparkSession, d: String): DataFrame = {
+    def counters(df: DataFrame, key: String): DataFrame =
+      df.select(TextOps.h64(col(key).cast("string")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .select(explode(sequence(lit(0), lit(3))).as("r"), col("h"), col("c"))
+        .withColumn("b", expr("shiftright(h, r * 15) & 32767"))
+        .groupBy("r", "b").agg(sum("c").as("c"))
+    def exactSize(a: DataFrame, ka: String, b: DataFrame, kb: String) =
+      a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_rows"))
+    def innerProduct(a: DataFrame, b: DataFrame): DataFrame =
+      a.as("x").join(b.as("y"),
+          col("x.r") === col("y.r") && col("x.b") === col("y.b"))
+        .groupBy(col("x.r")).agg(sum(col("x.c") * col("y.c")).as("ip"))
+        .agg(min(col("ip")).as("cms_est"))
+    def one(name: String, a: DataFrame, ka: String,
+            b: DataFrame, kb: String): DataFrame =
+      exactSize(a, ka, b, kb).crossJoin(innerProduct(counters(a, ka),
+          counters(b, kb)))
+        .select(lit(name).as("join_name"), col("exact_rows"), col("cms_est"),
+          (col("cms_est") - col("exact_rows")).as("over_est"))
+    one("customer_orders", Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d), "o_custkey")
+      .unionByName(one("orders_lineitem", Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey"))
+      .orderBy("join_name")
+  }
+
   /** Cross-source near-duplicate mining: the τ=0.1 Jaccard pairs whose
     * two documents come from DIFFERENT sources — mirror/syndication
     * detection, and the positive-pair mining step a contrastive

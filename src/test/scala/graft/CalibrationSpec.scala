@@ -26,6 +26,20 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("join-size sketch upper-bounds the exact join cardinality") {
+    val rows = DataQueries.joinSizeEst(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      // CMS inner product only ADDS non-negative collision cross-terms
+      assert(est >= exact, s"${r.getString(0)}: est=$est < exact=$exact")
+      // and the min-over-rows estimate should respect the expected
+      // ‖a‖₁·‖b‖₁/w collision budget within a small constant factor
+      assert(est - exact <= 8L * exact * exact / 32768 + exact,
+        s"${r.getString(0)}: overestimate implausibly large")
+    }
+  }
+
   test("novelty: batch 0 is all-novel; novel counts partition the gram space") {
     val rows = DataQueries.noveltyRate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
