@@ -90,6 +90,28 @@ object StreamOps {
       .withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming HLL register file: the distinct-3-gram sketch of
+    * [[graft.ops.DataQueries.hllErr]] maintained incrementally as a
+    * plain streaming `max` aggregation per (key, bucket). This is what
+    * mergeable sketch state means operationally: the state store holds
+    * ≤ 512 integer registers PER KEY no matter how many documents the
+    * stream has seen — distinct-count telemetry over an unbounded
+    * corpus feed with O(m) state and no watermark needed (max never
+    * retracts). Run in complete/update output mode; feeding the final
+    * register table through hllErr's estimate arithmetic yields the
+    * identical estimate the batch query computes (stream≡batch pinned
+    * by StreamingSpec). */
+  def hllRegistersStream(stream: DataFrame, key: String,
+                         text: String): DataFrame =
+    stream
+      .select(col(key).as("k"), explode(call_function("shingle_h64s",
+        graft.ops.TextOps.tokens(col(text)), lit(3))).as("g"))
+      .withColumn("b", expr("g & 511"))
+      .withColumn("rho", when(expr("shiftright(g, 9)") === 0, lit(52))
+        .otherwise(expr(
+          "bit_count((shiftright(g, 9) & -shiftright(g, 9)) - 1) + 1")))
+      .groupBy("k", "b").agg(max("rho").as("r"))
+
   /** Streaming near-dup screen: each arriving document is
     * minhash-signed and banded MAP-SIDE, probes the static corpus band
     * index ([[graft.ops.DedupOps.bandIndex]], typically a persisted

@@ -35,6 +35,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "stream bloom counts diverge from batch")
   }
 
+  test("hllRegistersStream register file equals the batch sketch across batches") {
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // batch registers, computed the way hllErr does
+    val batch = Tables.documents(spark, d)
+      .select(col("source").as("k"), explode(call_function("shingle_h64s",
+        graft.ops.TextOps.tokens(col("text")), lit(3))).as("g"))
+      .withColumn("b", expr("g & 511"))
+      .withColumn("rho", when(expr("shiftright(g, 9)") === 0, lit(52))
+        .otherwise(expr(
+          "bit_count((shiftright(g, 9) & -shiftright(g, 9)) - 1) + 1")))
+      .groupBy("k", "b").agg(max("rho").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamOps
+      .hllRegistersStream(input.toDF().toDF("source", "text"), "source", "text")
+      .writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete").start()
+    // two separate micro-batches: the register max must merge across them
+    val (first, rest) = docs.splitAt(docs.length / 2)
+    input.addData(first: _*); q.processAllAvailable()
+    input.addData(rest: _*); q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM hll_stream_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == batch, "streaming register file diverges from batch")
+  }
+
   test("resampleLastStream matches batch resampleLast after watermark close") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
