@@ -1782,7 +1782,13 @@ object DataQueries {
   def minhashErr(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sig = DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32)
+    // the candidate table is read three times below (member set twice,
+    // final join once); cut it out of the lineage so the signature +
+    // banding pipeline runs once, not per reference (same eager
+    // checkpoint idiom as the CC/PageRank loops — the pair table is
+    // tiny relative to the corpus)
     val cand = DedupOps.lshCandidates(sig, k = 32, r = 2)
+      .localCheckpoint(true)
     val inCand = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     val ex = docs
