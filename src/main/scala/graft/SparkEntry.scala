@@ -144,6 +144,8 @@ object SparkEntry {
     "q_hll_err"           -> ((s, d) => DataQueries.hllErr(s, d)),
     "q_hist_quantile"     -> ((s, d) => DataQueries.histQuantile(s, d)),
     "q_join_size"         -> ((s, d) => DataQueries.joinSizeEst(s, d)),
+    "q_incr_agg"          -> ((s, d) => DataQueries.incrAgg(s, d)),
+    "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -1261,6 +1263,41 @@ object SparkEntry {
            s.hist_est - e.exact AS err
          FROM ex e JOIN est s USING (source, stat)
          ORDER BY source, stat""",
+    // Incremental-maintenance proof: the oracle is the DIRECT grouped
+    // aggregate; the Spark side merges base+delta partials — hash-match
+    // proves merge ≡ recompute.
+    "q_incr_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_vmicro
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    // ANALYZE-style stats, one row per column; values normalized to
+    // engine-stable strings (doubles micro-quantized, timestamps as
+    // epoch micros) before min/max.
+    "q_table_stats" -> {
+      def longCol(n: String, v: String) =
+        s"""SELECT '$n' AS "column",
+              CAST(count(DISTINCT $v) AS BIGINT) AS ndv,
+              CAST(count(*) - count($v) AS BIGINT) AS n_nulls,
+              CAST(min($v) AS VARCHAR) AS min_v,
+              CAST(max($v) AS VARCHAR) AS max_v FROM lineitem"""
+      val parts = Seq(
+        longCol("l_orderkey", "l_orderkey"),
+        longCol("l_partkey", "l_partkey"),
+        longCol("l_suppkey", "l_suppkey"),
+        longCol("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+        longCol("l_quantity", "CAST(round(l_quantity * 1e6) AS BIGINT)"),
+        longCol("l_extendedprice",
+          "CAST(round(l_extendedprice * 1e6) AS BIGINT)"),
+        longCol("l_discount", "CAST(round(l_discount * 1e6) AS BIGINT)"),
+        longCol("l_tax", "CAST(round(l_tax * 1e6) AS BIGINT)"),
+        longCol("l_returnflag", "l_returnflag"),
+        longCol("l_linestatus", "l_linestatus"),
+        longCol("l_shipdate", "epoch_us(l_shipdate)"))
+      parts.mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY \"column\"")
+    },
     // CMS inner-product join-size prediction: per-side 4×2¹⁵ counters,
     // estimate = min over rows of Σ_bucket cA·cB — all integer sums,
     // bit-exact replay.

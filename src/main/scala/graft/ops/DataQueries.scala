@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1854,6 +1854,77 @@ object DataQueries {
       .unionByName(stats("shingle", shingle))
       .unionByName(stats("simseg", simseg))
       .orderBy("domain")
+  }
+
+  /** Incremental aggregate maintenance: refresh a grouped rollup from
+    * a delta WITHOUT rescanning the base — merged = base-agg ⊞
+    * delta-agg via a full-outer key join and coalesced partial sums
+    * (counts and micro-unit value sums are both mergeable longs). The
+    * materialized-view refresh pattern: at 100 TB the base aggregate
+    * is stored state keyed by (event_type, day) and each ingest pays
+    * |delta| plus a key-sized merge join, never a re-aggregation of
+    * history. The DuckDB oracle computes the DIRECT aggregate over the
+    * whole table, so a hash-match proves merge ≡ recompute. */
+  def incrAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"),
+      expr("cast(round(value * 1e6) as bigint)").as("vmicro"),
+      col("event_id"))
+    def rollup(df: DataFrame, n: String, sv: String) =
+      df.groupBy("event_type", "day")
+        .agg(count(lit(1)).as(n), sum("vmicro").as(sv))
+    rollup(ev.filter(col("event_id") % 10 =!= 0), "nb", "sb")
+      .join(rollup(ev.filter(col("event_id") % 10 === 0), "nd", "sd"),
+        Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+          .as("sum_vmicro"))
+      .orderBy("event_type", "day")
+  }
+
+  /** ANALYZE-style per-column statistics of `lineitem` — the inputs a
+    * cost-based optimizer actually consumes (NDV for join-cardinality
+    * and aggregate sizing, null counts for filter selectivity, min/max
+    * for range pruning) — in ONE corpus pass: a single aggregate row
+    * of per-column (count, distinct, min, max) unpivoted to one row
+    * per column. Values are normalized to engine-stable strings
+    * (integers/epoch-micros printed as longs, doubles micro-quantized
+    * first) so one output schema covers every column type and the
+    * DuckDB replay is exact. The exact NDV costs one Expand pass here
+    * (the calibration posture); at 100 TB you'd feed the same report
+    * from the HLL register files ([[hllErr]]) and keep this as the
+    * audit twin. */
+  def tableStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // (name, value-normalizing column) per lineitem column
+    def asStr(c: Column): Column = c.cast("string")
+    val cols: Seq[(String, Column)] = Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_partkey" -> col("l_partkey"),
+      "l_suppkey" -> col("l_suppkey"),
+      "l_linenumber" -> col("l_linenumber").cast("long"),
+      "l_quantity" -> expr("cast(round(l_quantity * 1e6) as bigint)"),
+      "l_extendedprice" -> expr("cast(round(l_extendedprice * 1e6) as bigint)"),
+      "l_discount" -> expr("cast(round(l_discount * 1e6) as bigint)"),
+      "l_tax" -> expr("cast(round(l_tax * 1e6) as bigint)"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      // NTZ → session-tz (pinned UTC) cast preserves the wall clock,
+      // so unix_micros equals DuckDB's epoch_us over the same parquet
+      "l_shipdate" -> unix_micros(col("l_shipdate").cast("timestamp")))
+    val aggs = cols.flatMap { case (n, c) => Seq(
+      countDistinct(c).as(s"ndv_$n"),
+      (count(lit(1)) - count(c)).as(s"nul_$n"),
+      asStr(min(c)).as(s"min_$n"), asStr(max(c)).as(s"max_$n")) }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { case (n, _) =>
+      struct(lit(n).as("column"), col(s"ndv_$n").as("ndv"),
+        col(s"nul_$n").as("n_nulls"), col(s"min_$n").as("min_v"),
+        col(s"max_$n").as("max_v")) }
+    one.select(explode(array(stacked: _*)).as("s")).select("s.*")
+      .orderBy("column")
   }
 
   /** Join-cardinality estimation from per-side CMS sketches — the

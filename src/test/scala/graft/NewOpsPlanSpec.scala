@@ -313,6 +313,23 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
   }
 
+  test("incr agg: merge is a key-sized full-outer join of two partial rollups") {
+    val p = plan(DataQueries.incrAgg(spark, sf))
+    assert(p.contains("FullOuter"), s"merge lost its full-outer form:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degraded join:\n$p")
+    // both sides partial-combine before their exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"no partial agg:\n$p")
+  }
+
+  test("table stats: one corpus scan feeds all per-column aggregates") {
+    val p = plan(DataQueries.tableStats(spark, sf))
+    assert(!p.contains("Join"), s"stats must not join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size +
+      "FileScan".r.findAllIn(p).size
+    assert(scans <= 2, s"expected a single lineitem scan:\n$p")
+  }
+
   test("novelty: only (batch, gram-hash) rows shuffle — never text") {
     val p = plan(DataQueries.noveltyRate(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
