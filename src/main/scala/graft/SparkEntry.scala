@@ -145,6 +145,7 @@ object SparkEntry {
     "q_hist_quantile"     -> ((s, d) => DataQueries.histQuantile(s, d)),
     "q_join_size"         -> ((s, d) => DataQueries.joinSizeEst(s, d)),
     "q_incr_agg"          -> ((s, d) => DataQueries.incrAgg(s, d)),
+    "q_zorder"            -> ((s, d) => DataQueries.zorderLayout(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1263,6 +1264,38 @@ object SparkEntry {
            s.hist_est - e.exact AS err
          FROM ex e JOIN est s USING (source, stat)
          ORDER BY source, stat""",
+    // Z-order layout replay: same Morton spelling
+    // (DataQueries.mortonExpr) executed by both engines; per-file
+    // ranges, probe-box hits, read amplification.
+    "q_zorder" ->
+      s"""WITH ev AS (SELECT user_id, event_id,
+                date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS dayn FROM events),
+         zb AS (SELECT *, ${DataQueries.mortonExpr} AS z FROM ev),
+         la AS (SELECT 'arrival' AS layout, user_id, dayn,
+                  ((row_number() OVER (ORDER BY event_id) - 1) * 64)
+                    // count(*) OVER () AS bucket FROM zb),
+         lz AS (SELECT 'zorder' AS layout, user_id, dayn,
+                  ((row_number() OVER (ORDER BY z, event_id) - 1) * 64)
+                    // count(*) OVER () AS bucket FROM zb),
+         bk AS (SELECT layout, bucket, min(user_id) AS mu,
+                  max(user_id) AS xu, min(dayn) AS md, max(dayn) AS xd,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT * FROM la UNION ALL SELECT * FROM lz)
+                GROUP BY 1, 2),
+         box AS (SELECT max(user_id) // 4 AS uhi FROM events),
+         ib AS (SELECT CAST(count(*) AS BIGINT) AS rows_in_box
+                FROM ev, box
+                WHERE user_id <= uhi AND dayn BETWEEN 5 AND 14),
+         ag AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(CASE WHEN mu <= uhi AND md <= 14 AND xd >= 5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+                  CAST(sum(CASE WHEN mu <= uhi AND md <= 14 AND xd >= 5
+                           THEN c ELSE 0 END) AS BIGINT) AS rows_scanned
+                FROM bk, box GROUP BY layout)
+         SELECT layout, n_files, files_hit, rows_scanned, rows_in_box,
+           round(rows_scanned / rows_in_box, 6) AS read_amp
+         FROM ag, ib ORDER BY layout""",
     // Incremental-maintenance proof: the oracle is the DIRECT grouped
     // aggregate; the Spark side merges base+delta partials — hash-match
     // proves merge ≡ recompute.

@@ -1927,6 +1927,77 @@ object DataQueries {
       .orderBy("column")
   }
 
+  /** Z-order vs arrival-order layout telemetry: assign events to 64
+    * equal-size "files" under two layouts — arrival order (event_id)
+    * and a Morton curve interleaving 12 user-id bits with 8 day bits —
+    * record per-file (min,max) ranges of both dimensions (exactly the
+    * column statistics a parquet footer publishes), then count how many
+    * files a 2-d probe box (user ∈ [0, max/4], day ∈ [5,14]) must read
+    * under each layout and the resulting read amplification. This is
+    * the OPTIMIZE-ZORDER decision as pinned data: a 1-d sort gives
+    * useless day ranges (every file spans all days), the space-filling
+    * curve bounds BOTH ranges per file, and the amplification column
+    * quantifies the skipped IO before anyone rewrites 100 TB. The
+    * Morton value itself is pure integer bit arithmetic generated from
+    * one shared spelling, so the DuckDB oracle replays the whole layout
+    * bit-for-bit.
+    *
+    * Scale note: the equal-size chunking here runs as one global
+    * row_number (calibration form at test scale); the production form
+    * is `repartitionByRange(zcol)` + sortWithinPartitions — identical
+    * file statistics, no global window. */
+  /** Morton interleave of 12 `user_id` bits with 8 `dayn` bits, as a
+    * SQL expression string valid verbatim in BOTH engines (fully
+    * parenthesized shifts/masks, integer ops only) — one spelling, two
+    * executors, zero drift. */
+  private[graft] val mortonExpr: String =
+    (0 until 12).map(i => s"(((user_id >> $i) & 1) << ${2 * i})")
+      .mkString(" + ") + " + " +
+      (0 until 8).map(i => s"(((dayn >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("dayn"))
+    val base = ev.withColumn("z", expr(mortonExpr))
+    // everything below stays a lazy plan: the row count rides the same
+    // single-partition window exchange the global rank already needs,
+    // and the probe box attaches as crossJoined 1-row aggregates (the
+    // house pattern from tfidf's __n / lmScore's __v)
+    def layout(name: String, orderCols: Column*): DataFrame =
+      base
+        .withColumn("rn", row_number().over(Window.orderBy(orderCols: _*)))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("bucket", expr("((rn - 1) * 64) div __n"))
+        .groupBy("bucket")
+        .agg(min("user_id").as("mu"), max("user_id").as("xu"),
+          min("dayn").as("md"), max("dayn").as("xd"),
+          count(lit(1)).as("c"))
+        .withColumn("layout", lit(name))
+    val naive = layout("arrival", col("event_id"))
+    val morton = layout("zorder", col("z"), col("event_id"))
+    val box = ev.agg(expr("max(user_id) div 4").as("uhi"))
+    val inBox = ev.crossJoin(broadcast(box))
+      .filter(col("user_id") <= col("uhi") && col("dayn").between(5, 14))
+      .agg(count(lit(1)).as("rows_in_box"))
+    naive.unionByName(morton)
+      .crossJoin(broadcast(box))
+      .withColumn("hit", col("mu") <= col("uhi")
+        && col("md") <= 14 && col("xd") >= 5)
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("files_hit"),
+        sum(when(col("hit"), col("c")).otherwise(0L)).as("rows_scanned"))
+      .crossJoin(broadcast(inBox))
+      .withColumn("read_amp",
+        round(col("rows_scanned") / col("rows_in_box"), 6))
+      .select(col("layout"), col("n_files"), col("files_hit"),
+        col("rows_scanned"), col("rows_in_box"), col("read_amp"))
+      .orderBy("layout")
+  }
+
   /** Join-cardinality estimation from per-side CMS sketches — the
     * pre-flight check that predicts a shuffle join's output size
     * WITHOUT executing the join (AMS/CMS inner product: for each of

@@ -40,6 +40,20 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("zorder layout: both layouts cover the box; the curve reads fewer files") {
+    val rows = DataQueries.zorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set("arrival", "zorder"))
+    // no false pruning: every matching row lives in a hit file
+    rows.values.foreach { case (_, scanned, inBox) =>
+      assert(scanned >= inBox, "layout pruned files containing box rows")
+    }
+    // the 2-d curve must not read MORE files than the 1-d arrival order
+    assert(rows("zorder")._1 <= rows("arrival")._1,
+      s"zorder hit ${rows("zorder")._1} files vs arrival ${rows("arrival")._1}")
+  }
+
   test("novelty: batch 0 is all-novel; novel counts partition the gram space") {
     val rows = DataQueries.noveltyRate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
