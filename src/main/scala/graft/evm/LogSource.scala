@@ -98,19 +98,72 @@ class LogTable(props: Map[String, String]) extends Table with SupportsRead {
   * are consumed by the source (the "node" evaluates them); everything
   * else is left for Spark to evaluate after the scan. */
 class LogScanBuilder(props: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
   private var addressSet: Option[Set[String]] = None
   private var topic0Set: Option[Set[String]] = None
   private var blockLo: Option[Long] = None
   private var blockHi: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
+  private var aggOps: Option[Seq[String]] = None
+
+  /** Aggregate pushdown (the "latest-height probe" as a plan shape):
+    * ungrouped MIN/MAX over `block_number` and COUNT(*) collapse to ONE
+    * row per block-window partition at the source — the executor scans
+    * its window, hands Spark 8 bytes, and the final merge is a
+    * partition-count-sized aggregate instead of a row-stream one.
+    * Partial pushdown only (`supportCompletePushDown` = false): Spark
+    * re-aggregates the per-partition rows, which is exactly the right
+    * split — the source knows its window, Spark knows the union. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return false
+    def op(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+        : Option[String] = f match {
+      case m: Max => m.column match {
+        case nr: NamedReference
+          if nr.fieldNames.toSeq == Seq("block_number") => Some("max")
+        case _ => None
+      }
+      case m: Min => m.column match {
+        case nr: NamedReference
+          if nr.fieldNames.toSeq == Seq("block_number") => Some("min")
+        case _ => None
+      }
+      case _: CountStar => Some("count")
+      case _ => None
+    }
+    val ops = agg.aggregateExpressions.toSeq.map(op)
+    if (ops.isEmpty || !ops.forall(_.isDefined)) return false
+    aggOps = Some(ops.flatten)
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    import org.apache.spark.sql.sources.IsNotNull
+    // columns whose equality/membership filters the source consumes —
+    // an IsNotNull on the SAME column is implied by that filter (the
+    // readers drop null-column rows when a value set is pushed), so it
+    // can be consumed too; this matters because any residual filter
+    // node between scan and aggregate blocks aggregate pushdown
+    val eqCols = filters.collect {
+      case EqualTo(a, _: String) if a == "address" || a == "topic0" => a
+      case In(a, vs) if vs.forall(_.isInstanceOf[String])
+        && (a == "address" || a == "topic0") => a
+    }.toSet
     val (accepted, rejected) = filters.partition {
       case EqualTo(a, _: String) => a == "address" || a == "topic0"
       case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
         a == "address" || a == "topic0"
+      case IsNotNull(a) => eqCols.contains(a) || a == "block_number"
       // block-range predicates prune whole chunk partitions (the
       // reference's [start_block, end_block] scan bounds)
       case GreaterThan("block_number", _: java.lang.Long) => true
@@ -140,17 +193,25 @@ class LogScanBuilder(props: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LogScan(props, addressSet, topic0Set, blockLo, blockHi)
+    new LogScan(props, addressSet, topic0Set, blockLo, blockHi, aggOps)
 }
 
 class LogScan(props: Map[String, String], addresses: Option[Set[String]],
               topics: Option[Set[String]], blockLo: Option[Long],
-              blockHi: Option[Long]) extends Scan with Batch {
-  override def readSchema(): StructType = LogSource.schema
+              blockHi: Option[Long],
+              aggOps: Option[Seq[String]] = None) extends Scan with Batch {
+  override def readSchema(): StructType = aggOps match {
+    case Some(ops) => StructType(ops.zipWithIndex.map { case (o, i) =>
+      org.apache.spark.sql.types.StructField(s"${o}_$i",
+        org.apache.spark.sql.types.LongType, nullable = o != "count")
+    })
+    case None => LogSource.schema
+  }
   override def description(): String =
     s"evm-logs addresses=${addresses.map(_.size).getOrElse(-1)} " +
       s"topics=${topics.map(_.size).getOrElse(-1)} " +
-      s"blocks=[${blockLo.getOrElse("-")},${blockHi.getOrElse("-")}]"
+      s"blocks=[${blockLo.getOrElse("-")},${blockHi.getOrElse("-")}]" +
+      aggOps.fold("")(ops => s" aggPushed=[${ops.mkString(",")}]")
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -179,7 +240,7 @@ class LogScan(props: Map[String, String], addresses: Option[Set[String]],
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogReaderFactory(addresses, topics)
+    new LogReaderFactory(addresses, topics, aggOps)
 }
 
 case class LogRangePartition(endpoint: LogEndpoint, fromBlock: Long,
@@ -267,17 +328,54 @@ class LogMicroBatchStream(props: Map[String, String],
 }
 
 class LogReaderFactory(addresses: Option[Set[String]],
-                       topics: Option[Set[String]])
+                       topics: Option[Set[String]],
+                       aggOps: Option[Seq[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[LogRangePartition]
-    part.endpoint match {
+    val base = part.endpoint match {
       case DumpEndpoint(path) =>
         new LogPartitionReader(path, part, addresses, topics)
       case RpcEndpoint(cfg) =>
         new RpcPartitionReader(cfg, part, addresses, topics)
     }
+    aggOps.fold(base: PartitionReader[InternalRow])(
+      ops => new AggPartitionReader(base, ops))
   }
+}
+
+/** Executes a pushed ungrouped aggregate AT the source: drains the
+  * window's row stream locally (pushed filters already applied) and
+  * emits exactly one partial-aggregate row — `block_number` min/max
+  * and the row count — for Spark's final merge. An empty window still
+  * emits (count 0, null extrema), so the merge never depends on which
+  * partitions happened to hold rows. */
+class AggPartitionReader(base: PartitionReader[InternalRow],
+                         ops: Seq[String])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (done) return false
+    var cnt = 0L
+    var mx = Long.MinValue
+    var mn = Long.MaxValue
+    while (base.next()) {
+      val b = base.get().getLong(0) // block_number is field 0
+      cnt += 1
+      if (b > mx) mx = b
+      if (b < mn) mn = b
+    }
+    row = InternalRow.fromSeq(ops.map {
+      case "count" => cnt
+      case "max" => if (cnt > 0) mx else null
+      case "min" => if (cnt > 0) mn else null
+    })
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = base.close()
 }
 
 /** S3 live: one `eth_getLogs(fromBlock, toBlock, {address, topics})`

@@ -183,6 +183,38 @@ class LogSourceSpec extends SparkSpec {
     assert(got == (0L to 8L), s"expected exactly blocks 0..8 once, got $got")
   }
 
+  test("ungrouped min/max/count push to the source: one row per window") {
+    val dir = dumpDir
+    val df = read(dir, chunk = 10)
+      .agg(max(col("block_number")).as("hi"), min(col("block_number")).as("lo"),
+        count(lit(1)).as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("aggPushed=[max,min,count]"),
+      s"expected aggregate-pushdown marker in plan:\n$p")
+    val r = df.head()
+    // parity with a full-row read aggregated by Spark
+    val rows = read(dir, chunk = 10).select("block_number").collect().map(_.getLong(0))
+    assert(r.getLong(0) == rows.max && r.getLong(1) == rows.min
+      && r.getLong(2) == rows.length.toLong)
+  }
+
+  test("agg pushdown composes with pushed filters; grouped aggs stay unpushed") {
+    val dir = dumpDir
+    val t0 = Keccak.eventTopic0(LogPipeline.TransferSig)
+    val filtered = read(dir).filter(col("topic0") === t0)
+      .agg(count(lit(1)).as("n"))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("topics=1") && p.contains("aggPushed=[count]"),
+      s"filter + agg should BOTH push:\n$p")
+    val expected = read(dir).collect().count(_.getAs[String]("topic0") == t0)
+    assert(filtered.head().getLong(0) == expected.toLong && expected > 0)
+    // a grouped aggregate must fall back to the plain row scan
+    val grouped = read(dir).groupBy("address").count()
+    val gp = grouped.queryExecution.executedPlan.toString
+    assert(!gp.contains("aggPushed"), s"grouped agg must not push:\n$gp")
+    assert(grouped.agg(sum("count")).head().getLong(0) == 1000L)
+  }
+
   test("streaming: appended dump files advance the tip") {
     val dir = Files.createTempDirectory("evm_tip").toString
     def line(b: Long) =
