@@ -57,4 +57,19 @@ object Scale {
     * assertion that a bucketed join was actually co-located. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Persist a DataFrame as a directory-partitioned managed table —
+    * the 100 TB layout lever orthogonal to [[writeBucketed]]:
+    * bucketing co-locates JOINS on high-cardinality keys; directory
+    * partitioning lets both static filters and runtime dynamic
+    * partition pruning (DPP) skip whole partitions of a fact scan when
+    * a dimension-side filter narrows the partition key at execution
+    * time. Low-cardinality keys only (day, event_type, lang) — one
+    * directory per value. */
+  def writePartitioned(df: DataFrame, table: String, partCol: String,
+                       morePartCols: String*): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partCol +: morePartCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

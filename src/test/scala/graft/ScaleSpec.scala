@@ -87,6 +87,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    spark.sql("DROP TABLE IF EXISTS p_events")
+    val d = "/root/testdata/sf0.001"
+    Scale.writePartitioned(
+      Tables.events(spark, d).select("event_id", "user_id", "value", "event_type"),
+      "p_events", "event_type")
+    spark.sql("DROP TABLE IF EXISTS p_dim")
+    try {
+      import spark.implicits._
+      // dimension carrying a NON-partition-key filter: the fact side
+      // can only learn which partitions survive at execution time. The
+      // dim must be file-backed — a LocalRelation gets its filter
+      // constant-folded away before the PartitionPruning rule looks
+      // for a selective predicate
+      Seq(("purchase", 1), ("click", 0), ("view", 0),
+        ("signup", 0), ("error", 0)).toDF("etype", "grp")
+        .write.mode("overwrite").format("parquet").saveAsTable("p_dim")
+      // no ANALYZE stats on these throwaway tables → make the benefit
+      // heuristic use the fallback filter ratio instead of (absent)
+      // distinct counts; production tables would carry real stats
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val joined = spark.table("p_events")
+        .join(spark.table("p_dim").filter(col("grp") === 1),
+          col("event_type") === col("etype"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected a DPP subquery on the fact scan:\n${p.take(3000)}")
+      // semantics: exactly the purchase rows
+      val expected = Tables.events(spark, d)
+        .filter(col("event_type") === "purchase").count()
+      assert(joined.count() == expected && expected > 0)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.sql("DROP TABLE IF EXISTS p_events")
+      spark.sql("DROP TABLE IF EXISTS p_dim")
+    }
+  }
+
   test("capped pagerank stays tractable on a 5x-duplicated corpus") {
     // the uncapped pair generator is the oracle baseline; under 5x
     // duplication every shared shingle's candidate pairs grow 25x, so
