@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -111,6 +111,47 @@ object StreamOps {
         .otherwise(expr(
           "bit_count((shiftright(g, 9) & -shiftright(g, 9)) - 1) + 1")))
       .groupBy("k", "b").agg(max("rho").as("r"))
+
+  /** Streaming materialized-rollup maintenance: each micro-batch's
+    * partial (event_type, day) aggregate merges into a parquet-backed
+    * state table with the SAME full-outer/coalesce merge whose
+    * merge≡recompute law the batch `q_incr_agg` oracle pins. This is
+    * the production pattern behind that query: the stored rollup is
+    * key-sized (groups, not rows), each trigger pays |batch| plus a
+    * key-sized merge, and history is never re-aggregated. The merged
+    * state is eagerly localCheckpoint'ed before the overwrite so the
+    * write never reads the files it is replacing. */
+  def maintainRollup(stream: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val sp = batch.sparkSession
+        val part = batch.select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            expr("cast(round(value * 1e6) as bigint)").as("vmicro"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("nd"), sum("vmicro").as("sd"))
+        val cur =
+          try sp.read.parquet(statePath)
+            .withColumnRenamed("n_events", "nb")
+            .withColumnRenamed("sum_vmicro", "sb")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            sp.createDataFrame(sp.sparkContext.emptyRDD[Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "event_type STRING, day DATE, nb BIGINT, sb BIGINT"))
+          }
+        val merged = cur
+          .join(part, Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+              .as("sum_vmicro"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
 
   /** Streaming near-dup screen: each arriving document is
     * minhash-signed and banded MAP-SIDE, probes the static corpus band

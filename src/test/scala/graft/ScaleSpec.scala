@@ -126,6 +126,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: selective dim join pre-filters the fact scan") {
+    // the non-partitioned sibling of DPP: a bloom filter built from the
+    // filtered dim side is pushed into the fact side at runtime, so the
+    // big side drops non-joining rows BEFORE the shuffle. Thresholds
+    // are sized for 10 GB+ scans in production; lower them to exercise
+    // the rewrite on the fixture.
+    val d = "/root/testdata/sf0.001"
+    val set = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // if the dim side would broadcast, Spark rightly skips the bloom
+      // filter (the broadcast hash join already prunes); force the
+      // shuffle-join shape the rewrite exists for
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = set.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    set.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter")
+        || p.contains("might_contain"),
+        s"expected an injected bloom runtime filter:\n${p.take(3000)}")
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("capped pagerank stays tractable on a 5x-duplicated corpus") {
     // the uncapped pair generator is the oracle baseline; under 5x
     // duplication every shared shingle's candidate pairs grow 25x, so

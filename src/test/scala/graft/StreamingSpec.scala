@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "streaming register file diverges from batch")
   }
 
+  test("maintainRollup: parquet state after N micro-batches equals direct aggregate") {
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+      .select("event_type", "ts", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val statePath = java.nio.file.Files
+      .createTempDirectory("rollup_state").toString + "/state"
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
+    val q = graft.streaming.StreamOps.maintainRollup(
+      input.toDF().toDF("event_type", "ts", "value", "event_id"), statePath)
+    try {
+      // three micro-batches, uneven splits — the merge must be
+      // associative across them
+      val parts = Seq(ev.take(100), ev.slice(100, 700), ev.drop(700))
+      parts.foreach { p => input.addData(p: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.parquet(statePath)
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    val want = graft.ops.DataQueries.incrAgg(spark, d).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq,
+      "maintained rollup diverges from the oracled batch aggregate")
+  }
+
   test("resampleLastStream matches batch resampleLast after watermark close") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
