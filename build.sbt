@@ -26,9 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g forced heavy old-gen GC by the tail of the 127-query bench
-  // sweep (q_simhash measured 3.2 s in-suite vs 0.26 s isolated, pure
-  // collector interference); the box has 128 GiB, so give the forked
-  // driver real headroom.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Measured A/B over the full 134-query bench: 8g + a 2g JIT code
+  // cache runs 64-68 s with no outliers; 24g heap runs 90-127 s with
+  // erratic 3-16 s per-query spikes (GC geometry), and the default
+  // 240 MB code cache overflows mid-suite — once JIT compilation
+  // stops, the bench tail runs interpreted (queries measured 3-8x
+  // slower in-suite than isolated on the same build). Keep the heap
+  // modest and the code cache big.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=2g",
 )
