@@ -2015,15 +2015,20 @@ object DataQueries {
     * their decimal string (same convention as the samplers), bucket r
     * of key k = bits [15r, 15r+15) — disjoint fields, no re-hashing. */
   def joinSizeEst(s: SparkSession, d: String): DataFrame = {
-    def counters(df: DataFrame, key: String): DataFrame =
-      df.select(TextOps.h64(col(key).cast("string")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("c"))
+    // ONE per-key count aggregate per side feeds BOTH the exact join
+    // size and the sketch (the counters derive from key counts — the
+    // bucket is a function of the key — so the sketch costs no second
+    // table scan; the two consumers reuse the same exchange)
+    def keyCounts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def counters(cnts: DataFrame): DataFrame =
+      cnts.select(TextOps.h64(col("k").cast("string")).as("h"), col("c"))
         .select(explode(sequence(lit(0), lit(3))).as("r"), col("h"), col("c"))
         .withColumn("b", expr("shiftright(h, r * 15) & 32767"))
         .groupBy("r", "b").agg(sum("c").as("c"))
-    def exactSize(a: DataFrame, ka: String, b: DataFrame, kb: String) =
-      a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
-        .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+    def exactSize(a: DataFrame, b: DataFrame) =
+      a.withColumnRenamed("c", "ca")
+        .join(b.withColumnRenamed("c", "cb"), Seq("k"))
         .agg(sum(col("ca") * col("cb")).as("exact_rows"))
     def innerProduct(a: DataFrame, b: DataFrame): DataFrame =
       a.as("x").join(b.as("y"),
@@ -2031,11 +2036,12 @@ object DataQueries {
         .groupBy(col("x.r")).agg(sum(col("x.c") * col("y.c")).as("ip"))
         .agg(min(col("ip")).as("cms_est"))
     def one(name: String, a: DataFrame, ka: String,
-            b: DataFrame, kb: String): DataFrame =
-      exactSize(a, ka, b, kb).crossJoin(innerProduct(counters(a, ka),
-          counters(b, kb)))
+            b: DataFrame, kb: String): DataFrame = {
+      val (ca, cb) = (keyCounts(a, ka), keyCounts(b, kb))
+      exactSize(ca, cb).crossJoin(innerProduct(counters(ca), counters(cb)))
         .select(lit(name).as("join_name"), col("exact_rows"), col("cms_est"),
           (col("cms_est") - col("exact_rows")).as("over_est"))
+    }
     one("customer_orders", Tables.customer(s, d), "c_custkey",
         Tables.orders(s, d), "o_custkey")
       .unionByName(one("orders_lineitem", Tables.orders(s, d), "o_orderkey",
