@@ -146,6 +146,8 @@ object SparkEntry {
     "q_join_size"         -> ((s, d) => DataQueries.joinSizeEst(s, d)),
     "q_incr_agg"          -> ((s, d) => DataQueries.incrAgg(s, d)),
     "q_zorder"            -> ((s, d) => DataQueries.zorderLayout(s, d)),
+    "q_aqp_sum"           -> ((s, d) => DataQueries.aqpSum(s, d)),
+    "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1264,6 +1266,60 @@ object SparkEntry {
            s.hist_est - e.exact AS err
          FROM ex e JOIN est s USING (source, stat)
          ORDER BY source, stat""",
+    // AQP calibration: inverse-probability estimates from the exact
+    // 10%-hash-bucket sample, integer arithmetic throughout.
+    "q_aqp_sum" ->
+      s"""WITH ev AS (SELECT event_type, event_id,
+                CAST(round(value * 1e6) AS BIGINT) AS vmicro FROM events),
+         ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+                  CAST(sum(vmicro) AS BIGINT) AS sum_exact
+                FROM ev GROUP BY 1),
+         sm AS (SELECT event_type,
+                  CAST(count(*) * 10 AS BIGINT) AS n_est,
+                  CAST(sum(vmicro) * 10 AS BIGINT) AS sum_est
+                FROM ev
+                WHERE ${H64.format("event_id::VARCHAR")} % 100 < 10
+                GROUP BY 1)
+         SELECT e.event_type, n_exact,
+           coalesce(n_est, 0) AS n_est,
+           coalesce(n_est, 0) - n_exact AS n_err,
+           sum_exact, coalesce(sum_est, 0) AS sum_est,
+           round((coalesce(sum_est, 0) - sum_exact)
+             / abs(sum_exact), 6) AS sum_rel_err
+         FROM ex e LEFT JOIN sm USING (event_type)
+         ORDER BY event_type""",
+    // Triangle replay over EXACTLY q_jaccard_pairs' pair set (same
+    // CTE text): ordered edges, wedge join, closing-edge join; integer
+    // micro-unit coefficient.
+    "q_triangles" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT doc_a AS a, doc_b AS b
+                   FROM cp JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+                 JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_triangles FROM
+                  (SELECT a AS doc FROM tri UNION ALL
+                   SELECT b FROM tri UNION ALL SELECT c FROM tri)
+                GROUP BY 1),
+         dg AS (SELECT doc, CAST(count(*) AS BIGINT) AS deg FROM
+                  (SELECT a AS doc FROM pairs UNION ALL
+                   SELECT b FROM pairs)
+                GROUP BY 1)
+         SELECT d.doc, d.deg,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           (2 * coalesce(pn.n_triangles, 0) * 1000000)
+             // (d.deg * (d.deg - 1)) AS clust_micro
+         FROM dg d LEFT JOIN pn USING (doc)
+         WHERE d.deg >= 2 ORDER BY d.doc""",
     // Z-order layout replay: same Morton spelling
     // (DataQueries.mortonExpr) executed by both engines; per-file
     // ranges, probe-box hits, read amplification.

@@ -1856,6 +1856,38 @@ object DataQueries {
       .orderBy("domain")
   }
 
+  /** Approximate query processing from a deterministic 10% hash
+    * sample: per-event-type counts and micro-unit value sums estimated
+    * by inverse-probability scaling (×10 — exact integer arithmetic,
+    * since the inclusion probability is exactly 1/10 by hash bucket),
+    * next to the exact answers and the signed errors. The
+    * sample-the-fact-table AQP pattern: at 100 TB the 10% sample is a
+    * materialized table and dashboard queries read it instead of the
+    * fact scan; this query is the calibration that says what that
+    * speedup costs in accuracy, per group, as pinned data. Sampling by
+    * content hash (not rand()) keeps the estimate reproducible and
+    * retry-safe — the same property every sampler in this engine
+    * already guarantees. */
+  def aqpSum(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("cast(round(value * 1e6) as bigint)").as("vmicro"),
+      col("event_id"))
+    val exact = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_exact"), sum("vmicro").as("sum_exact"))
+    val est = SamplingOps.hashSample(ev, "event_id", pct = 10)
+      .groupBy("event_type").agg(
+        (count(lit(1)) * 10).as("n_est"),
+        (sum("vmicro") * 10).as("sum_est"))
+    exact.join(est, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exact"),
+        coalesce(col("n_est"), lit(0L)).as("n_est"),
+        (coalesce(col("n_est"), lit(0L)) - col("n_exact")).as("n_err"),
+        col("sum_exact"), coalesce(col("sum_est"), lit(0L)).as("sum_est"),
+        round((coalesce(col("sum_est"), lit(0L)) - col("sum_exact"))
+          / abs(col("sum_exact")), 6).as("sum_rel_err"))
+      .orderBy("event_type")
+  }
+
   /** Incremental aggregate maintenance: refresh a grouped rollup from
     * a delta WITHOUT rescanning the base — merged = base-agg ⊞
     * delta-agg via a full-outer key join and coalesced partial sums

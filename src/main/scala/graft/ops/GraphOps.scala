@@ -70,6 +70,47 @@ object GraphOps {
     ranks
   }
 
+  /** Triangle counting over the near-dup graph (node clustering
+    * coefficient): how clique-like each document's duplication
+    * neighborhood is — a template/mirror cluster closes almost every
+    * wedge (coefficient → 1), while a hub document bridging unrelated
+    * near-dup groups closes few (→ 0). The signal that separates
+    * "family of boilerplate variants" from "chain of pairwise
+    * paraphrases" when deciding what a dedup representative stands for.
+    *
+    * Standard distributed shape: edges come ordered (a < b); wedges =
+    * edge ⋈ edge on the middle vertex (fan-out Σ deg² — exactly the
+    * number `q_skew_report` publishes; cap the pair generator's doc
+    * freq on duplication-heavy corpora, same lever as everywhere);
+    * triangles = wedge ⋈ edge on the closing pair. Every triangle
+    * (a<b<c) is found exactly once. The coefficient is exact integer
+    * micro-units: (2·t·10⁶) div (deg·(deg−1)). */
+  def triangles(s: SparkSession, d: String,
+                maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val e = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true) // read three times below; pairs are tiny
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(e.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("doc"))
+      .unionByName(e.select(col("b").as("doc")))
+      .groupBy("doc").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("doc"), "left")
+      .select(col("doc"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clust_micro",
+        expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+      .orderBy("doc")
+  }
+
   /** PageRank over the document near-dup graph: edges = symmetrized
     * 3-gram Jaccard pairs at τ=0.1 (exactly `q_jaccard_pairs`' pair
     * set), 3 iterations. Output carries the degree so the rank is

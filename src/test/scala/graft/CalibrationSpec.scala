@@ -54,6 +54,32 @@ class CalibrationSpec extends SparkSpec {
       s"zorder hit ${rows("zorder")._1} files vs arrival ${rows("arrival")._1}")
   }
 
+  test("triangles: per-node counts sum to 3x the triangle count; coeff in [0,1]") {
+    val rows = graft.ops.GraphOps.triangles(spark, sf).collect()
+    rows.foreach { r =>
+      val (deg, t, cm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cm >= 0 && cm <= 1000000L, s"coefficient out of range: $cm")
+      // a node of degree d closes at most C(d,2) triangles
+      assert(t <= deg * (deg - 1) / 2, s"doc ${r.getLong(0)}: t=$t deg=$deg")
+    }
+    // handshake law: each triangle contributes to exactly 3 nodes
+    assert(rows.map(_.getLong(2)).sum % 3 == 0)
+  }
+
+  test("aqp: estimates are exact inverse-probability scalings of the sample") {
+    val rows = DataQueries.aqpSum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // n_est is 10x an integer sample count by construction
+      assert(r.getLong(2) % 10 == 0)
+      // fixture calibration: a 10% hash sample stays within 50% of
+      // truth per event type at this scale (deterministic, not flaky)
+      val (n, nEst) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(nEst - n).toDouble / n < 0.5,
+        s"${r.getString(0)}: n=$n est=$nEst")
+    }
+  }
+
   test("novelty: batch 0 is all-novel; novel counts partition the gram space") {
     val rows = DataQueries.noveltyRate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
