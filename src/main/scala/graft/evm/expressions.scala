@@ -23,6 +23,11 @@ case class Keccak256Expr(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs binary input")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "keccak256"
+  // Expression.foldable defaults to FALSE — without this, a literal
+  // keccak256('…') in SQL re-hashes every row instead of folding to a
+  // constant at plan time (dataframe callers dodge it via Scala-side
+  // Keccak, but the SQL surface must get the same plan-time hashing)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any =
     Keccak.hash256(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -40,6 +45,7 @@ case class EventTopic0Expr(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string input")
   override def dataType: DataType = StringType
   override def prettyName: String = "evm_topic0"
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
       Keccak.eventTopic0(input.asInstanceOf[UTF8String].toString))

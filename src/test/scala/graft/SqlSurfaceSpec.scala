@@ -49,4 +49,17 @@ class SqlSurfaceSpec extends SparkSpec {
          ORDER BY rnk""").collect()
     assert(r.nonEmpty && r.head.getInt(2) == 1)
   }
+
+  test("literal evm_topic0/keccak256 constant-fold at plan time") {
+    val df = spark.sql(
+      "SELECT evm_topic0('Transfer(address,address,uint256)') AS t")
+    val p = df.queryExecution.optimizedPlan.toString
+    // ConstantFolding must have replaced the call with the hash literal
+    assert(p.contains("0xddf252ad") && !p.contains("evm_topic0"),
+      s"literal topic0 not folded:\n$p")
+    assert(df.head().getString(0).startsWith("0xddf252ad"))
+    val p2 = spark.sql("SELECT keccak256(CAST('' AS BINARY)) AS h")
+      .queryExecution.optimizedPlan.toString
+    assert(!p2.contains("keccak256"), s"literal keccak not folded:\n$p2")
+  }
 }
