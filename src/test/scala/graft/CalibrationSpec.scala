@@ -16,6 +16,38 @@ import graft.ops.DataQueries
 class CalibrationSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("calibration family survives a degenerate 1-row/empty-text corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degen_sf").toString
+    Seq((1L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, new java.sql.Timestamp(1704067200000L), 5L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(1704067200000L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // none of these may throw; shapes may legitimately be empty
+    assert(DataQueries.hllErr(spark, dir).count() == 0) // no 3-grams
+    assert(DataQueries.noveltyRate(spark, dir).count() == 0)
+    val hq = DataQueries.histQuantile(spark, dir).collect()
+    assert(hq.length == 3 && hq.forall(r => r.getLong(3) == 0))
+    assert(graft.ops.GraphOps.triangles(spark, dir).count() == 0)
+    assert(DataQueries.joinSizeEst(spark, dir).count() == 2)
+    assert(DataQueries.aqpSum(spark, dir).count() == 1)
+    assert(DataQueries.incrAgg(spark, dir).count() == 1)
+    assert(DataQueries.tableStats(spark, dir).count() == 11)
+    assert(DataQueries.zorderLayout(spark, dir).count() == 2)
+  }
+
   test("histogram quantile error is bounded by the bin width") {
     val rows = DataQueries.histQuantile(spark, sf).collect()
     assert(rows.length >= 3)
