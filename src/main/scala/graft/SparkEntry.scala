@@ -147,6 +147,8 @@ object SparkEntry {
     "q_incr_agg"          -> ((s, d) => DataQueries.incrAgg(s, d)),
     "q_zorder"            -> ((s, d) => DataQueries.zorderLayout(s, d)),
     "q_aqp_sum"           -> ((s, d) => DataQueries.aqpSum(s, d)),
+    "q_ref_integrity"     -> ((s, d) => DataQueries.refIntegrity(s, d)),
+    "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
@@ -1266,6 +1268,57 @@ object SparkEntry {
            s.hist_est - e.exact AS err
          FROM ex e JOIN est s USING (source, stat)
          ORDER BY source, stat""",
+    // Referential-integrity audit: anti-join orphan counts per FK edge.
+    "q_ref_integrity" ->
+      """SELECT * FROM (
+           SELECT 'customer_nation' AS relationship,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+               AS n_orphans
+           UNION ALL
+           SELECT 'lineitem_orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           UNION ALL
+           SELECT 'orders_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+         t(relationship, n_rows, n_orphans)
+         ORDER BY relationship""".replace("SELECT * FROM (",
+        "SELECT relationship, n_rows, n_orphans, " +
+          "round(n_orphans / n_rows, 6) AS orphan_rate FROM ("),
+    // Shard-rebalance replay: HRW argmax via row_number over the
+    // per-(doc, shard) hash grid; modulo via %.
+    "q_shard_rebalance" ->
+      s"""WITH g8 AS (SELECT doc_id, sh,
+                ${H64.format("doc_id::VARCHAR || ':' || sh::VARCHAR")} AS h
+              FROM documents, range(8) t(sh)),
+         g9 AS (SELECT doc_id, sh,
+                ${H64.format("doc_id::VARCHAR || ':' || sh::VARCHAR")} AS h
+              FROM documents, range(9) t(sh)),
+         p8 AS (SELECT doc_id, sh AS hrw_a FROM (SELECT doc_id, sh,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY h DESC, sh ASC) AS rn FROM g8) WHERE rn = 1),
+         p9 AS (SELECT doc_id, sh AS hrw_b FROM (SELECT doc_id, sh,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY h DESC, sh ASC) AS rn FROM g9) WHERE rn = 1),
+         a AS (SELECT d.doc_id, d.doc_id % 8 AS mod_a, d.doc_id % 9 AS mod_b,
+                 p8.hrw_a, p9.hrw_b
+               FROM documents d JOIN p8 USING (doc_id) JOIN p9 USING (doc_id)),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN mod_a <> mod_b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS moved_modulo,
+                 CAST(sum(CASE WHEN hrw_a <> hrw_b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS moved_rendezvous
+               FROM a)
+         SELECT n_docs, moved_modulo,
+           round(moved_modulo / n_docs, 6) AS frac_modulo,
+           moved_rendezvous,
+           round(moved_rendezvous / n_docs, 6) AS frac_rendezvous
+         FROM s""",
     // AQP calibration: inverse-probability estimates from the exact
     // 10%-hash-bucket sample, integer arithmetic throughout.
     "q_aqp_sum" ->

@@ -1856,6 +1856,72 @@ object DataQueries {
       .orderBy("domain")
   }
 
+  /** Referential-integrity audit across the star schema: orphaned
+    * foreign keys per relationship (lineitem→orders, orders→customer,
+    * customer→nation) as anti-join counts next to row totals. The
+    * data-quality gate a warehouse runs after every load; each check
+    * is one anti join on the key — at scale the dimension side
+    * broadcasts and the fact side streams through map-side. */
+  def refIntegrity(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame = {
+      val total = fact.agg(count(lit(1)).as("n_rows"))
+      val orphans = fact.join(dim.select(col(pk).as("__pk")),
+          col(fk) === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("relationship"), col("n_rows"),
+          col("n_orphans"),
+          round(col("n_orphans") / col("n_rows"), 6).as("orphan_rate"))
+    }
+    check("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionByName(check("orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(check("customer_nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy("relationship")
+  }
+
+  /** Shard-rebalance cost, modulo vs rendezvous (HRW) hashing: when a
+    * document store grows from 8 to 9 shards, modulo assignment moves
+    * ~8/9 of all keys (every resize is a full reshuffle), while
+    * rendezvous — shard = argmax over shards of h64(key·shard) — moves
+    * only the keys the NEW shard wins, ~1/9. Both assignments are pure
+    * column arithmetic over the engine-stable hash (ties broken toward
+    * the lower shard id), so the oracle replays every placement and
+    * the movement fractions are pinned data: the consistent-hashing
+    * argument, measured instead of asserted. At 100 TB this is the
+    * difference between a rebalance that copies 89 TB and one that
+    * copies 11 TB. */
+  def shardRebalance(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    def hrw(shards: Int): Column = {
+      // argmax of h64(doc_id:shard) over shard ids, ties → lower id
+      val scored = (0 until shards).map { sh =>
+        struct(TextOps.h64(concat(col("doc_id").cast("string"),
+          lit(":"), lit(sh.toString))).as("h"), lit(-sh).as("negsh"))
+      }
+      -greatest(scored: _*).getField("negsh")
+    }
+    val assigned = docs
+      .withColumn("mod_a", pmod(col("doc_id"), lit(n)))
+      .withColumn("mod_b", pmod(col("doc_id"), lit(n + 1)))
+      .withColumn("hrw_a", hrw(n))
+      .withColumn("hrw_b", hrw(n + 1))
+    assigned.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mod_a") =!= col("mod_b"), 1L).otherwise(0L))
+          .as("moved_modulo"),
+        sum(when(col("hrw_a") =!= col("hrw_b"), 1L).otherwise(0L))
+          .as("moved_rendezvous"))
+      .select(col("n_docs"), col("moved_modulo"),
+        round(col("moved_modulo") / col("n_docs"), 6).as("frac_modulo"),
+        col("moved_rendezvous"),
+        round(col("moved_rendezvous") / col("n_docs"), 6)
+          .as("frac_rendezvous"))
+  }
+
   /** Approximate query processing from a deterministic 10% hash
     * sample: per-event-type counts and micro-unit value sums estimated
     * by inverse-probability scaling (×10 — exact integer arithmetic,

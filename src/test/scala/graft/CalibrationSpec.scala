@@ -112,6 +112,15 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("shard rebalance: rendezvous moves ~1/(n+1), modulo nearly everything") {
+    val r = DataQueries.shardRebalance(spark, "/root/testdata/sf0.01").head()
+    val (fracMod, fracHrw) = (r.getDouble(2), r.getDouble(4))
+    // theory: 8/9 ≈ .889 for modulo, 1/9 ≈ .111 for rendezvous
+    assert(fracMod > 0.8, s"modulo moved only $fracMod")
+    assert(fracHrw < 0.2, s"rendezvous moved $fracHrw — not consistent")
+    assert(fracHrw < fracMod / 4)
+  }
+
   test("novelty: batch 0 is all-novel; novel counts partition the gram space") {
     val rows = DataQueries.noveltyRate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
