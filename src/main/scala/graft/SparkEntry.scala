@@ -148,6 +148,7 @@ object SparkEntry {
     "q_zorder"            -> ((s, d) => DataQueries.zorderLayout(s, d)),
     "q_aqp_sum"           -> ((s, d) => DataQueries.aqpSum(s, d)),
     "q_ref_integrity"     -> ((s, d) => DataQueries.refIntegrity(s, d)),
+    "q_lang_confusion"    -> ((s, d) => DataQueries.langConfusion(s, d)),
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
@@ -687,6 +688,31 @@ object SparkEntry {
                 WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
                 ELSE 'und' END AS pred
          FROM sc ORDER BY doc_id""",
+    // Confusion matrix of the stopword language gate vs labels.
+    "q_lang_confusion" ->
+      s"""WITH $TOKS_CTE,
+         sc AS (SELECT doc_id,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('der','die','und','das','ist')))::DOUBLE / len(tk) ELSE 0 END AS s_de,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('the','a','of','and','is')))::DOUBLE / len(tk) ELSE 0 END AS s_en,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('el','la','de','que','y')))::DOUBLE / len(tk) ELSE 0 END AS s_es,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('le','la','et','les','des')))::DOUBLE / len(tk) ELSE 0 END AS s_fr
+           FROM toks),
+         pr AS (SELECT doc_id,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                ELSE 'und' END AS pred
+           FROM sc),
+         m AS (SELECT d.lang, pr.pred, CAST(count(*) AS BIGINT) AS n
+               FROM pr JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         SELECT lang, pred, n,
+           round(n / sum(n) OVER (PARTITION BY lang), 6) AS frac
+         FROM m ORDER BY lang, pred""",
     "q_dedup_exact" ->
       s"""SELECT ${H64.format("text")} AS content_hash,
            min(doc_id) AS keep_id, count(*) AS n_dups

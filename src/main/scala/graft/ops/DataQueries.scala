@@ -1856,6 +1856,21 @@ object DataQueries {
       .orderBy("domain")
   }
 
+  /** Language-ID confusion matrix: classifier prediction vs the
+    * labeled `lang` column, with per-cell share of the labeled class —
+    * the quality-monitoring view of the n-gram language gate (which
+    * classes bleed into which under the stopword heuristic). One
+    * map-only scoring pass and a bounded (langs²) aggregate. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("lang"),
+      TextOps.langId(col("text")).as("pred"))
+    val m = scored.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    m.withColumn("frac", round(col("n") / sum("n").over(
+        Window.partitionBy("lang")), 6))
+      .orderBy("lang", "pred")
+  }
+
   /** Referential-integrity audit across the star schema: orphaned
     * foreign keys per relationship (lineitem→orders, orders→customer,
     * customer→nation) as anti-join counts next to row totals. The
