@@ -149,6 +149,7 @@ object SparkEntry {
     "q_aqp_sum"           -> ((s, d) => DataQueries.aqpSum(s, d)),
     "q_ref_integrity"     -> ((s, d) => DataQueries.refIntegrity(s, d)),
     "q_lang_confusion"    -> ((s, d) => DataQueries.langConfusion(s, d)),
+    "q_day_audit"         -> ((s, d) => DataQueries.dayAudit(s, d)),
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
@@ -688,6 +689,24 @@ object SparkEntry {
                 WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
                 ELSE 'und' END AS pred
          FROM sc ORDER BY doc_id""",
+    // Completeness audit over the generated day spine: zero-event days
+    // surface as rows; ratio in micro-units via IEEE-exact steps.
+    "q_day_audit" ->
+      """WITH pd AS (SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         sp AS (SELECT unnest(generate_series(
+                  (SELECT min(day) FROM pd), (SELECT max(day) FROM pd),
+                  INTERVAL 1 DAY))::DATE AS day),
+         j AS (SELECT sp.day, coalesce(pd.n, 0) AS n_events
+               FROM sp LEFT JOIN pd USING (day)),
+         st AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS span FROM j)
+         SELECT day, n_events, n_events = 0 AS is_gap,
+           CAST(round(n_events * 1e6 * span / CAST(total AS DOUBLE))
+             AS BIGINT) AS ratio_micro,
+           CAST(round(n_events * 1e6 * span / CAST(total AS DOUBLE))
+             AS BIGINT) < 500000 AS is_low
+         FROM j, st ORDER BY day""",
     // Confusion matrix of the stopword language gate vs labels.
     "q_lang_confusion" ->
       s"""WITH $TOKS_CTE,

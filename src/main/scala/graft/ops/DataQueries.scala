@@ -1856,6 +1856,35 @@ object DataQueries {
       .orderBy("domain")
   }
 
+  /** Event-stream completeness audit: one row per calendar day across
+    * the stream's full [min, max] span — including days with ZERO
+    * events, which a plain GROUP BY would silently drop — with each
+    * day's count, its micro-unit ratio to the global daily mean, and
+    * gap/low flags. The ingestion-freshness monitor: a missing
+    * partition or a half-loaded day shows up as a row, not as an
+    * absence. Day-keyed aggregate plus a generated day spine (tiny);
+    * the spine join broadcasts. */
+  def dayAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"))
+    val perDay = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+    val spine = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val stats = perDay.agg(
+      sum("n_events").as("__total"), count(lit(1)).as("__days_present"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .crossJoin(broadcast(stats))
+      // mean over the FULL spine (gaps count as zero-event days)
+      .withColumn("__span", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("ratio_micro", expr(
+        "cast(round(n_events * 1e6 * __span / cast(__total as double)) as bigint)"))
+      .select(col("day"), col("n_events"),
+        (col("n_events") === 0).as("is_gap"),
+        col("ratio_micro"),
+        (col("ratio_micro") < 500000L).as("is_low"))
+      .orderBy("day")
+  }
+
   /** Language-ID confusion matrix: classifier prediction vs the
     * labeled `lang` column, with per-cell share of the labeled class —
     * the quality-monitoring view of the n-gram language gate (which
