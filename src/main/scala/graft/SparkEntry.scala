@@ -150,6 +150,7 @@ object SparkEntry {
     "q_ref_integrity"     -> ((s, d) => DataQueries.refIntegrity(s, d)),
     "q_lang_confusion"    -> ((s, d) => DataQueries.langConfusion(s, d)),
     "q_day_audit"         -> ((s, d) => DataQueries.dayAudit(s, d)),
+    "q_embed_drift"       -> ((s, d) => DataQueries.embedDrift(s, d)),
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
@@ -1723,6 +1724,35 @@ object SparkEntry {
              AS cos_sim
          FROM dots JOIN n na ON la = na.label JOIN n nb ON lb = nb.label
          ORDER BY la, lb""",
+    // Within-label drift between arrival halves: same integer
+    // micro-unit centroid arithmetic as q_centroid_sim.
+    "q_embed_drift" ->
+      """WITH f0 AS (SELECT label, vec_id % 2 AS half,
+                  unnest(range(len(embedding))) AS i,
+                  unnest(embedding) AS v FROM embeddings),
+         f AS (SELECT label, half, i,
+                 CAST(round(v::DOUBLE * 1e6) AS BIGINT) AS vf FROM f0),
+         c AS (SELECT label, half, i, CAST(sum(vf) AS BIGINT) AS cv
+               FROM f GROUP BY 1, 2, 3),
+         n AS (SELECT label, half, CAST(sum(cv * cv) AS BIGINT) AS nn
+               FROM c GROUP BY 1, 2),
+         cnt AS (SELECT label, vec_id % 2 AS half,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM embeddings GROUP BY 1, 2),
+         dots AS (SELECT a.label, CAST(sum(a.cv * b.cv) AS BIGINT) AS dot
+                  FROM c a JOIN c b
+                    ON a.label = b.label AND a.i = b.i
+                    AND a.half = 0 AND b.half = 1
+                  GROUP BY 1)
+         SELECT d.label, ca.n AS n_a, cb.n AS n_b,
+           round(dot / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)), 6)
+             AS cos_drift
+         FROM dots d
+         JOIN n na ON na.label = d.label AND na.half = 0
+         JOIN n nb ON nb.label = d.label AND nb.half = 1
+         JOIN cnt ca ON ca.label = d.label AND ca.half = 0
+         JOIN cnt cb ON cb.label = d.label AND cb.half = 1
+         ORDER BY d.label""",
     // Boilerplate strip: passages (8-token windows) with corpus
     // occurrence ≥ 3 removed, documents rebuilt from the survivors in
     // original order — reconstruction pinned by length + content hash.

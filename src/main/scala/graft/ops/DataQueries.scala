@@ -1539,6 +1539,47 @@ object DataQueries {
       .orderBy("la", "lb")
   }
 
+  /** Embedding-centroid drift WITHIN each label, between arrival
+    * halves (half = vec_id mod 2, the fixture's stand-in for "this
+    * month's batch vs last month's"): cosine between the two half
+    * centroids in the same exact integer micro-unit arithmetic as
+    * [[centroidSim]]. A drifting embedding model or a shifted upstream
+    * distribution shows up as cos < 1 before any downstream ANN index
+    * quietly degrades — the monitor that says "re-embed / re-cluster"
+    * with a number instead of an incident. Same telemetry-sized shape:
+    * one (label, half, dim) map-combined sum, then label-count rows. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val fix = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("label"), col("half"), col("i"),
+        round(col("v").cast("double") * 1e6).cast("long").as("vf"))
+      .groupBy("label", "half", "i").agg(sum("vf").as("cv"))
+    val counts = Tables.embeddings(s, d)
+      .groupBy(col("label"), (col("vec_id") % 2).as("half"))
+      .agg(count(lit(1)).as("n"))
+    val norms = fix.groupBy("label", "half")
+      .agg(sum(col("cv") * col("cv")).as("nn"))
+    val dots = fix.filter(col("half") === 0).toDF("label", "h0", "i", "ca")
+      .join(fix.filter(col("half") === 1).toDF("label", "h1", "i", "cb"),
+        Seq("label", "i"))
+      .groupBy("label").agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.filter(col("half") === 0).select(col("label"),
+        col("nn").as("na")), Seq("label"))
+      .join(norms.filter(col("half") === 1).select(col("label"),
+        col("nn").as("nb")), Seq("label"))
+      .join(counts.filter(col("half") === 0).select(col("label"),
+        col("n").as("n_a")), Seq("label"))
+      .join(counts.filter(col("half") === 1).select(col("label"),
+        col("n").as("n_b")), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos_drift"))
+      .orderBy("label")
+  }
+
   /** As-of join: each click event picks up the user's latest purchase
     * at-or-before the click (value + its timestamp). */
   def asofPurchase(s: SparkSession, d: String): DataFrame = {
