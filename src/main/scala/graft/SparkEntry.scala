@@ -151,6 +151,7 @@ object SparkEntry {
     "q_lang_confusion"    -> ((s, d) => DataQueries.langConfusion(s, d)),
     "q_day_audit"         -> ((s, d) => DataQueries.dayAudit(s, d)),
     "q_embed_drift"       -> ((s, d) => DataQueries.embedDrift(s, d)),
+    "q_dup_size_hist"     -> ((s, d) => DataQueries.dupSizeHist(s, d)),
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
@@ -1724,6 +1725,47 @@ object SparkEntry {
              AS cos_sim
          FROM dots JOIN n na ON la = na.label JOIN n nb ON lb = nb.label
          ORDER BY la, lb""",
+    // Dedup-savings forecast: family-size histogram over the same
+    // recursive-CC component structure as q_dedup_groups, keeping the
+    // lowest-id representative's tokens per family.
+    "q_dup_size_hist" ->
+      s"""WITH RECURSIVE $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         near AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+                   UNION SELECT doc_b, doc_a FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         tk AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM toks),
+         fam AS (SELECT comp, CAST(count(*) AS BIGINT) AS fsize,
+                   CAST(sum(nt) AS BIGINT) AS ftok,
+                   arg_min(nt, node) AS kept
+                 FROM comps JOIN tk ON node = doc_id GROUP BY comp),
+         grp AS (SELECT fsize AS comp_size,
+                   CAST(count(*) AS BIGINT) AS n_families,
+                   CAST(sum(fsize) AS BIGINT) AS n_docs,
+                   CAST(sum(ftok) AS BIGINT) AS tokens_total,
+                   CAST(sum(ftok - kept) AS BIGINT) AS tokens_removable
+                 FROM fam GROUP BY 1),
+         sing AS (SELECT CAST(1 AS BIGINT) AS comp_size,
+                    CAST(count(*) AS BIGINT) AS n_families,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(nt) AS BIGINT) AS tokens_total,
+                    CAST(0 AS BIGINT) AS tokens_removable
+                  FROM tk WHERE doc_id NOT IN (SELECT node FROM comps))
+         SELECT * FROM grp UNION ALL SELECT * FROM sing
+         ORDER BY comp_size""",
     // Within-label drift between arrival halves: same integer
     // micro-unit centroid arithmetic as q_centroid_sim.
     "q_embed_drift" ->

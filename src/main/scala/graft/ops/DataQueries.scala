@@ -1926,6 +1926,36 @@ object DataQueries {
       .orderBy("day")
   }
 
+  /** Dedup-savings forecast: the near-dup family-size distribution
+    * with the TOKEN budget each size class would release if dedup kept
+    * one representative per family (the lowest-id doc, q_dedup_first's
+    * convention). Singleton documents appear as the size-1 class with
+    * zero removable tokens, so the rows sum to the whole corpus — this
+    * is the "what does running dedup actually buy at 100 TB" estimate,
+    * computed from the family structure instead of asserted. */
+  def dupSizeHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    val docs = Tables.documents(s, d)
+    val ntok = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+    val groups = dedupGroups(s, d).select("doc", "comp")
+    val fam = groups.join(ntok, groups("doc") === ntok("doc_id"))
+      .groupBy("comp").agg(count(lit(1)).as("fsize"),
+        sum("nt").as("ftok"),
+        fmin(struct(col("doc"), col("nt"))).getField("nt").as("kept"))
+    val grouped = fam.groupBy(col("fsize").as("comp_size"))
+      .agg(count(lit(1)).as("n_families"), sum("fsize").as("n_docs"),
+        sum("ftok").as("tokens_total"),
+        sum(col("ftok") - col("kept")).as("tokens_removable"))
+    val singles = ntok.join(groups, ntok("doc_id") === groups("doc"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_families"), count(lit(1)).as("n_docs"),
+        sum("nt").as("tokens_total"))
+      .select(lit(1L).as("comp_size"), col("n_families"), col("n_docs"),
+        col("tokens_total"), lit(0L).as("tokens_removable"))
+    grouped.unionByName(singles).orderBy("comp_size")
+  }
+
   /** Language-ID confusion matrix: classifier prediction vs the
     * labeled `lang` column, with per-cell share of the labeled class —
     * the quality-monitoring view of the n-gram language gate (which
