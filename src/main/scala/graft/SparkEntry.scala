@@ -152,6 +152,7 @@ object SparkEntry {
     "q_day_audit"         -> ((s, d) => DataQueries.dayAudit(s, d)),
     "q_embed_drift"       -> ((s, d) => DataQueries.embedDrift(s, d)),
     "q_dup_size_hist"     -> ((s, d) => DataQueries.dupSizeHist(s, d)),
+    "q_lsh_tuning"        -> ((s, d) => DataQueries.lshTuning(s, d)),
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
@@ -1725,6 +1726,45 @@ object SparkEntry {
              AS cos_sim
          FROM dots JOIN n na ON la = na.label JOIN n nb ON lb = nb.label
          ORDER BY la, lb""",
+    // LSH S-curve tuning replay: three band configs over the shared
+    // SIG_CTE signatures, recall vs the exact Jaccard truth set.
+    "q_lsh_tuning" -> {
+      def cfg(r: Int) =
+        s"""b$r AS (SELECT doc, i // $r AS band,
+               ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)),
+                  1, 15))::BIGINT AS bh
+             FROM sig GROUP BY 1, 2),
+           c$r AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                   FROM b$r a JOIN b$r b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+           s$r AS (SELECT $r AS rows_per_band, ${32 / r} AS bands,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c$r)
+                       AS n_candidates,
+                     (SELECT CAST(count(*) AS BIGINT) FROM truth)
+                       AS n_true,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c$r
+                      JOIN truth USING (doc_a, doc_b)) AS n_captured)"""
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex2 AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter
+                FROM ex2 a JOIN ex2 b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b FROM tp
+                   JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         ${cfg(1)}, ${cfg(2)}, ${cfg(4)}
+         SELECT rows_per_band, bands, n_candidates, n_true, n_captured,
+           round(n_captured / n_true, 6) AS recall
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s4)
+         ORDER BY rows_per_band"""
+    },
     // Dedup-savings forecast: family-size histogram over the same
     // recursive-CC component structure as q_dedup_groups, keeping the
     // lowest-id representative's tokens per family.

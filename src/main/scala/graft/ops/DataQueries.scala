@@ -1926,6 +1926,40 @@ object DataQueries {
       .orderBy("day")
   }
 
+  /** LSH index-tuning telemetry: for rows-per-band r ∈ {1, 2, 4} over
+    * the same k=32 MinHash signatures, the candidate-pair volume, the
+    * true near-pair set (3-gram Jaccard ≥ 0.1) and how much of it the
+    * banding captures — the S-curve trade measured on THIS corpus
+    * instead of read off the textbook plot. r=1 buys recall with a
+    * candidate flood; r=4 starves recall; the table is what says which
+    * (b, r) to ship before anyone pays for a 100 TB candidate join.
+    * Signatures and the truth set are each computed once
+    * (eager-checkpointed) and shared by all three configs. */
+  def lshTuning(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32)
+      .localCheckpoint(true)
+    val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    def one(r: Int): DataFrame = {
+      val cand = DedupOps.lshBands(sig, k = 32, r = r).toDF("da", "band", "bh")
+        .as("x").join(DedupOps.lshBands(sig, k = 32, r = r)
+          .toDF("db", "band", "bh").as("y"), Seq("band", "bh"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b")).distinct()
+        .localCheckpoint(true) // counted twice below; pair table is small
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_captured")))
+        .crossJoin(nTrue)
+        .select(lit(r).as("rows_per_band"), lit(32 / r).as("bands"),
+          col("n_candidates"), col("n_true"), col("n_captured"),
+          round(col("n_captured") / col("n_true"), 6).as("recall"))
+    }
+    one(1).unionByName(one(2)).unionByName(one(4)).orderBy("rows_per_band")
+  }
+
   /** Dedup-savings forecast: the near-dup family-size distribution
     * with the TOKEN budget each size class would release if dedup kept
     * one representative per family (the lowest-id doc, q_dedup_first's
