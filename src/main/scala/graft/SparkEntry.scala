@@ -100,6 +100,7 @@ object SparkEntry {
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
+    "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
     "q_dhash_groups"      -> ((s, d) => DataQueries.dhashGroups(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
     "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
     "q_hard_negatives"    -> ((s, d) => DataQueries.hardNegatives(s, d)),
+    "q_hard_negatives_lsh" -> ((s, d) => DataQueries.hardNegativesLsh(s, d)),
     "q_cdc_dedup"         -> ((s, d) => DataQueries.cdcDedup(s, d)),
     "q_ivf_state_probe"   -> ((s, d) => DataQueries.ivfStateProbe(s, d)),
     "q_epoch_manifest"    -> ((s, d) => DataQueries.epochManifest(s, d)),
@@ -168,8 +170,37 @@ object SparkEntry {
     }),
     "q_evm_daily"         -> ((s, d) => graft.evm.LogPipeline.dailyVolume(s, d)
       .orderBy("day")),
+    // raw_params escape hatch: only Transfer is "configured", so the
+    // Approval rows flow through as unknown events with the raw map
+    // (rendered sorted-key=value for the hash gate)
+    "q_evm_raw"           -> ((s, d) => {
+      import graft.evm.{Keccak, LogPipeline}
+      val logs = LogPipeline.synthesizeLogs(graft.Tables.events(s, d))
+      LogPipeline.decodeUnknown(logs,
+          Seq(Keccak.eventTopic0(LogPipeline.TransferSig)), "1")
+        .select(col("tx_hash"), col("block_number"), col("contract"),
+          col("chain_id"),
+          org.apache.spark.sql.functions.expr(
+            """array_join(transform(array_sort(map_keys(raw_params)),
+                 k -> concat(k, '=', raw_params[k])), '&')""").as("raw_params"))
+        .orderBy("tx_hash")
+    }),
     "q_evm_swap"          -> ((s, d) => graft.evm.LogPipeline.swapDecode(s, d)
       .orderBy("tx_hash")),
+    // full-range uint256 aggregation: whale words value = cents·2^128 +
+    // event_id (beyond DECIMAL(38,0) AND HUGEINT) summed as 32-bit
+    // limbs — per-limb sums stay in int64 on both engines; the
+    // arbitrary-precision decimal-string form (uint256_sum) is pinned
+    // by EvmSpec against a BigInt reference on the same rows
+    "q_uint256_sum"       -> ((s, d) => {
+      import graft.evm.LogPipeline
+      import org.apache.spark.sql.functions.{count, element_at, lit, sum}
+      val logs = LogPipeline.synthesizeWhaleLogs(graft.Tables.events(s, d))
+        .select(col("token"), LogPipeline.uint256Limbs(col("data")).as("lb"))
+      val aggs = count(lit(1)).as("n") +: (0 until 8).map(i =>
+        sum(element_at(col("lb"), i + 1)).cast("long").as(s"ls$i"))
+      logs.groupBy("token").agg(aggs.head, aggs.tail: _*).orderBy("token")
+    }),
     "q_evm_payout"        -> ((s, d) => graft.evm.LogPipeline.payoutDecode(s, d)
       .orderBy("tx_hash", "pos")),
     "q_evm_order"         -> ((s, d) => graft.evm.LogPipeline.orderDecode(s, d)
@@ -1959,6 +1990,10 @@ object SparkEntry {
     // the encoded bytes, so the Spark-side WAV/BMP/PPM encode→decode
     // round trip is independently gated (a codec defect changes the
     // decoded stats, the oracle doesn't move).
+    // GATE CONSTRAINT: every integer aggregate that reaches the output
+    // MUST be cast ::BIGINT — DuckDB promotes sum(INTEGER) to HUGEINT,
+    // which pandas renders as float64 ("3.0" vs Spark's "3") and the
+    // driver's hash compare fails even though values are equal.
     "q_media_features" ->
       """WITH n AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n FROM documents),
          s AS (SELECT doc_id, unnest(range(n)) AS i FROM n),
@@ -1966,8 +2001,8 @@ object SparkEntry {
                  ((doc_id * 40503 + i * 2654435761) % 65536) - 32768 AS v
                FROM s)
          SELECT doc_id, count(*) AS n_samples, 8000::BIGINT AS sample_rate,
-           max(abs(v)) AS max_abs, sum(abs(v)) AS sum_abs,
-           sum((i + 1) * abs(v)) AS wsum_abs
+           max(abs(v))::BIGINT AS max_abs, sum(abs(v))::BIGINT AS sum_abs,
+           sum((i + 1) * abs(v))::BIGINT AS wsum_abs
          FROM v GROUP BY doc_id ORDER BY doc_id""",
     "q_image_features" ->
       """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
@@ -1982,8 +2017,27 @@ object SparkEntry {
                  (3 * doc_id + x + 11 * y) % 256 AS b
                FROM c)
          SELECT doc_id, format, max(w) AS width, max(h) AS height,
-           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
-           sum((y + 1) * r) AS wsum_r
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((y + 1) * r)::BIGINT AS wsum_r
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // PNG twin: identical pixel formulas, 'png' container — a defect
+    // anywhere in the deflate/inflate/filter path shifts a sum
+    "q_png_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h, 'png' AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 (doc_id + 3 * x + 7 * y) % 256 AS r,
+                 (2 * doc_id + 5 * x + y) % 256 AS g,
+                 (3 * doc_id + x + 11 * y) % 256 AS b
+               FROM c)
+         SELECT doc_id, format, max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((y + 1) * r)::BIGINT AS wsum_r
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
     "q_media_neardup" ->
       """WITH sd AS (SELECT doc_id, doc_id % 16 AS seed FROM documents),
@@ -2159,14 +2213,18 @@ object SparkEntry {
     "q_temp_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
-         p AS (SELECT lang, n, n::DOUBLE / total AS pl,
-                 CAST(round(pow(n::DOUBLE / total, 0.3) * 1000000.0) AS BIGINT) AS qfx
+         p AS (SELECT lang, n,
+                 CAST(round(n::DOUBLE * 1000000.0 / total) AS BIGINT) AS plfx
                FROM c, t),
-         z AS (SELECT CAST(sum(qfx) AS BIGINT) AS sfx FROM p)
-         SELECT lang, n, round(pl, 6) AS p,
-           round(qfx::DOUBLE / sfx, 6) AS w_alpha,
-           CAST(round(qfx::DOUBLE / sfx * 1000) AS BIGINT) AS exp_docs
-         FROM p, z ORDER BY lang""",
+         q AS (SELECT lang, n, plfx,
+                 CAST(round(pow(plfx::DOUBLE / 1000000.0, 0.3) * 1000000.0)
+                   AS BIGINT) AS qfx
+               FROM p),
+         z AS (SELECT CAST(sum(qfx) AS BIGINT) AS sfx FROM q)
+         SELECT lang, n, plfx::DOUBLE / 1000000.0 AS p,
+           round(qfx::DOUBLE * 1000000.0 / sfx) / 1000000.0 AS w_alpha,
+           CAST(round(qfx::DOUBLE * 1000 / sfx) AS BIGINT) AS exp_docs
+         FROM q, z ORDER BY lang""",
     // per-IVF-cluster quality telemetry: documents bucket by their
     // embedding's nearest centroid (same 16 lowest-id centroids as
     // q_ivf_topk), then per-cluster rule-gate keep rates
@@ -2393,7 +2451,8 @@ object SparkEntry {
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                 AS session_no
                FROM m),
          th AS (SELECT user_id, session_no, min(ts) AS session_start,
                   count(*) AS n_events,
@@ -2548,16 +2607,18 @@ object SparkEntry {
          SELECT list_id, rk, vec_id FROM r WHERE rk <= 20
          ORDER BY list_id, rk""",
     // Exponential-keys weighted sample: u from the salted hash,
-    // key = -ln(u)/weight in nano-units, k smallest win (ties by id)
+    // L = round(-ln(u)*1e6) on the finite u-grid (exhaustively
+    // boundary-safe — SamplingProps), then pure INTEGER division by
+    // the weight so no libm ulp can flip the key cross-engine
     "q_weighted_sample" ->
       s"""WITH $TOKS_CTE,
          w AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok
                FROM toks WHERE len(tk) > 0),
          kx AS (SELECT doc_id, n_tok,
-                  CAST(round(
+                  (CAST(round(
                     -ln(((${H64.format("'wsample:' || doc_id")} % 1000000) + 1)
-                      / 1000000.0)
-                    / n_tok * 1000000000.0) AS BIGINT) AS key_fx
+                      / 1000000.0) * 1000000.0) AS BIGINT)
+                   * 1000000000) // n_tok AS key_fx
                 FROM w),
          r AS (SELECT *, row_number() OVER (ORDER BY key_fx, doc_id) AS rk
                FROM kx)
@@ -2703,6 +2764,39 @@ object SparkEntry {
                      sqrt(list_dot_product(c.ve, c.ve))) AS cos
                 FROM v q JOIN v c
                   ON q.vec_id % 5 = 0 AND q.label <> c.label),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, q_label, cand_id, c_label,
+           round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    // LSH-gated hard negatives: q_ann_multi's SRP buckets replayed
+    // exactly but over 8 tables (hard negatives live at moderate
+    // cosine, where per-table collision is rare), label inequality as
+    // a post-filter — the scale twin of q_hard_negatives' exact BNLJ
+    "q_hard_negatives_lsh" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+           FROM embeddings WHERE embedding IS NOT NULL),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM v, range(16) AS rt(t), range(6) AS rp(p), range(64) AS rd(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 6 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+                  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+                    AND q.vec_id % 5 = 0),
+         sc AS (SELECT cand.query_id, q.label AS q_label,
+                  cand.cand_id, c.label AS c_label,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM cand JOIN v q ON q.vec_id = cand.query_id
+                          JOIN v c ON c.vec_id = cand.cand_id
+                WHERE q.label <> c.label),
          rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
          SELECT query_id, q_label, cand_id, c_label,
@@ -2963,6 +3057,45 @@ object SparkEntry {
                 ELSE greatest(CAST(round(value * 100) AS BIGINT), 0)::VARCHAR END AS value_or_hex
          FROM events WHERE event_type IN ('click', 'purchase', 'view')
          ORDER BY tx_hash""",
+    // unknown-ABI escape hatch: the Approval-topic0 rows (event types
+    // outside click/purchase/view) re-rendered from the synthesis
+    // formulas; raw_params is the sorted key=value join of the map
+    "q_evm_raw" ->
+      s"""SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
+           event_id // 10 AS block_number,
+           '0x' || lpad(printf('%x', user_id % 3), 40, '0') AS contract,
+           '1' AS chain_id,
+           'data=' ||
+             CASE WHEN event_id % 97 = 0 THEN '0xdead'
+                  ELSE '0x' || lpad(printf('%x',
+                    greatest(CAST(round(value * 100) AS BIGINT), 0)), 64, '0')
+             END ||
+           '&topic0=${graft.evm.Keccak.eventTopic0(graft.evm.LogPipeline.ApprovalSig)}' ||
+           '&topic1=0x' || lpad(printf('%x', user_id), 64, '0') ||
+           '&topic2=0x' || lpad(printf('%x', (user_id * 7 + 1) % 1000), 64, '0')
+             AS raw_params
+         FROM events WHERE event_type NOT IN ('click', 'purchase', 'view')
+         ORDER BY tx_hash""",
+    // whale uint256 sums, recomputed ANALYTICALLY from the synthesis
+    // formula value = cents·2^128 + event_id: limb0/1 carry event_id,
+    // limb4/5 carry cents, the rest are zero — DuckDB never sees the
+    // 32-byte words, so the Spark-side encode→limb-decode round trip
+    // is independently gated (same pattern as the multimodal oracles)
+    "q_uint256_sum" ->
+      """WITH tr AS (SELECT
+             '0x' || lpad(printf('%x', user_id % 3), 40, '0') AS token,
+             greatest(CAST(round(value * 100) AS BIGINT), 0) AS cents,
+             event_id
+           FROM events
+           WHERE event_type IN ('click', 'purchase', 'view'))
+         SELECT token, count(*) AS n,
+           sum(event_id % 4294967296)::BIGINT AS ls0,
+           sum(event_id // 4294967296)::BIGINT AS ls1,
+           0::BIGINT AS ls2, 0::BIGINT AS ls3,
+           sum(cents % 4294967296)::BIGINT AS ls4,
+           sum(cents // 4294967296)::BIGINT AS ls5,
+           0::BIGINT AS ls6, 0::BIGINT AS ls7
+         FROM tr GROUP BY token ORDER BY token""",
     "q_evm_swap" ->
       """SELECT '0x' || md5(event_id::VARCHAR) AS tx_hash,
            greatest(CAST(round(value * 100) AS BIGINT), 0) - 50000 AS tick,

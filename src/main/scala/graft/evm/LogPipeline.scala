@@ -1,6 +1,6 @@
 package graft.evm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -57,6 +57,43 @@ object LogPipeline {
       when(pmod(col("event_id"), lit(97)) === 0, unhex(lit("dead")))
         .otherwise(unhex(lpad(lower(hex(valueCents)), 64, "0"))).as("data"),
       col("ts"))
+  }
+
+  /** Whale-scale Transfer fixture: the payload word is the full-range
+    * uint256 `value = cents·2^128 + event_id` (≈3e42 for typical cents
+    * — far beyond DecimalType(38,0), where [[decodeEvent]]'s typed path
+    * deliberately yields null per SURVEY §7.4). Exercises the limb
+    * decode and [[Uint256SumAgg]] on values no 128-bit engine type can
+    * hold. Same deterministic synthesis contract as
+    * [[synthesizeLogs]]: the oracle recomputes expected limb sums from
+    * the formula, so the encode→decode→aggregate loop is independently
+    * gated. */
+  def synthesizeWhaleLogs(events: DataFrame): DataFrame = {
+    val isTransfer = col("event_type").isin("click", "purchase", "view")
+    val cents = greatest(round(col("value") * 100).cast("long"), lit(0L))
+    spread(events).filter(isTransfer).select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("tx_hash"),
+      expr("event_id div 10").cast("long").as("block_number"),
+      concat(lit("0x"), lpad(lower(hex(pmod(col("user_id"), lit(3)))), 40, "0"))
+        .as("token"),
+      // 32-byte big-endian word: [0]*8 ‖ cents(8B, bits 191..128) ‖
+      // [0]*8 ‖ event_id(8B, bits 63..0)
+      unhex(concat(lit("0" * 16), lpad(lower(hex(cents)), 16, "0"),
+        lit("0" * 16), lpad(lower(hex(col("event_id"))), 16, "0")))
+        .as("data"))
+  }
+
+  /** 32-byte uint256 word → 8 little-endian 32-bit limbs (limb i =
+    * bits [32i, 32i+32)) as longs. 32-bit limbs, not 64: per-limb
+    * group sums then stay exactly representable in BIGINT up to ~2e9
+    * rows per group AND map to int64 on every engine (the oracle's
+    * HUGEINT-free gate constraint). Pure hex/substring arithmetic —
+    * whole-stage-codegen'd, no UDF. */
+  def uint256Limbs(data: Column): Column = {
+    val h = lpad(lower(hex(data)), 64, "0")
+    array((0 until 8).map { i =>
+      conv(substring(h, 57 - 8 * i, 8), 16, 10).cast("long")
+    }: _*)
   }
 
   /** J4: contract-registry enrichment — the configured
@@ -134,6 +171,37 @@ object LogPipeline {
     }
     withStruct.select(meta ++ indexed ++ payload :+
       concat(lit("0x"), lower(hex(col("data")))).as("data_hex"): _*)
+  }
+
+  /** raw_params escape hatch (SURVEY §1.5): logs whose topic0 matches
+    * NO configured ABI event still flow through as decoded rows —
+    * metadata columns plus a lossless `MapType(String,String)` of the
+    * raw topic/data hex — instead of being dropped by the plan-time
+    * `topic0 === lit(...)` dispatch. This mirrors the reference's
+    * minimal-event path (`internal/parser/parser.go:54-61`), which
+    * emits metadata + raw topics for unknown events. Union this with
+    * the per-event [[decodeEvent]] frames for full-coverage ingestion:
+    * every input log lands in exactly one output. Map-only projection —
+    * no join, no shuffle, safe at any scale. */
+  def decodeUnknown(logs: DataFrame, knownTopic0s: Seq[String],
+                    chainId: String): DataFrame = {
+    val hexOf = (c: Column) => concat(lit("0x"), lower(hex(c)))
+    // sources differ in which topic slots they carry (synthesized
+    // frames have no topic3); absent slots simply don't enter the map
+    val entries =
+      Seq(lit("topic0") -> col("topic0").cast("string")) ++
+        (1 to 3).collect {
+          case i if logs.columns.contains(s"topic$i") =>
+            lit(s"topic$i") -> hexOf(col(s"topic$i"))
+        } :+ (lit("data") -> hexOf(col("data")))
+    val raw = map(entries.flatMap { case (k, v) => Seq(k, v) }: _*)
+    logs.filter(!col("topic0").isin(knownTopic0s: _*))
+      .select(col("tx_hash"), col("block_number"),
+        col("address").as("contract"),
+        lit(null).cast("string").as("contract_name"),
+        lit(null).cast("string").as("event_name"),
+        lit(chainId).as("chain_id"),
+        map_filter(raw, (_, v) => v.isNotNull).as("raw_params"))
   }
 
   /** J2: tx-sender enrichment — the Spark form of the reference's

@@ -361,7 +361,7 @@ class AggPartitionReader(base: PartitionReader[InternalRow],
     var mx = Long.MinValue
     var mn = Long.MaxValue
     while (base.next()) {
-      val b = base.get().getLong(0) // block_number is field 0
+      val b = base.get().getLong(AggPartitionReader.BlockNumberIdx)
       cnt += 1
       if (b > mx) mx = b
       if (b < mn) mn = b
@@ -376,6 +376,13 @@ class AggPartitionReader(base: PartitionReader[InternalRow],
   }
   override def get(): InternalRow = row
   override def close(): Unit = base.close()
+}
+
+object AggPartitionReader {
+  /** Resolved against the source schema, not a bare literal — stays
+    * correct if the schema order ever changes or column pruning is
+    * added (the reader consumes the FULL source schema today). */
+  val BlockNumberIdx: Int = LogSource.schema.fieldIndex("block_number")
 }
 
 /** S3 live: one `eth_getLogs(fromBlock, toBlock, {address, topics})`

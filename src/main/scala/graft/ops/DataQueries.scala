@@ -865,8 +865,11 @@ object DataQueries {
         col("dup_frac"))
       .orderBy("doc_id")
 
-  /** Hard negatives: every 5th vector as the query batch, top-3
-    * other-label neighbors each. */
+  /** Hard negatives, exact: every 5th vector as the query batch, top-3
+    * other-label neighbors each — the small-sf correctness twin of
+    * [[hardNegativesLsh]] (bounded fixture; the exact form's BNLJ is
+    * O(|queries|·|corpus|) and must not run with a corpus-fraction
+    * batch at scale). */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     VectorOps.hardNegatives(e.filter(col("vec_id") % 5 === 0), e,
@@ -876,6 +879,25 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Hard negatives, LSH-gated (the 100 TB shape): same query batch and
+    * ranking, candidates restricted to multi-table SRP-LSH bucket
+    * collisions with the label inequality as a post-filter — one
+    * bucket-keyed equi-join, no nested-loop plan (NewOpsPlanSpec pins
+    * that). */
+  def hardNegativesLsh(s: SparkSession, d: String): DataFrame =
+    // 16 tables, not q_ann_multi's 3: hard negatives live at MODERATE
+    // cosine (other-label, ≈0.44 on this corpus), where per-table SRP
+    // collision is only ~0.07 — tables is the recall dial (measured
+    // top-1 recall 0.2/0.45/≈0.7 at 3/8/16 tables) and costs a linear
+    // explode before the bucket-keyed join; planes stays the
+    // corpus-density dial
+    VectorOps.hardNegativesLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", planes = 6, tables = 16, k = 3, col("vec_id") % 5 === 0)
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
 
   /** Embedding near-dup pairs, cosine ≥ 0.4 — exact, via the blocked
     * distributed all-pairs plan (equi-join fan-out, no nested-loop
@@ -1191,6 +1213,55 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** PNG twin of [[imageFeatures]]: identical formula pixels, but the
+    * bytes make the round trip through the COMPRESSED codec — deflate
+    * on encode, then chunk walk → inflate → per-scanline filter
+    * reconstruction on decode ([[Multimodal.decodePng]]). The oracle
+    * recomputes the stats analytically from the pixel formulas, so any
+    * defect anywhere in the zlib/filter path shifts a sum and fails
+    * the hash gate. Map-only partition-wise transform, like every
+    * codec query. */
+  def pngFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("wsum_r", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((doc + 3L * x + 7L * y) % 256L).toInt
+              rgb(p + 1) = ((2L * doc + 5L * x + y) % 256L).toInt
+              rgb(p + 2) = ((3L * doc + x + 11L * y) % 256L).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Multimodal.encodePng(w, h, rgb)
+          val (dw, dh, f) = Multimodal.decodeFeatures(bytes)
+          Row(doc, Multimodal.detectFormat(bytes), dw.toLong, dh.toLong,
+            f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup groups via dHash: 12 planted seed groups —
     * same-seed images share base pixels and dimensions, each doc adds a
     * sparse +2 luminance perturbation — go through the REAL encode
@@ -1445,26 +1516,34 @@ object DataQueries {
     * expected document count for an epoch of `epoch` draws. The
     * normalizer is summed in integer micro-units (q_l quantized to 1e-6
     * before the sum) so the result is independent of partition
-    * accumulation order — the same trick as the LM scorer. Residual
-    * cross-engine risk: JVM `Math.pow` is 1-ulp accurate, not correctly
-    * rounded, so a p_l^α landing within an ulp of a .5 micro-unit
-    * boundary COULD quantize differently than DuckDB's libm pow; green
-    * at all three scale factors today, and the failure mode is a
-    * visible hash-red row, not silent drift. Scale: one count
-    * aggregate; the per-language table is O(#langs). */
+    * accumulation order — the same trick as the LM scorer.
+    *
+    * Cross-engine determinism is by construction (the weightedKey
+    * pattern): p_l is first quantized to the 1e6-point grid — n·1e6 is
+    * exact in a double and IEEE division is correctly rounded on every
+    * engine — and pow is then only ever evaluated ON that finite grid,
+    * where an exhaustive sweep (SamplingProps) shows every point sits
+    * ≥7.6e-7 from a .5 micro-rounding boundary, ~700× the 1-ulp
+    * JVM-vs-libm pow disagreement. No oracled column depends on a
+    * non-correctly-rounded libm call landing near a boundary. Scale:
+    * one count aggregate; the per-language table is O(#langs). */
   def tempMix(s: SparkSession, d: String,
               alpha: Double = 0.3, epoch: Long = 1000): DataFrame = {
     val c = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
     val t = c.agg(sum("n").as("total"))
     val p = c.crossJoin(t)
-      .withColumn("pl", col("n").cast("double") / col("total"))
-      .withColumn("qfx", round(pow(col("pl"), lit(alpha)) * 1e6).cast("long"))
+      .withColumn("plfx",
+        round(col("n").cast("double") * 1e6 / col("total"), 0).cast("long"))
+      .withColumn("qfx",
+        round(pow(col("plfx").cast("double") / 1e6, lit(alpha)) * 1e6, 0)
+          .cast("long"))
     val z = p.agg(sum("qfx").as("sfx"))
     p.crossJoin(z)
       .select(col("lang"), col("n"),
-        round(col("pl"), 6).as("p"),
-        round(col("qfx").cast("double") / col("sfx"), 6).as("w_alpha"),
-        round(col("qfx").cast("double") / col("sfx") * epoch).cast("long")
+        (col("plfx").cast("double") / 1e6).as("p"),
+        (round(col("qfx").cast("double") * 1e6 / col("sfx"), 0) / 1e6)
+          .as("w_alpha"),
+        round(col("qfx").cast("double") * epoch / col("sfx"), 0).cast("long")
           .as("exp_docs"))
       .orderBy("lang")
   }
@@ -1943,9 +2022,13 @@ object DataQueries {
       .select("doc_a", "doc_b").localCheckpoint(true)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     def one(r: Int): DataFrame = {
-      val cand = DedupOps.lshBands(sig, k = 32, r = r).toDF("da", "band", "bh")
-        .as("x").join(DedupOps.lshBands(sig, k = 32, r = r)
-          .toDF("db", "band", "bh").as("y"), Seq("band", "bh"))
+      // rename by NAME: a positional toDF would silently mis-bind the
+      // join keys if lshBands ever grew or reordered a column
+      val bands = DedupOps.lshBands(sig, k = 32, r = r)
+        .select(col("doc"), col("band"), col("bh"))
+      val cand = bands.select(col("doc").as("da"), col("band"), col("bh"))
+        .as("x").join(bands.select(col("doc").as("db"), col("band"), col("bh"))
+          .as("y"), Seq("band", "bh"))
         .filter(col("da") < col("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b")).distinct()
         .localCheckpoint(true) // counted twice below; pair table is small

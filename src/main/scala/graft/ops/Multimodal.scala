@@ -232,12 +232,154 @@ object Multimodal {
     (w, h, rgb)
   }
 
+  // ------------------------------------------------------------------
+  // PNG (truecolor 8-bit, non-interlaced) — the first COMPRESSED format
+  // a multimodal pipeline meets. Pure JVM: the zlib stream goes through
+  // java.util.zip.{Deflater, Inflater} (public platform API), CRC32
+  // through java.util.zip.CRC32. Spec: W3C PNG (RFC 2083) —
+  // https://www.w3.org/TR/png-3/ . Encoder emits filter 0 rows; the
+  // decoder reconstructs ALL five spec filters (None/Sub/Up/Average/
+  // Paeth), pinned by golden tests over hand-filtered streams.
+  // ------------------------------------------------------------------
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+  private def rdBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    be32(out, 0, data.length)
+    typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 4, 4 + data.length) // CRC covers type + data
+    be32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** Encode top-down row-major RGB triples as a truecolor-8 PNG
+    * (one IDAT, every scanline filter 0). */
+  def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "encodePng: rgb length != w*h*3")
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, w); be32(ihdr, 4, h)
+    ihdr(8) = 8  // bit depth
+    ihdr(9) = 2  // color type: truecolor RGB
+    // compression 0, filter method 0, interlace 0 (bytes 10..12 zero)
+    val raw = new Array[Byte](h * (1 + w * 3)) // filter byte + row
+    var y = 0
+    while (y < h) {
+      val o = y * (1 + w * 3) + 1 // raw(o-1) = 0: filter None
+      var i = 0
+      while (i < w * 3) { raw(o + i) = (rgb(y * w * 3 + i) & 0xff).toByte; i += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", bos.toByteArray) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Decode a truecolor-8 non-interlaced PNG → (w, h, top-down RGB
+    * triples). Walks chunks (multi-IDAT streams concatenate, ancillary
+    * chunks skip), inflates, then reconstructs per-scanline filters
+    * 0–4 exactly as specified (Paeth predictor included). Anything but
+    * 8-bit truecolor non-interlaced is a loud error, not a silent
+    * misdecode. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "decodePng: bad signature")
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done && off + 12 <= bytes.length) {
+      val len = rdBe32(bytes, off)
+      val typ = new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val body = off + 8
+      typ match {
+        case "IHDR" =>
+          w = rdBe32(bytes, body); h = rdBe32(bytes, body + 4)
+          val (depth, color, interlace) =
+            (bytes(body + 8), bytes(body + 9), bytes(body + 12))
+          require(depth == 8 && color == 2 && interlace == 0,
+            s"decodePng: only truecolor-8 non-interlaced supported" +
+              s" (depth=$depth color=$color interlace=$interlace)")
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: skip
+      }
+      off = body + len + 4 // + CRC
+    }
+    require(w > 0 && h > 0 && idat.size() > 0, "decodePng: missing IHDR/IDAT")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    while (!inflater.finished() && filled < raw.length)
+      filled += inflater.inflate(raw, filled, raw.length - filled)
+    inflater.end()
+    require(filled == raw.length,
+      s"decodePng: short inflate ($filled of ${raw.length})")
+    // per-scanline reconstruction; prev = reconstructed row above (zeros
+    // for the first row, per spec)
+    val rgb = new Array[Int](w * h * 3)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val o = y * (1 + stride)
+      val filter = raw(o) & 0xff
+      var i = 0
+      while (i < stride) {
+        val x = raw(o + 1 + i) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0   // left (bpp = 3)
+        val b = prev(i)                          // above
+        val c = if (i >= 3) prev(i - 3) else 0   // upper-left
+        cur(i) = filter match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + b) & 0xff
+          case 3 => (x + (a + b) / 2) & 0xff
+          case 4 => // Paeth predictor, straight from the spec
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (x + pred) & 0xff
+          case f => throw new IllegalArgumentException(
+            s"decodePng: unknown filter $f on row $y")
+        }
+        rgb(y * stride + i) = cur(i)
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
   /** Container sniff by magic bytes. */
   def detectFormat(bytes: Array[Byte]): String =
     if (bytes == null || bytes.length < 4) "unknown"
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
     else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else if (bytes(0) == 'P' && bytes(1) == '6') "ppm"
+    else if (bytes(0) == PngSig(0) && bytes(1) == 'P' && bytes(2) == 'N'
+      && bytes(3) == 'G') "png"
     else "unknown"
 
   // ------------------------------------------------------------------
@@ -264,8 +406,11 @@ object Multimodal {
         var i = 0
         while (i < s.length) { f(i & 7) += s(i); i += 1 }
         (s.length, sr, f)
-      case "bmp" | "ppm" =>
-        val (w, h, rgb) = if (content(0) == 'B') decodeBmp(content) else decodePpm(content)
+      case "bmp" | "ppm" | "png" =>
+        val (w, h, rgb) =
+          if (content(0) == 'B') decodeBmp(content)
+          else if (content(0) == 'P') decodePpm(content)
+          else decodePng(content)
         val f = new Array[Float](8)
         var p = 0
         var y = 0

@@ -48,17 +48,28 @@ object SamplingOps {
     * exponential-keys / A-ES scheme, rand()-free): each row draws the
     * pseudo-uniform u = (h64(salt‖key) mod 1e6 + 1)/1e6 and ranks by
     * −ln(u)/weight — the k SMALLEST keys are a weight-proportional
-    * sample. The key is quantized to integer nano-units before ranking
-    * (ln and ÷ are correctly rounded on both engines; ties break by
-    * id), so selection is engine/run/retry-identical like every other
-    * sampler here.
+    * sample (ties break by id).
+    *
+    * Cross-engine determinism is by CONSTRUCTION, not by hoping libm
+    * agrees: ln is evaluated only on the finite 1e6-point u-grid and
+    * pre-rounded to micro-units — SamplingProps verifies exhaustively
+    * that no grid point lies within 1e-6 of a .5 rounding boundary,
+    * ~100× the worst-case JVM-vs-libm 1-ulp disagreement (~1.2e-8 at
+    * this magnitude), so round() cannot flip between engines. The
+    * weight then enters through pure INTEGER division (Spark `div`,
+    * DuckDB `//`, both truncating; operands are non-negative), which
+    * no floating-point step can perturb.
     *
     * Returns the key column; the caller takes the k smallest. At scale
     * that selection must be a sort-LIMIT (TakeOrdered: per-partition
     * top-k then a k-row merge), never a global row_number window. */
   def weightedKey(key: Column, weight: Column, salt: String): Column = {
-    val u = (pmod(h64(concat(lit(salt + ":"), key.cast("string"))),
-      lit(1000000L)) + lit(1L)).cast("double") / lit(1000000.0)
-    round(-log(u) / weight.cast("double") * lit(1e9), 0).cast("long")
+    val m = pmod(h64(concat(lit(salt + ":"), key.cast("string"))),
+      lit(1000000L)) + lit(1L)
+    // −ln(m/1e6) in micro-units: an exact integer on both engines
+    // (boundary-safety of the 1e6-point grid is exhaustively pinned)
+    val lfx = round(-log(m.cast("double") / lit(1000000.0)) * lit(1e6), 0)
+      .cast("long")
+    call_function("div", lfx * lit(1000000000L), weight.cast("long"))
   }
 }

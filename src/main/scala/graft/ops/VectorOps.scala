@@ -38,12 +38,16 @@ object VectorOps {
   /** Hard-negative mining for contrastive/embedding training: per
     * query vector, the k most-cosine-similar candidates with a
     * DIFFERENT label — the "confusable but wrong" examples a triplet
-    * or InfoNCE loss wants. Same broadcast-queries shape as
-    * [[cosineTopK]] (query batches are ≪ corpus in mining loops); the
-    * label inequality rides the join predicate so same-class pairs are
-    * dropped before any dot product. For all-vs-all mining at corpus
-    * scale, run the [[cosineNearDupBlocked]] fan-out with the label
-    * check in the pair filter instead. */
+    * or InfoNCE loss wants.
+    *
+    * EXACT form — the small-sf correctness twin. The label inequality
+    * is a non-equi predicate, so this plan is a BroadcastNestedLoopJoin
+    * whose build side is the ENTIRE query batch scored against every
+    * candidate: cost O(|queries|·|corpus|), memory O(|queries|). Hard
+    * cap: only run with a bounded query batch (≲ a few thousand rows);
+    * the production path at corpus scale is [[hardNegativesLsh]], whose
+    * oracle twin this exact form is (the q_dedup_groups /
+    * q_dedup_groups_capped pattern). */
   def hardNegatives(queries: DataFrame, candidates: DataFrame, id: String,
                     vec: String, label: String, k: Int): DataFrame = {
     def prep(df: DataFrame, idOut: String, labOut: String,
@@ -62,6 +66,57 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select("query_id", "q_label", "cand_id", "c_label", "cos", "rank")
   }
+
+  /** Hard-negative mining, the corpus-scale path: candidates come from
+    * the multi-table SRP-LSH bucket EQUI-join (same tables/buckets as
+    * [[annTopKMulti]]), the label inequality is a cheap POST-filter on
+    * the collided pairs, and only survivors pay an exact cosine +
+    * per-query top-k. Nothing here is a nested-loop or cartesian plan:
+    * the one join is keyed on (table, bucket), so Catalyst/AQE picks
+    * broadcast vs shuffled-hash by the ACTUAL query-batch size — a
+    * corpus-fraction batch shuffles on the bucket key instead of
+    * broadcasting (the exact form's scale-killer). Recall < 1 by
+    * construction; dial it with `tables`. [[hardNegatives]] is the
+    * exactness oracle twin. */
+  def hardNegativesLsh(df: DataFrame, id: String, vec: String, label: String,
+                       planes: Int, tables: Int, k: Int,
+                       queryPred: Column): DataFrame =
+    vecDims(df, vec) match {
+      case None =>
+        df.select(col(id).as("query_id"), col(label).as("q_label"),
+          col(id).as("cand_id"), col(label).as("c_label"),
+          lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+      case Some(dims) =>
+        val perTable = (0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            bucketCol(col("vq"), dims, planes, p => t * planes + p).as("bucket"))
+        }
+        val frame = df.filter(col(vec).isNotNull)
+          .select(col(id).as("vid"), col(label).as("lab"),
+            asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+          .withColumn("__n", norm(col("v")))
+          .filter(col("__n") > 0)
+          .withColumn("vq", quantized(col("v")))
+          .select(col("vid"), col("lab"), col("v"), col("__isq"), col("__n"),
+            explode(array(perTable: _*)).as("tb"))
+          .select(col("vid"), col("lab"), col("v"), col("__isq"), col("__n"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val q = frame.filter(col("__isq"))
+          .select(col("vid").as("query_id"), col("lab").as("q_label"),
+            col("v").as("qv"), col("__n").as("qn"), col("tbl"), col("bucket"))
+        val c = frame.select(col("vid").as("cand_id"), col("lab").as("c_label"),
+          col("v").as("cv"), col("__n").as("cn"), col("tbl"), col("bucket"))
+        val cand = c.join(q, Seq("tbl", "bucket"))
+          .filter(col("q_label") =!= col("c_label")) // post-filter, not a join pred
+          .select("query_id", "q_label", "qv", "qn",
+            "cand_id", "c_label", "cv", "cn").distinct()
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "q_label", "cand_id", "c_label", "cos", "rank")
+    }
 
   /** Int8 scalar quantization: per-dimension [min, max] over the
     * corpus, then code_d = round((x_d − min_d) / span_d · 255) − 128
@@ -759,7 +814,7 @@ object VectorOps {
     * Overflow headroom: |Σ v_i·v_j| ≤ N·1e12 micro² keeps the partial
     * sums in BIGINT up to ~9M vectors; past that, rescale the unit (the
     * comment contract, not a silent cap). */
-  def pcaProject(emb: DataFrame, dim: Int = 64): DataFrame = {
+  def pcaProject(emb: DataFrame): DataFrame = {
     val fix = emb.select(col("vec_id"), col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
       .select(col("vec_id"), col("label"), col("i"),
@@ -772,9 +827,12 @@ object VectorOps {
         posexplode(col("ve")).as(Seq("j", "y")))
       .select(col("i"), col("j"),
         (col("vi") * round(col("y") * lit(1e6), 0).cast("long")).as("p"))
+    // d²-row matrix, materialized once: each of the 3 matvecs (and the
+    // derived start vector) would otherwise replay the full d²-group agg
     val cov = exi.groupBy("i", "j").agg(sum("p").as("sij"))
       .withColumn("cq", expr("sij div 1000000"))
       .select("i", "j", "cq")
+      .localCheckpoint(true)
     def matvec(w: DataFrame): DataFrame =
       cov.join(broadcast(w.select(col("i").as("j"), col("wv"))), Seq("j"))
         .groupBy("i").agg(sum(expr("cq * wv")).as("wp"))
@@ -786,9 +844,10 @@ object VectorOps {
           max(abs(col("wp"))).over(Window.partitionBy(lit(1))))
         .select(col("i"),
           expr("wp div greatest(mx div 1000000, 1L)").as("wv"))
-    val s = emb.sparkSession
-    val w0 = s.range(dim).select(col("id").cast("int").as("i"),
-      lit(1000000L).as("wv"))
+    // all-ones start over every dimension PRESENT IN THE DATA (the
+    // oracle's implicit start) — a fixed-width range would silently
+    // truncate the iteration for embeddings wider than the constant
+    val w0 = cov.select("i").distinct().withColumn("wv", lit(1000000L))
     val w3 = (1 to 3).foldLeft(w0)((w, _) => renorm(matvec(w)))
     fix.join(broadcast(w3), Seq("i"))
       .groupBy("vec_id", "label")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -118,40 +118,86 @@ object StreamOps {
     * merge≡recompute law the batch `q_incr_agg` oracle pins. This is
     * the production pattern behind that query: the stored rollup is
     * key-sized (groups, not rows), each trigger pays |batch| plus a
-    * key-sized merge, and history is never re-aggregated. The merged
-    * state is eagerly localCheckpoint'ed before the overwrite so the
-    * write never reads the files it is replacing. */
+    * key-sized merge, and history is never re-aggregated.
+    *
+    * Durability contract (foreachBatch is at-least-once): state lives in
+    * versioned directories `statePath/v=<batchId>`, each made visible by
+    * an atomically-created `_COMMIT_<batchId>` marker. A replayed
+    * micro-batch (batchId ≤ last committed) is skipped, so nothing is
+    * ever double-merged; a write-job failure leaves an orphan version
+    * directory WITHOUT a marker and the previous committed state
+    * untouched — the old overwrite-in-place form could destroy the
+    * rollup if the job died between delete and write. Read the current
+    * state with [[readRollup]]. */
   def maintainRollup(stream: DataFrame, statePath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val sp = batch.sparkSession
-        val part = batch.select(col("event_type"),
-            to_date(col("ts")).as("day"),
-            expr("cast(round(value * 1e6) as bigint)").as("vmicro"))
-          .groupBy("event_type", "day")
-          .agg(count(lit(1)).as("nd"), sum("vmicro").as("sd"))
-        val cur =
-          try sp.read.parquet(statePath)
-            .withColumnRenamed("n_events", "nb")
-            .withColumnRenamed("sum_vmicro", "sb")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            sp.createDataFrame(sp.sparkContext.emptyRDD[Row],
-              org.apache.spark.sql.types.StructType.fromDDL(
-                "event_type STRING, day DATE, nb BIGINT, sb BIGINT"))
-          }
-        val merged = cur
-          .join(part, Seq("event_type", "day"), "full_outer")
-          .select(col("event_type"), col("day"),
-            (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L)))
-              .as("n_events"),
-            (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
-              .as("sum_vmicro"))
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(statePath)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyRollupBatch(batch, statePath, batchId)
       }
       .start()
+
+  private val RollupSchema =
+    "event_type STRING, day DATE, n_events BIGINT, sum_vmicro BIGINT"
+
+  private def rollupFs(sp: SparkSession, statePath: String) = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    (p.getFileSystem(sp.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed version ids under statePath, from the `_COMMIT_<id>` markers. */
+  private def committedVersions(sp: SparkSession, statePath: String): Seq[Long] = {
+    val (fs, root) = rollupFs(sp, statePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_COMMIT_") => n.stripPrefix("_COMMIT_").toLong }
+  }
+
+  /** Latest committed rollup state (empty frame with the rollup schema if
+    * no batch has committed yet). */
+  def readRollup(sp: SparkSession, statePath: String): DataFrame = {
+    val committed = committedVersions(sp, statePath)
+    if (committed.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(RollupSchema))
+    else sp.read.parquet(s"$statePath/v=${committed.max}")
+  }
+
+  /** One micro-batch of rollup maintenance; package-visible so the spec
+    * can drive replay/crash scenarios directly. */
+  private[graft] def applyRollupBatch(batch: org.apache.spark.sql.Dataset[Row],
+                                      statePath: String, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val committed = committedVersions(sp, statePath)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return // at-least-once replay: already applied
+    val part = batch.select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1e6) as bigint)").as("vmicro"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("nd"), sum("vmicro").as("sd"))
+    val cur = readRollup(sp, statePath)
+      .withColumnRenamed("n_events", "nb")
+      .withColumnRenamed("sum_vmicro", "sb")
+    val merged = cur
+      .join(part, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+          .as("sum_vmicro"))
+      .localCheckpoint(true)
+    // mode("overwrite") clears a partial v=<batchId> left by a failed retry
+    merged.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    val (fs, root) = rollupFs(sp, statePath)
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$batchId"), true)
+      .close() // the commit point: marker creation is atomic
+    // GC all but the new and previous committed versions (1-deep rollback)
+    committed.filter(_ < last).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$id"), false)
+    }
+  }
 
   /** Streaming near-dup screen: each arriving document is
     * minhash-signed and banded MAP-SIDE, probes the static corpus band

@@ -67,7 +67,7 @@ class AnnRecallSpec extends SparkSpec {
       (2L, Array(1.0f, 0.0f), 0),
       (3L, Array(0.0f, 0.5f), 1))
       .toDF("vec_id", "embedding", "label")
-    val out = VectorOps.pcaProject(emb, dim = 2).collect()
+    val out = VectorOps.pcaProject(emb).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     // cq = [[2e6, 0], [0, 250000]]; w0=(1e6,1e6)
     // it1: wp=(2e12, 2.5e11)  m=2e6 -> w=(1e6, 125000)

@@ -228,6 +228,59 @@ class EvmSqlSpec extends SparkSpec {
     assert(got.getString(0) == expected)
     assert(got.isNullAt(1)) // invalid r → null, row survives (best-effort)
   }
+  test("raw_params escape hatch: unknown events flow through, known + unknown partition the input") {
+    import graft.evm.{Keccak, LogPipeline}
+    val logs = LogPipeline.synthesizeLogs(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val known = Seq(Keccak.eventTopic0(LogPipeline.TransferSig))
+    val unknown = LogPipeline.decodeUnknown(logs, known, "1")
+    val decoded = LogPipeline.decodeTransfers(logs)
+    // nothing is dropped: every input log lands in exactly one side
+    assert(unknown.count() + decoded.count() == logs.count())
+    assert(unknown.count() > 0, "no unknown events in fixture")
+    val row = unknown.orderBy("tx_hash").limit(1)
+      .collect()(0)
+    assert(row.getAs[String]("contract_name") == null)
+    val m = row.getAs[Map[String, String]]("raw_params")
+    // topic3 is absent in the synthesis → map_filter drops it; the
+    // rest are lossless hex renders
+    assert(m.keySet == Set("topic0", "topic1", "topic2", "data"))
+    assert(m("topic0") == Keccak.eventTopic0(LogPipeline.ApprovalSig))
+    assert(m("topic1").startsWith("0x") && m("topic1").length == 66)
+    assert(m("data").startsWith("0x"))
+  }
+
+  test("uint256_sum: arbitrary-precision sum matches BigInt reference beyond 1e38") {
+    import graft.evm.LogPipeline
+    import org.apache.spark.sql.functions.{call_function, col}
+    val logs = LogPipeline.synthesizeWhaleLogs(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    // driver-side reference: exact BigInt over the raw 32-byte words
+    val ref = logs.select(col("token"), col("data")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => BigInt(1, r.getAs[Array[Byte]](1))).sum
+      }
+    assert(ref.values.exists(_ > BigInt(10).pow(38)),
+      "fixture must contain >1e38 values to exercise the full range")
+    val got = logs.groupBy("token")
+      .agg(call_function("uint256_sum", col("data")).as("total"))
+      .collect().map(r => r.getString(0) -> BigInt(r.getString(1))).toMap
+    assert(got == ref, "uint256_sum diverges from BigInt reference")
+    // and the limb decomposition reconstructs the same totals
+    val limbs = logs
+      .select(col("token"), LogPipeline.uint256Limbs(col("data")).as("lb"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map { r =>
+          val lb = r.getSeq[Long](1)
+          lb.zipWithIndex.map { case (v, i) => BigInt(v) << (32 * i) }.sum
+        }.sum
+      }
+    assert(limbs == ref, "limb decomposition diverges from raw words")
+  }
+
   test("keccak256 / evm_topic0 / abi_decode_* are callable from SQL") {
     val r = spark.sql(
       """SELECT evm_topic0('Transfer(address,address,uint256)') AS t0,

@@ -370,10 +370,11 @@ class GraphRetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
       .filter(_._2 > 0)
     // reimplement the key independently: driver-side h64 + scala math
+    // (grid-rounded log, then pure integer division — the engine spec)
     val expected = docs.map { case (id, w) =>
-      val u = (graft.ops.Hashing.h64(s"wsample:$id") % 1000000L + 1L)
-        .toDouble / 1000000.0
-      val key = math.round(-math.log(u) / w * 1e9)
+      val m = graft.ops.Hashing.h64(s"wsample:$id") % 1000000L + 1L
+      val lfx = math.round(-math.log(m.toDouble / 1e6) * 1e6)
+      val key = lfx * 1000000000L / w
       (key, id, w)
     }.sorted.take(50)
     val out = DataQueries.weightedSample(spark, sf).collect()

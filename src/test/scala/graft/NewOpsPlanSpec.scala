@@ -330,6 +330,29 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected a single lineitem scan:\n$p")
   }
 
+  test("hardNegativesLsh: bucket equi-join only — no corpus-fraction BNLJ") {
+    val df = DataQueries.hardNegativesLsh(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"label inequality leaked into the join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no bucket equi join:\n$p")
+    // the LSH screen must find real other-label negatives, and every
+    // emitted pair must genuinely cross labels
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.get(1) != r.get(3)),
+      "same-label pair survived the post-filter")
+    // recall vs the exact twin: LSH output is a subset-ranking; check
+    // the top-1 exact negative is recovered for most queries
+    val exact = DataQueries.hardNegatives(spark, sf).filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lsh = rows.filter(_.getInt(5) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hit = exact.count { case (q, c) => lsh.get(q).contains(c) }
+    assert(hit.toDouble / exact.size >= 0.5,
+      s"LSH top-1 recall ${hit.toDouble / exact.size} too low")
+  }
+
   test("novelty: only (batch, gram-hash) rows shuffle — never text") {
     val p = plan(DataQueries.noveltyRate(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

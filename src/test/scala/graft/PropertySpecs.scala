@@ -12,6 +12,52 @@ abstract class SparkProps(name: String) extends Properties(name) {
     p.withMinSuccessfulTests(12)
 }
 
+/** The cross-engine determinism proof for [[graft.ops.SamplingOps
+  * .weightedKey]]: ln is only ever evaluated on the finite 1e6-point
+  * u-grid and rounded to micro-units, so exhaustively checking every
+  * grid point's distance to a .5 rounding boundary bounds the worst
+  * case FOREVER — no randomized (key, weight) space can find an input
+  * the sweep didn't cover, because the weight enters through exact
+  * integer division only. Pure driver-side math, no Spark job. */
+object SamplingProps extends Properties("Sampling") {
+  property("log-grid micro-rounding sits ≥1e-6 from every .5 boundary") = {
+    var minDist = Double.MaxValue
+    var m = 1
+    while (m <= 1000000) {
+      val x = -math.log(m / 1e6) * 1e6
+      val d = math.abs(x - math.floor(x) - 0.5)
+      if (d < minDist) minDist = d
+      m += 1
+    }
+    // worst cross-engine 1-ulp disagreement at |x| ≤ 1.4e7 is ~1.2e-8;
+    // the measured grid margin is 1.317e-6 — two orders of headroom
+    Prop(minDist > 1e-6) :| s"min boundary distance $minDist"
+  }
+
+  property("tempMix pow grid sits ≥7e-7 from every .5 micro boundary") = {
+    // same exhaustive-grid proof for DataQueries.tempMix: pow(·, 0.3)
+    // is only evaluated on {k/1e6}, so sweeping k bounds the worst case
+    var minDist = Double.MaxValue
+    var k = 0
+    while (k <= 1000000) {
+      val x = math.pow(k / 1e6, 0.3) * 1e6
+      val d = math.abs(x - math.floor(x) - 0.5)
+      if (d < minDist) minDist = d
+      k += 1
+    }
+    Prop(minDist > 7e-7) :| s"min boundary distance $minDist"
+  }
+
+  property("integer key equals exact BigDecimal reference for random weights") =
+    forAll(Gen.chooseNum(1, 1000000), Gen.chooseNum(1L, 1000000L)) { (m, w) =>
+      val lfx = math.round(-math.log(m / 1e6) * 1e6)
+      val key = lfx * 1000000000L / w
+      // reference: exact integer floor-division in BigInt space
+      val ref = (BigInt(lfx) * BigInt(1000000000L) / BigInt(w)).toLong
+      Prop(key == ref) :| s"m=$m w=$w key=$key ref=$ref"
+    }
+}
+
 object FsmProps extends SparkProps("FSM") {
   import org.apache.spark.sql.functions._
 

@@ -153,6 +153,102 @@ class MultimodalSpec extends SparkSpec {
     assert(w2 == 2 && h2 == 3 && dec2.toSeq == rgb.toSeq)
   }
 
+  test("PNG round trip + cross-decoder conformance vs javax.imageio") {
+    val w = 5; val h = 4
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 256)
+    val bytes = Multimodal.encodePng(w, h, rgb)
+    // signature + IHDR golden fields
+    assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(new String(bytes.slice(12, 16), "US-ASCII") == "IHDR")
+    val (dw, dh, dec) = Multimodal.decodePng(bytes)
+    assert(dw == w && dh == h && dec.toSeq == rgb.toSeq)
+    assert(Multimodal.detectFormat(bytes) == "png")
+    // our encoder's output must be readable by the JDK's own decoder
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) ==
+        ((rgb(o), rgb(o + 1), rgb(o + 2))), s"pixel ($x,$y)")
+    }
+    // and our decoder must read an INDEPENDENT encoder's output (the
+    // JDK picks its own scanline filters — real-world coverage)
+    val bimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      bimg.setRGB(x, y, (rgb(o) << 16) | (rgb(o + 1) << 8) | rgb(o + 2))
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bimg, "png", bos)
+    val (jw, jh, jdec) = Multimodal.decodePng(bos.toByteArray)
+    assert(jw == w && jh == h && jdec.toSeq == rgb.toSeq)
+  }
+
+  test("PNG decoder reconstructs all five scanline filters") {
+    val w = 4; val h = 5; val stride = w * 3
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 53 + 7) % 256)
+    // forward-filter each row with filter y%5, per the spec's
+    // definitions, then deflate and wrap — the decoder must invert
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val x = rgb(y * stride + i)
+        val a = if (i >= 3) rgb(y * stride + i - 3) else 0
+        val b = if (y > 0) rgb((y - 1) * stride + i) else 0
+        val c = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) else 0
+        val filtered = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            x - pred
+        }
+        raw(y * (1 + stride) + 1 + i) = (filtered & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    // assemble: reuse the encoder for signature/IHDR/IEND, swap IDAT
+    val template = Multimodal.encodePng(w, h, new Array[Int](w * h * 3))
+    val sigIhdr = template.take(8 + 25) // signature + IHDR chunk
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      out(0) = ((data.length >>> 24) & 0xff).toByte
+      out(1) = ((data.length >>> 16) & 0xff).toByte
+      out(2) = ((data.length >>> 8) & 0xff).toByte
+      out(3) = (data.length & 0xff).toByte
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 4, 4 + data.length)
+      val v = crc.getValue.toInt
+      out(8 + data.length) = ((v >>> 24) & 0xff).toByte
+      out(9 + data.length) = ((v >>> 16) & 0xff).toByte
+      out(10 + data.length) = ((v >>> 8) & 0xff).toByte
+      out(11 + data.length) = (v & 0xff).toByte
+      out
+    }
+    val png = sigIhdr ++ chunk("IDAT", bos.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    val (dw, dh, dec) = Multimodal.decodePng(png)
+    assert(dw == w && dh == h && dec.toSeq == rgb.toSeq,
+      "filter reconstruction diverged")
+  }
+
   test("feature extraction is deterministic and partition-agnostic") {
     val df = (1L to 20L).map { i =>
       val samples = Array.tabulate(64)(j => ((i * 131 + j * 37) % 1000).toInt - 500)

@@ -38,6 +38,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.forall(x => x.getInt(1) > 0 && x.getInt(4) > 0))
   }
 
+  test("uint256_sum + kmv_distinct aggregates callable from SQL text") {
+    val r = spark.sql(
+      // two max-uint64 words and a 2^200 word: the exact sum needs
+      // arbitrary precision (≈1.6e60), far past DECIMAL(38,0)
+      """SELECT uint256_sum(w) AS total FROM (
+           SELECT unhex(repeat('0', 48) || repeat('f', 16)) AS w
+           UNION ALL SELECT unhex(repeat('0', 48) || repeat('f', 16))
+           UNION ALL SELECT unhex('01' || repeat('0', 62))
+         )""").collect()
+    val expected = (BigInt("ffffffffffffffff", 16) * 2 + (BigInt(1) << 248))
+    assert(BigInt(r(0).getString(0)) == expected)
+    val k = spark.sql(
+      """SELECT kmv_distinct(CAST(id AS LONG) * 1152921504, 8) AS est
+         FROM range(5)""").collect()
+    assert(k(0).getDouble(0) == 5.0) // < k distinct → exact count
+  }
+
   test("window + rollup SQL over the star schema") {
     Tables.registerViews(spark, "/root/testdata/sf0.001")
     val r = spark.sql(

@@ -82,13 +82,39 @@ class StreamingSpec extends SparkSpec {
       val parts = Seq(ev.take(100), ev.slice(100, 700), ev.drop(700))
       parts.foreach { p => input.addData(p: _*); q.processAllAvailable() }
     } finally q.stop()
-    val got = spark.read.parquet(statePath)
+    val got = graft.streaming.StreamOps.readRollup(spark, statePath)
       .orderBy("event_type", "day").collect()
       .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
     val want = graft.ops.DataQueries.incrAgg(spark, d).collect()
       .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
     assert(got.toSeq == want.toSeq,
       "maintained rollup diverges from the oracled batch aggregate")
+  }
+
+  test("maintainRollup: replayed micro-batch is a no-op; failed write leaves state intact") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("rollup_replay").toString + "/state"
+    val mk = (n: Int) => Seq.tabulate(n)(i =>
+        ("click", new java.sql.Timestamp(86400000L * (i % 2)), 1.5, i.toLong))
+      .toDF("event_type", "ts", "value", "event_id")
+    graft.streaming.StreamOps.applyRollupBatch(mk(10), statePath, 0L)
+    graft.streaming.StreamOps.applyRollupBatch(mk(4), statePath, 1L)
+    val after = graft.streaming.StreamOps.readRollup(spark, statePath)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(after == 14L)
+    // at-least-once replay of an already-committed batch must not double-merge
+    graft.streaming.StreamOps.applyRollupBatch(mk(4), statePath, 1L)
+    graft.streaming.StreamOps.applyRollupBatch(mk(10), statePath, 0L)
+    val replayed = graft.streaming.StreamOps.readRollup(spark, statePath)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(replayed == 14L, "replayed batch was double-merged")
+    // a partial (uncommitted) version directory is invisible to readers
+    val orphan = new java.io.File(s"$statePath/v=9")
+    orphan.mkdirs()
+    val withOrphan = graft.streaming.StreamOps.readRollup(spark, statePath)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(withOrphan == 14L, "uncommitted version directory leaked into reads")
   }
 
   test("resampleLastStream matches batch resampleLast after watermark close") {
