@@ -158,6 +158,9 @@ object SparkEntry {
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
+    "q_scd2"              -> ((s, d) => DataQueries.scd2History(s, d)),
+    "q_incr_join"         -> ((s, d) => DataQueries.incrJoin(s, d)),
+    "q_salted_join"       -> ((s, d) => DataQueries.saltedJoin(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -2440,6 +2443,49 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM g GROUP BY user_id, session_no
          ORDER BY user_id, session_start""",
+    // SCD2 history: run-length change detection on the tracked
+    // attribute, validity interval = [run start, next run start)
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+                      event_type AS attr FROM events),
+         m AS (SELECT *, lag(attr) OVER w AS prev FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT user_id, ts, event_id, attr FROM m
+               WHERE prev IS NULL OR prev <> attr),
+         v AS (SELECT user_id, attr, ts AS valid_from,
+                 lead(ts) OVER w2 AS valid_to,
+                 row_number() OVER w2 AS version
+               FROM r WINDOW w2 AS (PARTITION BY user_id
+                 ORDER BY ts, event_id))
+         SELECT user_id, version, attr, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM v ORDER BY user_id, version""",
+    // incremental-join law: the oracle computes the DIRECT join of the
+    // full inputs; the Spark side unions the four base/delta joins —
+    // hash match proves J(A∪ΔA, B∪ΔB) decomposes
+    "q_incr_join" ->
+      """SELECT n.n_name AS nation, count(*) AS n_items,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT))::BIGINT AS rev_cents
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    // salted-join neutrality: the oracle joins UNSALTED — hash match
+    // proves the salt fan-out/replication changes nothing but the
+    // partitioning
+    "q_salted_join" ->
+      """WITH ev AS (SELECT event_id, user_id % 4 AS hot_key,
+                       CAST(round(value * 1e6) AS BIGINT) AS vmicro
+                     FROM events),
+         dim AS (SELECT hot_key, count(*) AS key_rows,
+                   sum(vmicro)::BIGINT AS key_sum
+                 FROM ev GROUP BY 1)
+         SELECT hot_key, count(*) AS n, sum(vmicro)::BIGINT AS sum_vmicro,
+           key_rows, key_sum
+         FROM ev JOIN dim USING (hot_key)
+         GROUP BY hot_key, key_rows, key_sum ORDER BY hot_key""",
     // session threads: same gap-break CTEs as q_sessionize, then the
     // ordered event-type sequence hashed + a corpus-wide pattern count
     "q_session_threads" ->

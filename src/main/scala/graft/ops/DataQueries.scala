@@ -2195,6 +2195,98 @@ object DataQueries {
     * |delta| plus a key-sized merge join, never a re-aggregation of
     * history. The DuckDB oracle computes the DIRECT aggregate over the
     * whole table, so a hash-match proves merge ≡ recompute. */
+  /** SCD2 dimension build from a change stream: per key, consecutive
+    * equal values of the tracked attribute collapse into one versioned
+    * row with a `[valid_from, valid_to)` interval, a per-key version
+    * number, and an `is_current` flag on the open version — the
+    * slowly-changing-dimension type-2 table every warehouse keeps.
+    * Change detection is a lag comparison, run starts survive a
+    * filter, and valid_to is the NEXT run's valid_from (lead) — two
+    * key-partitioned windows, the second over the already-reduced run
+    * table. Scale shape: one shuffle on the key carries everything;
+    * nothing is ever joined back to the full stream. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("attr"))
+      .withColumn("prev", lag("attr", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+    runs
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("ts").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Incremental JOIN maintenance — the join analogue of [[incrAgg]]'s
+    * merge ≡ recompute law: with both sides split into base + delta,
+    * J(A∪ΔA, B∪ΔB) = J(A,B) ∪ J(ΔA,B) ∪ J(A,ΔB) ∪ J(ΔA,ΔB), so a
+    * materialized join view is refreshed by three delta joins whose
+    * inputs are delta-sized on at least one side — never by rejoining
+    * the full history. The DuckDB oracle computes the DIRECT join of
+    * the full inputs, so the hash match proves the decomposition law
+    * on real data. Output is aggregated per nation to keep the row
+    * count audit-sized; the law holds row-wise underneath. */
+  def incrJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .as("rev_cents"))
+    val (ob, od) = (o.filter(col("o_orderkey") % 7 =!= 0),
+      o.filter(col("o_orderkey") % 7 === 0))
+    val (lb, ld) = (l.filter(col("l_orderkey") % 3 =!= 0),
+      l.filter(col("l_orderkey") % 3 === 0))
+    def j(x: DataFrame, y: DataFrame) =
+      x.join(y, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("rev_cents"))
+    val incremental = j(ob, lb).unionAll(j(od, lb))
+      .unionAll(j(ob, ld)).unionAll(j(od, ld))
+    incremental
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"), sum("rev_cents").as("rev_cents"))
+      .orderBy("nation")
+  }
+
+  /** Skew-salted large-large join: the fact side's hot key space
+    * (user_id % 4 — every row lands on 4 keys) is salted with
+    * `pmod(h64(event_id), S)` so each hot key fans out over S shuffle
+    * partitions, and the aggregate side replicates ×S via a compact
+    * `explode(sequence)` before the join — the classic manual skew
+    * treatment for when the small side is NOT broadcastable and AQE's
+    * skew-join can't kick in (e.g. a shuffle feeding a window). The
+    * oracle computes the UNSALTED join directly, so the hash match
+    * proves salting is result-neutral; the plan spec pins that no
+    * single partition carries a hot key whole. */
+  def saltedJoin(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), (col("user_id") % 4).as("hot_key"),
+      expr("cast(round(value * 1e6) as bigint)").as("vmicro"))
+    // per-hot-key reference stats (the "dim" side: 4 rows, but the
+    // pattern targets the general non-broadcastable case)
+    val dim = ev.groupBy("hot_key").agg(
+      count(lit(1)).as("key_rows"), sum("vmicro").as("key_sum"))
+    val salted = ev.withColumn("salt",
+      pmod(TextOps.h64(col("event_id").cast("string")), lit(salts)))
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(dimSalted, Seq("hot_key", "salt"))
+      .groupBy("hot_key")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"),
+        first("key_rows").as("key_rows"), first("key_sum").as("key_sum"))
+      .select(col("hot_key"), col("n"), col("sum_vmicro"),
+        col("key_rows"), col("key_sum"))
+      .orderBy("hot_key")
+  }
+
   def incrAgg(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"),
       to_date(col("ts")).as("day"),

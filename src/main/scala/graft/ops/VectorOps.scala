@@ -91,28 +91,42 @@ object VectorOps {
           struct(lit(t).as("tbl"),
             bucketCol(col("vq"), dims, planes, p => t * planes + p).as("bucket"))
         }
+        // bucket frame is NARROW (id, label, table, bucket) — the
+        // vector payload never rides the ×tables explode or any
+        // candidate shuffle; it re-enters only for the re-rank below
         val frame = df.filter(col(vec).isNotNull)
           .select(col(id).as("vid"), col(label).as("lab"),
             asDouble(col(vec)).as("v"), queryPred.as("__isq"))
-          .withColumn("__n", norm(col("v")))
-          .filter(col("__n") > 0)
+          .filter(norm(col("v")) > 0)
           .withColumn("vq", quantized(col("v")))
-          .select(col("vid"), col("lab"), col("v"), col("__isq"), col("__n"),
+          .select(col("vid"), col("lab"), col("__isq"),
             explode(array(perTable: _*)).as("tb"))
-          .select(col("vid"), col("lab"), col("v"), col("__isq"), col("__n"),
+          .select(col("vid"), col("lab"), col("__isq"),
             col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
         val q = frame.filter(col("__isq"))
           .select(col("vid").as("query_id"), col("lab").as("q_label"),
-            col("v").as("qv"), col("__n").as("qn"), col("tbl"), col("bucket"))
+            col("tbl"), col("bucket"))
         val c = frame.select(col("vid").as("cand_id"), col("lab").as("c_label"),
-          col("v").as("cv"), col("__n").as("cn"), col("tbl"), col("bucket"))
+          col("tbl"), col("bucket"))
+        // dedup multi-table collisions on 16-byte id pairs
         val cand = c.join(q, Seq("tbl", "bucket"))
           .filter(col("q_label") =!= col("c_label")) // post-filter, not a join pred
-          .select("query_id", "q_label", "qv", "qn",
-            "cand_id", "c_label", "cv", "cn").distinct()
+          .select("query_id", "cand_id").distinct()
+        val vecs = df.filter(col(vec).isNotNull)
+          .select(col(id).as("vid"), col(label).as("lab"),
+            asDouble(col(vec)).as("v"))
+          .withColumn("nrm", norm(col("v")))
+          .filter(col("nrm") > 0)
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("cand_id").asc)
-        cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        cand
+          .join(vecs.select(col("vid").as("query_id"),
+            col("lab").as("q_label"), col("v").as("qv"),
+            col("nrm").as("qn")), Seq("query_id"))
+          .join(vecs.select(col("vid").as("cand_id"),
+            col("lab").as("c_label"), col("v").as("cv"),
+            col("nrm").as("cn")), Seq("cand_id"))
+          .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select("query_id", "q_label", "cand_id", "c_label", "cos", "rank")

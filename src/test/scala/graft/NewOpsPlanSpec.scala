@@ -353,6 +353,53 @@ class NewOpsPlanSpec extends SparkSpec {
       s"LSH top-1 recall ${hit.toDouble / exact.size} too low")
   }
 
+  test("saltedJoin: the join keys on (hot_key, salt), not hot_key alone") {
+    val df = DataQueries.saltedJoin(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"degraded join:\n$p")
+    // the exchange feeding the join must carry the salt — that's the
+    // whole point: a hot key fans out over `salts` partitions
+    val joinKeyLines = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") || l.contains("Join"))
+      .mkString("\n")
+    assert(joinKeyLines.contains("salt"),
+      s"salt not in the join partitioning:\n$joinKeyLines")
+    // result-neutrality at row level: n/sum must equal the per-key stats
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(3)
+      && r.getLong(2) == r.getLong(4)),
+      "salted join result diverges from per-key reference stats")
+  }
+
+  test("scd2: versions partition time per key; batch-merge equals recompute") {
+    val full = DataQueries.scd2History(spark, sf).collect()
+    assert(full.nonEmpty)
+    // per key: versions are 1..n, exactly one open (is_current), and
+    // each closed version's valid_to equals the next valid_from
+    full.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.count(_.getBoolean(5)) == 1)
+      assert(sorted.last.getBoolean(5))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3), // timestamp_ntz → LocalDateTime
+            "validity intervals must tile without gaps")
+        case _ =>
+      }
+    }
+    // consecutive-equal attrs collapsed: adjacent versions differ
+    full.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      vs.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2),
+          "adjacent versions with equal attr — run not collapsed")
+        case _ =>
+      }
+    }
+  }
+
   test("novelty: only (batch, gram-hash) rows shuffle — never text") {
     val p = plan(DataQueries.noveltyRate(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
