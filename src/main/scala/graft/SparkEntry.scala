@@ -101,6 +101,8 @@ object SparkEntry {
     "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
+    "q_audio_resample"    -> ((s, d) => DataQueries.audioResample(s, d)),
+    "q_strat_alloc"       -> ((s, d) => DataQueries.stratAlloc(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
     "q_dhash_groups"      -> ((s, d) => DataQueries.dhashGroups(s, d)),
     "q_winnow"            -> ((s, d) => DataQueries.winnow(s, d)),
@@ -2024,6 +2026,41 @@ object SparkEntry {
            sum(b)::BIGINT AS sum_b,
            sum((y + 1) * r)::BIGINT AS wsum_r
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // 2:1 resample: the analytic twin recomputes the midpoint-averaged
+    // samples from the formula; round() is half-away-from-zero on the
+    // EXACT double (va+vb)/2 on both engines
+    "q_audio_resample" ->
+      """WITH n AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n FROM documents),
+         s AS (SELECT doc_id, unnest(range(n // 2)) AS i FROM n),
+         v AS (SELECT doc_id, i,
+                 ((doc_id * 40503 + (2 * i) * 2654435761) % 65536) - 32768 AS va,
+                 ((doc_id * 40503 + (2 * i + 1) * 2654435761) % 65536) - 32768 AS vb
+               FROM s),
+         r AS (SELECT doc_id, i,
+                 CAST(round((va + vb) / 2.0) AS BIGINT) AS rv FROM v)
+         SELECT doc_id, count(*) AS n_samples, 4000::BIGINT AS sample_rate,
+           max(abs(rv))::BIGINT AS max_abs, sum(abs(rv))::BIGINT AS sum_abs,
+           sum((i + 1) * abs(rv))::BIGINT AS wsum_abs
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // largest-remainder allocation: pure integer replay — base share
+    // (total·N_k) div N, leftover seats to the largest remainders
+    "q_strat_alloc" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM c),
+         b AS (SELECT lang, n_docs, n_docs * 1000 AS q,
+                 (n_docs * 1000) // nn AS alloc_base,
+                 (n_docs * 1000) % nn AS rem
+               FROM c, t),
+         rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC)
+                  AS rem_rank,
+                 1000 - sum(alloc_base) OVER () AS seats_left
+               FROM b)
+         SELECT lang, n_docs::BIGINT AS n_docs,
+           alloc_base::BIGINT AS alloc_base,
+           (rem_rank <= seats_left) AS plus_one,
+           (alloc_base + CASE WHEN rem_rank <= seats_left THEN 1 ELSE 0 END)
+             ::BIGINT AS alloc
+         FROM rk ORDER BY lang""",
     // PNG twin: identical pixel formulas, 'png' container — a defect
     // anywhere in the deflate/inflate/filter path shifts a sum
     "q_png_features" ->

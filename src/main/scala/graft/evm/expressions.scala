@@ -302,6 +302,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.ops.KmvDistinctAgg].getName, "kmv_distinct"),
       (args: Seq[Expression]) =>
         graft.ops.KmvDistinctAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("gram_fx"),
+      new ExpressionInfo(classOf[graft.ops.GramFxAgg].getName, "gram_fx"),
+      (args: Seq[Expression]) =>
+        graft.ops.GramFxAgg(args(0)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("uint256_sum"),
       new ExpressionInfo(classOf[Uint256SumAgg].getName, "uint256_sum"),
       (args: Seq[Expression]) =>

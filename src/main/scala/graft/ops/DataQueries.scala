@@ -1213,6 +1213,81 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** 2:1 audio downsample through the REAL codec loop: decode WAV →
+    * midpoint-average adjacent sample pairs (round half away from
+    * zero, the exact semantics both engines' `round` implement on the
+    * exact double (a+b)/2) → RE-ENCODE at half rate → decode again →
+    * stats. The oracle recomputes the resampled stats analytically
+    * from the sample formula, so both codec passes AND the resample
+    * arithmetic are gated. Map-only partition transform. */
+  def audioResample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("max_abs", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("wsum_abs", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val bytes = Multimodal.encodeWavPcm16(wavSamples(doc), 8000)
+          val (sr, smp) = Multimodal.decodeWav(bytes)
+          val res = Array.tabulate(smp.length / 2) { i =>
+            val sum = smp(2 * i) + smp(2 * i + 1)
+            // round(sum/2.0) half AWAY FROM ZERO, in pure integers
+            if (sum % 2 == 0) sum / 2
+            else if (sum > 0) (sum + 1) / 2
+            else (sum - 1) / 2
+          }
+          val bytes2 = Multimodal.encodeWavPcm16(res, sr / 2)
+          val (sr2, smp2) = Multimodal.decodeWav(bytes2)
+          var sumAbs = 0L; var wsum = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < smp2.length) {
+            val a = math.abs(smp2(i).toLong)
+            sumAbs += a; wsum += (i + 1) * a; if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Row(doc, smp2.length.toLong, sr2.toLong, maxAbs, sumAbs, wsum)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
+  /** Stratified budget allocation by the largest-remainder (Hamilton)
+    * method: a total budget of `total` sampled documents split across
+    * language strata exactly proportionally — base share
+    * `(total·N_k) div N`, then the leftover seats go to the largest
+    * remainders `(total·N_k) mod N` (ties by lang). Every step is
+    * integer, so the allocation — the thing a mixture pipeline feeds
+    * to its per-stratum samplers — replays exactly on any engine, and
+    * Σ alloc = total BY CONSTRUCTION (a float-share rounding would
+    * drift). One count aggregate; the stratum table is O(#langs). */
+  def stratAlloc(s: SparkSession, d: String, total: Long = 1000): DataFrame = {
+    val c = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val t = c.agg(sum("n_docs").as("nn"))
+    val base = c.crossJoin(t)
+      .withColumn("q", col("n_docs") * total)
+      .withColumn("alloc_base", expr("q div nn"))
+      .withColumn("rem", pmod(col("q"), col("nn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang").asc)
+    base
+      .withColumn("rem_rank", row_number().over(w).cast("long"))
+      .withColumn("seats_left", lit(total) - sum("alloc_base")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("plus_one", col("rem_rank") <= col("seats_left"))
+      .select(col("lang"), col("n_docs"), col("alloc_base"),
+        col("plus_one"),
+        (col("alloc_base") + col("plus_one").cast("long")).as("alloc"))
+      .orderBy("lang")
+  }
+
   /** PNG twin of [[imageFeatures]]: identical formula pixels, but the
     * bytes make the round trip through the COMPRESSED codec — deflate
     * on encode, then chunk walk → inflate → per-scanline filter
@@ -1303,12 +1378,20 @@ object DataQueries {
             }
             y += 1
           }
-          val bytes =
-            if (doc % 2 == 0) Multimodal.encodeBmp24(w, h, rgb)
-            else Multimodal.encodePpm(w, h, rgb)
-          val (dw, dh, drgb) =
-            if (bytes(0) == 'B') Multimodal.decodeBmp(bytes)
-            else Multimodal.decodePpm(bytes)
+          // container rotates over all THREE image codecs (PNG takes
+          // the compressed leg); decoded pixels are container-
+          // independent, so the analytic oracle is untouched while
+          // every codec's round trip rides the gate
+          val bytes = (doc % 3) match {
+            case 0 => Multimodal.encodeBmp24(w, h, rgb)
+            case 1 => Multimodal.encodePpm(w, h, rgb)
+            case _ => Multimodal.encodePng(w, h, rgb)
+          }
+          val (dw, dh, drgb) = Multimodal.detectFormat(bytes) match {
+            case "bmp" => Multimodal.decodeBmp(bytes)
+            case "ppm" => Multimodal.decodePpm(bytes)
+            case _ => Multimodal.decodePng(bytes)
+          }
           Row(doc, Multimodal.dHash(dw, dh, drgb))
         }
       }

@@ -153,15 +153,38 @@ object StreamOps {
       .collect { case n if n.startsWith("_COMMIT_") => n.stripPrefix("_COMMIT_").toLong }
   }
 
-  /** Latest committed rollup state (empty frame with the rollup schema if
-    * no batch has committed yet). */
-  def readRollup(sp: SparkSession, statePath: String): DataFrame = {
+  /** Latest committed version of a marker-committed state directory
+    * (empty frame with the given schema if no batch has committed). */
+  private[graft] def readVersioned(sp: SparkSession, statePath: String,
+                                   schemaDDL: String): DataFrame = {
     val committed = committedVersions(sp, statePath)
     if (committed.isEmpty)
       sp.createDataFrame(sp.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType.fromDDL(RollupSchema))
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
     else sp.read.parquet(s"$statePath/v=${committed.max}")
   }
+
+  /** Atomically publish `next` as version `batchId` of the state and GC
+    * all but the new and previous committed versions. */
+  private def commitVersioned(sp: SparkSession, statePath: String,
+                              batchId: Long, next: DataFrame,
+                              prevCommitted: Seq[Long]): Unit = {
+    val last = if (prevCommitted.isEmpty) -1L else prevCommitted.max
+    // mode("overwrite") clears a partial v=<batchId> left by a failed retry
+    next.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    val (fs, root) = rollupFs(sp, statePath)
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$batchId"), true)
+      .close() // the commit point: marker creation is atomic
+    prevCommitted.filter(_ < last).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$id"), false)
+    }
+  }
+
+  /** Latest committed rollup state (empty frame with the rollup schema if
+    * no batch has committed yet). */
+  def readRollup(sp: SparkSession, statePath: String): DataFrame =
+    readVersioned(sp, statePath, RollupSchema)
 
   /** One micro-batch of rollup maintenance; package-visible so the spec
     * can drive replay/crash scenarios directly. */
@@ -187,16 +210,75 @@ object StreamOps {
         (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
           .as("sum_vmicro"))
       .localCheckpoint(true)
-    // mode("overwrite") clears a partial v=<batchId> left by a failed retry
-    merged.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-    val (fs, root) = rollupFs(sp, statePath)
-    fs.create(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$batchId"), true)
-      .close() // the commit point: marker creation is atomic
-    // GC all but the new and previous committed versions (1-deep rollback)
-    committed.filter(_ < last).foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$id"), false)
-    }
+    commitVersioned(sp, statePath, batchId, merged, committed)
+  }
+
+  private val Scd2Schema = "user_id BIGINT, version BIGINT, attr STRING, " +
+    "valid_from TIMESTAMP_NTZ, valid_to TIMESTAMP_NTZ, tb BIGINT"
+
+  /** Latest committed SCD2 state. `is_current` is `valid_to IS NULL`;
+    * `tb` is the run-start tiebreak id the merge needs to replay
+    * deterministic ordering. */
+  def readScd2(sp: SparkSession, statePath: String): DataFrame =
+    readVersioned(sp, statePath, Scd2Schema)
+
+  /** Streaming SCD2 maintenance: each micro-batch of (user_id, ts,
+    * event_id, attr) change events merges into the versioned dimension
+    * [[graft.ops.DataQueries.scd2History]] computes in batch — closed
+    * versions are IMMUTABLE and pass through untouched; only each
+    * key's open version re-enters the run-collapse together with the
+    * batch rows, so the per-trigger cost is |batch| plus one row per
+    * ACTIVE key, never the history. Version numbers continue from the
+    * closed count, and sequential merges reproduce the batch recompute
+    * exactly (StreamingSpec pins merge ≡ recompute over uneven
+    * batches). Same durability contract as [[applyRollupBatch]]:
+    * versioned directories + atomic `_COMMIT_<batchId>` markers, so
+    * at-least-once replays skip and a failed write cannot damage the
+    * state being read. In-order delivery per key is the operating
+    * assumption, as for every FSM here. */
+  def maintainScd2(stream: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyScd2Batch(batch, statePath, batchId)
+      }
+      .start()
+
+  private[graft] def applyScd2Batch(batch: org.apache.spark.sql.Dataset[Row],
+                                    statePath: String, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val committed = committedVersions(sp, statePath)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return // at-least-once replay: already applied
+    val cur = readScd2(sp, statePath)
+    val closed = cur.filter(col("valid_to").isNotNull)
+    // version offset per key = number of CLOSED versions (open is +1)
+    val vbase = closed.groupBy("user_id").agg(max("version").as("vbase"))
+    // the open version re-enters the collapse as a pseudo-event at its
+    // own run start; batch rows with ts ≥ it extend or close the run
+    val pseudo = cur.filter(col("valid_to").isNull)
+      .select(col("user_id"), col("valid_from").as("ts"),
+        col("tb").as("event_id"), col("attr"))
+    val evts = batch
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("event_type").as("attr"))
+      .unionByName(pseudo)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = evts
+      .withColumn("prev", lag("attr", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .withColumn("v_local", row_number().over(w).cast("long"))
+    val next = runs
+      .join(vbase, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("v_local") + coalesce(col("vbase"), lit(0L))).as("version"),
+        col("attr"), col("ts").as("valid_from"), col("valid_to"),
+        col("event_id").as("tb"))
+      .unionByName(closed)
+      .localCheckpoint(true)
+    commitVersioned(sp, statePath, batchId, next, committed)
   }
 
   /** Streaming near-dup screen: each arriving document is

@@ -91,6 +91,41 @@ class StreamingSpec extends SparkSpec {
       "maintained rollup diverges from the oracled batch aggregate")
   }
 
+  test("maintainScd2: sequential batch merges equal the batch recompute; replay is a no-op") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val statePath = java.nio.file.Files
+      .createTempDirectory("scd2_state").toString + "/state"
+    // three uneven TIME-ORDERED batches (per-key in-order is the
+    // operating assumption; global ts order gives it for free)
+    val ev = Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type")
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val parts = Seq(ev.take(150), ev.slice(150, 800), ev.drop(800))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      graft.streaming.StreamOps.applyScd2Batch(
+        p.toSeq.toDF("user_id", "ts", "event_id", "event_type"),
+        statePath, i.toLong)
+    }
+    // replay of an already-applied batch must not double-version
+    graft.streaming.StreamOps.applyScd2Batch(
+      parts(1).toSeq.toDF("user_id", "ts", "event_id", "event_type"),
+      statePath, 1L)
+    val got = graft.streaming.StreamOps.readScd2(spark, statePath)
+      .select("user_id", "version", "attr", "valid_from", "valid_to")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        String.valueOf(r.get(3)), String.valueOf(r.get(4))))
+    val want = graft.ops.DataQueries.scd2History(spark, d)
+      .select("user_id", "version", "attr", "valid_from", "valid_to")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        String.valueOf(r.get(3)), String.valueOf(r.get(4))))
+    assert(got.toSeq == want.toSeq,
+      "maintained SCD2 state diverges from the batch recompute")
+  }
+
   test("maintainRollup: replayed micro-batch is a no-op; failed write leaves state intact") {
     import spark.implicits._
     val statePath = java.nio.file.Files
