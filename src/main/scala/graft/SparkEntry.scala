@@ -163,6 +163,9 @@ object SparkEntry {
     "q_scd2"              -> ((s, d) => DataQueries.scd2History(s, d)),
     "q_incr_join"         -> ((s, d) => DataQueries.incrJoin(s, d)),
     "q_salted_join"       -> ((s, d) => DataQueries.saltedJoin(s, d)),
+    "q_prefix_join"       -> ((s, d) => graft.ops.DedupOps
+      .prefixJoin(graft.Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy("doc_a", "doc_b")),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -789,6 +792,24 @@ object SparkEntry {
                           JOIN sizes sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
          FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    // Prefix-filtering losslessness: the oracle is the UNFILTERED
+    // τ=1/2 pair join (integer threshold 2·inter ≥ union) — a hash
+    // match proves the PPJoin candidate rule dropped nothing
+    "q_prefix_join" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, inter,
+                 (sa.sz + sb.sz - inter) AS uni
+               FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                          JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, inter,
+           round(inter::DOUBLE / uni, 6) AS jaccard
+         FROM j WHERE inter * 2 >= uni ORDER BY doc_a, doc_b""",
     // Capped variant: stop-shingles (doc-freq > 5) removed before the
     // candidate join, sizes re-counted over the filtered shingle set.
     "q_jaccard_capped" ->

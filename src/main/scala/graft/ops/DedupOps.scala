@@ -288,6 +288,57 @@ object DedupOps {
     * MUST set the cap (≈ a small multiple of the expected duplication
     * factor).
     */
+  /** Exact set-similarity self-join at Jaccard ≥ 1/2 via PREFIX
+    * FILTERING (the PPJoin candidate rule): under any global total
+    * order on shingles, two sets with Jaccard ≥ τ must share a token
+    * within each other's first |x| − ⌈τ·|x|⌉ + 1 tokens — so ONLY
+    * prefix tokens generate candidates, and ordering rare-first
+    * (docFreq asc, hash asc) puts the least-shared shingles in the
+    * prefixes, collapsing bucket fan-out exactly where the naive
+    * all-shingle join explodes. Candidates then pay one map-side
+    * `array_intersect` against the two full sets (no second corpus
+    * shuffle), and the τ gate is the INTEGER test 2·inter ≥ union.
+    * τ fixed at 1/2 keeps the prefix length integer-exact:
+    * p = sz − (sz+1) div 2 + 1.
+    *
+    * The DuckDB oracle computes the UNFILTERED thresholded pair join,
+    * so the hash match proves the candidate rule is lossless on real
+    * data — an algorithmic law pinned the way q_salted_join pins
+    * partitioning neutrality. */
+  def prefixJoin(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val arr = df.select(col(id).as("doc"),
+      TextOps.shingleHashes(col(text), n).as("arr"))
+    val sh = arr
+      .select(col("doc"), size(col("arr")).as("sz"),
+        explode_outer(col("arr")).as("s")) // outer: see jaccardPairs
+      .filter(col("s").isNotNull)
+      .repartition(col("s"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val pref = sh.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc")
+        .orderBy(col("dfreq").asc, col("s").asc)))
+      .filter(col("rk") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      .select("doc", "s")
+    val cand = pref.select(col("doc").as("doc_a"), col("s"))
+      .join(pref.select(col("doc").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(arr.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(arr.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("arr_a")).cast("long").as("sz_a"),
+        size(col("arr_b")).cast("long").as("sz_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("inter"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni")) // jaccard ≥ 1/2, integer-exact
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
     // join on the 60-bit shingle hash, not the string — smaller shuffle

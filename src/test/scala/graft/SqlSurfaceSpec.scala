@@ -53,6 +53,11 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT kmv_distinct(CAST(id AS LONG) * 1152921504, 8) AS est
          FROM range(5)""").collect()
     assert(k(0).getDouble(0) == 5.0) // < k distinct → exact count
+    val g = spark.sql(
+      """SELECT gram_fx(array(CAST(id AS LONG), 2L)) AS g FROM range(1, 3)""")
+      .collect()(0).getSeq[Long](0)
+    // Σ v·vᵀ for (1,2) and (2,2): [[5,6],[6,8]] row-major
+    assert(g == Seq(5L, 6L, 6L, 8L))
   }
 
   test("window + rollup SQL over the star schema") {
