@@ -166,6 +166,8 @@ object SparkEntry {
     "q_prefix_join"       -> ((s, d) => graft.ops.DedupOps
       .prefixJoin(graft.Tables.documents(s, d), "doc_id", "text", 3)
       .orderBy("doc_a", "doc_b")),
+    "q_merge_into"        -> ((s, d) => DataQueries.mergeInto(s, d)),
+    "q_decay_agg"         -> ((s, d) => DataQueries.decayAgg(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -792,6 +794,34 @@ object SparkEntry {
                           JOIN sizes sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
          FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    // MERGE INTO / CDC apply: last writer wins per key, a trailing
+    // delete removes the key entirely (absent, not null)
+    "q_merge_into" ->
+      """WITH ops AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                 CASE WHEN event_type = 'error' THEN 'delete'
+                      ELSE 'upsert' END AS op,
+                 CAST(round(value * 1e6) AS BIGINT) AS vmicro
+               FROM events),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n_ops
+               FROM ops)
+         SELECT user_id, vmicro, ts, n_ops
+         FROM rk WHERE rk = 1 AND op <> 'delete' ORDER BY user_id""",
+    // dyadic freshness decay: |v| div 2^age_days is exact integer
+    // arithmetic on both engines (a pow(0.5, age) weight would ride
+    // libm); age capped at the shift bound
+    "q_decay_agg" ->
+      """WITH ev AS (SELECT event_type, ts::TIMESTAMP::DATE AS day,
+                 abs(CAST(round(value * 1e6) AS BIGINT)) AS am
+               FROM events),
+         mx AS (SELECT max(day) AS mxd FROM ev),
+         dc AS (SELECT event_type, am,
+                  least(date_diff('day', day, mxd), 62) AS age
+                FROM ev, mx)
+         SELECT event_type, count(*) AS n, sum(am)::BIGINT AS raw_mass,
+           sum(am // (1::BIGINT << age))::BIGINT AS decayed_mass
+         FROM dc GROUP BY 1 ORDER BY 1""",
     // Prefix-filtering losslessness: the oracle is the UNFILTERED
     // τ=1/2 pair join (integer threshold 2·inter ≥ union) — a hash
     // match proves the PPJoin candidate rule dropped nothing

@@ -2306,6 +2306,57 @@ object DataQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Freshness-weighted activity mass per event type: each row's
+    * contribution halves per day of age (exponential decay, half-life
+    * 1 day), computed as the INTEGER `|vmicro| div 2^age` — a dyadic
+    * decay an engine can replay bit-exactly, where `pow(0.5, age)`
+    * float weighting would be subject to libm rounding. Age caps at
+    * 62 (the shift bound; older rows contribute 0 anyway at this
+    * magnitude). The corpus max-day rides a broadcast 1-row aggregate,
+    * the decay is map-only, and the output is one row per type — the
+    * "how fresh is this source" telemetry a crawl scheduler reads. */
+  def decayAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"),
+      abs(expr("cast(round(value * 1e6) as bigint)")).as("am"))
+    val mx = ev.agg(max("day").as("mxd"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age", least(datediff(col("mxd"), col("day")), lit(62)))
+      .withColumn("dec",
+        expr("am div shiftleft(cast(1 as bigint), cast(age as int))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("am").as("raw_mass"),
+        sum("dec").as("decayed_mass"))
+      .orderBy("event_type")
+  }
+
+  /** MERGE INTO semantics (CDC apply with tombstones): the event
+    * stream is read as keyed upsert/delete operations (`error` rows
+    * are deletes, everything else upserts its value) and folded to the
+    * final keyed table — last writer wins, and a key whose LAST
+    * operation is a delete is ABSENT from the result, not null-valued.
+    * One key-partitioned window (row_number desc) carries the whole
+    * fold; n_ops audits how much history each surviving key absorbed.
+    * This is the batch law behind a warehouse MERGE INTO / CDC apply;
+    * the streaming maintenance twin follows the [[graft.streaming
+    * .StreamOps.applyScd2Batch]] versioned-state pattern. */
+  def mergeInto(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "delete").otherwise("upsert")
+          .as("op"),
+        expr("cast(round(value * 1e6) as bigint)").as("vmicro"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("rk") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), col("vmicro"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("n_ops"))
+      .orderBy("user_id")
+  }
+
   /** Incremental JOIN maintenance — the join analogue of [[incrAgg]]'s
     * merge ≡ recompute law: with both sides split into base + delta,
     * J(A∪ΔA, B∪ΔB) = J(A,B) ∪ J(ΔA,B) ∪ J(A,ΔB) ∪ J(ΔA,ΔB), so a

@@ -186,6 +186,23 @@ object StreamOps {
   def readRollup(sp: SparkSession, statePath: String): DataFrame =
     readVersioned(sp, statePath, RollupSchema)
 
+  /** TIME TRAVEL: read a SPECIFIC committed version of a
+    * marker-committed state (rollup or SCD2). The GC retention keeps
+    * the newest and previous committed versions, so the one-step
+    * rollback read is always available; older versions are vacuumed
+    * and asking for them is a loud error, not an empty frame. */
+  def readStateAt(sp: SparkSession, statePath: String,
+                  version: Long): DataFrame = {
+    val committed = committedVersions(sp, statePath)
+    require(committed.contains(version),
+      s"version $version not committed (retained: ${committed.sorted.mkString(",")})")
+    sp.read.parquet(s"$statePath/v=$version")
+  }
+
+  /** Committed versions currently retained (newest + one rollback). */
+  def retainedVersions(sp: SparkSession, statePath: String): Seq[Long] =
+    committedVersions(sp, statePath).sorted
+
   /** One micro-batch of rollup maintenance; package-visible so the spec
     * can drive replay/crash scenarios directly. */
   private[graft] def applyRollupBatch(batch: org.apache.spark.sql.Dataset[Row],

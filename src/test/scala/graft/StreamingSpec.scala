@@ -91,6 +91,46 @@ class StreamingSpec extends SparkSpec {
       "maintained rollup diverges from the oracled batch aggregate")
   }
 
+  test("stream-stream interval join equals the batch pair join") {
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val purch = ev.filter(_._4 == "purchase").map(t => (t._1, t._2, t._3))
+    val clicks = ev.filter(_._4 == "click").map(t => (t._1, t._2, t._3))
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = graft.streaming.StreamOps.intervalJoinStream(
+      pIn.toDF().toDF("user_id", "ts", "p_id"),
+      cIn.toDF().toDF("user_id", "cts", "c_id"),
+      "user_id", "ts", "cts", lookbackSeconds = 3600)
+    val q = joined.selectExpr("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // two uneven batches per side — pairs must span batch boundaries
+      pIn.addData(purch.take(50): _*); cIn.addData(clicks.take(200): _*)
+      q.processAllAvailable()
+      pIn.addData(purch.drop(50): _*); cIn.addData(clicks.drop(200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = Tables.events(spark, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val c = Tables.events(spark, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("ts").as("cts"),
+        col("event_id").as("c_id"))
+    val want = p.join(c, col("user_id") === col("cuser") &&
+        col("cts") >= col("ts") - org.apache.spark.sql.functions.expr(
+          "INTERVAL 3600 SECONDS") && col("cts") < col("ts")) // half-open
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"stream pairs ${got.size} vs batch ${want.size}")
+  }
+
   test("maintainScd2: sequential batch merges equal the batch recompute; replay is a no-op") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
@@ -150,6 +190,20 @@ class StreamingSpec extends SparkSpec {
     val withOrphan = graft.streaming.StreamOps.readRollup(spark, statePath)
       .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
     assert(withOrphan == 14L, "uncommitted version directory leaked into reads")
+    // time travel: the previous committed version (one-step rollback)
+    // reads back the pre-merge state; vacuumed versions error loudly
+    graft.streaming.StreamOps.applyRollupBatch(mk(6), statePath, 2L)
+    assert(graft.streaming.StreamOps.retainedVersions(spark, statePath)
+      == Seq(1L, 2L), "retention should keep newest + one rollback")
+    val prev = graft.streaming.StreamOps.readStateAt(spark, statePath, 1L)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(prev == 14L, "time-travel read of the previous version")
+    val cur2 = graft.streaming.StreamOps.readStateAt(spark, statePath, 2L)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(cur2 == 20L)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.readStateAt(spark, statePath, 0L)
+    }
   }
 
   test("resampleLastStream matches batch resampleLast after watermark close") {
