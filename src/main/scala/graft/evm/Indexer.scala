@@ -57,17 +57,46 @@ object Indexer {
     * retry stay idempotent (the `batch=<id>` trick [[runStream]]
     * already uses, applied to batch re-runs). Readers glob `outDir`
     * with a basePath and see the union. */
+  /** `emitUnknown`: when set, logs on a CONFIGURED address whose
+    * topic0 matches none of that contract's ABI events land under
+    * `event_name=_unknown` as metadata + a sorted key=value rendering
+    * of the raw_params map ([[LogPipeline.decodeUnknown]]) — the
+    * reference's minimal-event path (parser.go:54-61), where the
+    * default plan-time dispatch would drop them. */
   def run(spark: SparkSession, job: Config.Job, source: String,
           endBlock: Long, outDir: String, chainId: String = "1",
           txs: Option[DataFrame] = None,
-          segment: Option[String] = None): Seq[EventCount] = {
+          segment: Option[String] = None,
+          emitUnknown: Boolean = false): Seq[EventCount] = {
     val logs = sourceOptions(
         spark.read.format("graft.evm.LogSourceProvider"), source, job)
       .option("startBlock", job.startBlock)
       .option("endBlock", endBlock)
       .option("chunkSize", job.chunkSize)
       .load()
-    for {
+    val unknownCounts =
+      if (!emitUnknown) Seq.empty
+      else job.contracts.map { c =>
+        val known = c.parsedAbi.map(_.topic0)
+        val scoped = logs.filter(col("address") === c.address &&
+          !col("topic0").isin(known: _*))
+        val unk = LogPipeline
+          .decodeUnknown(binaryTopics(scoped), known, chainId)
+          .withColumn("raw_params", expr(
+            """array_join(transform(array_sort(map_keys(raw_params)),
+                 k -> concat(k, '=', raw_params[k])), '&')"""))
+          .drop("contract_name", "event_name") // encoded in the path
+          .cache()
+        val n = unk.count()
+        Sinks.withRetries(job.retry.attempts, job.retry.delayMs) {
+          val seg = segment.fold("")(s => s"/segment=$s")
+          unk.write.mode("overwrite").option("header", "true")
+            .csv(s"$outDir/contract_name=${c.name}/event_name=_unknown$seg")
+        }
+        unk.unpersist(false)
+        EventCount(c.name, "_unknown", n)
+      }
+    (for {
       c <- job.contracts
       ev <- c.parsedAbi
       if c.events.isEmpty || c.events.contains(ev.name)
@@ -93,7 +122,7 @@ object Indexer {
       }
       decoded.unpersist(false)
       EventCount(c.name, ev.name, n)
-    }
+    }) ++ unknownCounts
   }
 
   /** Streaming indexer: the same config-driven decode fan-out over the

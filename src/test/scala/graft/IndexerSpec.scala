@@ -86,6 +86,40 @@ class IndexerSpec extends SparkSpec {
     assert(again.count() == counts.values.sum)
   }
 
+  test("emitUnknown: unconfigured-topic0 logs land under event_name=_unknown") {
+    val dump = Files.createTempDirectory("unk_dump").toString
+    LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("block_number"), col("tx_hash"), col("address"), col("topic0"),
+        lower(hex(col("topic1"))).as("topic1"), lower(hex(col("topic2"))).as("topic2"),
+        lit(null).cast("string").as("topic3"), lower(hex(col("data"))).as("data"))
+      .coalesce(1).write.mode("overwrite").json(dump)
+    val out = Files.createTempDirectory("unk_out").toString
+    // ABI knows ONLY Transfer — the Approval logs at the same address
+    // have no configured event and must flow to _unknown, not vanish
+    val transferOnlyAbi =
+      """[{"type":"event","name":"Transfer","inputs":[
+          {"indexed":true,"name":"from","type":"address"},
+          {"indexed":true,"name":"to","type":"address"},
+          {"indexed":false,"name":"value","type":"uint256"}]}]"""
+    val job = Config.load(yaml.replace("TokenB", "TokenU"), _ => transferOnlyAbi)
+    val counts = Indexer.run(spark, job, dump, endBlock = 99, outDir = out,
+        emitUnknown = true)
+      .map(ec => (ec.contract, ec.event) -> ec.rows).toMap
+    val raw = spark.read.json(dump)
+    val a0 = Keccak.eventTopic0(LogPipeline.ApprovalSig)
+    val expectUnknown = raw.filter(col("address") === addr(0) &&
+      col("topic0") === a0).count()
+    assert(expectUnknown > 0, "fixture needs unknown-topic0 rows")
+    assert(counts(("TokenA", "_unknown")) == expectUnknown)
+    val unk = spark.read.option("header", "true")
+      .csv(s"$out/contract_name=TokenA/event_name=_unknown")
+    assert(unk.count() == expectUnknown)
+    val rp = unk.select("raw_params").collect().map(_.getString(0))
+    assert(rp.forall(_.startsWith("data=")), "sorted key order: data first")
+    assert(rp.forall(_.contains(s"&topic0=$a0")))
+    assert(rp.forall(_.contains("&topic1=0x")))
+  }
+
   test("CLI: --config load, relative ABI resolve, tip probe, counts (§3.1)") {
     val dump = Files.createTempDirectory("cli_dump").toString
     LogPipeline.synthesizeLogs(Tables.events(spark, "/root/testdata/sf0.001"))
