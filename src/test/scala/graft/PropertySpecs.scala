@@ -410,6 +410,43 @@ object ShingleExprProps extends SparkProps("ShingleExprs") {
     }
 }
 
+/** Prefix-filtering losslessness on RANDOM heavy-collision corpora:
+  * prefixJoin's pair set must equal the direct τ=1/2 threshold join
+  * recomputed driver-side from the exact shingle sets — the law
+  * q_prefix_join pins on the fixture corpus, checked here on
+  * arbitrary inputs (tiny vocab → adversarial overlap). */
+object PrefixJoinProps extends SparkProps("PrefixJoin") {
+  import graft.ops.{DedupOps, Hashing}
+
+  private val corpusGen: Gen[List[String]] =
+    Gen.listOfN(10, Gen.chooseNum(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((0 until 8).map(i => s"w$i")))
+        .map(_.mkString(" "))))
+
+  property("prefix candidates lose no τ≥1/2 pair") =
+    forAll(corpusGen) { texts =>
+      val sp = spark
+      import sp.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = DedupOps.prefixJoin(docs, "doc_id", "text", 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").filter(_.nonEmpty)
+          .sliding(3).filter(_.length == 3)
+          .map(g => Hashing.h64(g.mkString(" "))).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        uni = sets(a).size + sets(b).size - inter
+        if inter * 2 >= uni
+      } yield (a, b)).toSet
+      Prop(got == want) :| s"got=${got.size} want=${want.size}"
+    }
+}
+
 /** Sketch laws on random corpora: a Bloom screen may overestimate
   * membership but never underestimate, and a CMS counter is an upper
   * bound on every true count — the two inequalities the calibration
