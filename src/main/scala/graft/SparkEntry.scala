@@ -167,6 +167,7 @@ object SparkEntry {
       .prefixJoin(graft.Tables.documents(s, d), "doc_id", "text", 3)
       .orderBy("doc_a", "doc_b")),
     "q_merge_into"        -> ((s, d) => DataQueries.mergeInto(s, d)),
+    "q_self_dedup"        -> ((s, d) => DataQueries.selfDedup(s, d)),
     "q_decay_agg"         -> ((s, d) => DataQueries.decayAgg(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -794,6 +795,38 @@ object SparkEntry {
                           JOIN sizes sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
          FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    // within-doc repeated-window removal: the one-pass expression is
+    // replayed RELATIONALLY — window hashes, first occurrences,
+    // covered positions, ordered reconstruction
+    "q_self_dedup" ->
+      s"""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text || ' ' || text, '\\s+'),
+                 t -> len(t) > 0) AS tk
+             FROM documents),
+         base AS (SELECT doc_id, tk, len(tk) AS nb FROM toks),
+         w0 AS (SELECT doc_id, tk,
+                  unnest(range(greatest(nb - 7, 0))) AS i FROM base),
+         w AS (SELECT doc_id, i,
+                 ${H64.format("array_to_string(tk[i+1:i+8], ' ')")} AS wh
+               FROM w0),
+         f AS (SELECT doc_id, wh, min(i) AS fi FROM w GROUP BY 1, 2),
+         rep AS (SELECT w.doc_id, w.i FROM w
+                 JOIN f ON w.doc_id = f.doc_id AND w.wh = f.wh
+                 WHERE w.i > f.fi),
+         cov0 AS (SELECT doc_id, unnest(range(i, i + 8)) AS p FROM rep),
+         cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+         tok AS (SELECT doc_id, unnest(range(len(tk))) AS p,
+                   unnest(tk) AS t FROM base),
+         kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok
+                  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, count(*) AS na,
+                   string_agg(t, ' ' ORDER BY p) AS s
+                 FROM kept GROUP BY 1)
+         SELECT b.doc_id, b.nb::BIGINT AS n_before,
+           coalesce(a.na, 0)::BIGINT AS n_after,
+           ${H64.format("coalesce(a.s, '')")} AS kept_hash
+         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     // MERGE INTO / CDC apply: last writer wins per key, a trailing
     // delete removes the key entirely (absent, not null)
     "q_merge_into" ->

@@ -302,6 +302,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.ops.KmvDistinctAgg].getName, "kmv_distinct"),
       (args: Seq[Expression]) =>
         graft.ops.KmvDistinctAgg(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("drop_repeated_windows"),
+      new ExpressionInfo(classOf[graft.ops.DropRepWindowsExpr].getName,
+        "drop_repeated_windows"),
+      (args: Seq[Expression]) =>
+        graft.ops.DropRepWindowsExpr(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("gram_fx"),
       new ExpressionInfo(classOf[graft.ops.GramFxAgg].getName, "gram_fx"),
       (args: Seq[Expression]) =>

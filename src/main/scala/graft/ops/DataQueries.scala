@@ -2330,6 +2330,32 @@ object DataQueries {
       .orderBy("event_type")
   }
 
+  /** Within-document repeated-window removal (doc-level self-dedup,
+    * the FineWeb-style "drop the page's own repeated nav block /
+    * chorus" pass): positions covered by an 8-token window whose hash
+    * already occurred EARLIER in the same doc are dropped, survivors
+    * keep order. One map-side pass through the
+    * `drop_repeated_windows` expression — no shuffle, no join; the
+    * oracle replays the whole thing relationally (window hashes →
+    * first occurrence → covered positions → ordered reconstruction),
+    * so the expression's single-pass semantics are pinned against an
+    * independent spelling. */
+  def selfDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // the fixture corpus has no natural 8-token self-repetition, so
+      // the input is the text CONCATENATED WITH ITSELF — the second
+      // copy must be stripped down to the novel seam windows, which
+      // exercises the removal path on every row (oracle doubles too)
+      .select(col("doc_id"),
+        TextOps.tokens(concat_ws(" ", col("text"), col("text"))).as("tk"))
+      .withColumn("kept",
+        call_function("drop_repeated_windows", col("tk"), lit(8)))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        TextOps.h64(array_join(col("kept"), " ")).as("kept_hash"))
+      .orderBy("doc_id")
+
   /** MERGE INTO semantics (CDC apply with tombstones): the event
     * stream is read as keyed upsert/delete operations (`error` rows
     * are deletes, everything else upserts its value) and folded to the

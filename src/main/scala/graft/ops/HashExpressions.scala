@@ -529,3 +529,64 @@ case class VecDotLongExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** drop_repeated_windows(tokens array<string>, n) → array<string>: the
+  * tokens that survive WITHIN-DOCUMENT repeated-window removal — any
+  * position covered by a positional n-gram window whose h64 already
+  * occurred EARLIER in the same document is dropped; survivors keep
+  * their order. This is the document-local complement of the
+  * corpus-level boilerplate strip ([[graft.ops.TextOps]] family): a
+  * doc that repeats its own navigation block or chorus sheds the
+  * copies in ONE map-side pass — no shuffle, no state, O(tokens) per
+  * row. The 60-bit window hash is the same md5-derived h64 the DuckDB
+  * oracle computes, so hash collisions (astronomically rare) are
+  * REPRODUCED identically on both engines rather than diverging. */
+case class DropRepWindowsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "drop_repeated_windows"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val covered = new Array[Boolean](m)
+    if (m >= n) {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      i = 0
+      while (i <= m - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        if (!seen.add(Hashing.h64(sb.toString))) {
+          var p = i
+          while (p < i + n) { covered(p) = true; p += 1 }
+        }
+        i += 1
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+    i = 0
+    while (i < m) {
+      if (!covered(i))
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -388,6 +388,27 @@ object ShingleExprProps extends SparkProps("ShingleExprs") {
       rows.map(_._2) == want && rows.forall { case (h, s) => h == Hashing.h64(s) }
     }
 
+  property("drop_repeated_windows equals the driver one-pass replay") =
+    forAll(toks) { tk =>
+      // driver twin of the expression's single pass (n = 3: the tiny
+      // vocab makes repeats frequent)
+      val n = 3
+      val covered = Array.fill(tk.length)(false)
+      if (tk.length >= n) {
+        val seen = scala.collection.mutable.Set.empty[Long]
+        for (i <- 0 to tk.length - n)
+          if (!seen.add(Hashing.h64(tk.slice(i, i + n).mkString(" "))))
+            (i until i + n).foreach(covered(_) = true)
+      }
+      val want = tk.indices.filterNot(covered).map(tk)
+      val sp = spark
+      import sp.implicits._
+      val got = Seq(Tuple1(tk)).toDF("tk")
+        .select(call_function("drop_repeated_windows", col("tk"), lit(n)))
+        .collect().head.getSeq[String](0)
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
   property("cdc chunk count = boundary tokens + trailing partial") =
     forAll(toks) { tk =>
       val bounds = tk.count(t => Hashing.h64(t) % 8 == 0)
