@@ -168,6 +168,7 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")),
     "q_merge_into"        -> ((s, d) => DataQueries.mergeInto(s, d)),
     "q_self_dedup"        -> ((s, d) => DataQueries.selfDedup(s, d)),
+    "q_domain_cap"        -> ((s, d) => DataQueries.domainCap(s, d)),
     "q_decay_agg"         -> ((s, d) => DataQueries.decayAgg(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -795,6 +796,31 @@ object SparkEntry {
                           JOIN sizes sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard
          FROM j WHERE jac >= 0.1 ORDER BY doc_a, doc_b""",
+    // per-source quota cap: kept ⟺ 5·rank ≤ 3·n+4 (rank ≤ ⌈0.6n⌉),
+    // integer-exact; same quality formula as q_quality_deciles
+    "q_domain_cap" ->
+      s"""WITH $TOKS_CTE,
+         q AS (SELECT toks.doc_id, d.source,
+                 CAST(len(tk) AS BIGINT) AS n_tok,
+                 0.4 * least(len(tk) / 100.0, 1.0)
+                 + 0.3 * (1.0 - coalesce(CASE WHEN len(toks.text) > 0 THEN
+                     (len(toks.text) - len(regexp_replace(toks.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / len(toks.text) END, 0.0))
+                 + 0.3 * least(coalesce(CASE WHEN len(tk) > 0 THEN
+                     len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                       / len(tk) END, 0.0) * 5.0, 1.0) AS qual
+               FROM toks JOIN documents d ON d.doc_id = toks.doc_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY qual DESC, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS n_src
+               FROM q)
+         SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN 5 * rnk <= 3 * n_src + 4 THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           sum(n_tok)::BIGINT AS tok_total,
+           sum(CASE WHEN 5 * rnk <= 3 * n_src + 4 THEN n_tok ELSE 0 END)::BIGINT
+             AS tok_kept
+         FROM r GROUP BY 1 ORDER BY 1""",
     // within-doc repeated-window removal: the one-pass expression is
     // replayed RELATIONALLY — window hashes, first occurrences,
     // covered positions, ordered reconstruction

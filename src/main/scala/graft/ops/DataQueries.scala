@@ -2330,6 +2330,32 @@ object DataQueries {
       .orderBy("event_type")
   }
 
+  /** Per-source quota capping (the FineWeb-style domain cap): each
+    * source keeps only its TOP 60% of documents by quality (ties by
+    * id), bounding any one domain's share of the training mix however
+    * much it over-crawls. The quota is scale-relative and integer-
+    * exact — kept ⟺ 5·rank ≤ 3·n_source + 4 (i.e. rank ≤ ⌈0.6·n⌉) —
+    * and the output is per-source telemetry: docs and tokens before
+    * and after the cap. One window shuffle on the source key. */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("qual").desc, col("doc_id").asc)
+    val kept = col("rnk") * 5 <= col("n_src") * 3 + 4
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("qual"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(kept.cast("long")).as("n_kept"),
+        sum("n_tok").as("tok_total"),
+        sum(when(kept, col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy("source")
+  }
+
   /** Within-document repeated-window removal (doc-level self-dedup,
     * the FineWeb-style "drop the page's own repeated nav block /
     * chorus" pass): positions covered by an 8-token window whose hash
