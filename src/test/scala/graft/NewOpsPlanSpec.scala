@@ -400,6 +400,20 @@ class NewOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("scd2/mergeInto/domainCap: the key exchange is shared, not repeated") {
+    // each op runs 2+ window functions over the same partition key —
+    // they must ride ONE hash exchange (plus at most the final
+    // orderBy's range exchange), not re-shuffle per window
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(plan(df)).size
+    assert(exchanges(DataQueries.scd2History(spark, sf)) <= 3,
+      s"scd2 re-shuffles between windows:\n${plan(DataQueries.scd2History(spark, sf))}")
+    assert(exchanges(DataQueries.mergeInto(spark, sf)) <= 3,
+      s"mergeInto re-shuffles between windows:\n${plan(DataQueries.mergeInto(spark, sf))}")
+    assert(exchanges(DataQueries.domainCap(spark, sf)) <= 3,
+      s"domainCap re-shuffles between windows:\n${plan(DataQueries.domainCap(spark, sf))}")
+  }
+
   test("novelty: only (batch, gram-hash) rows shuffle — never text") {
     val p = plan(DataQueries.noveltyRate(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
