@@ -298,6 +298,61 @@ object StreamOps {
     commitVersioned(sp, statePath, batchId, next, committed)
   }
 
+  private val MergeSchema =
+    "user_id BIGINT, vmicro BIGINT, ts TIMESTAMP_NTZ, op STRING, tb BIGINT"
+
+  /** Latest committed MERGE INTO state: one row per LIVE key (keys
+    * whose last operation was a delete are retained internally as
+    * tombstones so later batches order against them, filter
+    * `op <> 'delete'` — [[readMergeTable]] does — for the user view). */
+  def readMergeState(sp: SparkSession, statePath: String): DataFrame =
+    readVersioned(sp, statePath, MergeSchema)
+
+  /** The user-facing merged table: live keys only. */
+  def readMergeTable(sp: SparkSession, statePath: String): DataFrame =
+    readMergeState(sp, statePath).filter(col("op") =!= "delete")
+      .select("user_id", "vmicro", "ts")
+
+  /** Streaming MERGE INTO maintenance — the CDC-apply twin of
+    * [[graft.ops.DataQueries.mergeInto]]: each micro-batch of keyed
+    * upsert/delete operations folds into a one-row-per-key state
+    * (last writer wins by (ts, tiebreak)); deletes persist as
+    * TOMBSTONES so an out-of-batch earlier upsert can never resurrect
+    * a deleted key, and the user view simply filters them. Per-trigger
+    * cost is |batch| + one row per key ever seen — never the event
+    * history. Same versioned `_COMMIT_<batchId>` durability as the
+    * rollup/SCD2 maintainers: replays skip, failed writes can't damage
+    * the state being read. StreamingSpec pins sequential merges ≡ the
+    * batch recompute over uneven batches. */
+  def maintainMerge(stream: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyMergeBatch(batch, statePath, batchId)
+      }
+      .start()
+
+  private[graft] def applyMergeBatch(batch: org.apache.spark.sql.Dataset[Row],
+                                     statePath: String, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val committed = committedVersions(sp, statePath)
+    val last = if (committed.isEmpty) -1L else committed.max
+    if (batchId <= last) return // at-least-once replay: already applied
+    val ops = batch.select(col("user_id"),
+      expr("cast(round(value * 1e6) as bigint)").as("vmicro"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      when(col("event_type") === "error", "delete").otherwise("upsert")
+        .as("op"),
+      col("event_id").as("tb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("tb").desc)
+    val next = readMergeState(sp, statePath).unionByName(ops)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .localCheckpoint(true)
+    commitVersioned(sp, statePath, batchId, next, committed)
+  }
+
   /** Streaming near-dup screen: each arriving document is
     * minhash-signed and banded MAP-SIDE, probes the static corpus band
     * index ([[graft.ops.DedupOps.bandIndex]], typically a persisted

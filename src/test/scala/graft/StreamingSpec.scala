@@ -166,6 +166,42 @@ class StreamingSpec extends SparkSpec {
       "maintained SCD2 state diverges from the batch recompute")
   }
 
+  test("maintainMerge: sequential CDC batches equal the batch MERGE INTO; tombstones hold") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val statePath = java.nio.file.Files
+      .createTempDirectory("merge_state").toString + "/state"
+    val ev = Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val parts = Seq(ev.take(200), ev.slice(200, 700), ev.drop(700))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      graft.streaming.StreamOps.applyMergeBatch(
+        p.toSeq.toDF("user_id", "ts", "event_id", "event_type", "value"),
+        statePath, i.toLong)
+    }
+    // replay must not change the state
+    graft.streaming.StreamOps.applyMergeBatch(
+      parts(2).toSeq.toDF("user_id", "ts", "event_id", "event_type", "value"),
+      statePath, 2L)
+    val got = graft.streaming.StreamOps.readMergeTable(spark, statePath)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), String.valueOf(r.get(2))))
+    val want = graft.ops.DataQueries.mergeInto(spark, d)
+      .select("user_id", "vmicro", "ts").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), String.valueOf(r.get(2))))
+    assert(got.toSeq == want.toSeq,
+      "maintained merge table diverges from the batch MERGE INTO")
+    // tombstones: a user whose LAST event is an error must be absent
+    val deleted = ev.groupBy(_._1).filter(_._2.maxBy(e => (e._2.getTime, e._3))._4 == "error")
+    assert(deleted.nonEmpty, "fixture needs a trailing-delete key")
+    val gotKeys = got.map(_._1).toSet
+    assert(deleted.keys.forall(k => !gotKeys.contains(k)),
+      "a deleted key resurrected")
+  }
+
   test("maintainRollup: replayed micro-batch is a no-op; failed write leaves state intact") {
     import spark.implicits._
     val statePath = java.nio.file.Files
