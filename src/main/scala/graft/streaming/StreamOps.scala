@@ -203,6 +203,29 @@ object StreamOps {
   def retainedVersions(sp: SparkSession, statePath: String): Seq[Long] =
     committedVersions(sp, statePath).sorted
 
+  /** CHANGE DATA FEED between two snapshots of a keyed state: one
+    * full-outer join on the key classifies every row as
+    * insert / delete / update (payload compared null-safely as one
+    * struct); unchanged keys drop out. With [[readStateAt]] over the
+    * retained version pair this turns any maintained state (rollup /
+    * SCD2 / merge table) into an incremental downstream feed — the
+    * consumer reads O(changes), never the full snapshot. */
+  def stateChanges(prev: DataFrame, cur: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val payload = cur.columns.filterNot(keys.contains)
+    val p = prev.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__old"): _*)
+    val c = cur.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__new"): _*)
+    p.join(c, keys, "full_outer")
+      .withColumn("op", when(col("__old").isNull, "insert")
+        .when(col("__new").isNull, "delete")
+        .when(!(col("__old") <=> col("__new")), "update"))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++
+        Seq(col("op"), col("__old").as("old"), col("__new").as("new")): _*)
+  }
+
   /** One micro-batch of rollup maintenance; package-visible so the spec
     * can drive replay/crash scenarios directly. */
   private[graft] def applyRollupBatch(batch: org.apache.spark.sql.Dataset[Row],

@@ -166,6 +166,33 @@ class StreamingSpec extends SparkSpec {
       "maintained SCD2 state diverges from the batch recompute")
   }
 
+  test("stateChanges: the retained version pair yields the exact CDF of the last batch") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("cdf_state").toString + "/state"
+    val mk = (rows: Seq[(String, Long, Double)]) => rows
+      .map { case (t, day, v) =>
+        (t, new java.sql.Timestamp(86400000L * day), v, day) }
+      .toDF("event_type", "ts", "value", "event_id")
+    graft.streaming.StreamOps.applyRollupBatch(
+      mk(Seq(("click", 0L, 1.0), ("view", 0L, 2.0))), statePath, 0L)
+    graft.streaming.StreamOps.applyRollupBatch(
+      mk(Seq(("click", 0L, 1.0), ("buy", 1L, 3.0))), statePath, 1L)
+    val prev = graft.streaming.StreamOps.readStateAt(spark, statePath, 0L)
+    val cur = graft.streaming.StreamOps.readStateAt(spark, statePath, 1L)
+    val ch = graft.streaming.StreamOps
+      .stateChanges(prev, cur, Seq("event_type", "day"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // click day0 merged again -> update; buy day1 new -> insert;
+    // view day0 untouched -> ABSENT from the feed
+    assert(ch == Map("click" -> "update", "buy" -> "insert"), s"$ch")
+    // and a synthetic rollback direction shows deletes
+    val back = graft.streaming.StreamOps
+      .stateChanges(cur, prev, Seq("event_type", "day"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(back("buy") == "delete")
+  }
+
   test("maintainMerge: sequential CDC batches equal the batch MERGE INTO; tombstones hold") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
