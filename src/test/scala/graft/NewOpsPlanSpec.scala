@@ -400,6 +400,13 @@ class NewOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("prefixJoin: candidate generation is an equi-join — no nested loop") {
+    val p = plan(graft.ops.DedupOps.prefixJoin(
+      graft.Tables.documents(spark, sf), "doc_id", "text", 3))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix candidates degraded:\n$p")
+  }
+
   test("scd2/mergeInto/domainCap: the key exchange is shared, not repeated") {
     // each op runs 2+ window functions over the same partition key —
     // they must ride ONE hash exchange (plus at most the final

@@ -58,6 +58,11 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     // Σ v·vᵀ for (1,2) and (2,2): [[5,6],[6,8]] row-major
     assert(g == Seq(5L, 6L, 6L, 8L))
+    val dr = spark.sql(
+      """SELECT drop_repeated_windows(array('a','b','a','b','c'), 2) AS k""")
+      .collect()(0).getSeq[String](0)
+    // window (a,b) repeats at position 2 → positions 2,3 drop
+    assert(dr == Seq("a", "b", "c"))
   }
 
   test("window + rollup SQL over the star schema") {
