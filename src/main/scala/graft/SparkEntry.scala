@@ -171,6 +171,10 @@ object SparkEntry {
     "q_domain_cap"        -> ((s, d) => DataQueries.domainCap(s, d)),
     "q_decay_agg"         -> ((s, d) => DataQueries.decayAgg(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
+    "q_kcore"             -> ((s, d) => GraphOps.docKCore(s, d)),
+    "q_collocations"      -> ((s, d) => DataQueries.collocations(s, d)),
+    "q_vocab_growth"      -> ((s, d) => DataQueries.vocabGrowth(s, d)),
+    "q_phrase_search"     -> ((s, d) => DataQueries.phraseSearch(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1318,6 +1322,104 @@ object SparkEntry {
            round(r.r / 1000000.0, 6) AS pagerank
          FROM it3 r LEFT JOIN deg d ON d.src = r.id
          ORDER BY pagerank DESC, doc_id""",
+    // fixed-round k-core peeling (k=2, 4 rounds) over the same
+    // symmetrized Jaccard-pair edge set as q_pagerank; each unrolled
+    // round recomputes induced degree against the previous survivor set
+    "q_kcore" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         n0 AS (SELECT DISTINCT src AS doc FROM edges),
+         s1 AS (SELECT e.src AS doc, count(*) AS deg FROM edges e
+                JOIN n0 a ON e.src = a.doc JOIN n0 b ON e.dst = b.doc
+                GROUP BY 1 HAVING count(*) >= 2),
+         s2 AS (SELECT e.src AS doc, count(*) AS deg FROM edges e
+                JOIN s1 a ON e.src = a.doc JOIN s1 b ON e.dst = b.doc
+                GROUP BY 1 HAVING count(*) >= 2),
+         s3 AS (SELECT e.src AS doc, count(*) AS deg FROM edges e
+                JOIN s2 a ON e.src = a.doc JOIN s2 b ON e.dst = b.doc
+                GROUP BY 1 HAVING count(*) >= 2),
+         s4 AS (SELECT e.src AS doc, count(*) AS deg FROM edges e
+                JOIN s3 a ON e.src = a.doc JOIN s3 b ON e.dst = b.doc
+                GROUP BY 1 HAVING count(*) >= 2)
+         SELECT doc AS doc_id, deg FROM s4 ORDER BY doc_id""",
+    // PMI collocations in exact integer fixed point: rank by the PMI
+    // ratio cnt*N/(cx*cy) (monotone in PMI) via BIGINT floor division —
+    // no libm log anywhere on the oracle path
+    "q_collocations" ->
+      s"""WITH $TOKS_CTE,
+         bi AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+                  list_transform(range(len(tk) - 1),
+                    i -> {'w1': tk[i + 1], 'w2': tk[i + 2]})
+                ELSE [] END) AS b FROM toks),
+         bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cnt FROM bi
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         uni AS (SELECT unnest(tk) AS w FROM toks),
+         uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         nbt AS (SELECT count(*) AS nb FROM bi)
+         SELECT w1, w2, cnt, ux.c AS cx, uy.c AS cy,
+           (((cnt * 1000000) // ux.c) * nbt.nb) // uy.c AS pmi_micro
+         FROM bc JOIN uc ux ON bc.w1 = ux.w
+                 JOIN uc uy ON bc.w2 = uy.w, nbt
+         ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""",
+    // Heaps'-law vocabulary growth: cumulative docs/tokens/types over
+    // 10 doc_id-range prefixes; type identity is the shared 60-bit h64
+    "q_vocab_growth" ->
+      s"""WITH $TOKS_CTE,
+         mx AS (SELECT max(doc_id) AS mx FROM documents),
+         base AS (SELECT doc_id, tk,
+                    greatest(1, (10 * doc_id + mx - 1) // mx) AS bucket
+                  FROM toks, mx),
+         pb AS (SELECT bucket, count(*) AS docs_in,
+                  CAST(sum(len(tk)) AS BIGINT) AS toks_in
+                FROM base GROUP BY 1),
+         exw AS (SELECT bucket, unnest(tk) AS w FROM base),
+         fo AS (SELECT ${H64.format("w")} AS h, min(bucket) AS fb
+                FROM exw GROUP BY 1),
+         nt AS (SELECT fb AS bucket, count(*) AS new_types FROM fo GROUP BY 1)
+         SELECT p.bucket,
+           CAST(sum(p.docs_in) OVER cum AS BIGINT) AS n_docs,
+           CAST(sum(p.toks_in) OVER cum AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER cum AS BIGINT) AS vocab
+         FROM pb p LEFT JOIN nt n USING (bucket)
+         WINDOW cum AS (ORDER BY p.bucket)
+         ORDER BY bucket""",
+    // positional-index phrase search: every (doc, start) occurrence of
+    // the corpus-top trigram; three single-word index legs pre-aligned
+    // to the start position meet on (doc_id, pos) equi-joins
+    "q_phrase_search" ->
+      s"""WITH $TOKS_CTE,
+         idx AS (SELECT doc_id, u.p AS pos, u.w AS w FROM (
+                   SELECT doc_id, unnest(list_transform(range(len(tk)),
+                     i -> {'p': i + 1, 'w': tk[i + 1]})) AS u FROM toks)),
+         grams AS (SELECT unnest(CASE WHEN len(tk) >= 3 THEN
+                     list_transform(range(len(tk) - 2),
+                       i -> array_to_string(tk[i + 1 : i + 3], ' '))
+                   ELSE [] END) AS g FROM toks),
+         topg AS (SELECT g, count(*) AS cnt FROM grams GROUP BY 1
+                  ORDER BY cnt DESC, g LIMIT 1),
+         ph AS (SELECT g AS phrase, split_part(g, ' ', 1) AS w1,
+                  split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+                FROM topg),
+         f1 AS (SELECT i.doc_id, i.pos, ph.phrase FROM idx i, ph
+                WHERE i.w = ph.w1),
+         f2 AS (SELECT i.doc_id, i.pos - 1 AS pos FROM idx i, ph
+                WHERE i.w = ph.w2),
+         f3 AS (SELECT i.doc_id, i.pos - 2 AS pos FROM idx i, ph
+                WHERE i.w = ph.w3)
+         SELECT f1.doc_id, f1.pos, f1.phrase
+         FROM f1 JOIN f2 USING (doc_id, pos) JOIN f3 USING (doc_id, pos)
+         ORDER BY doc_id, pos""",
     "q_snapshot_diff" ->
       s"""WITH news AS (
            SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' rev2'

@@ -1861,6 +1861,143 @@ object DataQueries {
       .orderBy("source")
   }
 
+  /** PMI-ranked bigram collocations: adjacent token pairs whose joint
+    * count is anomalously high vs their unigram counts — the classic
+    * multiword-expression / template-phrase miner ("new york",
+    * "click here") that feeds tokenizer-merge candidates and
+    * boilerplate lexicons for a training corpus.
+    *
+    * Scoring is exact integer fixed point so the DuckDB twin replays
+    * it bit-for-bit: the PMI *ratio* p(xy)/(p(x)p(y)) = cnt·N/(cx·cy)
+    * is monotone in PMI (log of it), so ranking by the micro-scaled
+    * ratio `(((cnt·10⁶) div cx)·N) div cy` needs no libm log at all —
+    * the ln-near-boundary oracle hazard is designed out, not rounded
+    * around. (At full corpus scale the product cnt·10⁶·N can pass
+    * 2⁶³; migrate the score to DECIMAL(38,0) there — the ordering
+    * logic is unchanged.)
+    *
+    * Scale shape: bigram and unigram counts are map-combined hash
+    * aggregates over the token stream; the minCount filter runs BEFORE
+    * the two vocab-sized count joins, so only candidate collocations
+    * (≪ vocab²) ever join; the corpus bigram total rides in as a
+    * broadcast 1-row scalar; top-k is a distributed TakeOrdered, not a
+    * global window. */
+  def collocations(s: SparkSession, d: String, minCount: Long = 5,
+                   topK: Int = 50): DataFrame =
+    collocationsOf(Tables.documents(s, d), minCount, topK)
+
+  /** [[collocations]] over an arbitrary `text`-column frame. */
+  def collocationsOf(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val tk = docs.select(TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = tk.select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val uni = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    bc.join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi_micro", expr("(((cnt * 1000000) div cx) * nb) div cy"))
+      .select("w1", "w2", "cnt", "cx", "cy", "pmi_micro")
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Heaps'-law vocabulary-growth telemetry: cumulative distinct-type
+    * count vs cumulative token count at `buckets` equal doc_id-range
+    * prefixes of the corpus arrival order. A flattening vocab curve is
+    * the "this source has started repeating itself" saturation signal
+    * that decides when further crawling of a source stops paying for
+    * itself.
+    *
+    * Integer-exact throughout: a doc lands in bucket
+    * ceil(buckets·doc_id / max_id) (floor-division form), a token
+    * type's first bucket is min over its occurrences, and the curve is
+    * a ≤`buckets`-row cumulative window. No log-log Heaps exponent fit
+    * — that would put libm pow on the oracle path (the q_temp_mix
+    * lesson); the raw curve carries the same signal.
+    *
+    * Scale shape: the only corpus-sized shuffle is the 60-bit
+    * token-hash → min(bucket) aggregate (map-combined; 8-byte keys,
+    * token strings never shuffle); max_id rides in broadcast; the
+    * cumulative window runs over `buckets` rows. */
+  def vocabGrowth(s: SparkSession, d: String, buckets: Int = 10): DataFrame =
+    vocabGrowthOf(Tables.documents(s, d), buckets)
+
+  /** [[vocabGrowth]] over an arbitrary `(doc_id, text)` frame. */
+  def vocabGrowthOf(docs: DataFrame, buckets: Int): DataFrame = {
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val base = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"),
+        greatest(lit(1L), expr(s"($buckets * doc_id + mx - 1) div mx"))
+          .as("bucket"))
+    val perBkt = base.groupBy("bucket")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(size(col("tk")).cast("long")).as("toks_in"))
+    val firstBkt = base.select(col("bucket"),
+        explode(col("tk")).as("w"))
+      .select(col("bucket"), TextOps.h64(col("w")).as("h"))
+      .groupBy("h").agg(min(col("bucket")).as("fb"))
+    val newTypes = firstBkt.groupBy(col("fb").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+    perBkt.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("docs_in")).over(w).as("n_docs"),
+        sum(col("toks_in")).over(w).as("total_tokens"),
+        sum(coalesce(col("new_types"), lit(0L))).over(w).as("vocab"))
+      .orderBy("bucket")
+  }
+
+  /** Positional-inverted-index phrase search: every occurrence (doc,
+    * start position) of the corpus's single most frequent word trigram
+    * — the retrieval-side primitive behind exact-phrase
+    * contamination lookups ("find every document containing this
+    * benchmark prompt verbatim") that BM25's bag-of-words scoring
+    * cannot answer.
+    *
+    * Shape: a positional index (doc_id, pos, token) is the only
+    * corpus-sized structure; the phrase (here mined as the top
+    * positional 3-gram, count-desc then gram-asc so ties are total) is
+    * a broadcast single row; each phrase word filters the index by a
+    * broadcast join, and the three filtered legs — each pre-aligned to
+    * the phrase START position (pos, pos−1, pos−2) — meet on plain
+    * (doc_id, pos) equi-joins. Per-doc work is linear in occurrences
+    * of the phrase words, never quadratic in doc length. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame =
+    phraseSearchOf(Tables.documents(s, d))
+
+  /** [[phraseSearch]] over an arbitrary `(doc_id, text)` frame. */
+  def phraseSearchOf(docs: DataFrame): DataFrame = {
+    val idx = docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("w"))
+    val top = docs
+      .select(explode(TextOps.shinglesAll(col("text"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(1)
+      .select(col("g").as("phrase"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"),
+        split(col("g"), " ").getItem(2).as("w3"))
+    val f1 = idx.join(broadcast(top), col("w") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("phrase"))
+    val f2 = idx.join(broadcast(top.select("w2")), col("w") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val f3 = idx.join(broadcast(top.select("w3")), col("w") === col("w3"))
+      .select(col("doc_id"), (col("pos") - 2).as("pos"))
+    f1.join(f2, Seq("doc_id", "pos"))
+      .join(f3, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("phrase"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Per-document duplicate-shingle coverage: the fraction of a doc's
     * distinct 3-gram shingles that also occur in some OTHER document —
     * the "how much of this doc is boilerplate/copied" span-level signal

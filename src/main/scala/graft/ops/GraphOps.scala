@@ -111,6 +111,61 @@ object GraphOps {
       .orderBy("doc")
   }
 
+  /** Fixed-round k-core peeling: iteratively drop vertices whose degree
+    * within the surviving induced subgraph is < k. After R rounds the
+    * survivors approximate the k-core (exactly the k-core once the
+    * peeling has converged; R is a fixed constant so the DuckDB oracle
+    * can replay the rounds as unrolled CTEs, the same
+    * monitoring-signal-not-convergence contract as [[pageRankFixed]]).
+    *
+    * Dense cores = template/mirror families whose duplication survives
+    * aggressive peeling — the strongest "this whole neighborhood is one
+    * boilerplate artifact" signal on the near-dup graph, one level up
+    * from connected components (a CC can be a long weak chain; a k-core
+    * cannot).
+    *
+    * Scale shape: each round is two semi-shaped equi-joins of the edge
+    * table against the node-sized survivor set (AQE broadcasts the
+    * survivor side once peeling shrinks it) and one map-combined count
+    * by src — no wedges, no pair blowup. The survivor set is
+    * localCheckpointed per round so round r+1 doesn't replay rounds
+    * 1..r (bounded lineage, the CC-loop idiom).
+    *
+    * `edges` is the symmetrized (src,dst) list; output is one row per
+    * surviving vertex with its qualifying in-core degree. */
+  def kCoreFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "kCoreFixed needs at least one peeling round")
+    var survivors = edges.select(col("src").as("doc")).distinct()
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val deg = edges
+        .join(survivors.withColumnRenamed("doc", "src"), Seq("src"))
+        .join(survivors.withColumnRenamed("doc", "dst"), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      out = deg.filter(col("deg") >= k).localCheckpoint(true)
+      survivors = out.select(col("src").as("doc"))
+    }
+    out.select(col("src").as("doc"), col("deg"))
+  }
+
+  /** k-core over the document near-dup graph (same edge set as
+    * [[docPageRank]]: symmetrized 3-gram Jaccard pairs at τ=0.1), k=2,
+    * 4 peeling rounds. `maxDocFreq` is the usual duplication-skew lever
+    * on the pair generator. */
+  def docKCore(s: SparkSession, d: String, k: Int = 2, rounds: Int = 4,
+               maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    kCoreFixed(edges, k, rounds)
+      .select(col("doc").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank over the document near-dup graph: edges = symmetrized
     * 3-gram Jaccard pairs at τ=0.1 (exactly `q_jaccard_pairs`' pair
     * set), 3 iterations. Output carries the degree so the rank is

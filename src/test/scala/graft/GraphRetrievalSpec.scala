@@ -415,4 +415,86 @@ class GraphRetrievalSpec extends SparkSpec {
       }
     }
   }
+
+  test("kcore: triangle survives 2-core peeling, pendant path peels off") {
+    // triangle {1,2,3} + path 3-4-5: 5 peels in round 1 (deg 1), 4 in
+    // round 2 (its only surviving neighbor is 3), triangle is stable
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.kCoreFixed(edges, 2, 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"core: $r")
+  }
+
+  test("kcore: k=1 with enough rounds keeps every non-isolated vertex") {
+    val und = Seq((1L, 2L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.kCoreFixed(edges, 1, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L), s"core: $r")
+    assert(r(4L) == 2L && r(1L) == 1L, s"degrees: $r")
+  }
+
+  test("doc kcore ⊆ deg≥2 docs of the same near-dup graph; deterministic") {
+    val core = GraphOps.docKCore(spark, sf).collect()
+    core.foreach(r => assert(r.getLong(1) >= 2L, s"in-core deg < k: $r"))
+    val deg2 = GraphOps.docPageRank(spark, sf).collect()
+      .filter(_.getLong(1) >= 2).map(_.getLong(0)).toSet
+    core.foreach(r => assert(deg2.contains(r.getLong(0)),
+      s"core doc ${r.getLong(0)} has global degree < 2"))
+    val again = GraphOps.docKCore(spark, sf).collect()
+    assert(core.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("collocations: hand-computed integer PMI ratios and tie order") {
+    // "a b a b c": bigrams ab×2 ba×1 bc×1, N=4; unigrams a=2 b=2 c=1
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = DataQueries.collocationsOf(docs, minCount = 1, topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    // ab: ((2e6 div 2)·4) div 2 = 2e6; bc: ((1e6 div 2)·4) div 1 = 2e6;
+    // ba: ((1e6 div 2)·4) div 2 = 1e6 — tie broken by (w1, w2)
+    assert(r.toSeq == Seq(
+      ("a", "b", 2L, 2L, 2L, 2000000L),
+      ("b", "c", 1L, 2L, 1L, 2000000L),
+      ("b", "a", 1L, 2L, 2L, 1000000L)), s"got: ${r.toSeq}")
+  }
+
+  test("vocab growth: cumulative docs/tokens/types over id-range buckets") {
+    // ids 1..10 with max_id 10 land one per bucket; vocab grows only
+    // when a never-seen token appears
+    val texts = Seq("x", "x", "y", "x y", "z", "z", "w", "x", "q", "q")
+    val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      .toDF("doc_id", "text")
+    val r = DataQueries.vocabGrowthOf(docs, 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length == 10)
+    assert(r(0) == (1L, 1L, 1L, 1L), s"b1: ${r(0)}")
+    assert(r(2) == (3L, 3L, 3L, 2L), s"b3: ${r(2)}")   // +y
+    assert(r(3) == (4L, 4L, 5L, 2L), s"b4: ${r(3)}")   // "x y": 2 tokens, 0 new
+    assert(r(9) == (10L, 10L, 11L, 5L), s"b10: ${r(9)}") // vocab {x,y,z,w,q}
+    // cumulative columns are monotone non-decreasing
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a !<= $b") }
+  }
+
+  test("phrase search: finds every occurrence of the corpus-top trigram") {
+    val docs = Seq(
+      (1L, "the quick fox jumps"),
+      (2L, "the quick fox"),
+      (3L, "quick fox now the quick fox")).toDF("doc_id", "text")
+    val r = DataQueries.phraseSearchOf(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.forall(_._3 == "the quick fox"), s"phrase: ${r.toSeq}")
+    assert(r.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (2L, 1L), (3L, 4L)),
+      s"occurrences: ${r.toSeq}")
+  }
+
+  test("phrase search: overlapping occurrences inside one document") {
+    // top trigram "a a a" occurs at positions 1,2,3 of the 5-a doc
+    val docs = Seq((1L, "a a a a a"), (2L, "b c d")).toDF("doc_id", "text")
+    val r = DataQueries.phraseSearchOf(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 1L), (1L, 2L), (1L, 3L)), s"got ${r.toSeq}")
+  }
 }

@@ -428,4 +428,30 @@ class NewOpsPlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("text"), s"text rides a shuffle:\n$exchanges")
   }
+
+  test("collocations: count joins stay hashed; only the 1-row N scalar BNLJs") {
+    val p = plan(DataQueries.collocations(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"degraded join:\n$p")
+    // the corpus bigram total is the documented broadcast-1-row scalar;
+    // the two unigram-count attaches must be hash equi-joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"more than the scalar-N nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k is not a distributed TakeOrdered:\n$p")
+  }
+
+  test("phrase search: three broadcast word filters + (doc,pos) equi-joins") {
+    val p = plan(DataQueries.phraseSearch(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degraded join:\n$p")
+    // no per-doc quadratic join: every join in the plan is hash-able
+    assert(p.contains("BroadcastHashJoin"), s"word filters not broadcast:\n$p")
+  }
+
+  test("vocab growth: token strings never shuffle — only 8-byte hashes") {
+    val p = plan(DataQueries.vocabGrowth(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("w#") && !exchanges.contains("text"),
+      s"token/text strings ride a shuffle:\n$exchanges")
+  }
 }
