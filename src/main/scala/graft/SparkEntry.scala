@@ -175,6 +175,8 @@ object SparkEntry {
     "q_collocations"      -> ((s, d) => DataQueries.collocations(s, d)),
     "q_vocab_growth"      -> ((s, d) => DataQueries.vocabGrowth(s, d)),
     "q_phrase_search"     -> ((s, d) => DataQueries.phraseSearch(s, d)),
+    "q_entity_match"      -> ((s, d) => graft.ops.Relational.entityMatch(s, d)),
+    "q_token_simpson"     -> ((s, d) => DataQueries.tokenSimpson(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1420,6 +1422,30 @@ object SparkEntry {
          SELECT f1.doc_id, f1.pos, f1.phrase
          FROM f1 JOIN f2 USING (doc_id, pos) JOIN f3 USING (doc_id, pos)
          ORDER BY doc_id, pos""",
+    // blocked entity resolution on the part dimension: candidates from
+    // the (brand, head-noun) equi-join block, exact Levenshtein kernel
+    "q_entity_match" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n, p_brand AS b,
+                      split_part(p_name, ' ', 2) AS noun FROM part)
+         SELECT a.k AS key_a, b.k AS key_b, a.b AS brand,
+           a.n AS name_a, b.n AS name_b,
+           levenshtein(a.n, b.n) AS dist
+         FROM p a JOIN p b ON a.b = b.b AND a.noun = b.noun AND a.k < b.k
+         WHERE levenshtein(a.n, b.n) <= 2
+         ORDER BY key_a, key_b""",
+    // inverse-Simpson effective vocabulary per source, integer ratio
+    "q_token_simpson" ->
+      s"""WITH $TOKS_CTE,
+         ex AS (SELECT d.source AS source, ${H64.format("u.w")} AS h
+                FROM (SELECT doc_id, unnest(tk) AS w FROM toks) u
+                JOIN documents d USING (doc_id)),
+         cc AS (SELECT source, h, count(*) AS c FROM ex GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS uniq_types,
+           CAST(sum(c * c) AS BIGINT) AS sumsq,
+           (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) * 1000000)
+             // CAST(sum(c * c) AS BIGINT) AS eff_types_micro
+         FROM cc GROUP BY source ORDER BY source""",
     "q_snapshot_diff" ->
       s"""WITH news AS (
            SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' rev2'

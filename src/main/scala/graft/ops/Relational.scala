@@ -183,4 +183,34 @@ object Relational {
         grouping(col("yr")).as("g_yr"),
         grouping(col("o_orderpriority")).as("g_pri"))
       .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Blocked entity resolution over the part dimension: candidate pairs
+    * come from an equi-join on the blocking key (brand, head noun of
+    * the name) — never an all-pairs cross — and only candidates pay the
+    * Levenshtein kernel (exact integer DP, identical in Spark and
+    * DuckDB), the standard blocking-then-compare shape of record
+    * linkage (Fellegi–Sunter style pipelines). Matched pairs are
+    * "same product, variant description" rows — dimension-table dedup,
+    * the relational sibling of the document near-dup family.
+    *
+    * Scale shape: one shuffle on the blocking key; the quadratic pair
+    * generator is confined within blocks, and block size is the skew
+    * lever (refine the key — add more name tokens — exactly as
+    * `maxDocFreq` caps shingle fan-out on the text side; `q_skew_report`
+    * computes the Σ·block² fan-out before a big run). */
+  def entityMatch(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey").as("k"), col("p_name").as("n"), col("p_brand").as("b"),
+      split(col("p_name"), " ").getItem(1).as("noun"))
+    val a = p.select(col("k").as("key_a"), col("n").as("name_a"),
+      col("b"), col("noun"))
+    val bb = p.select(col("k").as("key_b"), col("n").as("name_b"),
+      col("b"), col("noun"))
+    a.join(bb, Seq("b", "noun")).filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("b").as("brand"),
+        col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+      .orderBy("key_a", "key_b")
+  }
 }
