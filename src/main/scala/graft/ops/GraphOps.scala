@@ -148,21 +148,98 @@ object GraphOps {
     out.select(col("src").as("doc"), col("deg"))
   }
 
-  /** k-core over the document near-dup graph (same edge set as
-    * [[docPageRank]]: symmetrized 3-gram Jaccard pairs at τ=0.1), k=2,
-    * 4 peeling rounds. `maxDocFreq` is the usual duplication-skew lever
-    * on the pair generator. */
-  def docKCore(s: SparkSession, d: String, k: Int = 2, rounds: Int = 4,
-               maxDocFreq: Option[Long] = None): DataFrame = {
+  /** The shared document near-dup edge set: symmetrized 3-gram Jaccard
+    * pairs at τ=0.1 (exactly `q_jaccard_pairs`' pair set, both
+    * directions), eager-localCheckpointed because every iterative
+    * consumer (PageRank / k-core / HyperBall rounds) re-reads it.
+    * Symmetrization is ONE pass over the pair stream (explode of the
+    * two directions), not a self-union that would run the Jaccard
+    * pipeline twice. */
+  private[ops] def neardupEdges(s: SparkSession, d: String,
+                                maxDocFreq: Option[Long]): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
-    val edges = pairs.select(explode(array(
+    pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
-    kCoreFixed(edges, k, rounds)
+  }
+
+  /** k-core over the document near-dup graph (same edge set as
+    * [[docPageRank]]), k=2, 4 peeling rounds. `maxDocFreq` is the
+    * usual duplication-skew lever on the pair generator. */
+  def docKCore(s: SparkSession, d: String, k: Int = 2, rounds: Int = 4,
+               maxDocFreq: Option[Long] = None): DataFrame = {
+    kCoreFixed(neardupEdges(s, d, maxDocFreq), k, rounds)
       .select(col("doc").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
+  /** HyperBall-style neighborhood function (Boldi–Vigna): per node,
+    * the estimated size of its distance-≤2 ball, computed by merging
+    * per-node HLL REGISTER FILES along edges for two rounds — never by
+    * materializing the 2-hop pair set. This is the algorithm that
+    * makes centrality/ball-size telemetry feasible on a 100 TB graph:
+    * per round the state is O(nodes·registers-hit), merges are
+    * per-register `max` (associative, partial-aggregating map-side),
+    * and the round is one edge join + one hash-agg — the exact-ball
+    * side below (a deg² wedge expansion) exists only as the small-sf
+    * calibration twin, the `q_hll_err` pattern.
+    *
+    * Register law is identical to [[DataQueries.hllErr]] (m=512,
+    * trailing-zero rank via pure bit ops, exact-integer harmonic sum,
+    * IEEE-exact raw estimate — no transcendentals), so the DuckDB
+    * oracle replays registers, merge rounds, and estimate
+    * bit-for-bit. Two readouts ship side by side: `n_regs_hit` is the
+    * small-ball estimate (for ball ≪ m, collisions are ~n²/2m and the
+    * hit count ≈ the ball size), `hll_raw` is the raw sketch that
+    * takes over at scale; `err` is the raw sketch's signed error vs
+    * the exact ball — the small-cardinality bias the (ln-requiring,
+    * so deliberately absent) linear-counting correction would remove.
+    */
+  def hyperBall(s: SparkSession, d: String, rounds: Int = 2,
+                maxDocFreq: Option[Long] = None): DataFrame =
+    hyperBallOf(neardupEdges(s, d, maxDocFreq), rounds)
+
+  /** [[hyperBall]] over an arbitrary symmetrized (src,dst) edge list. */
+  def hyperBallOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("v")).distinct()
+    var regs = nodes
+      .withColumn("h", graft.ops.TextOps.h64(col("v").cast("string")))
+      .select(col("v"), expr("h & 511").as("b"),
+        when(expr("shiftright(h, 9)") === 0, lit(52))
+          .otherwise(expr(
+            "bit_count((shiftright(h, 9) & -shiftright(h, 9)) - 1) + 1"))
+          .cast("int").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val recv = edges.join(regs.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("b"), col("r"))
+      regs = recv.unionByName(regs.select("v", "b", "r"))
+        .groupBy("v", "b").agg(max("r").as("r"))
+        .localCheckpoint(true)
+    }
+    val sk = regs.groupBy("v").agg(
+      count(lit(1)).as("n_regs_hit"),
+      sum(expr("shiftleft(cast(1 as bigint), 52 - r)")).as("s_hit"))
+    // exact distance-≤2 ball (self ∪ N ∪ N²) — calibration twin only
+    val d1 = edges.select(col("src").as("a"), col("dst").as("c"))
+      .unionByName(nodes.select(col("v").as("a"), col("v").as("c")))
+    val d2 = d1.join(edges.withColumnRenamed("src", "c"), Seq("c"))
+      .select(col("a"), col("dst").as("c"))
+      .unionByName(d1)
+    val exact = d2.distinct().groupBy(col("a").as("v"))
+      .agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, Seq("v"))
+      .withColumn("s_total",
+        col("s_hit") + (lit(512L) - col("n_regs_hit"))
+          * expr("shiftleft(cast(1 as bigint), 52)"))
+      .withColumn("hll_raw", expr(
+        "cast(round((719783e0 * 262144 * 4503599627370496e0)" +
+        " / (cast(s_total as double) * 1e6)) as bigint)"))
+      .select(col("v").as("doc_id"), col("n_exact"), col("n_regs_hit"),
+        col("hll_raw"), (col("hll_raw") - col("n_exact")).as("err"))
       .orderBy("doc_id")
   }
 
@@ -181,15 +258,7 @@ object GraphOps {
   def docPageRank(s: SparkSession, d: String, iters: Int = 3,
                   maxDocFreq: Option[Long] = None): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
-    // symmetrize with ONE pass over the pair stream (explode of the two
-    // directions) instead of a self-union that executes the Jaccard
-    // pipeline twice
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
+    val edges = neardupEdges(s, d, maxDocFreq)
     val nodes = docs.select(col("doc_id").as("id"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     pageRankFixed(nodes, edges, iters)

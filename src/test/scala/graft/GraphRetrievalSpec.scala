@@ -490,6 +490,56 @@ class GraphRetrievalSpec extends SparkSpec {
       s"occurrences: ${r.toSeq}")
   }
 
+  test("hyperball: 2-round register merge sees exactly the distance-≤2 ball") {
+    // path 1-2-3-4-5: ball2(1)={1,2,3}, ball2(3)=all five
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.hyperBallOf(edges, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L)._1 == 3L && out(3L)._1 == 5L && out(2L)._1 == 4L,
+      s"exact balls wrong: $out")
+    // small-ball law: register hits never exceed the true ball size,
+    // and with 512 registers over ≤5 ids collisions are possible but
+    // the hit count must be ≥ 1
+    out.foreach { case (v, (exact, hits, _)) =>
+      assert(hits <= exact && hits >= 1L, s"node $v: hits=$hits exact=$exact")
+    }
+    // register law: a node's hit count equals the number of DISTINCT
+    // buckets its ball members' id-hashes land in (elementwise max of
+    // singleton register files) — independent recompute per node
+    val buckets = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .select(col("id"),
+        TextOps.h64(col("id").cast("string")).bitwiseAND(511L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val balls = Map(
+      1L -> Set(1L, 2L, 3L), 2L -> Set(1L, 2L, 3L, 4L),
+      3L -> Set(1L, 2L, 3L, 4L, 5L), 4L -> Set(2L, 3L, 4L, 5L),
+      5L -> Set(3L, 4L, 5L))
+    balls.foreach { case (v, ball) =>
+      assert(out(v)._2 == ball.map(buckets).size.toLong,
+        s"node $v: hits ${out(v)._2} != distinct buckets of $ball")
+    }
+    // deterministic: same call twice
+    val again = GraphOps.hyperBallOf(edges, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == again)
+  }
+
+  test("hyperball: rounds=0-equivalent singleton registers estimate 1-balls") {
+    // two disconnected 2-cliques: every 2-ball is the clique itself
+    val und = Seq((1L, 2L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.hyperBallOf(edges, 2).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == 2L, s"clique ball must be 2: $r")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 2L, s"hits: $r")
+      // err column is consistent: hll_raw - n_exact
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(1), s"err law: $r")
+    }
+  }
+
   test("entity match: symmetric-free pairs, blocked candidates only, exact distances") {
     val out = graft.ops.Relational.entityMatch(spark, sf).collect()
     assert(out.nonEmpty)
