@@ -178,6 +178,7 @@ object SparkEntry {
     "q_entity_match"      -> ((s, d) => graft.ops.Relational.entityMatch(s, d)),
     "q_token_simpson"     -> ((s, d) => DataQueries.tokenSimpson(s, d)),
     "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d)),
+    "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -1404,6 +1405,58 @@ object SparkEntry {
              / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
                 AS DOUBLE) * 1e6)) AS BIGINT) - bex.n_exact AS err
          FROM sk JOIN bex USING (v) ORDER BY doc_id""",
+    // BPE trainer inner loop, two unrolled merge rounds over the
+    // word-frequency table; merges are relational (self-pairs excluded
+    // from candidacy, so winning-pair occurrences never overlap)
+    "q_bpe_merges" ->
+      s"""WITH $TOKS_CTE,
+         wt AS (SELECT w, count(*) AS wcnt
+                FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+         s0 AS (SELECT w, wcnt, CAST(u.i + 1 AS BIGINT) AS pos, u.s AS sym
+                FROM (SELECT w, wcnt,
+                        unnest(list_transform(range(len(string_split(w, ''))),
+                          i -> {'i': i, 's': string_split(w, '')[i + 1]})) AS u
+                      FROM wt)),
+         a1 AS (SELECT w, wcnt, pos, sym,
+                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
+                FROM s0),
+         t1 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
+                FROM a1 WHERE nxt IS NOT NULL AND sym <> nxt
+                GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
+         b0 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s0),
+         m1 AS (SELECT a.w, a.wcnt, a.pos,
+                  CASE WHEN a.sym = t.x AND a.nxt = t.y THEN t.x || t.y
+                       ELSE a.sym END AS sym
+                FROM a1 a, t1 t
+                WHERE NOT coalesce(a.prv = t.x AND a.sym = t.y, FALSE)),
+         s1 AS (SELECT w, wcnt, CAST(row_number() OVER
+                  (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
+                FROM m1),
+         a2 AS (SELECT w, wcnt, pos, sym,
+                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
+                FROM s1),
+         t2 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
+                FROM a2 WHERE nxt IS NOT NULL AND sym <> nxt
+                GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
+         b1 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s1),
+         m2 AS (SELECT a.w, a.wcnt, a.pos,
+                  CASE WHEN a.sym = t.x AND a.nxt = t.y THEN t.x || t.y
+                       ELSE a.sym END AS sym
+                FROM a2 a, t2 t
+                WHERE NOT coalesce(a.prv = t.x AND a.sym = t.y, FALSE)),
+         s2 AS (SELECT w, wcnt, CAST(row_number() OVER
+                  (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
+                FROM m2),
+         b2 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s2)
+         SELECT CAST(1 AS BIGINT) AS merge_rank, t1.x, t1.y, t1.cnt,
+           b0.n AS syms_before, b1.n AS syms_after
+         FROM t1, b0, b1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), t2.x, t2.y, t2.cnt, b1.n, b2.n
+         FROM t2, b1, b2
+         ORDER BY merge_rank""",
     // PMI collocations in exact integer fixed point: rank by the PMI
     // ratio cnt*N/(cx*cy) (monotone in PMI) via BIGINT floor division —
     // no libm log anywhere on the oracle path

@@ -1954,6 +1954,70 @@ object DataQueries {
       .orderBy("bucket")
   }
 
+  /** BPE merge learning, first `rounds` merges: the byte-pair-encoder
+    * trainer's inner loop (count adjacent symbol pairs weighted by
+    * word frequency, merge the argmax pair everywhere, repeat) —
+    * tokenizer induction from the corpus itself, run over the
+    * vocab-sized word-frequency table exactly as production BPE
+    * trainers do (the corpus is never re-scanned after the first
+    * token count).
+    *
+    * Exactness: merges are RELATIONAL, not sequential — sound because
+    * self-pairs (x,x) are excluded from candidacy, so two occurrences
+    * of the winning pair can never overlap (overlap at positions
+    * i,i+1 would force x=y); a row merges iff (sym,next)=(x,y) and
+    * drops iff (prev,sym)=(x,y), with no left-to-right scan state.
+    * Ties at the max pair count resolve on (x,y) string order. The
+    * DuckDB twin unrolls the rounds; every count is BIGINT.
+    *
+    * Scale shape: state is (word, pos, sym) over the DISTINCT vocab —
+    * at 100 TB the word-frequency table is the only corpus-sized
+    * aggregate (one map-combined count), and each round is a window
+    * over per-word symbol lists plus a broadcast of the 1-row winner. */
+  def bpeMerges(s: SparkSession, d: String, rounds: Int = 2): DataFrame =
+    bpeMergesOf(Tables.documents(s, d), rounds)
+
+  /** [[bpeMerges]] over an arbitrary `text`-column frame. */
+  def bpeMergesOf(docs: DataFrame, rounds: Int): DataFrame = {
+    val wt = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    var syms = wt.select(col("w"), col("wcnt"),
+        posexplode(filter(split(col("w"), ""), c => c =!= ""))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("wcnt"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(true)
+    val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val w = Window.partitionBy("w").orderBy("pos")
+      val ann = syms.withColumn("nxt", lead("sym", 1).over(w))
+        .withColumn("prv", lag("sym", 1).over(w))
+      val top = ann
+        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .groupBy(col("sym").as("x"), col("nxt").as("y"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+        .localCheckpoint(true)
+      val before = syms.agg(sum(col("wcnt")).as("syms_before"))
+      syms = ann.crossJoin(broadcast(top))
+        .filter(!coalesce(col("prv") === col("x") && col("sym") === col("y"),
+          lit(false)))
+        .select(col("w"), col("wcnt"), col("pos"),
+          when(coalesce(col("sym") === col("x") && col("nxt") === col("y"),
+            lit(false)), concat(col("x"), col("y")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("w").orderBy("pos")).cast("long"))
+        .select("w", "wcnt", "pos", "sym")
+        .localCheckpoint(true)
+      val after = syms.agg(sum(col("wcnt")).as("syms_after"))
+      perRound += top
+        .select(lit(r.toLong).as("merge_rank"), col("x"), col("y"), col("cnt"))
+        .crossJoin(broadcast(before)).crossJoin(broadcast(after))
+    }
+    perRound.reduce(_ unionByName _).orderBy("merge_rank")
+  }
+
   /** Per-source inverse-Simpson token concentration ("effective
     * vocabulary size"): N²/Σc² in integer micro-units — the
     * concentration-side complement to [[ngramDiversity]]'s

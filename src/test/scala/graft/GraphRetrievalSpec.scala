@@ -585,6 +585,40 @@ class GraphRetrievalSpec extends SparkSpec {
     assert((n * n * 1000000L) / sq == 1600000L)
   }
 
+  test("bpe merges: hand-computed first two merges and symbol accounting") {
+    // corpus: "the the the that" -> words the×3, that×1
+    // round 1 pairs: (t,h)×4, (h,e)×3, (h,a)×1, (a,t)×1 -> merge (t,h)
+    //   the -> [th, e], that -> [th, a, t]; symbols 3·3+4=13 -> 3·2+3=9
+    // round 2 pairs: (th,e)×3, (th,a)×1, (a,t)×1 -> merge (th,e)
+    //   the -> [the]; symbols 9 -> 3·1+3=6
+    val docs = Seq((1L, "the the the that")).toDF("doc_id", "text")
+    val r = DataQueries.bpeMergesOf(docs, 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, "t", "h", 4L, 13L, 9L),
+      (2L, "th", "e", 3L, 9L, 6L)), s"got ${r.toSeq}")
+  }
+
+  test("bpe merges: adjacent same-pair sites merge independently (no overlap)") {
+    // "abab": (a,b)×2 and (b,a)×1 -> merge (a,b) BOTH sites: ab ab (4->2)
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val r = DataQueries.bpeMergesOf(docs, 1).collect()
+      .map(x => (x.getString(1), x.getString(2), x.getLong(3), x.getLong(4),
+        x.getLong(5)))
+    assert(r.toSeq == Seq(("a", "b", 2L, 4L, 2L)), s"got ${r.toSeq}")
+  }
+
+  test("bpe merges: self-pairs are excluded from candidacy") {
+    // "aaaa b" -> pairs: (a,a)×3 excluded; only cross pairs can win.
+    // With no cross pairs inside words, fall back: "aaaa" has none, "b"
+    // has none -> add "ab" so (a,b)×1 is the only candidate
+    val docs = Seq((1L, "aaaa ab")).toDF("doc_id", "text")
+    val r = DataQueries.bpeMergesOf(docs, 1).collect()
+      .map(x => (x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("a", "b", 1L)), s"got ${r.toSeq}")
+  }
+
   test("phrase search: overlapping occurrences inside one document") {
     // top trigram "a a a" occurs at positions 1,2,3 of the 5-a doc
     val docs = Seq((1L, "a a a a a"), (2L, "b c d")).toDF("doc_id", "text")
