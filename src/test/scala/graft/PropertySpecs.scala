@@ -473,6 +473,118 @@ object PrefixJoinProps extends SparkProps("PrefixJoin") {
   * bound on every true count — the two inequalities the calibration
   * queries (q_bloom_screen / q_cms_err) rely on, checked here on
   * adversarially random inputs rather than the fixture corpus. */
+/** The relational BPE trainer equals the classic SEQUENTIAL trainer
+  * (left-to-right greedy merge application) on random corpora — the law
+  * that justifies expressing the merge as a join: with self-pairs
+  * excluded from candidacy, winning-pair occurrences can never overlap,
+  * so greedy application and relational application coincide. */
+object BpeProps extends SparkProps("BPE") {
+  import org.apache.spark.sql.functions._
+
+  private val wordGen = Gen.chooseNum(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val corpusGen = Gen.chooseNum(5, 20)
+    .flatMap(n => Gen.listOfN(n, wordGen))
+
+  /** Sequential reference: word-frequency table, argmax pair by
+    * (count desc, x, y) over x≠y pairs, greedy left-to-right merge.
+    * A round with no candidate pair emits nothing and ends training
+    * (mirroring the operator's empty-top degenerate behavior). */
+  private def refBpe(words: Seq[String], rounds: Int)
+      : Seq[(Long, String, String, Long, Long, Long)] = {
+    var tab: Seq[(List[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, g) => (w.split("").filter(_.nonEmpty).toList, g.size.toLong) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val before = tab.map { case (ss, c) => ss.length * c }.sum
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      tab.foreach { case (ss, c) =>
+        ss.zip(ss.tail).filter(p => p._1 != p._2)
+          .foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c)
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val (x, y) = pairs.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        val cnt = pairs((x, y))
+        tab = tab.map { case (ss, c) =>
+          val nw = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == x && ss(i + 1) == y) {
+              nw += x + y; i += 2
+            } else { nw += ss(i); i += 1 }
+          }
+          (nw.toList, c)
+        }
+        val after = tab.map { case (ss, c) => ss.length * c }.sum
+        out += ((r.toLong, x, y, cnt, before, after))
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  property("relational merges equal the sequential trainer for 2 rounds") =
+    forAll(corpusGen) { words =>
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ops.DataQueries.bpeMergesOf(docs, 2).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+          x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+      val want = refBpe(words, 2)
+      Prop(got == want) :| s"words=$words got=$got want=$want"
+    }
+}
+
+/** Fixed-round k-core peeling reaches the true k-core fixpoint once
+  * rounds ≥ the peeling depth — on small random graphs, |V| rounds
+  * always suffice and match a driver-side peel-to-fixpoint. */
+object KcoreProps extends SparkProps("Kcore") {
+  import org.apache.spark.sql.functions._
+
+  private val graphGen = for {
+    n <- Gen.chooseNum(3, 8)
+    m <- Gen.chooseNum(1, 14)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(1, n); b <- Gen.chooseNum(1, n) if a != b
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+  } yield es.distinct
+
+  private def refCore(und: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var alive = und.flatMap(e => Seq(e._1, e._2)).toSet
+    var deg = Map.empty[Long, Long]
+    var changed = true
+    while (changed) {
+      deg = alive.map(v => v -> und.count { case (a, b) =>
+        (a == v && alive(b)) || (b == v && alive(a)) }.toLong).toMap
+      val next = alive.filter(v => deg(v) >= k)
+      changed = next != alive
+      alive = next
+    }
+    alive.map(v => v -> deg(v)).toMap
+  }
+
+  property("rounds=|V| peeling equals the driver fixpoint for k=2") =
+    forAll(graphGen) { und0 =>
+      // graphGen can yield an empty list after the a!=b filter; peel a
+      // guaranteed edge in instead of discarding (keeps test count)
+      val und = if (und0.nonEmpty) und0 else Seq((1L, 2L))
+      val sp = spark
+      import sp.implicits._
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val n = und.flatMap(e => Seq(e._1, e._2)).distinct.size
+      val got = graft.ops.GraphOps.kCoreFixed(edges, 2, n.max(1)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = refCore(und, 2)
+      Prop(got == want) :| s"edges=$und got=$got want=$want"
+    }
+}
+
 object SketchProps extends SparkProps("Sketches") {
   import org.apache.spark.sql.functions._
   import graft.ops.{DedupOps, Hashing}
