@@ -448,6 +448,32 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"word filters not broadcast:\n$p")
   }
 
+  test("entity match: candidates via the blocking-key equi-join, no nested loop") {
+    val p = plan(graft.ops.Relational.entityMatch(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked join degraded:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash-able equi join:\n$p")
+  }
+
+  test("hyperball: register merges are hash-able joins + partial-agg max") {
+    val p = plan(graft.ops.GraphOps.hyperBall(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"degraded join in the merge rounds:\n$p")
+    // per-register max must partial-aggregate before the exchange
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"register merge not map-combined:\n$p")
+  }
+
+  test("bpe merges: vocab-sized rounds; only the 1-row winner/scalar rows nest") {
+    val p = plan(DataQueries.bpeMerges(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"degraded join:\n$p")
+    // winner pair + the two symbol-count scalars are broadcast 1-row
+    // nests per round (2 rounds × 3) — nothing corpus-sized may nest
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
+      s"more than the per-round scalar nests:\n$p")
+  }
+
   test("vocab growth: token strings never shuffle — only 8-byte hashes") {
     val p = plan(DataQueries.vocabGrowth(spark, sf))
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
