@@ -245,15 +245,14 @@ object SparkEntry {
         org.apache.spark.sql.functions.round(col("sigma"), 6).as("sigma"),
         col("pair_id"), col("y"))
       .orderBy("event_type", "bucket")),
-    // model-dependent → no SQL oracle (driver records rows-only checks;
-    // metric values are additionally pinned by MlSpec against a recorded
-    // run). The *_pinned companions below close the oracle gap for the
-    // serving half: a pinned artifact scored as pure column arithmetic
-    // IS SQL-expressible, so scoring, signal logic, accuracy and AUC all
-    // get real DuckDB oracles.
-    "q_ml_train_eval"     -> ((s, d) => graft.ml.MlPipeline.trainEval(s, d)),
-    "q_ml_signals"        -> ((s, d) => graft.ml.MlPipeline.nowSignals(s, d)
-      .orderBy("event_type")),
+    // The declared ML queries are fully deterministic (pinned-artifact
+    // arithmetic over rounded doubles → real DuckDB oracles). The live
+    // LBFGS halves (MlPipeline.trainEval / nowSignals) are library
+    // training entry points, spec-gated by MlSpec's drift test (refit ≡
+    // pinned artifact within 1e-6) — training isn't SQL, serving is.
+    "q_ml_train_eval"     -> ((s, d) => graft.ml.MlPipeline.trainReport(s, d)),
+    "q_ml_signals"        -> ((s, d) => graft.ml.MlPipeline.signalsAll(s, d)
+      .withColumn("bucket", col("bucket").cast("timestamp_ntz"))),
     "q_ml_eval_pinned"    -> ((s, d) => graft.ml.MlPipeline.evalPinned(s, d)),
     "q_ml_signals_pinned" -> ((s, d) => graft.ml.MlPipeline.signalsPinned(s, d)
       .withColumn("bucket", col("bucket").cast("timestamp_ntz"))),
@@ -1422,14 +1421,29 @@ object SparkEntry {
                   lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
                 FROM s0),
          t1 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
-                FROM a1 WHERE nxt IS NOT NULL AND sym <> nxt
+                FROM a1 WHERE nxt IS NOT NULL
                 GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
          b0 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s0),
-         m1 AS (SELECT a.w, a.wcnt, a.pos,
-                  CASE WHEN a.sym = t.x AND a.nxt = t.y THEN t.x || t.y
-                       ELSE a.sym END AS sym
-                FROM a1 a, t1 t
-                WHERE NOT coalesce(a.prv = t.x AND a.sym = t.y, FALSE)),
+         r1 AS (SELECT a.*, t.x, t.y,
+                  sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
+                FROM a1 a, t1 t),
+         r1b AS (SELECT *, CASE WHEN sym = x THEN pos - cumx END AS runkey
+                 FROM r1),
+         r1c AS (SELECT *,
+                  row_number() OVER (PARTITION BY w, runkey ORDER BY pos)
+                    AS idx,
+                  count(*) OVER (PARTITION BY w, runkey) AS runlen
+                 FROM r1b),
+         m1 AS (SELECT w, wcnt, pos,
+                  CASE WHEN x = y THEN
+                         CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
+                              THEN x || y ELSE sym END
+                       WHEN sym = x AND nxt = y THEN x || y
+                       ELSE sym END AS sym
+                FROM r1c
+                WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
+                      ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
          s1 AS (SELECT w, wcnt, CAST(row_number() OVER
                   (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
                 FROM m1),
@@ -1438,14 +1452,29 @@ object SparkEntry {
                   lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
                 FROM s1),
          t2 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
-                FROM a2 WHERE nxt IS NOT NULL AND sym <> nxt
+                FROM a2 WHERE nxt IS NOT NULL
                 GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
          b1 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s1),
-         m2 AS (SELECT a.w, a.wcnt, a.pos,
-                  CASE WHEN a.sym = t.x AND a.nxt = t.y THEN t.x || t.y
-                       ELSE a.sym END AS sym
-                FROM a2 a, t2 t
-                WHERE NOT coalesce(a.prv = t.x AND a.sym = t.y, FALSE)),
+         r2 AS (SELECT a.*, t.x, t.y,
+                  sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
+                FROM a2 a, t2 t),
+         r2b AS (SELECT *, CASE WHEN sym = x THEN pos - cumx END AS runkey
+                 FROM r2),
+         r2c AS (SELECT *,
+                  row_number() OVER (PARTITION BY w, runkey ORDER BY pos)
+                    AS idx,
+                  count(*) OVER (PARTITION BY w, runkey) AS runlen
+                 FROM r2b),
+         m2 AS (SELECT w, wcnt, pos,
+                  CASE WHEN x = y THEN
+                         CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
+                              THEN x || y ELSE sym END
+                       WHEN sym = x AND nxt = y THEN x || y
+                       ELSE sym END AS sym
+                FROM r2c
+                WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
+                      ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
          s2 AS (SELECT w, wcnt, CAST(row_number() OVER
                   (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
                 FROM m2),
@@ -3574,6 +3603,36 @@ object SparkEntry {
     // so accuracy/AUC/signals are independently recomputable. AUC stays
     // in integer pair-count space until one final division; CASTs guard
     // DuckDB's sum()→HUGEINT widening (the q_pack_bins bug class).
+    // Deterministic ML pair: split report + full serving audit (the
+    // live-LBFGS twins live outside the declared surface; see the
+    // queries-map comment). Integer aggregates CAST ::BIGINT to dodge
+    // DuckDB's sum()→HUGEINT widening.
+    "q_ml_train_eval" ->
+      s"""WITH $ML_FEATS_CTES,
+         split AS (SELECT *, row_number() OVER (ORDER BY bucket, event_type) AS rn,
+                     count(*) OVER () AS n FROM mlds),
+         lab AS (SELECT CASE WHEN rn > CAST(floor(n * 0.7) AS BIGINT)
+                   THEN 'test' ELSE 'train' END AS split, y,
+                   $PINNED_SCORE_SQL AS score
+                 FROM split)
+         SELECT split, count(*) AS n_rows,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS BIGINT)::DOUBLE / count(*), 6) AS base_rate,
+           round(CAST(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)
+             AS BIGINT)::DOUBLE / count(*), 6) AS accuracy
+         FROM lab GROUP BY split ORDER BY split""",
+    "q_ml_signals" ->
+      s"""WITH $ML_FEATS_CTES,
+         latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type ORDER BY bucket DESC) AS rn
+                    FROM mlds) WHERE rn = 1),
+         sc AS (SELECT event_type, bucket, pair_id, devdt,
+                  $PINNED_SCORE_SQL AS score
+                FROM latest)
+         SELECT event_type, bucket, pair_id, score, devdt,
+           CASE WHEN score >= ln(1.5) AND devdt < 0
+             THEN 'LONG' ELSE 'NO TRADE' END AS signal
+         FROM sc ORDER BY event_type""",
     "q_ml_eval_pinned" ->
       s"""WITH $ML_FEATS_CTES,
          split AS (SELECT *, row_number() OVER (ORDER BY bucket, event_type) AS rn,

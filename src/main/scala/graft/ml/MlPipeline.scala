@@ -216,6 +216,59 @@ object MlPipeline {
         when(col("fire"), "LONG").otherwise("NO TRADE").as("signal"))
   }
 
+  /** Deterministic train/eval report — the oracle-able face of M3+M4.
+    * Per chronological split (the same 70/30 cut on the rounded feature
+    * grid the fits use): row and positive-label counts, base rate, and
+    * the PINNED artifact's accuracy on that split — i.e. the
+    * train-vs-test generalization gap of the served model, which
+    * [[evalPinned]] (test-only) doesn't expose. The live LBFGS fit
+    * stays a library entry point ([[trainEval]]) under MlSpec's drift
+    * gate (refit ≡ pinned artifact within 1e-6); everything HERE is
+    * pure column arithmetic over rounded doubles, so DuckDB replays it
+    * bit-for-bit. Train-side stats come from (total − test) on the
+    * integer aggregates — one corpus pass plus the cached test tail,
+    * never a second split materialization. */
+  def trainReport(spark: SparkSession, dir: String): DataFrame = {
+    val sp = pinnedSplit(spark, dir)
+    def stats(df: DataFrame): (Long, Long, Long) = {
+      val r = df.withColumn("score", pinnedScore).agg(
+        count(lit(1)),
+        sum(col("y").cast("long")),
+        sum(when((col("score") > 0) === (col("y") === 1), 1L)
+          .otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (nAll, posAll, corAll) = stats(datasetRounded(spark, dir))
+    val (nTe, posTe, corTe) = stats(sp.test)
+    import spark.implicits._
+    Seq(("train", nAll - nTe, posAll - posTe, corAll - corTe),
+        ("test", nTe, posTe, corTe))
+      .toDF("split", "n_rows", "n_pos", "n_correct")
+      .select(col("split"), col("n_rows"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_rows"), 6).as("base_rate"),
+        round(col("n_correct").cast("double") / col("n_rows"), 6).as("accuracy"))
+      .orderBy("split")
+  }
+
+  /** Pinned-artifact serving audit: EVERY latest-per-key row scored and
+    * stamped with its fire decision. [[signalsPinned]] keeps only the
+    * winning top-1 per pair; operations also wants the full candidate
+    * table the winners were chosen from (which instruments were close
+    * to firing, per-pair margins). Same artifact, same logit-space
+    * threshold, fully oracle-able. */
+  def signalsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ds = datasetRounded(spark, dir)
+    val wLatest = Window.partitionBy("event_type").orderBy(col("bucket").desc)
+    val latest = ds.withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn")
+    latest.withColumn("score", pinnedScore)
+      .withColumn("fire", col("score") >= math.log(1.5) && col("devdt") < 0)
+      .select(col("event_type"), col("bucket"), col("pair_id"),
+        col("score"), col("devdt"),
+        when(col("fire"), "LONG").otherwise("NO TRADE").as("signal"))
+      .orderBy("event_type")
+  }
+
   /** Streaming serving with the SAME pinned artifact: score a stream of
     * feature rows (z, devdt, bias, sigma, pair_id) and stamp the fire
     * decision. Stateless map-only — the model is plan-time literals, so

@@ -1962,13 +1962,19 @@ object DataQueries {
     * trainers do (the corpus is never re-scanned after the first
     * token count).
     *
-    * Exactness: merges are RELATIONAL, not sequential — sound because
-    * self-pairs (x,x) are excluded from candidacy, so two occurrences
-    * of the winning pair can never overlap (overlap at positions
-    * i,i+1 would force x=y); a row merges iff (sym,next)=(x,y) and
-    * drops iff (prev,sym)=(x,y), with no left-to-right scan state.
-    * Ties at the max pair count resolve on (x,y) string order. The
-    * DuckDB twin unrolls the rounds; every count is BIGINT.
+    * Exactness: merges are RELATIONAL, not sequential, yet equal the
+    * textbook left-to-right greedy trainer (Sennrich 2016 learn_bpe:
+    * count EVERY adjacent pair — overlapping self-pair occurrences
+    * included — pick the max, apply non-overlapping left-to-right).
+    * For a winner (x,y) with x≠y, occurrences can't overlap (overlap
+    * would force x=y), so "merge iff (sym,next)=(x,y), drop iff
+    * (prev,sym)=(x,y)" needs no scan state. For x=y, left-to-right
+    * non-overlapping application IS run-length parity: within each
+    * maximal run of x's, odd run-relative positions merge with their
+    * successor, even positions are absorbed, and an odd-length run's
+    * last x survives — computable from gaps-and-islands run ids, still
+    * no scan state. Ties at the max pair count resolve on (x,y) string
+    * order. The DuckDB twin unrolls the rounds; every count is BIGINT.
     *
     * Scale shape: state is (word, pos, sym) over the DISTINCT vocab —
     * at 100 TB the word-frequency table is the only corpus-sized
@@ -1993,18 +1999,41 @@ object DataQueries {
       val ann = syms.withColumn("nxt", lead("sym", 1).over(w))
         .withColumn("prv", lag("sym", 1).over(w))
       val top = ann
-        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("x"), col("nxt").as("y"))
         .agg(sum(col("wcnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
         .localCheckpoint(true)
       val before = syms.agg(sum(col("wcnt")).as("syms_before"))
-      syms = ann.crossJoin(broadcast(top))
-        .filter(!coalesce(col("prv") === col("x") && col("sym") === col("y"),
-          lit(false)))
+      // Gaps-and-islands over sym=x rows: run id = pos − (x-rows seen so
+      // far), constant within a maximal run of x's; run-relative index
+      // and run length drive the x=y parity rule. Computed
+      // unconditionally (word-sized partitions), consulted only when
+      // the broadcast winner is a self-pair.
+      val joined = ann.crossJoin(broadcast(top))
+        .withColumn("cumx",
+          sum(when(col("sym") === col("x"), 1L).otherwise(0L)).over(w))
+        .withColumn("runkey",
+          when(col("sym") === col("x"), col("pos") - col("cumx")))
+      val wRun = Window.partitionBy(col("w"), col("runkey")).orderBy("pos")
+      val flagged = joined
+        .withColumn("idx", when(col("sym") === col("x"),
+          row_number().over(wRun).cast("long")))
+        .withColumn("runlen", when(col("sym") === col("x"),
+          count(lit(1)).over(Window.partitionBy(col("w"), col("runkey")))))
+      val isSelf = col("x") === col("y")
+      val selfMerge = col("sym") === col("x") &&
+        col("idx") % 2 === 1 && col("idx") < col("runlen")
+      val selfDrop = col("sym") === col("x") && col("idx") % 2 === 0
+      val pairMerge = coalesce(
+        col("sym") === col("x") && col("nxt") === col("y"), lit(false))
+      val pairDrop = coalesce(
+        col("prv") === col("x") && col("sym") === col("y"), lit(false))
+      syms = flagged
+        .filter(!when(isSelf, selfDrop).otherwise(pairDrop))
         .select(col("w"), col("wcnt"), col("pos"),
-          when(coalesce(col("sym") === col("x") && col("nxt") === col("y"),
-            lit(false)), concat(col("x"), col("y")))
+          when(when(isSelf, selfMerge).otherwise(pairMerge),
+            concat(col("x"), col("y")))
             .otherwise(col("sym")).as("sym"))
         .withColumn("pos", row_number()
           .over(Window.partitionBy("w").orderBy("pos")).cast("long"))
@@ -2422,8 +2451,12 @@ object DataQueries {
     * map-only scoring pass and a bounded (langs²) aggregate. */
   def langConfusion(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val scored = docs.select(col("lang"),
-      TextOps.langId(col("text")).as("pred"))
+    // Materialize the token array once; inlining langId(text) would
+    // re-tokenize inside every comparison of the O(langs²) argmax tree
+    // (the duplication TextOps.tokens' docstring warns about).
+    val scored = docs.withColumn("__tk", TextOps.tokens(col("text")))
+      .select(col("lang"),
+        TextOps.langIdFromTokens(col("__tk")).as("pred"))
     val m = scored.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     m.withColumn("frac", round(col("n") / sum("n").over(
         Window.partitionBy("lang")), 6))

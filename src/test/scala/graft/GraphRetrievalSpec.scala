@@ -609,14 +609,28 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a", "b", 2L, 4L, 2L)), s"got ${r.toSeq}")
   }
 
-  test("bpe merges: self-pairs are excluded from candidacy") {
-    // "aaaa b" -> pairs: (a,a)×3 excluded; only cross pairs can win.
-    // With no cross pairs inside words, fall back: "aaaa" has none, "b"
-    // has none -> add "ab" so (a,b)×1 is the only candidate
-    val docs = Seq((1L, "aaaa ab")).toDF("doc_id", "text")
+  test("bpe merges: self-pair wins and merges with run-length parity") {
+    // "aaaaa ab": pairs (a,a)×4 (overlapping occurrences all counted,
+    // Sennrich get_stats), (a,b)×1 -> merge (a,a). Left-to-right
+    // non-overlapping on the run of 5: [aa][aa]a -> "aaaaa" becomes
+    // [aa, aa, a] (5 syms -> 3); "ab" untouched. 7 -> 5 total.
+    val docs = Seq((1L, "aaaaa ab")).toDF("doc_id", "text")
     val r = DataQueries.bpeMergesOf(docs, 1).collect()
-      .map(x => (x.getString(1), x.getString(2), x.getLong(3)))
-    assert(r.toSeq == Seq(("a", "b", 1L)), s"got ${r.toSeq}")
+      .map(x => (x.getString(1), x.getString(2), x.getLong(3), x.getLong(4),
+        x.getLong(5)))
+    assert(r.toSeq == Seq(("a", "a", 4L, 7L, 5L)), s"got ${r.toSeq}")
+  }
+
+  test("bpe merges: even-length run merges fully, odd leaves a tail") {
+    // round 1 on "aaaa": (a,a)×3 wins -> [aa][aa] (4 -> 2);
+    // round 2: pairs (aa,aa)×1 wins -> [aaaa] (2 -> 1)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r = DataQueries.bpeMergesOf(docs, 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, "a", "a", 3L, 4L, 2L),
+      (2L, "aa", "aa", 1L, 2L, 1L)), s"got ${r.toSeq}")
   }
 
   test("phrase search: overlapping occurrences inside one document") {

@@ -474,22 +474,29 @@ object PrefixJoinProps extends SparkProps("PrefixJoin") {
   * queries (q_bloom_screen / q_cms_err) rely on, checked here on
   * adversarially random inputs rather than the fixture corpus. */
 /** The relational BPE trainer equals the classic SEQUENTIAL trainer
-  * (left-to-right greedy merge application) on random corpora — the law
-  * that justifies expressing the merge as a join: with self-pairs
-  * excluded from candidacy, winning-pair occurrences can never overlap,
-  * so greedy application and relational application coincide. */
+  * (textbook Sennrich-2016 semantics: count EVERY adjacent pair,
+  * overlapping self-pair occurrences included; apply the winner
+  * greedily left-to-right non-overlapping) on random corpora — the law
+  * that justifies expressing the merge as a join. For x≠y winners
+  * occurrences can't overlap; for x=y winners left-to-right
+  * application is run-length parity, which the operator computes via
+  * gaps-and-islands run ids. The generator's alphabet is duplicate-
+  * heavy so "aa"-style runs (odd AND even lengths) are frequent. */
 object BpeProps extends SparkProps("BPE") {
   import org.apache.spark.sql.functions._
 
   private val wordGen = Gen.chooseNum(1, 6)
-    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'a', 'a', 'b', 'c'))
+      .map(_.mkString))
   private val corpusGen = Gen.chooseNum(5, 20)
     .flatMap(n => Gen.listOfN(n, wordGen))
 
   /** Sequential reference: word-frequency table, argmax pair by
-    * (count desc, x, y) over x≠y pairs, greedy left-to-right merge.
-    * A round with no candidate pair emits nothing and ends training
-    * (mirroring the operator's empty-top degenerate behavior). */
+    * (count desc, x, y) over ALL adjacent pairs (self-pairs counted at
+    * every occurrence, overlaps included — Sennrich get_stats), greedy
+    * left-to-right non-overlapping merge. A round with no candidate
+    * pair emits nothing and ends training (mirroring the operator's
+    * empty-top degenerate behavior). */
   private def refBpe(words: Seq[String], rounds: Int)
       : Seq[(Long, String, String, Long, Long, Long)] = {
     var tab: Seq[(List[String], Long)] = words.groupBy(identity).toSeq
@@ -502,7 +509,7 @@ object BpeProps extends SparkProps("BPE") {
       val before = tab.map { case (ss, c) => ss.length * c }.sum
       val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
       tab.foreach { case (ss, c) =>
-        ss.zip(ss.tail).filter(p => p._1 != p._2)
+        ss.zip(ss.tail)
           .foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c)
       }
       if (pairs.isEmpty) done = true
