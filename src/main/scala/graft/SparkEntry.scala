@@ -178,6 +178,7 @@ object SparkEntry {
     "q_entity_match"      -> ((s, d) => graft.ops.Relational.entityMatch(s, d)),
     "q_token_simpson"     -> ((s, d) => DataQueries.tokenSimpson(s, d)),
     "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d)),
+    "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d)),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -1404,9 +1405,48 @@ object SparkEntry {
              / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
                 AS DOUBLE) * 1e6)) AS BIGINT) - bex.n_exact AS err
          FROM sk JOIN bex USING (v) ORDER BY doc_id""",
+    // production HyperBall: register merge + raw-HLL estimate only —
+    // the oracle replays the sketch itself; no exact-ball CTEs exist
+    "q_hyperball_sketch" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         r0 AS (SELECT v, h & 511 AS b,
+                  CASE WHEN (h >> 9) = 0 THEN 52
+                    ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS r
+                FROM (SELECT v, ${H64.format("CAST(v AS VARCHAR)")} AS h
+                      FROM nodes)),
+         m1 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r0 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r0),
+         r1 AS (SELECT v, b, max(r) AS r FROM m1 GROUP BY 1, 2),
+         m2 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r1 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r1),
+         r2 AS (SELECT v, b, max(r) AS r FROM m2 GROUP BY 1, 2),
+         sk AS (SELECT v, count(*) AS n_regs_hit,
+                  CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s_hit
+                FROM r2 GROUP BY 1)
+         SELECT v AS doc_id, n_regs_hit,
+           CAST(round((719783e0 * 262144 * 4503599627370496e0)
+             / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
+                AS DOUBLE) * 1e6)) AS BIGINT) AS hll_raw
+         FROM sk ORDER BY doc_id""",
     // BPE trainer inner loop, two unrolled merge rounds over the
-    // word-frequency table; merges are relational (self-pairs excluded
-    // from candidacy, so winning-pair occurrences never overlap)
+    // word-frequency table; merges are relational (x≠y winners can't
+    // overlap; x=y winners apply by run-length parity over
+    // gaps-and-islands run ids — textbook left-to-right semantics)
     "q_bpe_merges" ->
       s"""WITH $TOKS_CTE,
          wt AS (SELECT w, count(*) AS wcnt

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -202,8 +202,12 @@ object GraphOps {
                 maxDocFreq: Option[Long] = None): DataFrame =
     hyperBallOf(neardupEdges(s, d, maxDocFreq), rounds)
 
-  /** [[hyperBall]] over an arbitrary symmetrized (src,dst) edge list. */
-  def hyperBallOf(edges: DataFrame, rounds: Int): DataFrame = {
+  /** Register state after `rounds` merge rounds, rolled up per node:
+    * (v, n_regs_hit, s_hit). The ONLY corpus-scale work in the
+    * HyperBall family — per-round cost is one edge join plus a
+    * per-register max (map-side combining), state is nodes×512
+    * registers. */
+  private def hyperBallRegs(edges: DataFrame, rounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("v")).distinct()
     var regs = nodes
       .withColumn("h", graft.ops.TextOps.h64(col("v").cast("string")))
@@ -220,9 +224,42 @@ object GraphOps {
         .groupBy("v", "b").agg(max("r").as("r"))
         .localCheckpoint(true)
     }
-    val sk = regs.groupBy("v").agg(
+    regs.groupBy("v").agg(
       count(lit(1)).as("n_regs_hit"),
       sum(expr("shiftleft(cast(1 as bigint), 52 - r)")).as("s_hit"))
+  }
+
+  private def hllRawCol: Column = expr(
+    "cast(round((719783e0 * 262144 * 4503599627370496e0)" +
+    " / (cast(s_total as double) * 1e6)) as bigint)")
+
+  /** Production HyperBall: sketch only — per node the register-hit
+    * count and raw-HLL ball estimate, no exact-ball computation
+    * anywhere in the plan. THIS is the entry point for a real graph;
+    * [[hyperBallOf]] (which inlines the deg² exact-ball wedge next to
+    * the sketch) is the small-sf calibration twin, same split as
+    * `bandIndex`/`q_state_probe` vs the exact probes. */
+  def hyperBallSketch(s: SparkSession, d: String, rounds: Int = 2,
+                      maxDocFreq: Option[Long] = None): DataFrame =
+    hyperBallSketchOf(neardupEdges(s, d, maxDocFreq), rounds)
+
+  /** [[hyperBallSketch]] over an arbitrary symmetrized edge list. */
+  def hyperBallSketchOf(edges: DataFrame, rounds: Int): DataFrame =
+    hyperBallRegs(edges, rounds)
+      .withColumn("s_total",
+        col("s_hit") + (lit(512L) - col("n_regs_hit"))
+          * expr("shiftleft(cast(1 as bigint), 52)"))
+      .withColumn("hll_raw", hllRawCol)
+      .select(col("v").as("doc_id"), col("n_regs_hit"), col("hll_raw"))
+      .orderBy("doc_id")
+
+  /** [[hyperBall]] over an arbitrary symmetrized (src,dst) edge list —
+    * calibration twin: sketch PLUS the exact distance-≤2 ball and the
+    * signed error. The wedge expansion is deg² — never run this form
+    * on a production graph; use [[hyperBallSketchOf]]. */
+  def hyperBallOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("v")).distinct()
+    val sk = hyperBallRegs(edges, rounds)
     // exact distance-≤2 ball (self ∪ N ∪ N²) — calibration twin only
     val d1 = edges.select(col("src").as("a"), col("dst").as("c"))
       .unionByName(nodes.select(col("v").as("a"), col("v").as("c")))
@@ -235,9 +272,7 @@ object GraphOps {
       .withColumn("s_total",
         col("s_hit") + (lit(512L) - col("n_regs_hit"))
           * expr("shiftleft(cast(1 as bigint), 52)"))
-      .withColumn("hll_raw", expr(
-        "cast(round((719783e0 * 262144 * 4503599627370496e0)" +
-        " / (cast(s_total as double) * 1e6)) as bigint)"))
+      .withColumn("hll_raw", hllRawCol)
       .select(col("v").as("doc_id"), col("n_exact"), col("n_regs_hit"),
         col("hll_raw"), (col("hll_raw") - col("n_exact")).as("err"))
       .orderBy("doc_id")

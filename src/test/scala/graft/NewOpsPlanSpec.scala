@@ -465,6 +465,20 @@ class NewOpsPlanSpec extends SparkSpec {
       s"register merge not map-combined:\n$p")
   }
 
+  test("hyperball sketch: production entry point is wedge-free") {
+    // register rounds are checkpointed, so the final plan is scan +
+    // rollup + projection: ZERO Join nodes. The calibration twin
+    // (hyperBall) keeps the d² wedge + sk⋈exact joins in ITS plan —
+    // the split guarantees nobody runs the wedge by reaching for the
+    // production entry point.
+    val pSk = plan(graft.ops.GraphOps.hyperBallSketch(spark, sf))
+    assert(!pSk.contains("Join") && !pSk.contains("CartesianProduct"),
+      s"exact-ball wedge leaked into the sketch plan:\n$pSk")
+    val pTw = plan(graft.ops.GraphOps.hyperBall(spark, sf))
+    assert(pTw.contains("Join"),
+      s"calibration twin lost its exact-ball side:\n$pTw")
+  }
+
   test("bpe merges: vocab-sized rounds; only the 1-row winner/scalar rows nest") {
     val p = plan(DataQueries.bpeMerges(spark, sf))
     assert(!p.contains("CartesianProduct"), s"degraded join:\n$p")
