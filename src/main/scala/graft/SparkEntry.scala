@@ -150,6 +150,7 @@ object SparkEntry {
     "q_join_size"         -> ((s, d) => DataQueries.joinSizeEst(s, d)),
     "q_incr_agg"          -> ((s, d) => DataQueries.incrAgg(s, d)),
     "q_zorder"            -> ((s, d) => DataQueries.zorderLayout(s, d)),
+    "q_compact"           -> ((s, d) => graft.ops.Maintenance.compactReport(s, d)),
     "q_aqp_sum"           -> ((s, d) => DataQueries.aqpSum(s, d)),
     "q_ref_integrity"     -> ((s, d) => DataQueries.refIntegrity(s, d)),
     "q_lang_confusion"    -> ((s, d) => DataQueries.langConfusion(s, d)),
@@ -1868,6 +1869,16 @@ object SparkEntry {
          WHERE d.deg >= 2 ORDER BY d.doc""",
     // Z-order layout replay: same Morton spelling
     // (DataQueries.mortonExpr) executed by both engines; per-file
+    // Compaction neutrality: the Spark side aggregates the REWRITTEN
+    // (Z-order-compacted) files, the oracle aggregates the original
+    // table — equality proves the rewrite preserved content exactly.
+    "q_compact" ->
+      """SELECT event_type, count(*) AS n_rows,
+           CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_vmicro,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // ranges, probe-box hits, read amplification.
     "q_zorder" ->
       s"""WITH ev AS (SELECT user_id, event_id,

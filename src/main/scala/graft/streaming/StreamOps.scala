@@ -164,20 +164,56 @@ object StreamOps {
     else sp.read.parquet(s"$statePath/v=${committed.max}")
   }
 
-  /** Atomically publish `next` as version `batchId` of the state and GC
-    * all but the new and previous committed versions. */
+  /** Atomically publish `next` as `version` of the state and GC all but
+    * the new and previous committed versions. The marker's CONTENT is
+    * the highest stream batchId applied into this version — that, not
+    * the version number, is the at-least-once replay gate, which lets
+    * maintenance commits (vacuum, compaction) advance the version
+    * counter without ever colliding with, or masking, a future stream
+    * batchId (the Delta-style txn-id split between table version and
+    * writer idempotency token). */
   private def commitVersioned(sp: SparkSession, statePath: String,
-                              batchId: Long, next: DataFrame,
-                              prevCommitted: Seq[Long]): Unit = {
+                              version: Long, next: DataFrame,
+                              prevCommitted: Seq[Long],
+                              appliedStreamId: Long): Unit = {
     val last = if (prevCommitted.isEmpty) -1L else prevCommitted.max
-    // mode("overwrite") clears a partial v=<batchId> left by a failed retry
-    next.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    // mode("overwrite") clears a partial v=<version> left by a failed retry
+    next.write.mode("overwrite").parquet(s"$statePath/v=$version")
     val (fs, root) = rollupFs(sp, statePath)
-    fs.create(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$batchId"), true)
-      .close() // the commit point: marker creation is atomic
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, s"_COMMIT_$version"), true)
+    out.write(appliedStreamId.toString.getBytes("UTF-8"))
+    out.close() // the commit point: marker creation is atomic
     prevCommitted.filter(_ < last).foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$id"), false)
+    }
+  }
+
+  /** Version id for the next commit: stays equal to the stream batchId
+    * in the no-maintenance case (so existing time-travel reads by
+    * batchId keep working), jumps past any maintenance-advanced
+    * version otherwise. */
+  private def nextVersion(committed: Seq[Long], batchId: Long): Long =
+    if (committed.isEmpty) batchId else math.max(batchId, committed.max + 1)
+
+  /** Highest stream batchId applied into the newest committed version
+    * (−1 when no version exists). Read from the newest marker's
+    * content; a legacy empty marker falls back to its version number,
+    * which equaled the batchId before maintenance commits existed. */
+  private[graft] def lastAppliedStream(sp: SparkSession,
+                                       statePath: String): Long = {
+    val committed = committedVersions(sp, statePath)
+    if (committed.isEmpty) -1L
+    else {
+      val vmax = committed.max
+      val (fs, root) = rollupFs(sp, statePath)
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$vmax"))
+        val txt = new String(in.readAllBytes(), "UTF-8").trim
+        in.close()
+        if (txt.isEmpty) vmax else txt.toLong
+      } catch { case _: Exception => vmax }
     }
   }
 
@@ -232,8 +268,8 @@ object StreamOps {
                                       statePath: String, batchId: Long): Unit = {
     val sp = batch.sparkSession
     val committed = committedVersions(sp, statePath)
-    val last = if (committed.isEmpty) -1L else committed.max
-    if (batchId <= last) return // at-least-once replay: already applied
+    if (batchId <= lastAppliedStream(sp, statePath))
+      return // at-least-once replay: already applied
     val part = batch.select(col("event_type"),
         to_date(col("ts")).as("day"),
         expr("cast(round(value * 1e6) as bigint)").as("vmicro"))
@@ -250,7 +286,8 @@ object StreamOps {
         (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L)))
           .as("sum_vmicro"))
       .localCheckpoint(true)
-    commitVersioned(sp, statePath, batchId, merged, committed)
+    commitVersioned(sp, statePath, nextVersion(committed, batchId), merged,
+      committed, batchId)
   }
 
   private val Scd2Schema = "user_id BIGINT, version BIGINT, attr STRING, " +
@@ -288,8 +325,8 @@ object StreamOps {
                                     statePath: String, batchId: Long): Unit = {
     val sp = batch.sparkSession
     val committed = committedVersions(sp, statePath)
-    val last = if (committed.isEmpty) -1L else committed.max
-    if (batchId <= last) return // at-least-once replay: already applied
+    if (batchId <= lastAppliedStream(sp, statePath))
+      return // at-least-once replay: already applied
     val cur = readScd2(sp, statePath)
     val closed = cur.filter(col("valid_to").isNotNull)
     // version offset per key = number of CLOSED versions (open is +1)
@@ -318,7 +355,8 @@ object StreamOps {
         col("event_id").as("tb"))
       .unionByName(closed)
       .localCheckpoint(true)
-    commitVersioned(sp, statePath, batchId, next, committed)
+    commitVersioned(sp, statePath, nextVersion(committed, batchId), next,
+      committed, batchId)
   }
 
   private val MergeSchema =
@@ -341,9 +379,12 @@ object StreamOps {
     * upsert/delete operations folds into a one-row-per-key state
     * (last writer wins by (ts, tiebreak)); deletes persist as
     * TOMBSTONES so an out-of-batch earlier upsert can never resurrect
-    * a deleted key, and the user view simply filters them. Per-trigger
-    * cost is |batch| + one row per key ever seen — never the event
-    * history. Same versioned `_COMMIT_<batchId>` durability as the
+    * a deleted key, and the user view simply filters them. Tombstones
+    * are retired by [[vacuumMergeTombstones]] once older than a
+    * declared event-time watermark (with the matching late-op gate on
+    * ingest), so state is |live keys| + |recent deletes|, not one row
+    * per key EVER seen. Per-trigger cost is |batch| + state size —
+    * never the event history. Same versioned `_COMMIT_<batchId>` durability as the
     * rollup/SCD2 maintainers: replays skip, failed writes can't damage
     * the state being read. StreamingSpec pins sequential merges ≡ the
     * batch recompute over uneven batches. */
@@ -359,21 +400,84 @@ object StreamOps {
                                      statePath: String, batchId: Long): Unit = {
     val sp = batch.sparkSession
     val committed = committedVersions(sp, statePath)
-    val last = if (committed.isEmpty) -1L else committed.max
-    if (batchId <= last) return // at-least-once replay: already applied
-    val ops = batch.select(col("user_id"),
+    if (batchId <= lastAppliedStream(sp, statePath))
+      return // at-least-once replay: already applied
+    val ops0 = batch.select(col("user_id"),
       expr("cast(round(value * 1e6) as bigint)").as("vmicro"),
       col("ts").cast("timestamp_ntz").as("ts"),
       when(col("event_type") === "error", "delete").otherwise("upsert")
         .as("op"),
       col("event_id").as("tb"))
+    // Late-op gate: ops older than the vacuum watermark are DROPPED
+    // (streaming watermark semantics). This is what makes tombstone
+    // vacuum sound: a tombstone is only removed once no op that could
+    // lose to it can still arrive, so a vacuumed key can resurrect only
+    // via an op at or after the watermark — the law MaintenanceSpec
+    // pins.
+    val ops = mergeVacuumWatermark(sp, statePath) match {
+      case Some(wm) => ops0.filter(col("ts") >= lit(wm).cast("timestamp_ntz"))
+      case None => ops0
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc, col("tb").desc)
     val next = readMergeState(sp, statePath).unionByName(ops)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1).drop("rk")
       .localCheckpoint(true)
-    commitVersioned(sp, statePath, batchId, next, committed)
+    commitVersioned(sp, statePath, nextVersion(committed, batchId), next,
+      committed, batchId)
+  }
+
+  /** The merge state's vacuum watermark, if one has been set: the
+    * canonical `yyyy-MM-dd HH:mm:ss` string whose fixed-width form
+    * makes lexicographic max = chronological max. */
+  def mergeVacuumWatermark(sp: SparkSession,
+                           statePath: String): Option[String] = {
+    val (fs, root) = rollupFs(sp, statePath)
+    val p = new org.apache.hadoop.fs.Path(root, "_WATERMARK")
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        val txt = new String(in.readAllBytes(), "UTF-8").trim
+        in.close()
+        if (txt.isEmpty) None else Some(txt)
+      } catch { case _: Exception => None }
+  }
+
+  /** TOMBSTONE VACUUM for the maintained merge state: drop tombstone
+    * rows (op='delete') strictly older than `watermark` (canonical
+    * `yyyy-MM-dd HH:mm:ss`, monotone — a lower request than the stored
+    * watermark tightens nothing) and publish the result as a new
+    * committed version. Sound because [[applyMergeBatch]] drops
+    * incoming ops older than the stored watermark: an op that could
+    * have lost to a vacuumed tombstone can no longer be applied, so
+    * the key can only resurrect via an op ≥ the watermark. The
+    * watermark file persists BEFORE the vacuumed state commits — a
+    * crash between the two leaves the stricter gate in force over the
+    * un-vacuumed (larger, still correct) state. Returns the number of
+    * tombstones removed. Run between triggers (the maintainers are
+    * single-writer, like every foreachBatch state here). */
+  def vacuumMergeTombstones(sp: SparkSession, statePath: String,
+                            watermark: String): Long = {
+    val committed = committedVersions(sp, statePath)
+    require(committed.nonEmpty, s"no committed merge state at $statePath")
+    val wm = (mergeVacuumWatermark(sp, statePath).toSeq :+ watermark).max
+    val (fs, root) = rollupFs(sp, statePath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, "_WATERMARK"), true)
+    out.write(wm.getBytes("UTF-8"))
+    out.close()
+    val cur = readMergeState(sp, statePath)
+    val isDead = col("op") === "delete" &&
+      col("ts") < lit(wm).cast("timestamp_ntz")
+    val nDead = cur.filter(isDead).count()
+    if (nDead > 0) {
+      val next = cur.filter(!isDead).localCheckpoint(true)
+      commitVersioned(sp, statePath, committed.max + 1, next, committed,
+        lastAppliedStream(sp, statePath))
+    }
+    nDead
   }
 
   /** Streaming near-dup screen: each arriving document is

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Tombstone vacuum (with its resurrect-law) and Z-order compaction. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mergeBatch(rows: Seq[(Long, String, Long, String, Double)]) =
+    rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("vacuum law: a vacuumed key resurrects ONLY via an op >= the watermark") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("vacuum_law").toString + "/state"
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-02 00:00:00", 2L, "click", 2.0))), statePath, 0L)
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-03 00:00:00", 3L, "error", 0.0))), statePath, 1L)
+    // user 1 is a tombstone, user 2 live
+    assert(StreamOps.readMergeTable(spark, statePath)
+      .select("user_id").as[Long].collect().toSet == Set(2L))
+    assert(StreamOps.readMergeState(spark, statePath).count() == 2)
+
+    val n = StreamOps.vacuumMergeTombstones(spark, statePath,
+      "2024-01-10 00:00:00")
+    assert(n == 1, s"expected 1 vacuumed tombstone, got $n")
+    assert(StreamOps.readMergeState(spark, statePath).count() == 1)
+    assert(StreamOps.mergeVacuumWatermark(spark, statePath)
+      .contains("2024-01-10 00:00:00"))
+
+    // late upsert BELOW the watermark: dropped by the ingest gate —
+    // the vacuumed key must NOT resurrect (this op would have lost to
+    // the vacuumed tombstone)
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-04 00:00:00", 4L, "click", 9.0))), statePath, 2L)
+    assert(StreamOps.readMergeTable(spark, statePath)
+      .select("user_id").as[Long].collect().toSet == Set(2L),
+      "sub-watermark op resurrected a vacuumed key")
+
+    // op AT/ABOVE the watermark: legitimate new life for the key
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-12 00:00:00", 5L, "click", 7.0))), statePath, 3L)
+    assert(StreamOps.readMergeTable(spark, statePath)
+      .select("user_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // the watermark is monotone: a lower request tightens nothing
+    StreamOps.vacuumMergeTombstones(spark, statePath, "2024-01-05 00:00:00")
+    assert(StreamOps.mergeVacuumWatermark(spark, statePath)
+      .contains("2024-01-10 00:00:00"))
+  }
+
+  test("vacuum bumps the version but NOT the replay gate (batchId idempotency)") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("vacuum_replay").toString + "/state"
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0))), statePath, 0L)
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-02 00:00:00", 2L, "error", 0.0),
+      (3L, "2024-01-02 00:00:00", 3L, "click", 3.0))), statePath, 1L)
+    StreamOps.vacuumMergeTombstones(spark, statePath, "2024-01-09 00:00:00")
+    val versionsAfterVacuum =
+      StreamOps.retainedVersions(spark, statePath).max
+    // a replay of batch 1 after the vacuum: version counter moved past
+    // 1, but the marker still records stream id 1 — must skip, not
+    // re-merge the delete into the vacuumed state
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (1L, "2024-01-02 00:00:00", 2L, "error", 0.0),
+      (3L, "2024-01-02 00:00:00", 3L, "click", 3.0))), statePath, 1L)
+    assert(StreamOps.retainedVersions(spark, statePath).max
+      == versionsAfterVacuum, "replayed batch re-applied after vacuum")
+    assert(StreamOps.lastAppliedStream(spark, statePath) == 1L)
+    // the NEXT real batch applies normally
+    StreamOps.applyMergeBatch(mergeBatch(Seq(
+      (4L, "2024-01-12 00:00:00", 4L, "click", 4.0))), statePath, 2L)
+    assert(StreamOps.readMergeTable(spark, statePath)
+      .select("user_id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(StreamOps.lastAppliedStream(spark, statePath) == 2L)
+  }
+
+  test("compaction: content-neutral, bounded file count, better probe locality") {
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val zdir = tmp + "/zorder"
+    val adir = tmp + "/arrival"
+    // 32 files: sf0.001 has only ~15 distinct users over 30 days, so
+    // coarser layouts leave too few files for EITHER layout to prune
+    graft.ops.Maintenance.compactEventsZorder(ev, zdir, 32)
+    // arrival-order layout at the same file count, for the contrast
+    ev.repartitionByRange(32, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(adir)
+
+    def parts(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles().toSeq
+        .map(_.getPath).filter(p => p.endsWith(".parquet"))
+    assert(parts(zdir).size == 32, s"expected 32 compacted files")
+
+    // content neutrality (the oracle proves this cross-engine too)
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == ev.count())
+    val cols = ev.columns.sorted.toSeq
+    assert(back.selectExpr(cols: _*).except(ev.selectExpr(cols: _*)).isEmpty
+      && ev.selectExpr(cols: _*).except(back.selectExpr(cols: _*)).isEmpty,
+      "compaction changed table content")
+
+    // probe locality: same 2-d box as q_zorder — files whose footer
+    // (min,max) ranges intersect the box. The Z-clustered layout must
+    // touch strictly fewer files than the arrival layout.
+    val uhi = ev.agg(expr("max(user_id) div 4")).head().getLong(0)
+    def filesHit(dir: String): Int = parts(dir).count { f =>
+      val st = spark.read.parquet(f)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("dayn"))
+        .agg(min("user_id"), max("user_id"), min("dayn"), max("dayn"))
+        .head()
+      st.getLong(0) <= uhi && st.getInt(2) <= 14 && st.getInt(3) >= 5
+    }
+    val (hz, ha) = (filesHit(zdir), filesHit(adir))
+    assert(hz < ha, s"z-order hit $hz files, arrival hit $ha — no win")
+  }
+}
