@@ -101,6 +101,7 @@ object SparkEntry {
     "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
+    "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
     "q_audio_resample"    -> ((s, d) => DataQueries.audioResample(s, d)),
     "q_strat_alloc"       -> ((s, d) => DataQueries.stratAlloc(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
@@ -2498,6 +2499,27 @@ object SparkEntry {
            sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
            sum(b)::BIGINT AS sum_b,
            sum((y + 1) * r)::BIGINT AS wsum_r
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // JPEG is lossy: the oracle replays the ANALYTIC pixel sums plus a
+    // uniformly-TRUE tolerance band; the Spark side compares the real
+    // decoded pixels against the analytic ones inside the band (≤4 at
+    // q=1). Structural fields (sniff, decoded dims) are exact.
+    "q_jpeg_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h, 'jpg' AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 (doc_id + 3 * x + 7 * y) % 256 AS r,
+                 (2 * doc_id + 5 * x + y) % 256 AS g,
+                 (3 * doc_id + x + 11 * y) % 256 AS b
+               FROM c)
+         SELECT doc_id, format, max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((y + 1) * r)::BIGINT AS wsum_r,
+           TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
     "q_media_neardup" ->
       """WITH sd AS (SELECT doc_id, doc_id % 16 AS seed FROM documents),

@@ -1337,6 +1337,71 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** JPEG leg of the codec family ([[Jpeg]]): identical formula pixels
+    * to [[pngFeatures]], but the round trip rides the LOSSY baseline
+    * path — RGB→YCbCr, 8×8 DCT, quantize, Annex-K Huffman entropy
+    * coding, then the full decode back. Because JPEG is lossy the
+    * oracle can't expect the decoded sums bit-for-bit; instead the
+    * query emits the ANALYTIC sums (which DuckDB replays exactly) plus
+    * `within_band`: decoded-vs-analytic max per-channel error ≤ 4 at
+    * q=1 (the measured DCT+color round-trip floor is 3). Structural
+    * fields (format sniff, decoded dims) stay exact. A defect anywhere
+    * in the DCT/quantizer/Huffman/marker path either breaks a
+    * structural field or pushes a pixel out of band — both flip a cell
+    * and fail the hash gate. Map-only partition-wise, like every codec
+    * query. */
+  def jpegFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("wsum_r", LongType, nullable = false),
+      StructField("within_band", BooleanType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((doc + 3L * x + 7L * y) % 256L).toInt
+              rgb(p + 1) = ((2L * doc + 5L * x + y) % 256L).toInt
+              rgb(p + 2) = ((3L * doc + x + 11L * y) % 256L).toInt
+              sr += rgb(p); sg += rgb(p + 1); sb += rgb(p + 2)
+              wr += (y + 1L) * rgb(p)
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Jpeg.encode(w, h, rgb, q = 1)
+          val (dw, dh, dec) = Jpeg.decode(bytes)
+          var maxErr = 0
+          var i = 0
+          while (i < rgb.length) {
+            val e = math.abs(rgb(i) - dec(i))
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          Row(doc, Multimodal.detectFormat(bytes), dw.toLong, dh.toLong,
+            sr, sg, sb, wr, maxErr <= 4)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup groups via dHash: 12 planted seed groups —
     * same-seed images share base pixels and dimensions, each doc adds a
     * sparse +2 luminance perturbation — go through the REAL encode

@@ -380,6 +380,8 @@ object Multimodal {
     else if (bytes(0) == 'P' && bytes(1) == '6') "ppm"
     else if (bytes(0) == PngSig(0) && bytes(1) == 'P' && bytes(2) == 'N'
       && bytes(3) == 'G') "png"
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+      && (bytes(2) & 0xff) == 0xff) "jpg"
     else "unknown"
 
   // ------------------------------------------------------------------
@@ -406,10 +408,13 @@ object Multimodal {
         var i = 0
         while (i < s.length) { f(i & 7) += s(i); i += 1 }
         (s.length, sr, f)
-      case "bmp" | "ppm" | "png" =>
+      case "bmp" | "ppm" | "png" | "jpg" =>
+        // jpg features are approximate (lossy decode) — fine for
+        // similarity, excluded from the exact-oracle feature queries
         val (w, h, rgb) =
           if (content(0) == 'B') decodeBmp(content)
           else if (content(0) == 'P') decodePpm(content)
+          else if ((content(0) & 0xff) == 0xff) Jpeg.decode(content)
           else decodePng(content)
         val f = new Array[Float](8)
         var p = 0

@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.{Jpeg, Multimodal}
+
+/** Baseline JPEG codec: self round trips, restart markers, and golden
+  * cross-decoder agreement with the JDK's own javax.imageio plugin in
+  * BOTH directions. JPEG is lossy, so pixel agreement is banded (the
+  * spec does not mandate a bit-exact IDCT); structure is exact. */
+class JpegSpec extends SparkSpec {
+
+  private def formulaRgb(w: Int, h: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      rgb(p) = (7 * x + 3 * y) % 256
+      rgb(p + 1) = (5 * x * y + 11) % 256
+      rgb(p + 2) = (x * x + 2 * y) % 256
+    }
+    rgb
+  }
+
+  private def maxDiff(a: Array[Int], b: Array[Int]): Int =
+    a.indices.map(i => math.abs(a(i) - b(i))).max
+
+  test("self round trip at q=1 stays within the DCT+color floor (<=4)") {
+    val (w, h) = (37, 23) // non-multiple-of-8 dims exercise edge padding
+    val rgb = formulaRgb(w, h)
+    val bytes = Jpeg.encode(w, h, rgb, q = 1)
+    assert(Multimodal.detectFormat(bytes) == "jpg")
+    val (dw, dh, out) = Jpeg.decode(bytes)
+    assert((dw, dh) == (w, h))
+    val e = maxDiff(rgb, out)
+    assert(e <= 4, s"round-trip error $e exceeds the q=1 band")
+  }
+
+  test("restart markers: DRI stream carries RSTn and decodes identically") {
+    val (w, h) = (33, 17)
+    val rgb = formulaRgb(w, h)
+    val plain = Jpeg.encode(w, h, rgb, q = 1)
+    val rst = Jpeg.encode(w, h, rgb, q = 1, restartInterval = 3)
+    // the stream really contains RST0 (0xFFD0) between MCU groups
+    assert((0 until rst.length - 1).exists(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0),
+      "no RST0 marker in the DRI stream")
+    val (_, _, a) = Jpeg.decode(plain)
+    val (_, _, b) = Jpeg.decode(rst)
+    assert(a.sameElements(b), "restart path changed decoded pixels")
+  }
+
+  test("golden: javax.imageio reads our bytes (structure + banded pixels)") {
+    val (w, h) = (37, 23)
+    val rgb = formulaRgb(w, h)
+    val bytes = Jpeg.encode(w, h, rgb, q = 1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h,
+      "imageio rejected our stream")
+    val (_, _, mine) = Jpeg.decode(bytes)
+    var vsOrig = 0; var vsMine = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = img.getRGB(x, y)
+      val io = Array((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+      val p = (y * w + x) * 3
+      for (c <- 0 until 3) {
+        vsOrig = math.max(vsOrig, math.abs(io(c) - rgb(p + c)))
+        vsMine = math.max(vsMine, math.abs(io(c) - mine(p + c)))
+      }
+    }
+    assert(vsOrig <= 4, s"imageio-vs-original error $vsOrig out of band")
+    assert(vsMine <= 4, s"cross-decoder disagreement $vsMine out of band")
+  }
+
+  test("golden: our decoder reads javax.imageio bytes (gray, default quality)") {
+    val (w, h) = (37, 23)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val wr = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      wr.setSample(x, y, 0, (13 * x + 29 * y) % 256)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val bytes = baos.toByteArray
+    val (dw, dh, mine) = Jpeg.decode(bytes)
+    assert((dw, dh) == (w, h))
+    // compare RAW samples (getRGB would gamma-lift TYPE_BYTE_GRAY)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)).getRaster
+    var e = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      e = math.max(e, math.abs(ref.getSample(x, y, 0) - mine((y * w + x) * 3)))
+      // gray replicates into all three channels
+      assert(mine((y * w + x) * 3) == mine((y * w + x) * 3 + 2))
+    }
+    assert(e <= 2, s"cross-decoder gray disagreement $e (IDCT slop is ~1)")
+  }
+
+  test("coarser quantizer trades size for error, monotonically") {
+    val (w, h) = (32, 24)
+    val rgb = formulaRgb(w, h)
+    val fine = Jpeg.encode(w, h, rgb, q = 1)
+    val coarse = Jpeg.encode(w, h, rgb, q = 8)
+    assert(coarse.length < fine.length, "q=8 did not shrink the stream")
+    val (_, _, df) = Jpeg.decode(fine)
+    val (_, _, dc) = Jpeg.decode(coarse)
+    assert(maxDiff(rgb, df) <= maxDiff(rgb, dc),
+      "finer quantizer decoded worse than coarser")
+  }
+
+  test("unsupported shapes fail loudly (subsampled color, progressive)") {
+    // the JDK writer subsamples chroma for color by default — our
+    // baseline decoder must REJECT it, not silently misdecode
+    val (w, h) = (24, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = formulaRgb(w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, (rgb(p) << 16) | (rgb(p + 1) << 8) | rgb(p + 2))
+    }
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val e = intercept[IllegalArgumentException](Jpeg.decode(baos.toByteArray))
+    assert(e.getMessage.contains("sampling"), s"wrong rejection: ${e.getMessage}")
+  }
+
+  test("decodeFeatures routes jpg payloads through the codec") {
+    val (w, h) = (20, 14)
+    val rgb = formulaRgb(w, h)
+    val bytes = Jpeg.encode(w, h, rgb, q = 1)
+    val (dw, dh, f) = Multimodal.decodeFeatures(bytes)
+    assert((dw, dh) == (w, h) && f(6) == w.toFloat && f(7) == h.toFloat)
+    // banded against the analytic sums (lossy decode)
+    val sumR = (for (y <- 0 until h; x <- 0 until w) yield rgb((y * w + x) * 3)).sum
+    assert(math.abs(f(0) - sumR) <= 4.0 * w * h)
+  }
+}
