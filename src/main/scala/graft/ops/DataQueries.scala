@@ -2070,36 +2070,45 @@ object DataQueries {
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
         .localCheckpoint(true)
       val before = syms.agg(sum(col("wcnt")).as("syms_before"))
-      // Gaps-and-islands over sym=x rows: run id = pos − (x-rows seen so
-      // far), constant within a maximal run of x's; run-relative index
-      // and run length drive the x=y parity rule. Computed
-      // unconditionally (word-sized partitions), consulted only when
-      // the broadcast winner is a self-pair.
-      val joined = ann.crossJoin(broadcast(top))
-        .withColumn("cumx",
-          sum(when(col("sym") === col("x"), 1L).otherwise(0L)).over(w))
-        .withColumn("runkey",
-          when(col("sym") === col("x"), col("pos") - col("cumx")))
-      val wRun = Window.partitionBy(col("w"), col("runkey")).orderBy("pos")
-      val flagged = joined
-        .withColumn("idx", when(col("sym") === col("x"),
-          row_number().over(wRun).cast("long")))
-        .withColumn("runlen", when(col("sym") === col("x"),
-          count(lit(1)).over(Window.partitionBy(col("w"), col("runkey")))))
-      val isSelf = col("x") === col("y")
-      val selfMerge = col("sym") === col("x") &&
-        col("idx") % 2 === 1 && col("idx") < col("runlen")
-      val selfDrop = col("sym") === col("x") && col("idx") % 2 === 0
-      val pairMerge = coalesce(
-        col("sym") === col("x") && col("nxt") === col("y"), lit(false))
-      val pairDrop = coalesce(
-        col("prv") === col("x") && col("sym") === col("y"), lit(false))
-      syms = flagged
-        .filter(!when(isSelf, selfDrop).otherwise(pairDrop))
-        .select(col("w"), col("wcnt"), col("pos"),
-          when(when(isSelf, selfMerge).otherwise(pairMerge),
-            concat(col("x"), col("y")))
-            .otherwise(col("sym")).as("sym"))
+      // `top` is an EAGER localCheckpoint, so peeking at the 1-row
+      // winner costs nothing extra — branch the round's PLAN on
+      // whether it is a self-pair, paying the parity windows only
+      // when run-length semantics actually apply.
+      val winner = top.collect().headOption
+      val merged =
+        if (winner.exists(r => r.getString(0) == r.getString(1))) {
+          // x = y: left-to-right non-overlapping ≡ run-length parity.
+          // Gaps-and-islands over sym=x rows: run id = pos − (x-rows
+          // seen so far), constant within a maximal run of x's.
+          val joined = ann.crossJoin(broadcast(top))
+            .withColumn("cumx",
+              sum(when(col("sym") === col("x"), 1L).otherwise(0L)).over(w))
+            .withColumn("runkey",
+              when(col("sym") === col("x"), col("pos") - col("cumx")))
+          val wRun = Window.partitionBy(col("w"), col("runkey")).orderBy("pos")
+          val flagged = joined
+            .withColumn("idx", when(col("sym") === col("x"),
+              row_number().over(wRun).cast("long")))
+            .withColumn("runlen", when(col("sym") === col("x"),
+              count(lit(1)).over(Window.partitionBy(col("w"), col("runkey")))))
+          val selfMerge = col("sym") === col("x") &&
+            col("idx") % 2 === 1 && col("idx") < col("runlen")
+          flagged
+            .filter(!(col("sym") === col("x") && col("idx") % 2 === 0))
+            .select(col("w"), col("wcnt"), col("pos"),
+              when(selfMerge, concat(col("x"), col("y")))
+                .otherwise(col("sym")).as("sym"))
+        } else {
+          // x ≠ y: occurrences cannot overlap, no scan state needed
+          ann.crossJoin(broadcast(top))
+            .filter(!coalesce(col("prv") === col("x") && col("sym") === col("y"),
+              lit(false)))
+            .select(col("w"), col("wcnt"), col("pos"),
+              when(coalesce(col("sym") === col("x") && col("nxt") === col("y"),
+                lit(false)), concat(col("x"), col("y")))
+                .otherwise(col("sym")).as("sym"))
+        }
+      syms = merged
         .withColumn("pos", row_number()
           .over(Window.partitionBy("w").orderBy("pos")).cast("long"))
         .select("w", "wcnt", "pos", "sym")
