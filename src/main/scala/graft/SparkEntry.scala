@@ -99,6 +99,7 @@ object SparkEntry {
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
+    "q_ulaw_features"     -> ((s, d) => DataQueries.ulawFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
@@ -2430,6 +2431,33 @@ object SparkEntry {
            max(abs(v))::BIGINT AS max_abs, sum(abs(v))::BIGINT AS sum_abs,
            sum((i + 1) * abs(v))::BIGINT AS wsum_abs
          FROM v GROUP BY doc_id ORDER BY doc_id""",
+    // the COMPRESSED audio leg: same samples companded through G.711
+    // µ-law encode∘decode — exact integer math, replayed inline
+    // (sign/clip/bias, segment CASE, mantissa shift, exact inverse)
+    "q_ulaw_features" ->
+      """WITH n AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n FROM documents),
+         s AS (SELECT doc_id, unnest(range(n)) AS i FROM n),
+         v AS (SELECT doc_id, i,
+                 ((doc_id * 40503 + i * 2654435761) % 65536) - 32768 AS v
+               FROM s),
+         enc AS (SELECT doc_id, i,
+                   CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg,
+                   least(abs(v), 32635) + 132 AS mag
+                 FROM v),
+         seg AS (SELECT doc_id, i, neg, mag,
+                   CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                        WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                        WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                        WHEN mag >= 256 THEN 1 ELSE 0 END AS e
+                 FROM enc),
+         dec AS (SELECT doc_id, i,
+                   (CASE WHEN neg = 1 THEN -1 ELSE 1 END) *
+                     (((((mag >> (e + 3)) & 15) * 8 + 132) << e) - 132) AS dv
+                 FROM seg)
+         SELECT doc_id, count(*) AS n_samples, 8000::BIGINT AS sample_rate,
+           max(abs(dv))::BIGINT AS max_abs, sum(abs(dv))::BIGINT AS sum_abs,
+           sum((i + 1) * abs(dv))::BIGINT AS wsum_abs
+         FROM dec GROUP BY doc_id ORDER BY doc_id""",
     "q_image_features" ->
       """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
                   12 + (doc_id % 7) AS h,

@@ -1166,6 +1166,44 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Audio stats through the COMPRESSED µ-law leg: the same formula
+    * samples as [[mediaFeatures]], companded through G.711
+    * encode∘decode inside a format-7 WAV and aggregated AFTER the
+    * round trip. µ-law is lossy but exact-integer per sample, so the
+    * DuckDB oracle replays the compander itself (sign/clip/bias,
+    * segment by range CASE, mantissa shift, inverse) and the stats
+    * are hash-exact — the compressed-audio analog of q_png_features,
+    * with none of JPEG's tolerance banding. */
+  def ulawFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("max_abs", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("wsum_abs", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val bytes = Multimodal.encodeWavUlaw(wavSamples(doc), 8000)
+          val (sr, smp) = Multimodal.decodeWav(bytes) // µ-law expanded
+          var sumAbs = 0L; var wsum = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < smp.length) {
+            val a = math.abs(smp(i).toLong)
+            sumAbs += a; wsum += (i + 1) * a; if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Row(doc, smp.length.toLong, sr.toLong, maxAbs, sumAbs, wsum)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Image stats through the real BMP (even ids) / PPM (odd ids) round
     * trip: dims from the decoded header, channel sums + a row-weighted
     * sum from the decoded pixels (the weighted sum catches vertical

@@ -77,42 +77,118 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------------------------
+  // G.711 µ-law companding (ITU-T G.711, the WAV format-7 payload) —
+  // the codec family's compressed-AUDIO leg. Unlike JPEG, the lossy
+  // transform here is EXACT integer math per sample, so a DuckDB
+  // oracle can replay encode∘decode bit-for-bit (`q_ulaw_features`);
+  // UlawSpec sweeps all 65536 inputs against an independent spelling
+  // of the same formulas and golden-tests against javax.sound.
+  // ------------------------------------------------------------------
+
+  /** Compress one 16-bit sample to the 8-bit µ-law code: clip to
+    * ±32635, add the 0x84 bias, segment = MSB position, 4-bit
+    * mantissa, all bits complemented on the wire. */
+  def ulawEncode(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    // abs via Long: -(-32768) overflows Int
+    val mag0 = math.min(math.abs(sample.toLong), 32635L).toInt
+    val mag = mag0 + 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (mag >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)) & 0xff
+  }
+
+  /** Expand one µ-law code back to its quantized 16-bit sample —
+    * exact inverse of the segment/mantissa packing. */
+  def ulawDecode(code: Int): Int = {
+    val u = (~code) & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Encode samples as a µ-law WAV (format 7, 8 bits/sample; fmt
+    * chunk carries the cbSize=0 extension as the spec requires for
+    * non-PCM). */
+  def encodeWavUlaw(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length
+    val out = new Array[Byte](46 + dataSize + (dataSize & 1))
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(out, 4, out.length - 8)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12)
+    le32(out, 16, 18)            // fmt chunk size (non-PCM: +cbSize)
+    le16(out, 20, 7)             // WAVE_FORMAT_MULAW
+    le16(out, 22, 1)             // mono
+    le32(out, 24, sampleRate)
+    le32(out, 28, sampleRate)    // byte rate (1 byte/sample)
+    le16(out, 32, 1)             // block align
+    le16(out, 34, 8)             // bits/sample
+    le16(out, 36, 0)             // cbSize
+    "data".getBytes.copyToArray(out, 38)
+    le32(out, 42, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      out(46 + i) = ulawEncode(samples(i)).toByte; i += 1
+    }
+    out
+  }
+
   /** Decode a WAV container → (sampleRate, samples). Walks the chunk
     * list (fmt / data in any order, unknown chunks skipped with even
-    * padding, as the spec requires); only PCM 16-bit mono is
-    * supported — anything else is a loud error, not a silent
-    * misdecode. */
+    * padding, as the spec requires). PCM 16-bit mono passes samples
+    * through; µ-law mono (format 7) expands each code to its
+    * quantized 16-bit value — anything else is a loud error, not a
+    * silent misdecode. */
   def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
     require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
       "decodeWav: not a RIFF/WAVE container")
     var off = 12
     var sampleRate = -1
-    var data: Array[Int] = null
+    var fmt = -1
+    var dataOff = -1
+    var dataSz = 0
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val sz = rd32(bytes, off + 4)
       val body = off + 8
       id match {
         case "fmt " =>
-          val fmt = rd16(bytes, body)
+          fmt = rd16(bytes, body)
           val ch = rd16(bytes, body + 2)
           val bits = rd16(bytes, body + 14)
-          require(fmt == 1 && ch == 1 && bits == 16,
-            s"decodeWav: only PCM16 mono supported (fmt=$fmt ch=$ch bits=$bits)")
+          require((fmt == 1 && ch == 1 && bits == 16)
+            || (fmt == 7 && ch == 1 && bits == 8),
+            s"decodeWav: only PCM16/µ-law mono supported (fmt=$fmt ch=$ch bits=$bits)")
           sampleRate = rd32(bytes, body + 4)
         case "data" =>
-          val n = sz / 2
-          data = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            data(i) = rd16(bytes, body + i * 2).toShort.toInt // sign-extend
-            i += 1
-          }
+          dataOff = body; dataSz = sz
         case _ => // skip unknown chunk
       }
       off = body + sz + (sz & 1) // chunks are word-aligned
     }
-    require(sampleRate > 0 && data != null, "decodeWav: missing fmt or data chunk")
+    require(sampleRate > 0 && dataOff >= 0 && fmt > 0,
+      "decodeWav: missing fmt or data chunk")
+    val data =
+      if (fmt == 1) {
+        val n = dataSz / 2
+        val d = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          d(i) = rd16(bytes, dataOff + i * 2).toShort.toInt // sign-extend
+          i += 1
+        }
+        d
+      } else {
+        val d = new Array[Int](dataSz)
+        var i = 0
+        while (i < dataSz) { d(i) = ulawDecode(bytes(dataOff + i) & 0xff); i += 1 }
+        d
+      }
     (sampleRate, data)
   }
 
