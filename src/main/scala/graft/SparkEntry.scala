@@ -182,6 +182,7 @@ object SparkEntry {
     "q_token_simpson"     -> ((s, d) => DataQueries.tokenSimpson(s, d)),
     "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d)),
     "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d)),
+    "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d)),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
@@ -1446,6 +1447,43 @@ object SparkEntry {
              / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
                 AS DOUBLE) * 1e6)) AS BIGINT) AS hll_raw
          FROM sk ORDER BY doc_id""",
+    // synchronous label propagation, 3 unrolled rounds; plurality
+    // label with smallest-label tie-break makes every round total
+    "q_label_prop" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+         n1 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+         l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n1)
+                WHERE rk = 1),
+         n2 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+         l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n2)
+                WHERE rk = 1),
+         n3 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l2 l ON e.dst = l.v GROUP BY 1, 2),
+         l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n3)
+                WHERE rk = 1),
+         alln AS (SELECT d.doc_id, coalesce(l3.lbl, d.doc_id) AS community
+                  FROM documents d LEFT JOIN l3 ON d.doc_id = l3.v),
+         sz AS (SELECT community, count(*) AS comm_size FROM alln GROUP BY 1)
+         SELECT a.doc_id, a.community, sz.comm_size
+         FROM alln a JOIN sz USING (community) ORDER BY a.doc_id""",
     // BPE trainer inner loop, two unrolled merge rounds over the
     // word-frequency table; merges are relational (x≠y winners can't
     // overlap; x=y winners apply by run-length parity over

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -276,6 +277,69 @@ object GraphOps {
       .select(col("v").as("doc_id"), col("n_exact"), col("n_regs_hit"),
         col("hll_raw"), (col("hll_raw") - col("n_exact")).as("err"))
       .orderBy("doc_id")
+  }
+
+  /** Synchronous label propagation (fixed unrolled rounds) over the
+    * near-dup graph: every node starts as its own label; each round it
+    * adopts its neighbors' PLURALITY label, ties resolved to the
+    * smallest label (a total order, so the sync schedule is fully
+    * deterministic and the DuckDB twin replays every round).
+    * Community detection is the soft complement of the hard CC dedup
+    * groups: CC fuses anything connected, LPA splits weakly-bridged
+    * template families, and (community, size) next to the CC id is
+    * the "is this one family or two glued by a bridge doc" signal.
+    * Isolated documents keep their own id.
+    *
+    * Scale shape: per round ONE edge-sized hash join against the
+    * (node, label) frame plus a map-combined (node, label) count —
+    * labels are 8 bytes, strings never shuffle; per-round
+    * localCheckpoint truncates the iteration lineage exactly like
+    * PageRank/k-core. `maxDocFreq` is the same skew lever as every
+    * consumer of [[neardupEdges]]. */
+  def labelProp(s: SparkSession, d: String, rounds: Int = 3,
+                maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = neardupEdges(s, d, maxDocFreq)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
+      labels = nb.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    val alln = docs
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("community"))
+    val sizes = alln.groupBy("community").agg(count(lit(1)).as("comm_size"))
+    alln.join(sizes, Seq("community"))
+      .select(col("doc_id"), col("community"), col("comm_size"))
+      .orderBy("doc_id")
+  }
+
+  /** [[labelProp]] over an arbitrary symmetrized edge list plus a node
+    * frame (for the property spec). */
+  private[graft] def labelPropOf(nodes: DataFrame, edges: DataFrame,
+                                 rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      val nb = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
+      labels = nb.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("lbl"))
+    }
+    nodes.join(labels.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("community"))
   }
 
   /** PageRank over the document near-dup graph: edges = symmetrized

@@ -428,6 +428,42 @@ object StreamOps {
       committed, batchId)
   }
 
+  /** [[maintainMerge]] with SCHEDULED tombstone vacuum: every
+    * `vacuumEvery` micro-batches, retire tombstones older than
+    * (max event time in state − `lagSeconds`). The lag is the
+    * late-data allowance: ops can arrive up to `lagSeconds` behind the
+    * newest op ever merged and still order against their tombstones;
+    * anything later is dropped by the ingest gate (standard streaming
+    * watermark semantics, applied to CDC folding). This is the
+    * production wiring — state stays |live| + |recent deletes| without
+    * an operator ever running VACUUM by hand. */
+  def maintainMergeWithVacuum(stream: DataFrame, statePath: String,
+                              lagSeconds: Long, vacuumEvery: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyMergeBatchWithVacuum(batch, statePath, batchId, lagSeconds,
+          vacuumEvery)
+      }
+      .start()
+
+  private[graft] def applyMergeBatchWithVacuum(
+      batch: org.apache.spark.sql.Dataset[Row], statePath: String,
+      batchId: Long, lagSeconds: Long, vacuumEvery: Int): Unit = {
+    applyMergeBatch(batch, statePath, batchId)
+    if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0) {
+      val sp = batch.sparkSession
+      val mx = readMergeState(sp, statePath).agg(max(col("ts"))).head()
+      if (!mx.isNullAt(0)) {
+        val wm = mx.getAs[java.time.LocalDateTime](0)
+          .minusSeconds(lagSeconds)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        vacuumMergeTombstones(sp, statePath, wm)
+      }
+    }
+  }
+
   /** The merge state's vacuum watermark, if one has been set: the
     * canonical `yyyy-MM-dd HH:mm:ss` string whose fixed-width form
     * makes lexicographic max = chronological max. */

@@ -80,6 +80,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(StreamOps.lastAppliedStream(spark, statePath) == 2L)
   }
 
+  test("scheduled vacuum: tombstones age out automatically behind the lag") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("auto_vacuum").toString + "/state"
+    def apply(id: Long, rows: (Long, String, Long, String, Double)*): Unit =
+      StreamOps.applyMergeBatchWithVacuum(mergeBatch(rows), statePath, id,
+        lagSeconds = 86400, vacuumEvery = 2)
+    apply(0L, (1L, "2024-01-01 00:00:00", 1L, "click", 1.0))
+    apply(1L, (1L, "2024-01-02 00:00:00", 2L, "error", 0.0)) // tombstone
+    // batch 2 advances event time far past the tombstone + lag AND is
+    // a vacuum batch (2 % 2 == 0): the tombstone must age out
+    apply(2L, (3L, "2024-01-10 00:00:00", 3L, "click", 3.0))
+    assert(StreamOps.readMergeState(spark, statePath)
+      .filter(col("op") === "delete").count() == 0, "tombstone survived")
+    assert(StreamOps.mergeVacuumWatermark(spark, statePath)
+      .contains("2024-01-09 00:00:00"))
+    // late upsert behind the watermark is gated out, the law holds
+    apply(3L, (1L, "2024-01-03 00:00:00", 4L, "click", 9.0))
+    assert(StreamOps.readMergeTable(spark, statePath)
+      .select("user_id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("compaction: content-neutral, bounded file count, better probe locality") {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)

@@ -592,6 +592,50 @@ object KcoreProps extends SparkProps("Kcore") {
     }
 }
 
+/** Relational synchronous label propagation equals a driver-side
+  * reference on random graphs: plurality neighbor label, smallest
+  * label on ties, fixed synchronous rounds. */
+object LabelPropProps extends SparkProps("LabelProp") {
+  import org.apache.spark.sql.functions._
+
+  private val graphGen = for {
+    n <- Gen.chooseNum(3, 8)
+    m <- Gen.chooseNum(1, 14)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(1, n); b <- Gen.chooseNum(1, n) if a != b
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+  } yield es.distinct
+
+  private def refLpa(nodes: Seq[Long], und: Seq[(Long, Long)],
+                     rounds: Int): Map[Long, Long] = {
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var lbl: Map[Long, Long] =
+      adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lbl).map { case (l, g) => (l, g.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    nodes.map(v => v -> lbl.getOrElse(v, v)).toMap
+  }
+
+  property("3 sync rounds equal the driver reference") =
+    forAll(graphGen) { und0 =>
+      val und = if (und0.nonEmpty) und0 else Seq((1L, 2L))
+      val sp = spark
+      import sp.implicits._
+      val nodes = (1L to und.flatMap(e => Seq(e._1, e._2)).max).toSeq
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val got = graft.ops.GraphOps
+        .labelPropOf(nodes.toDF("id"), edges, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = refLpa(nodes, und, 3)
+      Prop(got == want) :| s"edges=$und got=$got want=$want"
+    }
+}
+
 object SketchProps extends SparkProps("Sketches") {
   import org.apache.spark.sql.functions._
   import graft.ops.{DedupOps, Hashing}
