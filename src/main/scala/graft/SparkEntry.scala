@@ -56,6 +56,7 @@ object SparkEntry {
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
+    "q_incr_cc"           -> ((s, d) => DataQueries.incrCc(s, d)),
     "q_dedup_groups_capped" -> ((s, d) => DataQueries.dedupGroupsCapped(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
     "q_repetition"        -> ((s, d) => DataQueries.repetition(s, d)),
@@ -276,6 +277,33 @@ object SparkEntry {
                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
            ELSE [] END AS shs
        FROM toks)"""
+  /** Full-recompute connected components over the near-dup graph —
+    * shared VERBATIM by q_dedup_groups (batch form) and q_incr_cc
+    * (incremental fold): the incremental plan must be output-
+    * indistinguishable from re-clustering the corpus. */
+  private lazy val DEDUP_GROUPS_SQL =
+    s"""WITH RECURSIVE $TOKS_CTE,
+       $SHING_CTE,
+       ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+       sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       near AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+                 UNION SELECT doc_b, doc_a FROM near),
+       cc(node, label) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+       comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+       sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+       SELECT node AS doc, comp, comp_size
+       FROM comps JOIN sz USING (comp) ORDER BY doc"""
+
   /** Winnowing fingerprint set (n=3, w=4), shared by q_winnow and
     * q_winnow_pairs: positional 3-gram hashes, window-4 minima,
     * distinct + sorted. */
@@ -933,28 +961,13 @@ object SparkEntry {
     // everything with a path to it over symmetric edges; min = the
     // component representative) — independent of the Spark side's
     // iterative min-label propagation.
-    "q_dedup_groups" ->
-      s"""WITH RECURSIVE $TOKS_CTE,
-         $SHING_CTE,
-         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
-         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         near AS (SELECT doc_a, doc_b FROM pairs
-                  JOIN sizes sa ON doc_a = sa.doc_id
-                  JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
-                   UNION SELECT doc_b, doc_a FROM near),
-         cc(node, label) AS (
-           SELECT DISTINCT src, src FROM edges
-           UNION
-           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
-         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
-         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
-         SELECT node AS doc, comp, comp_size
-         FROM comps JOIN sz USING (comp) ORDER BY doc""",
+    "q_dedup_groups" -> DEDUP_GROUPS_SQL,
+    // INCREMENTAL components share the full-recompute oracle VERBATIM:
+    // the incremental fold (batch probes the index, endpoints contract
+    // to yesterday's reps, CC runs on the touched subgraph only) must
+    // be indistinguishable from re-clustering the whole corpus — one
+    // oracle, two physical plans, the q_ivf_state_probe pattern.
+    "q_incr_cc" -> DEDUP_GROUPS_SQL,
     // The de-skewed production form: stop-shingles (docFreq > 5)
     // dropped and sizes re-counted before pairing, then the same
     // recursive-CC tail. Differs from q_dedup_groups exactly where the

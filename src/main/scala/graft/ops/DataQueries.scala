@@ -779,6 +779,74 @@ object DataQueries {
         n = 3, threshold = 0.1, maxDocFreq = Some(5L))
       .select("doc_a", "doc_b"), nodeOut = "doc")
 
+  /** INCREMENTAL connected components — fold one ingest batch into
+    * yesterday's dedup components without recomputing them. The law:
+    * output ≡ full recompute over the whole corpus, pinned by REUSING
+    * q_dedup_groups' oracle SQL verbatim (one oracle, two physical
+    * plans — the q_ivf_state_probe pattern).
+    *
+    * Shape: (1) "yesterday's" components = CC over the base corpus
+    * (doc_id % 5 ≠ 4; at scale this is a persisted table, the cost
+    * already paid); (2) new candidate pairs are generated by probing
+    * the shingle index with ONLY the batch docs — the probe side is
+    * restricted BEFORE the join, so per-ingest cost scales with
+    * |batch|·docFreq, never |corpus|²; (3) each new edge's endpoints
+    * contract to their base component rep (the rep IS the component's
+    * min id, so min-id CC over the contracted graph reproduces the
+    * global min-id labels exactly); (4) CC runs only on the TOUCHED
+    * subgraph (batch docs + contracted reps + edge-less base docs a
+    * new edge pulled in), and untouched base components pass through
+    * unchanged. History is never re-clustered — the 100 TB daily
+    * ingest story for dedup groups. */
+  def incrCc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = col("doc") % 5 === 4
+    // --- yesterday's state: components over the base corpus only
+    val baseComps = DedupOps.connectedComponents(
+      DedupOps.jaccardPairs(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", n = 3, threshold = 0.1).select("doc_a", "doc_b"))
+    // --- new edges: batch docs probe the full shingle index
+    val arr = docs.select(col("doc_id").as("doc"),
+      TextOps.shingleHashes(col("text"), 3).as("arr"))
+    val sizes = arr.select(col("doc"), size(col("arr")).as("sz"))
+    val sh = arr.select(col("doc"), explode_outer(col("arr")).as("s"))
+      .filter(col("s").isNotNull)
+    val probe = sh.filter(isBatch)
+    val newPairs = probe.toDF("pa", "s").join(sh.toDF("pb", "s"), Seq("s"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"), col("s"))
+      .distinct() // batch-batch pairs arrive in both orientations
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .filter(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+      .select("doc_a", "doc_b")
+    // --- contract endpoints to their base reps and merge the touched
+    //     subgraph (tiny next to the corpus)
+    val repA = baseComps.select(col("node").as("doc_a"), col("comp").as("ca"))
+    val repB = baseComps.select(col("node").as("doc_b"), col("comp").as("cb"))
+    val contracted = newPairs
+      .join(repA, Seq("doc_a"), "left").join(repB, Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val merged = DedupOps.connectedComponents(contracted)
+    // --- final membership: base members remap through their (possibly
+    //     merged) rep; nodes new to the graph come from `merged` alone
+    val remap = merged.select(col("node").as("comp"), col("comp").as("newc"))
+    val baseFinal = baseComps.join(remap, Seq("comp"), "left")
+      .select(col("node"), coalesce(col("newc"), col("comp")).as("comp"))
+    val freshFinal = merged
+      .join(baseComps.select("node"), Seq("node"), "left_anti")
+    val alln = baseFinal.unionByName(freshFinal)
+    val sz = alln.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    alln.join(sz, Seq("comp"))
+      .select(col("node").as("doc"), col("comp"), col("comp_size"))
+      .orderBy("doc")
+  }
+
   /** Shared pairs→groups tail: connected components, component sizes,
     * join-back, total order — kept in one place so the document and
     * embedding group queries cannot diverge. */
