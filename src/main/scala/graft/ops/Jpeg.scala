@@ -9,11 +9,12 @@ package graft.ops
   * Encoder: 4:4:4 (no chroma subsampling), one interleaved scan,
   * uniform quantization value `q` (q=1 ≈ the DCT round-trip floor),
   * standard Annex-K Huffman tables, optional restart interval.
-  * Decoder: baseline sequential, 8-bit, grayscale or any number of
-  * components at 1×1 sampling, tables read from the stream (DQT/DHT),
-  * DRI/RSTn honored, APPn/COM skipped. Progressive, 12-bit, and
-  * subsampled streams are a loud error, not a silent misdecode —
-  * exactly the [[Multimodal.decodePng]] posture.
+  * Decoder: baseline sequential, 8-bit, sampling factors up to 2×2 —
+  * 4:4:4, 4:2:2, and the 4:2:0 layout that dominates real crawls —
+  * with box chroma upsampling; tables read from the stream (DQT/DHT),
+  * DRI/RSTn honored, APPn/COM skipped. Progressive and 12-bit streams
+  * are a loud error, not a silent misdecode — exactly the
+  * [[Multimodal.decodePng]] posture.
   *
   * JPEG is LOSSY, so unlike the other codecs the round trip is
   * tolerance-banded, not bit-exact: the DCT forward/inverse rounding
@@ -428,7 +429,12 @@ object Jpeg {
   // ---------------------------------------------------------------
 
   /** Decode a baseline JPEG → (w, h, top-down RGB triples). Grayscale
-    * streams replicate Y into all three channels. */
+    * streams replicate Y into all three channels. Sampling factors up
+    * to 2×2 are supported — 4:4:4, 4:2:2, and the 4:2:0 layout that
+    * dominates real crawls — with box (nearest-neighbor) chroma
+    * upsampling; cross-decoder pixel agreement on subsampled streams
+    * is therefore banded a little wider than 4:4:4 (libjpeg-family
+    * decoders default to triangular upsampling). */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff
       && (bytes(1) & 0xff) == 0xd8, "jpeg decode: bad SOI")
@@ -440,6 +446,8 @@ object Jpeg {
     var nComp = 0
     var compId: Array[Int] = null
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var restartInterval = 0
@@ -483,12 +491,16 @@ object Jpeg {
           h = u16(pos + 3); w = u16(pos + 5)
           nComp = bytes(pos + 7) & 0xff
           compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {
             compId(c) = bytes(pos + 8 + 3 * c) & 0xff
             val hv = bytes(pos + 9 + 3 * c) & 0xff
-            require(hv == 0x11,
-              f"jpeg decode: only 1x1 sampling supported (got 0x$hv%02x)")
+            compH(c) = (hv >> 4) & 0x0f
+            compV(c) = hv & 0x0f
+            require(compH(c) >= 1 && compH(c) <= 2
+              && compV(c) >= 1 && compV(c) <= 2,
+              f"jpeg decode: sampling factor 0x$hv%02x out of the 1..2 range")
             compQ(c) = bytes(pos + 10 + 3 * c) & 0xff
             c += 1
           }
@@ -521,13 +533,18 @@ object Jpeg {
     require(w > 0 && h > 0, "jpeg decode: missing SOF")
     require(nComp == 1 || nComp == 3, s"jpeg decode: $nComp components")
 
+    val hmax = compH.max
+    val vmax = compV.max
     val br = new BitReader(bytes, scanStart)
-    val mcuW = (w + 7) / 8
-    val mcuH = (h + 7) / 8
+    val mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuH = (h + 8 * vmax - 1) / (8 * vmax)
     val preds = new Array[Int](nComp)
     val coef = new Array[Int](64)
-    // per-component decoded planes (block-padded dims)
-    val planes = Array.ofDim[Int](nComp, mcuW * 8 * mcuH * 8)
+    // per-component planes at the component's OWN resolution,
+    // block-padded to the MCU grid
+    val planeW = Array.tabulate(nComp)(c => mcuW * 8 * compH(c))
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * mcuH * 8 * compV(c)))
     var mcu = 0
     var rstExpect = 0
     var my = 0
@@ -545,37 +562,47 @@ object Jpeg {
         }
         var c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          val qt = qtab(compQ(c))
-          val t = dcTabs(compDc(c)).decode(br)
-          preds(c) += extend(br.receive(t), t)
-          coef(0) = preds(c) * qt(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = acTabs(compAc(c)).decode(br)
-            val run = rs >> 4
-            val sz = rs & 0x0f
-            if (sz == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += run
-              require(k < 64, "jpeg decode: AC run past block end")
-              coef(Zig(k)) = extend(br.receive(sz), sz) * qt(Zig(k))
-              k += 1
+          // h×v blocks per MCU, raster order within the MCU (T.81 A.2.3)
+          var j = 0
+          while (j < compV(c)) {
+            var i = 0
+            while (i < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val qt = qtab(compQ(c))
+              val t = dcTabs(compDc(c)).decode(br)
+              preds(c) += extend(br.receive(t), t)
+              coef(0) = preds(c) * qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTabs(compAc(c)).decode(br)
+                val run = rs >> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  require(k < 64, "jpeg decode: AC run past block end")
+                  coef(Zig(k)) = extend(br.receive(sz), sz) * qt(Zig(k))
+                  k += 1
+                }
+              }
+              val px = idct(coef)
+              val x0 = (mx * compH(c) + i) * 8
+              val y0 = (my * compV(c) + j) * 8
+              var by = 0
+              while (by < 8) {
+                var bx = 0
+                while (bx < 8) {
+                  planes(c)((y0 + by) * planeW(c) + x0 + bx) = px(by * 8 + bx)
+                  bx += 1
+                }
+                by += 1
+              }
+              i += 1
             }
-          }
-          val px = idct(coef)
-          val rowW = mcuW * 8
-          var by = 0
-          while (by < 8) {
-            var bx = 0
-            while (bx < 8) {
-              planes(c)((my * 8 + by) * rowW + mx * 8 + bx) = px(by * 8 + bx)
-              bx += 1
-            }
-            by += 1
+            j += 1
           }
           c += 1
         }
@@ -586,19 +613,20 @@ object Jpeg {
     }
 
     val rgb = new Array[Int](w * h * 3)
-    val rowW = mcuW * 8
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val o = (y * w + x) * 3
+        def sample(c: Int): Int =
+          planes(c)((y * compV(c) / vmax) * planeW(c) + x * compH(c) / hmax)
         if (nComp == 1) {
-          val g = planes(0)(y * rowW + x)
+          val g = sample(0)
           rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
         } else {
-          val yy = planes(0)(y * rowW + x)
-          val cb = planes(1)(y * rowW + x) - 128
-          val cr = planes(2)(y * rowW + x) - 128
+          val yy = sample(0)
+          val cb = sample(1) - 128
+          val cr = sample(2) - 128
           def clamp(d: Double): Int = {
             val v = StrictMath.round(d).toInt
             if (v < 0) 0 else if (v > 255) 255 else v

@@ -106,21 +106,68 @@ class JpegSpec extends SparkSpec {
       "finer quantizer decoded worse than coarser")
   }
 
-  test("unsupported shapes fail loudly (subsampled color, progressive)") {
-    // the JDK writer subsamples chroma for color by default — our
-    // baseline decoder must REJECT it, not silently misdecode
-    val (w, h) = (24, 16)
+  private def imageioColorJpeg(w: Int, h: Int, rgb: Array[Int],
+                               progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = formulaRgb(w, h)
     for (y <- 0 until h; x <- 0 until w) {
       val p = (y * w + x) * 3
       img.setRGB(x, y, (rgb(p) << 16) | (rgb(p + 1) << 8) | rgb(p + 2))
     }
     val baos = new java.io.ByteArrayOutputStream
-    javax.imageio.ImageIO.write(img, "jpg", baos)
-    val e = intercept[IllegalArgumentException](Jpeg.decode(baos.toByteArray))
-    assert(e.getMessage.contains("sampling"), s"wrong rejection: ${e.getMessage}")
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = wr.getDefaultWriteParam
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    wr.dispose()
+    baos.toByteArray
+  }
+
+  test("golden: our decoder reads the JDK's default 4:2:0 color streams") {
+    val (w, h) = (37, 23)
+    // sharp chroma (the formula image): box vs triangular upsampling
+    // differ at chroma edges, so the per-pixel band is on the MEAN
+    val sharp = imageioColorJpeg(w, h, formulaRgb(w, h))
+    val (dw, dh, mine) = Jpeg.decode(sharp) // must not throw
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sharp))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = ref.getRGB(x, y); val p = (y * w + x) * 3
+      sum += math.abs(((px >> 16) & 0xff) - mine(p)) +
+        math.abs(((px >> 8) & 0xff) - mine(p + 1)) +
+        math.abs((px & 0xff) - mine(p + 2))
+    }
+    val mean = sum.toDouble / (w * h * 3)
+    assert(mean <= 16.0, s"sharp-chroma mean disagreement $mean")
+    // smooth chroma: upsampling choice barely matters — tight max band
+    val smoothRgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      i % 3 match { case 0 => x * 3 + 40; case 1 => y * 4 + 30; case _ => 90 }
+    }
+    val smooth = imageioColorJpeg(w, h, smoothRgb)
+    val (_, _, m2) = Jpeg.decode(smooth)
+    val r2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(smooth))
+    var maxs = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = r2.getRGB(x, y); val p = (y * w + x) * 3
+      maxs = math.max(maxs, math.max(
+        math.abs(((px >> 16) & 0xff) - m2(p)), math.max(
+          math.abs(((px >> 8) & 0xff) - m2(p + 1)),
+          math.abs((px & 0xff) - m2(p + 2)))))
+    }
+    assert(maxs <= 8, s"smooth-chroma max disagreement $maxs")
+  }
+
+  test("progressive streams fail loudly") {
+    val (w, h) = (24, 16)
+    val bytes = imageioColorJpeg(w, h, formulaRgb(w, h), progressive = true)
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bytes))
+    assert(e.getMessage.contains("progressive"), s"wrong rejection: ${e.getMessage}")
   }
 
   test("decodeFeatures routes jpg payloads through the codec") {
