@@ -136,6 +136,45 @@ class EdgeCaseSpec extends SparkSpec {
       .select(TextOps.bpeTokenCount("text")).head().getInt(0) == 0)
   }
 
+  test("jpeg: 1x1 and 8x8-exact images round-trip; q=1 band holds at the corners") {
+    import graft.ops.Jpeg
+    for ((w, h) <- Seq((1, 1), (8, 8), (9, 8), (8, 9))) {
+      val rgb = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 256)
+      val bytes = Jpeg.encode(w, h, rgb, q = 1)
+      val (dw, dh, out) = Jpeg.decode(bytes)
+      assert((dw, dh) == (w, h), s"dims for ${w}x$h")
+      val maxe = rgb.indices.map(i => math.abs(rgb(i) - out(i))).max
+      assert(maxe <= 4, s"${w}x$h error $maxe")
+    }
+  }
+
+  test("ulaw: silence, full-scale, and +/-1 are compander fixed points") {
+    import graft.ops.Multimodal
+    assert(Multimodal.ulawDecode(Multimodal.ulawEncode(0)) == 0)
+    // full-scale clips to the top segment's representative
+    val top = Multimodal.ulawDecode(Multimodal.ulawEncode(32767))
+    assert(top == Multimodal.ulawDecode(Multimodal.ulawEncode(32635)))
+    // the smallest nonzero inputs stay sign-correct
+    assert(Multimodal.ulawDecode(Multimodal.ulawEncode(1)) >= 0)
+    assert(Multimodal.ulawDecode(Multimodal.ulawEncode(-1)) <= 0)
+  }
+
+  test("label prop: bipartite two-cycle oscillates deterministically") {
+    import spark.implicits._
+    // K2: round 1 swaps labels (each adopts the other's), round 2
+    // swaps back, round 3 swaps again — sync LPA's classic
+    // oscillation, which the fixed unrolled-round contract makes a
+    // deterministic, oracle-stable output rather than a hang
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("id")
+    val r3 = graft.ops.GraphOps.labelPropOf(nodes, edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(1L -> 2L, 2L -> 1L), s"got $r3")
+    val r2 = graft.ops.GraphOps.labelPropOf(nodes, edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L), s"got $r2")
+  }
+
   test("empty text: quality/fingerprint columns are null-safe") {
     val df = Seq((1L, "")).toDF("doc_id", "text")
     val r = df.select(
