@@ -479,6 +479,17 @@ class NewOpsPlanSpec extends SparkSpec {
       s"calibration twin lost its exact-ball side:\n$pTw")
   }
 
+  test("label prop: rounds are hash joins on 8-byte keys, no degraded joins") {
+    val p = plan(graft.ops.GraphOps.labelProp(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"degraded join in a propagation round:\n$p")
+  }
+
+  test("incremental CC: no cartesian products anywhere in the fold") {
+    val p = plan(DataQueries.incrCc(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"degraded join:\n$p")
+  }
+
   test("bpe merges: vocab-sized rounds; only the 1-row winner/scalar rows nest") {
     val p = plan(DataQueries.bpeMerges(spark, sf))
     assert(!p.contains("CartesianProduct"), s"degraded join:\n$p")
