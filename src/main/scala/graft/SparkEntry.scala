@@ -185,6 +185,7 @@ object SparkEntry {
     "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d)),
     "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d)),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
+    "q_bpe_apply"         -> ((s, d) => DataQueries.bpeApply(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -277,6 +278,82 @@ object SparkEntry {
                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
            ELSE [] END AS shs
        FROM toks)"""
+  /** BPE training rounds (word table, two unrolled merges, final
+    * symbol table s2, per-round winners/sizes t1,t2,b0,b1,b2) -
+    * shared by q_bpe_merges and q_bpe_apply. */
+  private lazy val BPE_CTES =
+    s"""$TOKS_CTE,
+         wt AS (SELECT w, count(*) AS wcnt
+                FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+         s0 AS (SELECT w, wcnt, CAST(u.i + 1 AS BIGINT) AS pos, u.s AS sym
+                FROM (SELECT w, wcnt,
+                        unnest(list_transform(range(len(string_split(w, ''))),
+                          i -> {'i': i, 's': string_split(w, '')[i + 1]})) AS u
+                      FROM wt)),
+         a1 AS (SELECT w, wcnt, pos, sym,
+                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
+                FROM s0),
+         t1 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
+                FROM a1 WHERE nxt IS NOT NULL
+                GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
+         b0 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s0),
+         r1 AS (SELECT a.*, t.x, t.y,
+                  sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
+                FROM a1 a, t1 t),
+         r1b AS (SELECT *, CASE WHEN sym = x THEN pos - cumx END AS runkey
+                 FROM r1),
+         r1c AS (SELECT *,
+                  row_number() OVER (PARTITION BY w, runkey ORDER BY pos)
+                    AS idx,
+                  count(*) OVER (PARTITION BY w, runkey) AS runlen
+                 FROM r1b),
+         m1 AS (SELECT w, wcnt, pos,
+                  CASE WHEN x = y THEN
+                         CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
+                              THEN x || y ELSE sym END
+                       WHEN sym = x AND nxt = y THEN x || y
+                       ELSE sym END AS sym
+                FROM r1c
+                WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
+                      ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
+         s1 AS (SELECT w, wcnt, CAST(row_number() OVER
+                  (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
+                FROM m1),
+         a2 AS (SELECT w, wcnt, pos, sym,
+                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
+                FROM s1),
+         t2 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
+                FROM a2 WHERE nxt IS NOT NULL
+                GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
+         b1 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s1),
+         r2 AS (SELECT a.*, t.x, t.y,
+                  sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
+                FROM a2 a, t2 t),
+         r2b AS (SELECT *, CASE WHEN sym = x THEN pos - cumx END AS runkey
+                 FROM r2),
+         r2c AS (SELECT *,
+                  row_number() OVER (PARTITION BY w, runkey ORDER BY pos)
+                    AS idx,
+                  count(*) OVER (PARTITION BY w, runkey) AS runlen
+                 FROM r2b),
+         m2 AS (SELECT w, wcnt, pos,
+                  CASE WHEN x = y THEN
+                         CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
+                              THEN x || y ELSE sym END
+                       WHEN sym = x AND nxt = y THEN x || y
+                       ELSE sym END AS sym
+                FROM r2c
+                WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
+                      ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
+         s2 AS (SELECT w, wcnt, CAST(row_number() OVER
+                  (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
+                FROM m2),
+         b2 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s2)"""
+
   /** Full-recompute connected components over the near-dup graph —
     * shared VERBATIM by q_dedup_groups (batch form) and q_incr_cc
     * (incremental fold): the incremental plan must be output-
@@ -1502,77 +1579,7 @@ object SparkEntry {
     // overlap; x=y winners apply by run-length parity over
     // gaps-and-islands run ids — textbook left-to-right semantics)
     "q_bpe_merges" ->
-      s"""WITH $TOKS_CTE,
-         wt AS (SELECT w, count(*) AS wcnt
-                FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
-         s0 AS (SELECT w, wcnt, CAST(u.i + 1 AS BIGINT) AS pos, u.s AS sym
-                FROM (SELECT w, wcnt,
-                        unnest(list_transform(range(len(string_split(w, ''))),
-                          i -> {'i': i, 's': string_split(w, '')[i + 1]})) AS u
-                      FROM wt)),
-         a1 AS (SELECT w, wcnt, pos, sym,
-                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
-                  lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
-                FROM s0),
-         t1 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
-                FROM a1 WHERE nxt IS NOT NULL
-                GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
-         b0 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s0),
-         r1 AS (SELECT a.*, t.x, t.y,
-                  sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
-                FROM a1 a, t1 t),
-         r1b AS (SELECT *, CASE WHEN sym = x THEN pos - cumx END AS runkey
-                 FROM r1),
-         r1c AS (SELECT *,
-                  row_number() OVER (PARTITION BY w, runkey ORDER BY pos)
-                    AS idx,
-                  count(*) OVER (PARTITION BY w, runkey) AS runlen
-                 FROM r1b),
-         m1 AS (SELECT w, wcnt, pos,
-                  CASE WHEN x = y THEN
-                         CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
-                              THEN x || y ELSE sym END
-                       WHEN sym = x AND nxt = y THEN x || y
-                       ELSE sym END AS sym
-                FROM r1c
-                WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
-                      ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
-         s1 AS (SELECT w, wcnt, CAST(row_number() OVER
-                  (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
-                FROM m1),
-         a2 AS (SELECT w, wcnt, pos, sym,
-                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
-                  lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
-                FROM s1),
-         t2 AS (SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS cnt
-                FROM a2 WHERE nxt IS NOT NULL
-                GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
-         b1 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s1),
-         r2 AS (SELECT a.*, t.x, t.y,
-                  sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
-                FROM a2 a, t2 t),
-         r2b AS (SELECT *, CASE WHEN sym = x THEN pos - cumx END AS runkey
-                 FROM r2),
-         r2c AS (SELECT *,
-                  row_number() OVER (PARTITION BY w, runkey ORDER BY pos)
-                    AS idx,
-                  count(*) OVER (PARTITION BY w, runkey) AS runlen
-                 FROM r2b),
-         m2 AS (SELECT w, wcnt, pos,
-                  CASE WHEN x = y THEN
-                         CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
-                              THEN x || y ELSE sym END
-                       WHEN sym = x AND nxt = y THEN x || y
-                       ELSE sym END AS sym
-                FROM r2c
-                WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
-                      ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
-         s2 AS (SELECT w, wcnt, CAST(row_number() OVER
-                  (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
-                FROM m2),
-         b2 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s2)
+      s"""WITH $BPE_CTES
          SELECT CAST(1 AS BIGINT) AS merge_rank, t1.x, t1.y, t1.cnt,
            b0.n AS syms_before, b1.n AS syms_after
          FROM t1, b0, b1
@@ -1580,6 +1587,20 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), t2.x, t2.y, t2.cnt, b1.n, b2.n
          FROM t2, b1, b2
          ORDER BY merge_rank""",
+    // tokenizer APPLY: the trained merges' final symbol table (s2)
+    // joined against per-source word counts — per-source compression
+    "q_bpe_apply" ->
+      s"""WITH $BPE_CTES,
+         pw AS (SELECT w, count(*) AS n_sym FROM s2 GROUP BY w),
+         srcw AS (SELECT d.source, unnest(t.tk) AS w
+                  FROM toks t JOIN documents d USING (doc_id)),
+         swc AS (SELECT source, w, count(*) AS cnt FROM srcw GROUP BY 1, 2)
+         SELECT source,
+           CAST(sum(cnt * len(w)) AS BIGINT) AS syms_before,
+           CAST(sum(cnt * n_sym) AS BIGINT) AS syms_after,
+           (CAST(sum(cnt * n_sym) AS BIGINT) * 1000000)
+             // CAST(sum(cnt * len(w)) AS BIGINT) AS compression_micro
+         FROM swc JOIN pw USING (w) GROUP BY source ORDER BY source""",
     // PMI collocations in exact integer fixed point: rank by the PMI
     // ratio cnt*N/(cx*cy) (monotone in PMI) via BIGINT floor division —
     // no libm log anywhere on the oracle path

@@ -2154,18 +2154,20 @@ object DataQueries {
   def bpeMerges(s: SparkSession, d: String, rounds: Int = 2): DataFrame =
     bpeMergesOf(Tables.documents(s, d), rounds)
 
-  /** [[bpeMerges]] over an arbitrary `text`-column frame. */
-  def bpeMergesOf(docs: DataFrame, rounds: Int): DataFrame = {
-    val wt = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wcnt"))
-    var syms = wt.select(col("w"), col("wcnt"),
+  /** Initial symbol table: one row per (word, position, character). */
+  private def bpeInitSyms(wt: DataFrame): DataFrame =
+    wt.select(col("w"), col("wcnt"),
         posexplode(filter(split(col("w"), ""), c => c =!= ""))
           .as(Seq("p0", "sym")))
       .select(col("w"), col("wcnt"),
         (col("p0") + 1).cast("long").as("pos"), col("sym"))
       .localCheckpoint(true)
-    val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (r <- 1 to rounds) {
+
+  /** One BPE training round over the symbol table: (1-row winner
+    * frame, merged next-round table). Shared by the merge-learning
+    * query and [[bpeApply]]. */
+  private def bpeRoundStep(syms: DataFrame): (DataFrame, DataFrame) = {
+    {
       val w = Window.partitionBy("w").orderBy("pos")
       val ann = syms.withColumn("nxt", lead("sym", 1).over(w))
         .withColumn("prv", lag("sym", 1).over(w))
@@ -2175,7 +2177,6 @@ object DataQueries {
         .agg(sum(col("wcnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
         .localCheckpoint(true)
-      val before = syms.agg(sum(col("wcnt")).as("syms_before"))
       // `top` is an EAGER localCheckpoint, so peeking at the 1-row
       // winner costs nothing extra — branch the round's PLAN on
       // whether it is a self-pair, paying the parity windows only
@@ -2214,17 +2215,62 @@ object DataQueries {
                 lit(false)), concat(col("x"), col("y")))
                 .otherwise(col("sym")).as("sym"))
         }
-      syms = merged
+      val next = merged
         .withColumn("pos", row_number()
           .over(Window.partitionBy("w").orderBy("pos")).cast("long"))
         .select("w", "wcnt", "pos", "sym")
         .localCheckpoint(true)
+      (top, next)
+    }
+  }
+
+  /** [[bpeMerges]] over an arbitrary `text`-column frame. */
+  def bpeMergesOf(docs: DataFrame, rounds: Int): DataFrame = {
+    val wt = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    var syms = bpeInitSyms(wt)
+    val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val before = syms.agg(sum(col("wcnt")).as("syms_before"))
+      val (top, next) = bpeRoundStep(syms)
+      syms = next
       val after = syms.agg(sum(col("wcnt")).as("syms_after"))
       perRound += top
         .select(lit(r.toLong).as("merge_rank"), col("x"), col("y"), col("cnt"))
         .crossJoin(broadcast(before)).crossJoin(broadcast(after))
     }
     perRound.reduce(_ unionByName _).orderBy("merge_rank")
+  }
+
+  /** TOKENIZER APPLY — the other half of the BPE loop: train the first
+    * `rounds` merges on the corpus word-frequency table (exactly
+    * [[bpeMerges]]' procedure), apply them, and report per-source
+    * symbol counts before/after with the compression ratio in
+    * micro-units. The "does my tokenizer actually compress MY data"
+    * number a pipeline checks before committing to a vocabulary.
+    *
+    * Scale shape: training state is vocab-sized (the whole point of
+    * training over the word table); apply is a vocab-sized join
+    * (word → merged symbol count) against the per-source word counts,
+    * which are one map-combined aggregate — the corpus is scanned
+    * once for counts, never re-tokenized per merge. */
+  def bpeApply(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wt = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    var syms = bpeInitSyms(wt)
+    for (_ <- 1 to rounds) syms = bpeRoundStep(syms)._2
+    val perWord = syms.groupBy("w").agg(count(lit(1)).as("n_sym"))
+    val srcW = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    srcW.join(perWord, Seq("w"))
+      .groupBy("source").agg(
+        sum(col("cnt") * length(col("w"))).as("syms_before"),
+        sum(col("cnt") * col("n_sym")).as("syms_after"))
+      .withColumn("compression_micro",
+        expr("(syms_after * 1000000) div syms_before"))
+      .orderBy("source")
   }
 
   /** Per-source inverse-Simpson token concentration ("effective
