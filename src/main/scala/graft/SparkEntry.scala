@@ -165,6 +165,7 @@ object SparkEntry {
     "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
     "q_scd2"              -> ((s, d) => DataQueries.scd2History(s, d)),
+    "q_scd2_asof"         -> ((s, d) => DataQueries.scd2Asof(s, d)),
     "q_incr_join"         -> ((s, d) => DataQueries.incrJoin(s, d)),
     "q_salted_join"       -> ((s, d) => DataQueries.saltedJoin(s, d)),
     "q_prefix_join"       -> ((s, d) => graft.ops.DedupOps
@@ -3039,6 +3040,30 @@ object SparkEntry {
          SELECT user_id, version, attr, valid_from, valid_to,
            (valid_to IS NULL) AS is_current
          FROM v ORDER BY user_id, version""",
+    // dimension snapshot AS OF the corpus midpoint day: the interval
+    // containing T, one version per key
+    "q_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+                      event_type AS attr FROM events),
+         m AS (SELECT *, lag(attr) OVER w AS prev FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT user_id, ts, event_id, attr FROM m
+               WHERE prev IS NULL OR prev <> attr),
+         v AS (SELECT user_id, attr, ts AS valid_from,
+                 lead(ts) OVER w2 AS valid_to,
+                 row_number() OVER w2 AS version
+               FROM r WINDOW w2 AS (PARTITION BY user_id
+                 ORDER BY ts, event_id)),
+         t AS (SELECT (CAST(min(ts::TIMESTAMP) AS DATE)
+                 + CAST(date_diff('day', CAST(min(ts::TIMESTAMP) AS DATE),
+                     CAST(max(ts::TIMESTAMP) AS DATE)) // 2
+                   AS INTEGER))::TIMESTAMP
+                 AS as_of FROM events)
+         SELECT user_id, version, attr, valid_from, t.as_of
+         FROM v, t
+         WHERE valid_from <= t.as_of
+           AND (valid_to IS NULL OR valid_to > t.as_of)
+         ORDER BY user_id""",
     // incremental-join law: the oracle computes the DIRECT join of the
     // full inputs; the Spark side unions the four base/delta joins —
     // hash match proves J(A∪ΔA, B∪ΔB) decomposes

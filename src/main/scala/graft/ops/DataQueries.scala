@@ -2824,6 +2824,28 @@ object DataQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Dimension snapshot AS OF an instant: from the SCD2 history, the
+    * one version per key whose validity interval contains T (here the
+    * data-derived corpus midpoint day, so the query is deterministic
+    * at every scale factor) — the "what did this dimension look like
+    * last quarter" read that is the POINT of keeping SCD2 history.
+    * One interval predicate over the history table; at scale the
+    * validity columns are the partition-pruning key. */
+  def scd2Asof(s: SparkSession, d: String): DataFrame = {
+    val hist = scd2History(s, d)
+    val mid = Tables.events(s, d)
+      .agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      .select(expr(
+        "cast(date_add(d0, cast(datediff(d1, d0) div 2 as int))" +
+          " as timestamp_ntz)").as("as_of"))
+    hist.crossJoin(broadcast(mid))
+      .filter(col("valid_from") <= col("as_of") &&
+        (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("valid_from"), col("as_of"))
+      .orderBy("user_id")
+  }
+
   /** Freshness-weighted activity mass per event type: each row's
     * contribution halves per day of age (exponential decay, half-life
     * 1 day), computed as the INTEGER `|vmicro| div 2^age` — a dyadic

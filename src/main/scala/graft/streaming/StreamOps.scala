@@ -329,8 +329,14 @@ object StreamOps {
       return // at-least-once replay: already applied
     val cur = readScd2(sp, statePath)
     val closed = cur.filter(col("valid_to").isNotNull)
-    // version offset per key = number of CLOSED versions (open is +1)
-    val vbase = closed.groupBy("user_id").agg(max("version").as("vbase"))
+    // version offset per key: the open run re-enters the collapse as
+    // run #1, so vbase = its version − 1 — computed from max(version)
+    // minus the open indicator rather than max over CLOSED rows, so
+    // version numbering survives [[vacuumScd2History]] retiring old
+    // closed versions (numbers continue, never restart).
+    val vbase = cur.groupBy("user_id").agg(
+      (max("version") - max(when(col("valid_to").isNull, 1L).otherwise(0L)))
+        .as("vbase"))
     // the open version re-enters the collapse as a pseudo-event at its
     // own run start; batch rows with ts ≥ it extend or close the run
     val pseudo = cur.filter(col("valid_to").isNull)
@@ -357,6 +363,31 @@ object StreamOps {
       .localCheckpoint(true)
     commitVersioned(sp, statePath, nextVersion(committed, batchId), next,
       committed, batchId)
+  }
+
+  /** SCD2 HISTORY RETENTION: retire CLOSED versions whose validity
+    * ended before `watermark` (canonical `yyyy-MM-dd HH:mm:ss`) — the
+    * GDPR/retention sweep every dimension table eventually needs. Open
+    * versions are never touched, and version numbers are preserved
+    * (applyScd2Batch derives its version base from the OPEN row, so
+    * numbering continues across the gap — the law Scd2RetentionSpec
+    * pins). Publishes a new committed version; the replay gate is
+    * untouched (marker carries the applied stream id forward). Returns
+    * the number of rows retired. */
+  def vacuumScd2History(sp: SparkSession, statePath: String,
+                        watermark: String): Long = {
+    val committed = committedVersions(sp, statePath)
+    require(committed.nonEmpty, s"no committed scd2 state at $statePath")
+    val cur = readScd2(sp, statePath)
+    val isOld = col("valid_to").isNotNull &&
+      col("valid_to") < lit(watermark).cast("timestamp_ntz")
+    val n = cur.filter(isOld).count()
+    if (n > 0) {
+      val next = cur.filter(!isOld).localCheckpoint(true)
+      commitVersioned(sp, statePath, committed.max + 1, next, committed,
+        lastAppliedStream(sp, statePath))
+    }
+    n
   }
 
   private val MergeSchema =

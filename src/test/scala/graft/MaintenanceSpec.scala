@@ -101,6 +101,37 @@ class MaintenanceSpec extends SparkSpec {
       .select("user_id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("scd2 retention: old closed versions retire, numbering never restarts") {
+    val mk = (rows: Seq[(Long, String, Long, String, Double)]) =>
+      mergeBatch(rows) // same (user_id, ts, event_id, event_type, value) shape
+    val kept = java.nio.file.Files
+      .createTempDirectory("scd2_keep").toString + "/state"
+    val vac = java.nio.file.Files
+      .createTempDirectory("scd2_vac").toString + "/state"
+    val b0 = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 0.0),
+      (1L, "2024-01-02 00:00:00", 2L, "view", 0.0),
+      (1L, "2024-01-03 00:00:00", 3L, "buy", 0.0))
+    val b1 = Seq(
+      (1L, "2024-01-20 00:00:00", 4L, "click", 0.0))
+    for (p <- Seq(kept, vac)) StreamOps.applyScd2Batch(mk(b0), p, 0L)
+    // retire versions closed before Jan 10 on ONE of the twins
+    val n = StreamOps.vacuumScd2History(spark, vac, "2024-01-10 00:00:00")
+    assert(n == 2, s"expected 2 retired closed versions, got $n")
+    for (p <- Seq(kept, vac)) StreamOps.applyScd2Batch(mk(b1), p, 1L)
+    def cur(p: String) = StreamOps.readScd2(spark, p)
+      .filter(col("valid_to").isNull)
+      .select("user_id", "version", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // the vacuumed twin's CURRENT rows (and version numbers) must be
+    // identical to the full-history twin's — retention is invisible
+    // to everything except the retired rows themselves
+    assert(cur(vac) == cur(kept), s"vac=${cur(vac)} kept=${cur(kept)}")
+    assert(cur(vac) == Seq((1L, 4L, "click")))
+    assert(StreamOps.readScd2(spark, vac).count() ==
+      StreamOps.readScd2(spark, kept).count() - 2)
+  }
+
   test("compaction: content-neutral, bounded file count, better probe locality") {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
