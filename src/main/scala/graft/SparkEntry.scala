@@ -185,6 +185,7 @@ object SparkEntry {
     "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d)),
     "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d)),
     "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d)),
+    "q_harmonic"          -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     "q_bpe_apply"         -> ((s, d) => DataQueries.bpeApply(s, d)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
@@ -1538,6 +1539,55 @@ object SparkEntry {
              / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
                 AS DOUBLE) * 1e6)) AS BIGINT) AS hll_raw
          FROM sk ORDER BY doc_id""",
+    // harmonic centrality via HyperBall shells: ball estimates at
+    // radius 1 and 2 from the same register merges, Σ (b_r−b_{r−1})/r
+    // in exact micro-unit integer arithmetic
+    "q_harmonic" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         r0 AS (SELECT v, h & 511 AS b,
+                  CASE WHEN (h >> 9) = 0 THEN 52
+                    ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS r
+                FROM (SELECT v, ${H64.format("CAST(v AS VARCHAR)")} AS h
+                      FROM nodes)),
+         m1 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r0 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r0),
+         r1 AS (SELECT v, b, max(r) AS r FROM m1 GROUP BY 1, 2),
+         m2 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r1 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r1),
+         r2 AS (SELECT v, b, max(r) AS r FROM m2 GROUP BY 1, 2),
+         sk1 AS (SELECT v, count(*) AS n1,
+                   CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s1
+                 FROM r1 GROUP BY 1),
+         sk2 AS (SELECT v, count(*) AS n2,
+                   CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s2
+                 FROM r2 GROUP BY 1),
+         bb AS (SELECT sk1.v,
+                  CAST(round((719783e0 * 262144 * 4503599627370496e0)
+                    / (CAST(s1 + (512 - n1) * (1::BIGINT << 52)
+                       AS DOUBLE) * 1e6)) AS BIGINT) AS b1,
+                  CAST(round((719783e0 * 262144 * 4503599627370496e0)
+                    / (CAST(s2 + (512 - n2) * (1::BIGINT << 52)
+                       AS DOUBLE) * 1e6)) AS BIGINT) AS b2
+                FROM sk1 JOIN sk2 USING (v))
+         SELECT v AS doc_id, b1, b2,
+           greatest(b1 - 1, 0) * 1000000
+             + (greatest(b2 - b1, 0) * 1000000) // 2 AS harmonic_micro
+         FROM bb ORDER BY harmonic_micro DESC, doc_id""",
     // synchronous label propagation, 3 unrolled rounds; plurality
     // label with smallest-label tie-break makes every round total
     "q_label_prop" ->
