@@ -57,6 +57,7 @@ object SparkEntry {
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_incr_cc"           -> ((s, d) => DataQueries.incrCc(s, d)),
+    "q_windowed_dedup"    -> ((s, d) => DataQueries.windowedDedup(s, d)),
     "q_dedup_groups_capped" -> ((s, d) => DataQueries.dedupGroupsCapped(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
     "q_repetition"        -> ((s, d) => DataQueries.repetition(s, d)),
@@ -1041,6 +1042,27 @@ object SparkEntry {
     // component representative) — independent of the Spark side's
     // iterative min-label propagation.
     "q_dedup_groups" -> DEDUP_GROUPS_SQL,
+    // time-windowed near-dup pairs: the oracle joins UNWINDOWED and
+    // filters to |batch diff| <= 1 — the (shingle, bucket)-replication
+    // candidate trick is hash-proven lossless within the window
+    "q_windowed_dedup" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, doc_id % 10 AS batch, unnest(shs) AS s
+                FROM shing),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, a.batch AS batch_a,
+                     b.doc_id AS doc_b, b.batch AS batch_b,
+                     count(*) AS inter
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   WHERE abs(a.batch - b.batch) <= 1
+                   GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, batch_a, batch_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
+         ORDER BY doc_a, doc_b""",
     // INCREMENTAL components share the full-recompute oracle VERBATIM:
     // the incremental fold (batch probes the index, endpoints contract
     // to yesterday's reps, CC runs on the touched subgraph only) must

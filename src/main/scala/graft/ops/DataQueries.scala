@@ -847,6 +847,47 @@ object DataQueries {
       .orderBy("doc")
   }
 
+  /** TIME-WINDOWED near-dup pairs: Jaccard pairs restricted to
+    * |batch_a − batch_b| ≤ 1 over the arrival-batch axis (doc_id % 10,
+    * the fixture's ingest day — [[noveltyRate]]'s convention). This is
+    * how dedup stays feasible on an UNBOUNDED crawl: a re-crawl is
+    * near its original in time, so the candidate join runs on
+    * (shingle, time-bucket) keys — each side replicated to buckets
+    * {b, b+1}, so pairs within the window meet and nothing else
+    * does — and a shingle's fan-out is bounded by its WINDOWED doc
+    * frequency, not its all-time one. The oracle is the UNWINDOWED
+    * pair join filtered to the window, so the bucket-replication
+    * trick is hash-proven lossless within the window. */
+  def windowedDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("batch", col("doc_id") % 10)
+    val arr = docs.select(col("doc_id").as("doc"), col("batch"),
+      TextOps.shingleHashes(col("text"), 3).as("arr"))
+    val sizes = arr.select(col("doc"), size(col("arr")).as("sz"))
+    val sh = arr.select(col("doc"), col("batch"),
+        explode_outer(col("arr")).as("s"))
+      .filter(col("s").isNotNull)
+    val rep = sh.select(col("doc"), col("batch"), col("s"),
+      explode(array(col("batch"), col("batch") + 1)).as("bk"))
+    val a = rep.toDF("doc_a", "batch_a", "s", "bk")
+    val b = rep.toDF("doc_b", "batch_b", "s", "bk")
+    val cand = a.join(b, Seq("s", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "batch_a", "doc_b", "batch_b", "s")
+      .distinct() // same-bucket pairs meet at both replicas
+      .groupBy("doc_a", "doc_b", "batch_a", "batch_b")
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .withColumn("jac", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("batch_a"), col("batch_b"),
+        round(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Shared pairs→groups tail: connected components, component sizes,
     * join-back, total order — kept in one place so the document and
     * embedding group queries cannot diverge. */
