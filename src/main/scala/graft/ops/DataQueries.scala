@@ -798,12 +798,19 @@ object DataQueries {
     * new edge pulled in), and untouched base components pass through
     * unchanged. History is never re-clustered — the 100 TB daily
     * ingest story for dedup groups. */
-  def incrCc(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val isBatch = col("doc") % 5 === 4
+  def incrCc(s: SparkSession, d: String): DataFrame =
+    incrCcOf(Tables.documents(s, d), id => id % 5 === 4)
+
+  /** [[incrCc]] over an arbitrary (doc_id, text) frame; `isBatch` maps
+    * the id column to the new-ingest predicate (IncrCcProps drives
+    * random splits through it). */
+  private[graft] def incrCcOf(
+      docs: DataFrame,
+      isBatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     // --- yesterday's state: components over the base corpus only
     val baseComps = DedupOps.connectedComponents(
-      DedupOps.jaccardPairs(docs.filter(col("doc_id") % 5 =!= 4),
+      DedupOps.jaccardPairs(docs.filter(!isBatch(col("doc_id"))),
         "doc_id", "text", n = 3, threshold = 0.1).select("doc_a", "doc_b"))
     // --- new edges: batch docs probe the full shingle index
     val arr = docs.select(col("doc_id").as("doc"),
@@ -811,7 +818,7 @@ object DataQueries {
     val sizes = arr.select(col("doc"), size(col("arr")).as("sz"))
     val sh = arr.select(col("doc"), explode_outer(col("arr")).as("s"))
       .filter(col("s").isNotNull)
-    val probe = sh.filter(isBatch)
+    val probe = sh.filter(isBatch(col("doc")))
     val newPairs = probe.toDF("pa", "s").join(sh.toDF("pb", "s"), Seq("s"))
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("doc_a"),

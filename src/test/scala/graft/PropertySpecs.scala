@@ -636,6 +636,47 @@ object LabelPropProps extends SparkProps("LabelProp") {
     }
 }
 
+/** The incremental-CC law on random corpora and ARBITRARY batch
+  * splits: folding the batch into the base components equals
+  * re-clustering the whole corpus, for any partition of the docs. */
+object IncrCcProps extends SparkProps("IncrCC") {
+  import org.apache.spark.sql.functions._
+  import graft.ops.{DataQueries, DedupOps}
+
+  // duplicate-heavy tiny corpus (10-token vocab) so near-dup pairs and
+  // multi-doc components actually form, plus a random batch mask
+  private val caseGen = for {
+    n <- Gen.chooseNum(6, 14)
+    texts <- Gen.listOfN(n, Gen.chooseNum(5, 10).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf((0 until 10).map(i => s"w$i")))
+        .map(_.mkString(" "))))
+    mask <- Gen.listOfN(n, Gen.oneOf(true, false))
+  } yield (texts, mask)
+
+  property("incremental fold equals full recompute for any split") =
+    forAll(caseGen) { case (texts, mask) =>
+      val sp = spark
+      import sp.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batchIds = mask.zipWithIndex.collect { case (true, i) => i.toLong }
+      val got = DataQueries
+        .incrCcOf(docs, id => id.isInCollection(
+          if (batchIds.isEmpty) Seq(-1L) else batchIds))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sorted
+      val full = DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+          .select("doc_a", "doc_b"))
+      val szs = full.groupBy("comp").agg(count(lit(1)).as("cs"))
+      val want = full.join(szs, Seq("comp"))
+        .select(col("node"), col("comp"), col("cs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sorted
+      Prop(got == want) :| s"texts=$texts mask=$mask got=$got want=$want"
+    }
+}
+
 object SketchProps extends SparkProps("Sketches") {
   import org.apache.spark.sql.functions._
   import graft.ops.{DedupOps, Hashing}
