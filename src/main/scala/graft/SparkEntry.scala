@@ -144,6 +144,8 @@ object SparkEntry {
     "q_skew_report"       -> ((s, d) => DataQueries.skewReport(s, d)),
     "q_pca_project"       -> ((s, d) =>
       graft.ops.VectorOps.pcaProject(graft.Tables.embeddings(s, d))),
+    "q_jl_distortion"     -> ((s, d) =>
+      graft.ops.VectorOps.jlDistortion(graft.Tables.embeddings(s, d))),
     "q_para_pairs"        -> ((s, d) => DataQueries.paraPairs(s, d)),
     "q_cluster_sample"    -> ((s, d) => DataQueries.clusterSample(s, d)),
     "q_weighted_sample"   -> ((s, d) => DataQueries.weightedSample(s, d)),
@@ -421,6 +423,39 @@ object SparkEntry {
                  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                          ORDER BY d, cidx) AS rn FROM dists)
                  WHERE rn = 1)"""
+
+  /** JL distortion oracle: ±1 directions from the shared hash parity,
+    * exact BIGINT projections and pair distances. */
+  private lazy val JL_SQL =
+    s"""WITH mf AS (SELECT vec_id, i,
+                CAST(round(v::DOUBLE * 1e6) AS BIGINT) AS vf
+              FROM (SELECT vec_id, unnest(range(len(embedding))) AS i,
+                      unnest(embedding) AS v
+                    FROM embeddings WHERE embedding IS NOT NULL)),
+       prj AS (SELECT vec_id, j,
+                 CAST(sum(CASE WHEN (h % 2) = 0 THEN vf ELSE -vf END)
+                   AS BIGINT) AS yj
+               FROM (SELECT mf.*, r.j,
+                       ${H64.format(
+                         "CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")}
+                         AS h
+                     FROM mf, range(16) AS r(j))
+               GROUP BY 1, 2),
+       do2 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(sum((a.vf - b.vf) * (a.vf - b.vf)) AS BIGINT)
+                   AS d2_orig
+               FROM mf a JOIN mf b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+               GROUP BY 1, 2),
+       dp2 AS (SELECT a.vec_id AS va,
+                 CAST(sum((a.yj - b.yj) * (a.yj - b.yj)) AS BIGINT)
+                   AS d2_proj
+               FROM prj a JOIN prj b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+               GROUP BY 1)
+       SELECT va AS vec_a, vb AS vec_b, d2_orig, d2_proj,
+         CASE WHEN d2_orig > 0
+           THEN d2_proj // greatest(16 * (d2_orig // 1000000), 1) END
+           AS distortion_micro
+       FROM do2 JOIN dp2 USING (va) ORDER BY vec_a"""
 
   /** Gopher rule-gate signal CTE (expects `toks` in scope) — shared by
     * q_gopher_quality and the quality-classifier queries that distill
@@ -3697,6 +3732,7 @@ object SparkEntry {
     // Fixed-point power iteration: integer second-moment matrix, 3
     // unrolled integer matvec+rescale steps (div/`//` both truncate
     // toward zero), integer projections — bit-exact replay
+    "q_jl_distortion" -> JL_SQL,
     "q_pca_project" ->
       """WITH f0 AS (SELECT vec_id, label,
                   unnest(range(len(embedding))) AS i,

@@ -830,6 +830,57 @@ object VectorOps {
     * Overflow headroom: |Σ v_i·v_j| ≤ N·1e12 micro² keeps the partial
     * sums in BIGINT up to ~9M vectors; past that, rescale the unit (the
     * comment contract, not a silent cap). */
+  /** Johnson–Lindenstrauss random projection with an ORACLED
+    * distortion report: project micro-quantized embeddings onto k=16
+    * deterministic ±1 directions (sign = parity of the shared 60-bit
+    * content hash of "i_j" — no RNG, both engines regenerate the same
+    * matrix), then for every consecutive-id vector pair report the
+    * exact integer squared distance before and after plus the
+    * distortion ratio in micro-units. With ±1 entries
+    * E[(y_a−y_b)²_j] = ‖a−b‖² per output dim, so distortion_micro
+    * concentrates at 1e6·k/(k) — the JL guarantee as pinned data,
+    * the dimensionality-reduction analog of q_hll_err/q_cms_err.
+    *
+    * Scale shape: the sign matrix is a dims×k frame (1024 rows)
+    * hashed ONCE and broadcast — the projection is one broadcast join
+    * + a (vec, j) map-combined sum; nothing rescans or reshuffles the
+    * corpus per output dimension. PCA ([[pcaProject]]) needs the d²
+    * Gram pass and an iteration; JL needs neither, which is why it is
+    * the 100 TB first choice when any 16 directions will do. */
+  def jlDistortion(emb: DataFrame, k: Int = 16): DataFrame = {
+    import graft.ops.TextOps
+    val m = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        expr("cast(round(cast(v as double) * 1e6) as bigint)").as("vf"))
+    val signs = m.select(col("i")).distinct()
+      .select(col("i"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("sgn", when(TextOps.h64(concat(col("i").cast("string"),
+        lit("_"), col("j").cast("string"))) % 2 === 0, 1L).otherwise(-1L))
+    val proj = m.join(broadcast(signs), Seq("i"))
+      .groupBy("vec_id", "j").agg(sum(col("sgn") * col("vf")).as("yj"))
+    val d2o = m.select(col("vec_id").as("va"), col("i"), col("vf").as("fa"))
+      .join(m.select((col("vec_id") - 1).as("va"), col("vec_id").as("vb"),
+        col("i"), col("vf").as("fb")), Seq("va", "i"))
+      .groupBy("va", "vb")
+      .agg(sum((col("fa") - col("fb")) * (col("fa") - col("fb")))
+        .as("d2_orig"))
+    val d2p = proj.select(col("vec_id").as("va"), col("j"), col("yj").as("ya"))
+      .join(proj.select((col("vec_id") - 1).as("va"), col("j"),
+        col("yj").as("yb")), Seq("va", "j"))
+      .groupBy("va")
+      .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .as("d2_proj"))
+    d2o.join(d2p, Seq("va"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        col("d2_orig"), col("d2_proj"),
+        when(col("d2_orig") > 0, expr(
+          s"d2_proj div greatest($k * (d2_orig div 1000000), 1)"))
+          .as("distortion_micro"))
+      .orderBy("vec_a")
+  }
+
   def pcaProject(emb: DataFrame): DataFrame = {
     val fix = emb.select(col("vec_id"), col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
