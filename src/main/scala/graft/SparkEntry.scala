@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_incr_cc"           -> ((s, d) => DataQueries.incrCc(s, d)),
     "q_windowed_dedup"    -> ((s, d) => DataQueries.windowedDedup(s, d)),
+    "q_heavy_hitters"     -> ((s, d) => DataQueries.heavyHitters(s, d)),
     "q_dedup_groups_capped" -> ((s, d) => DataQueries.dedupGroupsCapped(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
     "q_repetition"        -> ((s, d) => DataQueries.repetition(s, d)),
@@ -1881,6 +1882,33 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY cnt DESC, g ASC) AS rk,
            ngram, cnt AS exact_cnt, cms_est, cms_est - cnt AS over_est
          FROM probe ORDER BY rk""",
+    // sketch-pruned top-k: top-50 by CMS estimate, exact pass marks
+    // membership in the exact top-50 — ranking quality as pinned data
+    "q_heavy_hitters" ->
+      s"""WITH $TOKS_CTE,
+         g0 AS (SELECT unnest(CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(len(tk) - 2),
+                    i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+                  ELSE [] END) AS gram
+                FROM toks),
+         counts AS (SELECT ${H64.format("gram")} AS g, min(gram) AS ngram,
+                      CAST(count(*) AS BIGINT) AS cnt
+                    FROM g0 GROUP BY ${H64.format("gram")}),
+         counters AS (SELECT r.j AS r, (g >> (r.j * 15)) & 32767 AS b,
+                        CAST(sum(cnt) AS BIGINT) AS c
+                      FROM counts, range(4) AS r(j) GROUP BY 1, 2),
+         est AS (SELECT t.g, t.ngram, t.cnt, min(co.c) AS cms_est
+                 FROM (SELECT g, ngram, cnt, r.j AS r,
+                         (g >> (r.j * 15)) & 32767 AS b
+                       FROM counts, range(4) AS r(j)) t
+                 JOIN counters co ON co.r = t.r AND co.b = t.b
+                 GROUP BY 1, 2, 3),
+         cand AS (SELECT * FROM est ORDER BY cms_est DESC, g LIMIT 50),
+         xtop AS (SELECT g FROM counts ORDER BY cnt DESC, g LIMIT 50)
+         SELECT row_number() OVER (ORDER BY cms_est DESC, g) AS rk,
+           ngram, cms_est, cnt AS exact_cnt,
+           (g IN (SELECT g FROM xtop)) AS in_exact_topk
+         FROM cand ORDER BY rk""",
     // HLL replay: trailing-zero rank via exact bit ops, harmonic sum as
     // an exact integer Σ2^(52−ρ), estimate via IEEE-exact doubles only
     // (α·m² = 38 significant bits; ·2^52 = exponent shift; then one

@@ -620,6 +620,55 @@ object DataQueries {
       .orderBy("rk")
   }
 
+  /** Sketch-pruned TOP-K — the production use of the CMS that
+    * [[cmsErr]] calibrates: pass 1 builds the 4×2¹⁵ counter file
+    * (map-combined integer sums, a few hundred KB — BROADCAST), every
+    * distinct gram probes it map-side, and the top-50 BY ESTIMATE are
+    * the candidate set the exact second pass verifies. The output
+    * pins the sketch's ranking quality as data: each candidate
+    * carries its estimate, its exact count, and whether it belongs to
+    * the exact top-50 — so the recall the prune would achieve at
+    * scale is visible per row (CMS collisions only INFLATE estimates,
+    * so a true top-k member can be displaced but never silently
+    * undercounted). Both top-k's are TakeOrdered (sort-limit), not
+    * global windows; at 100 TB pass 2 counts only the candidate keys
+    * (a semi-join), never the full vocabulary. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select(explode_outer(call_function("shingle_h64s_all",
+        TextOps.tokens(col("text")), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val counters = cnt
+      .select(explode(sequence(lit(0), lit(3))).as("r"), col("g"), col("cnt"))
+      .withColumn("b", expr("shiftright(g, r * 15) & 32767"))
+      .groupBy("r", "b").agg(sum("cnt").as("c"))
+    val est = cnt
+      .select(col("g"), col("cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("b", expr("shiftright(g, r * 15) & 32767"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("g", "cnt").agg(min("c").as("cms_est"))
+    val cand = est.orderBy(col("cms_est").desc, col("g").asc).limit(k)
+    val exactTop = cnt.orderBy(col("cnt").desc, col("g").asc).limit(k)
+      .select(col("g"), lit(true).as("in_exact"))
+    val rehydrated = docs
+      .select(explode_outer(call_function("shingle_pairs",
+        TextOps.tokens(col("text")), lit(3))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.h").as("g"), col("p.s").as("gram"))
+      .join(broadcast(cand.select("g")), Seq("g"))
+      .groupBy("g").agg(min(col("gram")).as("ngram"))
+    cand.join(rehydrated, Seq("g"))
+      .join(broadcast(exactTop), Seq("g"), "left")
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cms_est").desc, col("g").asc)))
+      .select(col("rk"), col("ngram"), col("cms_est"),
+        col("cnt").as("exact_cnt"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact_topk"))
+      .orderBy("rk")
+  }
+
   /** HyperLogLog distinct-count calibration per source: 512 registers
     * (bucket = low 9 bits of the 60-bit content hash; register value =
     * trailing-zero rank ρ of the remaining 51 bits — Flajolet-Martin
