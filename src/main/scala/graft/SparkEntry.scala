@@ -59,6 +59,8 @@ object SparkEntry {
     "q_incr_cc"           -> ((s, d) => DataQueries.incrCc(s, d)),
     "q_windowed_dedup"    -> ((s, d) => DataQueries.windowedDedup(s, d)),
     "q_heavy_hitters"     -> ((s, d) => DataQueries.heavyHitters(s, d)),
+    "q_footer_stats"      -> ((s, d) =>
+      graft.sources.FooterStats.eventsFooterStats(s, d)),
     "q_dedup_groups_capped" -> ((s, d) => DataQueries.dedupGroupsCapped(s, d)),
     "q_clean_docs"        -> ((s, d) => DataQueries.cleanDocs(s, d)),
     "q_repetition"        -> ((s, d) => DataQueries.repetition(s, d)),
@@ -1909,6 +1911,15 @@ object SparkEntry {
            ngram, cms_est, cnt AS exact_cnt,
            (g IN (SELECT g FROM xtop)) AS in_exact_topk
          FROM cand ORDER BY rk""",
+    // footer-vs-data law: the Spark side reads the parquet FOOTER's
+    // column statistics; the oracle recomputes the same numbers from
+    // the rows — metadata must agree with the data it describes
+    "q_footer_stats" ->
+      """SELECT 'event_id' AS col_name, count(event_id) AS n_values,
+           min(event_id) AS min_v, max(event_id) AS max_v FROM events
+         UNION ALL
+         SELECT 'user_id', count(user_id), min(user_id), max(user_id)
+         FROM events ORDER BY col_name""",
     // HLL replay: trailing-zero rank via exact bit ops, harmonic sum as
     // an exact integer Σ2^(52−ρ), estimate via IEEE-exact doubles only
     // (α·m² = 38 significant bits; ·2^52 = exponent shift; then one
