@@ -160,17 +160,21 @@ class MaintenanceSpec extends SparkSpec {
       "compaction changed table content")
 
     // probe locality: same 2-d box as q_zorder — files whose footer
-    // (min,max) ranges intersect the box. The Z-clustered layout must
-    // touch strictly fewer files than the arrival layout.
+    // (min,max) ranges intersect the box, read from the REAL parquet
+    // footers (FooterStats), exactly as a scan planner would. The
+    // Z-clustered layout must touch strictly fewer files than the
+    // arrival layout.
     val uhi = ev.agg(expr("max(user_id) div 4")).head().getLong(0)
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    def dayn(micros: Long): Long =
+      Math.floorDiv(micros, 86400000000L) - epoch0
     def filesHit(dir: String): Int = parts(dir).count { f =>
-      val st = spark.read.parquet(f)
-        .select(col("user_id"),
-          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
-            .as("dayn"))
-        .agg(min("user_id"), max("user_id"), min("dayn"), max("dayn"))
-        .head()
-      st.getLong(0) <= uhi && st.getInt(2) <= 14 && st.getInt(3) >= 5
+      val st = graft.sources.FooterStats
+        .footerStats(spark, f, Seq("user_id", "ts"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      st("user_id")._1 <= uhi &&
+        dayn(st("ts")._1) <= 14 && dayn(st("ts")._2) >= 5
     }
     val (hz, ha) = (filesHit(zdir), filesHit(adir))
     assert(hz < ha, s"z-order hit $hz files, arrival hit $ha — no win")
