@@ -424,6 +424,126 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode as 4:2:0 baseline JPEG — the storage layout real crawls
+    * use (chroma at quarter resolution): per 16×16 MCU, four Y blocks
+    * plus one Cb and one Cr block built from 2×2 box-averaged chroma.
+    * Same quantizer/tables as [[encode]]; typically ~2× smaller for
+    * the same luma fidelity. */
+  def encode420(w: Int, h: Int, rgb: Array[Int], q: Int = 1): Array[Byte] = {
+    require(rgb.length == w * h * 3, "jpeg encode420: rgb length != w*h*3")
+    require(q >= 1 && q <= 255, "jpeg encode420: q out of 1..255")
+    val mcuW = (w + 15) / 16
+    val mcuH = (h + 15) / 16
+    val pw = mcuW * 16
+    val ph = mcuH * 16
+    // full-res YCbCr planes, edge-replicated to the padded grid
+    val yP = new Array[Int](pw * ph)
+    val cbP = new Array[Int](pw * ph)
+    val crP = new Array[Int](pw * ph)
+    var py = 0
+    while (py < ph) {
+      var px = 0
+      while (px < pw) {
+        val sx = math.min(px, w - 1); val sy = math.min(py, h - 1)
+        val p = (sy * w + sx) * 3
+        val r = rgb(p); val g = rgb(p + 1); val b = rgb(p + 2)
+        def cl(d: Double): Int = {
+          val v = StrictMath.round(d).toInt
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        yP(py * pw + px) = cl(0.299 * r + 0.587 * g + 0.114 * b)
+        cbP(py * pw + px) = cl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+        crP(py * pw + px) = cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+        px += 1
+      }
+      py += 1
+    }
+    // quarter-res chroma via 2×2 box mean (round half up)
+    val cw = pw / 2; val ch = ph / 2
+    val cbS = new Array[Int](cw * ch)
+    val crS = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        val o = 2 * cy * pw + 2 * cx
+        cbS(cy * cw + cx) =
+          (cbP(o) + cbP(o + 1) + cbP(o + pw) + cbP(o + pw + 1) + 2) / 4
+        crS(cy * cw + cx) =
+          (crP(o) + crP(o + 1) + crP(o + pw) + crP(o + pw + 1) + 2) / 4
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream
+    marker(out, 0xd8)
+    marker(out, 0xe0); be16(out, 16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    var ti = 0
+    while (ti < 2) {
+      marker(out, 0xdb); be16(out, 67); out.write(ti)
+      var i = 0
+      while (i < 64) { out.write(q); i += 1 }
+      ti += 1
+    }
+    marker(out, 0xc0); be16(out, 17)
+    out.write(8); be16(out, h); be16(out, w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y  2×2 → qtable 0
+    out.write(2); out.write(0x11); out.write(1) // Cb 1×1 → qtable 1
+    out.write(3); out.write(0x11); out.write(1) // Cr 1×1 → qtable 1
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(out, 0xc4); be16(out, 19 + vals.length)
+      out.write((cls << 4) | id)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcChrBits, AcChrVals)
+    marker(out, 0xda); be16(out, 12); out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+
+    val dcLum = new HuffEnc(DcLumBits, DcLumVals)
+    val acLum = new HuffEnc(AcLumBits, AcLumVals)
+    val dcChr = new HuffEnc(DcChrBits, DcChrVals)
+    val acChr = new HuffEnc(AcChrBits, AcChrVals)
+    val bw = new BitWriter(out)
+    val blk = new Array[Double](64)
+    val preds = new Array[Int](3)
+    def block(plane: Array[Int], rowW: Int, x0: Int, y0: Int,
+              comp: Int, dc: HuffEnc, ac: HuffEnc): Unit = {
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          blk(by * 8 + bx) = plane((y0 + by) * rowW + x0 + bx) - 128.0
+          bx += 1
+        }
+        by += 1
+      }
+      preds(comp) = encodeBlock(bw, fdctQuant(blk, q), preds(comp), dc, ac)
+    }
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        // four Y blocks, raster order (T.81 A.2.3)
+        block(yP, pw, mx * 16, my * 16, 0, dcLum, acLum)
+        block(yP, pw, mx * 16 + 8, my * 16, 0, dcLum, acLum)
+        block(yP, pw, mx * 16, my * 16 + 8, 0, dcLum, acLum)
+        block(yP, pw, mx * 16 + 8, my * 16 + 8, 0, dcLum, acLum)
+        block(cbS, cw, mx * 8, my * 8, 1, dcChr, acChr)
+        block(crS, cw, mx * 8, my * 8, 2, dcChr, acChr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------

@@ -163,6 +163,39 @@ class JpegSpec extends SparkSpec {
     assert(maxs <= 8, s"smooth-chroma max disagreement $maxs")
   }
 
+  test("4:2:0 encoder: smaller stream, decodes within the chroma band, imageio agrees") {
+    val (w, h) = (37, 23)
+    // smooth chroma so the subsample loss stays tight
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      i % 3 match { case 0 => x * 3 + 40; case 1 => y * 4 + 30; case _ => 90 }
+    }
+    val sub = Jpeg.encode420(w, h, rgb, q = 1)
+    val full = Jpeg.encode(w, h, rgb, q = 1)
+    assert(sub.length < full.length, "4:2:0 did not shrink the stream")
+    // SOF carries the 2×2 luma sampling factor
+    // FF C0 len(2) prec h(2) w(2) ncomp id1 hv1 → hv1 at offset +11
+    assert((0 until sub.length - 12).exists(i =>
+      (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0
+        && (sub(i + 11) & 0xff) == 0x22), "SOF is not 4:2:0")
+    val (dw, dh, mine) = Jpeg.decode(sub)
+    assert((dw, dh) == (w, h))
+    val maxSelf = rgb.indices.map(i => math.abs(rgb(i) - mine(i))).max
+    assert(maxSelf <= 10, s"4:2:0 round-trip error $maxSelf on smooth chroma")
+    // the JDK decoder reads our subsampled stream too
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sub))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    var vsIo = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = img.getRGB(x, y); val p = (y * w + x) * 3
+      vsIo = math.max(vsIo, math.max(
+        math.abs(((px >> 16) & 0xff) - rgb(p)), math.max(
+          math.abs(((px >> 8) & 0xff) - rgb(p + 1)),
+          math.abs((px & 0xff) - rgb(p + 2)))))
+    }
+    assert(vsIo <= 10, s"imageio decode of our 4:2:0 stream err $vsIo")
+  }
+
   test("progressive streams fail loudly") {
     val (w, h) = (24, 16)
     val bytes = imageioColorJpeg(w, h, formulaRgb(w, h), progressive = true)
