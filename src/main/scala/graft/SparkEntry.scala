@@ -108,6 +108,7 @@ object SparkEntry {
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
+    "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
     "q_audio_resample"    -> ((s, d) => DataQueries.audioResample(s, d)),
     "q_strat_alloc"       -> ((s, d) => DataQueries.stratAlloc(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
@@ -2766,6 +2767,24 @@ object SparkEntry {
            sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
            sum(b)::BIGINT AS sum_b,
            sum((y + 1) * r)::BIGINT AS wsum_r,
+           TRUE AS within_band
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // 4:2:0 leg: smooth gradients (box-downsampled chroma can't follow
+    // sharp edges), band <=8 at q=1; analytic sums exact
+    "q_jpeg420_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h, 'jpg' AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 40 + 3 * x + doc_id % 60 AS r,
+                 30 + 4 * y + doc_id % 40 AS g,
+                 55 + doc_id % 150 AS b
+               FROM c)
+         SELECT doc_id, format, max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
            TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
     "q_media_neardup" ->

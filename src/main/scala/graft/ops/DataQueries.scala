@@ -1605,6 +1605,62 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** 4:2:0 leg of the JPEG gate: smooth doc-keyed gradients (no mod-256
+    * wraparound — box-downsampled chroma cannot follow sharp edges, so
+    * the subsampled band is only meaningful on smooth chroma) through
+    * [[Jpeg.encode420]] → decode, banded at ≤8 per pixel (measured
+    * worst case 5 across the doc grid). Analytic sums exact; the
+    * subsampled write path rides the oracle gate, not just the spec. */
+  def jpeg420Features(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("within_band", BooleanType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = 40 + 3 * x + (doc % 60).toInt
+              rgb(p + 1) = 30 + 4 * y + (doc % 40).toInt
+              rgb(p + 2) = 55 + (doc % 150).toInt
+              sr += rgb(p); sg += rgb(p + 1); sb += rgb(p + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Jpeg.encode420(w, h, rgb, q = 1)
+          val (dw, dh, dec) = Jpeg.decode(bytes)
+          var maxErr = 0
+          var i = 0
+          while (i < rgb.length) {
+            val e = math.abs(rgb(i) - dec(i))
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          Row(doc, Multimodal.detectFormat(bytes), dw.toLong, dh.toLong,
+            sr, sg, sb, maxErr <= 8)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup groups via dHash: 12 planted seed groups —
     * same-seed images share base pixels and dimensions, each doc adds a
     * sparse +2 luminance perturbation — go through the REAL encode
