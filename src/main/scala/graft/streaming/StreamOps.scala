@@ -547,6 +547,96 @@ object StreamOps {
     nDead
   }
 
+  private val CcSchema = "node BIGINT, comp BIGINT"
+
+  /** Latest committed near-dup component state: one (node, comp) row
+    * per document that belongs to a component (singletons are absent,
+    * exactly like the batch `dedupGroups` output). */
+  def readCcState(sp: SparkSession, statePath: String): DataFrame =
+    readVersioned(sp, s"$statePath/comps", CcSchema)
+
+  /** CONTINUOUSLY-MAINTAINED dedup components: each micro-batch of
+    * (doc_id, text) documents folds into the component state via the
+    * incremental-CC machinery (probe the persisted shingle index with
+    * the batch only, contract endpoints to existing reps, run CC on
+    * the touched subgraph) — the streaming twin of
+    * [[graft.ops.DataQueries.incrCc]], whose law (fold ≡ full
+    * recompute) IncrCcProps pins relationally and StreamingSpec pins
+    * across sequential micro-batches here. State is two-part: an
+    * APPEND-ONLY shingle posting index (`index/b=<batchId>` — the
+    * growing structure dedup fundamentally needs; postings never
+    * rewrite) and the (node, comp) table under the usual versioned
+    * `_COMMIT` durability (replays skip; a failed apply retries over
+    * its own orphan index dir with mode-overwrite before the comps
+    * version commits, so the state being read is never damaged).
+    * Per-trigger cost: |batch| shingling + a batch-sized probe of the
+    * index + CC on the touched subgraph — history is never
+    * re-clustered. */
+  def maintainCc(stream: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyCcBatch(batch, statePath, batchId)
+      }
+      .start()
+
+  private[graft] def applyCcBatch(batch: org.apache.spark.sql.Dataset[Row],
+                                  statePath: String, batchId: Long): Unit = {
+    import graft.ops.{DedupOps, TextOps}
+    val sp = batch.sparkSession
+    val compsPath = s"$statePath/comps"
+    val committed = committedVersions(sp, compsPath)
+    if (batchId <= lastAppliedStream(sp, compsPath))
+      return // at-least-once replay: already applied (index dir included)
+    // 1. the batch's shingle postings (doc, sz, s) — appended to the index
+    val sh = batch
+      .select(col("doc_id").as("doc"),
+        TextOps.shingleHashes(col("text"), 3).as("arr"))
+      .select(col("doc"), size(col("arr")).as("sz"),
+        explode_outer(col("arr")).as("s"))
+      .filter(col("s").isNotNull)
+    sh.write.mode("overwrite").parquet(s"$statePath/index/b=$batchId")
+    // 2. probe the FULL index (prior batches + this one) with the batch
+    val (fs, idxRoot) = rollupFs(sp, s"$statePath/index")
+    val dirs = fs.listStatus(idxRoot).toSeq.map(_.getPath.toString)
+      .filter(_.contains("b="))
+    val index = sp.read.parquet(dirs: _*)
+    val probe = sp.read.parquet(s"$statePath/index/b=$batchId")
+    val cand = probe.toDF("pa", "sza", "s")
+      .join(index.toDF("pb", "szb", "s"), Seq("s"))
+      .filter(col("pa") =!= col("pb"))
+      .select(
+        when(col("pa") < col("pb"), col("pa")).otherwise(col("pb")).as("doc_a"),
+        when(col("pa") < col("pb"), col("sza")).otherwise(col("szb")).as("sz_a"),
+        when(col("pa") < col("pb"), col("pb")).otherwise(col("pa")).as("doc_b"),
+        when(col("pa") < col("pb"), col("szb")).otherwise(col("sza")).as("sz_b"),
+        col("s"))
+      .distinct() // batch-batch pairs arrive in both orientations
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+      .select("doc_a", "doc_b")
+    // 3. contract to existing reps, CC the touched subgraph, remap
+    val baseComps = readCcState(sp, statePath)
+    val repA = baseComps.select(col("node").as("doc_a"), col("comp").as("ca"))
+    val repB = baseComps.select(col("node").as("doc_b"), col("comp").as("cb"))
+    val contracted = cand
+      .join(repA, Seq("doc_a"), "left").join(repB, Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val merged = DedupOps.connectedComponents(contracted)
+    val remap = merged.select(col("node").as("comp"), col("comp").as("newc"))
+    val baseFinal = baseComps.join(remap, Seq("comp"), "left")
+      .select(col("node"), coalesce(col("newc"), col("comp")).as("comp"))
+    val freshFinal = merged
+      .join(baseComps.select("node"), Seq("node"), "left_anti")
+    val next = baseFinal.unionByName(freshFinal).localCheckpoint(true)
+    commitVersioned(sp, compsPath, nextVersion(committed, batchId), next,
+      committed, batchId)
+  }
+
   /** Streaming near-dup screen: each arriving document is
     * minhash-signed and banded MAP-SIDE, probes the static corpus band
     * index ([[graft.ops.DedupOps.bandIndex]], typically a persisted

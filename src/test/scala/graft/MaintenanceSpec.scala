@@ -132,6 +132,35 @@ class MaintenanceSpec extends SparkSpec {
       StreamOps.readScd2(spark, kept).count() - 2)
   }
 
+  test("maintainCc: sequential micro-batches equal the batch recompute; replays skip") {
+    val d = "/root/testdata/sf0.001"
+    val statePath = java.nio.file.Files
+      .createTempDirectory("cc_state").toString + "/state"
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    // three uneven ingest batches
+    val parts = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      StreamOps.applyCcBatch(p, statePath, i.toLong)
+    }
+    // replay of the last batch must be a no-op
+    val versions = StreamOps.retainedVersions(spark, statePath + "/comps").max
+    StreamOps.applyCcBatch(parts(2), statePath, 2L)
+    assert(StreamOps.retainedVersions(spark, statePath + "/comps").max
+      == versions, "replayed cc batch re-applied")
+    val got = StreamOps.readCcState(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = graft.ops.DedupOps.connectedComponents(
+      graft.ops.DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.1).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want,
+      s"maintained components diverge from batch recompute: got=${got.take(5)}… want=${want.take(5)}…")
+    assert(got.nonEmpty, "fixture produced no components")
+  }
+
   test("compaction: content-neutral, bounded file count, better probe locality") {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
