@@ -53,6 +53,7 @@ object SparkEntry {
     "q_text_stats"        -> ((s, d) => DataQueries.textStats(s, d)),
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
     "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
+    "q_dedup_norm"        -> ((s, d) => DataQueries.dedupNormalized(s, d)),
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
@@ -941,6 +942,17 @@ object SparkEntry {
       s"""SELECT ${H64.format("text")} AS content_hash,
            min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    // normalized exact dedup: casefold + whitespace collapse before
+    // hashing; n_raw_variants = the mass raw exact dedup misses
+    "q_dedup_norm" ->
+      s"""SELECT ${H64.format("norm")} AS norm_hash,
+           min(doc_id) AS keep_id, count(*) AS n_docs,
+           CAST(count(DISTINCT ${H64.format("text")}) AS BIGINT)
+             AS n_raw_variants
+         FROM (SELECT doc_id, text,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+               FROM documents)
+         GROUP BY 1 ORDER BY keep_id""",
     "q_jaccard_pairs" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

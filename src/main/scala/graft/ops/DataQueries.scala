@@ -459,6 +459,22 @@ object DataQueries {
       .select("content_hash", "keep_id", "n_dups")
       .orderBy("keep_id")
 
+  /** NORMALIZED exact dedup — the realistic exact-dedup key: casefold
+    * + whitespace collapse before hashing, so re-encodes of the same
+    * content ("Foo  Bar" vs "foo bar\n") collapse into one group.
+    * `n_raw_variants` counts the distinct RAW hashes inside each
+    * normalized group — the mass raw exact-dedup ([[dedupExact]])
+    * misses, as pinned data. Same hash-only shuffle shape. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        TextOps.h64(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("norm_hash"),
+        TextOps.h64(col("text")).as("raw_hash"))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct("raw_hash").as("n_raw_variants"))
+      .orderBy("keep_id")
+
   /** n-gram Jaccard near-dup pairs, 3-gram shingles, threshold 0.1. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",

@@ -159,6 +159,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(got == want,
       s"maintained components diverge from batch recompute: got=${got.take(5)}… want=${want.take(5)}…")
     assert(got.nonEmpty, "fixture produced no components")
+    // the generic CDC feed works on the CC state too: between the two
+    // retained versions, every change is an insert (new member) or an
+    // update (component merged under a smaller rep) — components only
+    // grow under ingest, so deletes are impossible
+    val vs = StreamOps.retainedVersions(spark, statePath + "/comps")
+    val feed = StreamOps.stateChanges(
+      StreamOps.readStateAt(spark, statePath + "/comps", vs.min),
+      StreamOps.readStateAt(spark, statePath + "/comps", vs.max),
+      Seq("node")).select("op").as[String].collect()
+    assert(feed.nonEmpty && feed.forall(op => op == "insert" || op == "update"),
+      s"unexpected cc feed ops: ${feed.distinct.toSeq}")
   }
 
   test("compaction: content-neutral, bounded file count, better probe locality") {
