@@ -597,10 +597,7 @@ object StreamOps {
       .filter(col("s").isNotNull)
     sh.write.mode("overwrite").parquet(s"$statePath/index/b=$batchId")
     // 2. probe the FULL index (prior batches + this one) with the batch
-    val (fs, idxRoot) = rollupFs(sp, s"$statePath/index")
-    val dirs = fs.listStatus(idxRoot).toSeq.map(_.getPath.toString)
-      .filter(_.contains("b="))
-    val index = sp.read.parquet(dirs: _*)
+    val index = sp.read.parquet(ccIndexDirs(sp, statePath): _*)
     val probe = sp.read.parquet(s"$statePath/index/b=$batchId")
     val cand = probe.toDF("pa", "sza", "s")
       .join(index.toDF("pb", "szb", "s"), Seq("s"))
@@ -635,6 +632,59 @@ object StreamOps {
     val next = baseFinal.unionByName(freshFinal).localCheckpoint(true)
     commitVersioned(sp, compsPath, nextVersion(committed, batchId), next,
       committed, batchId)
+  }
+
+  /** Live posting-index pieces: the newest committed consolidated run
+    * (if any) plus the per-batch append dirs newer than it. */
+  private def ccIndexDirs(sp: SparkSession, statePath: String): Seq[String] = {
+    val (fs, root) = rollupFs(sp, s"$statePath/index")
+    if (!fs.exists(root)) return Seq.empty
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val cIds = names.collect {
+      case n if n.startsWith("_CIDX_") => n.stripPrefix("_CIDX_").toLong
+    }
+    val base = if (cIds.isEmpty) -1L else cIds.max
+    val cdir = if (base >= 0) Seq(s"$root/c=$base") else Nil
+    cdir ++ names.collect {
+      case n if n.startsWith("b=") && n.stripPrefix("b=").toLong > base =>
+        s"$root/$n"
+    }
+  }
+
+  /** COMPACT the maintainCc posting index: merge the consolidated run
+    * and every newer per-batch append dir into ONE run, committed by
+    * an atomic `_CIDX_<id>` marker before the superseded dirs are
+    * deleted — the small-files sweep an append-only index needs
+    * operationally (a year of hourly ingests is 8760 dirs; scan
+    * planning pays per file). Crash-safe at every step: until the
+    * marker exists readers keep using the old pieces; after it, the
+    * old pieces are dead weight that a re-run deletes. Run between
+    * triggers (single-writer, like every maintainer here). Returns
+    * the number of dirs consolidated. */
+  def compactCcIndex(sp: SparkSession, statePath: String): Long = {
+    val dirs = ccIndexDirs(sp, statePath)
+    require(dirs.nonEmpty, s"no cc index at $statePath")
+    if (dirs.size == 1 && dirs.head.contains("c=")) return 0L
+    val (fs, root) = rollupFs(sp, s"$statePath/index")
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("b=") => n.stripPrefix("b=").toLong
+      case n if n.startsWith("_CIDX_") => n.stripPrefix("_CIDX_").toLong
+    }
+    val maxId = ids.max
+    sp.read.parquet(dirs: _*)
+      .write.mode("overwrite").parquet(s"$root/c=$maxId")
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_CIDX_$maxId"), true)
+      .close() // commit point
+    fs.listStatus(root).toSeq.map(_.getPath.getName).foreach {
+      case n if n.startsWith("b=") && n.stripPrefix("b=").toLong <= maxId =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+      case n if n.startsWith("c=") && n.stripPrefix("c=").toLong < maxId =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+      case n if n.startsWith("_CIDX_") && n.stripPrefix("_CIDX_").toLong < maxId =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), false)
+      case _ => ()
+    }
+    dirs.size.toLong
   }
 
   /** Streaming near-dup screen: each arriving document is

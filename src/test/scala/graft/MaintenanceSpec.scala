@@ -170,6 +170,17 @@ class MaintenanceSpec extends SparkSpec {
       Seq("node")).select("op").as[String].collect()
     assert(feed.nonEmpty && feed.forall(op => op == "insert" || op == "update"),
       s"unexpected cc feed ops: ${feed.distinct.toSeq}")
+    // index compaction: three append dirs merge into one consolidated
+    // run, and a post-compaction ingest still matches the recompute
+    val merged = StreamOps.compactCcIndex(spark, statePath)
+    assert(merged == 3, s"expected 3 dirs consolidated, got $merged")
+    assert(StreamOps.compactCcIndex(spark, statePath) == 0,
+      "second compaction should be a no-op")
+    val extra = docs.limit(0) // empty batch 3: state must be unchanged
+    StreamOps.applyCcBatch(extra, statePath, 3L)
+    val after = StreamOps.readCcState(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after == want, "post-compaction ingest diverged")
   }
 
   test("compaction: content-neutral, bounded file count, better probe locality") {
