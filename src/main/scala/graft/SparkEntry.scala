@@ -110,6 +110,7 @@ object SparkEntry {
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
+    "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
     "q_audio_resample"    -> ((s, d) => DataQueries.audioResample(s, d)),
     "q_strat_alloc"       -> ((s, d) => DataQueries.stratAlloc(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
@@ -2780,6 +2781,24 @@ object SparkEntry {
            sum(b)::BIGINT AS sum_b,
            sum((y + 1) * r)::BIGINT AS wsum_r,
            TRUE AS within_band
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // GIF leg: LZW is lossless, so the DECODED sums are exact — no
+    // band; the oracle replays the banded-palette pixel formulas
+    "q_gif_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h, 'gif' AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 ((x + y) % 5) * 36 + doc_id % 36 AS r,
+                 ((2 * x + y) % 5) * 30 + doc_id % 30 AS g,
+                 ((x + 3 * y) % 5) * 20 + doc_id % 20 AS b
+               FROM c)
+         SELECT doc_id, format, max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((y + 1) * r)::BIGINT AS wsum_r
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
     // 4:2:0 leg: smooth gradients (box-downsampled chroma can't follow
     // sharp edges), band <=8 at q=1; analytic sums exact

@@ -1621,6 +1621,60 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** GIF leg of the codec gate — the second COMPRESSED image format
+    * (LZW vs PNG's deflate), and lossless: the decoded-pixel sums are
+    * EXACT, so unlike the JPEG legs there is no tolerance band — any
+    * defect anywhere in the palette/LZW/sub-block path shifts a sum
+    * and fails the hash gate. Doc-keyed 5-level banded pixels keep
+    * the palette ≤125 colors. Map-only partition-wise. */
+  def gifFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("wsum_r", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = (((x + y) % 5) * 36 + doc % 36).toInt
+              rgb(p + 1) = (((2 * x + y) % 5) * 30 + doc % 30).toInt
+              rgb(p + 2) = (((x + 3 * y) % 5) * 20 + doc % 20).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Gif.encode(w, h, rgb)
+          val (dw, dh, dec) = Gif.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+          var i = 0
+          while (i < dw * dh) {
+            sr += dec(3 * i); sg += dec(3 * i + 1); sb += dec(3 * i + 2)
+            wr += (i / dw + 1L) * dec(3 * i)
+            i += 1
+          }
+          Row(doc, Multimodal.detectFormat(bytes), dw.toLong, dh.toLong,
+            sr, sg, sb, wr)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** 4:2:0 leg of the JPEG gate: smooth doc-keyed gradients (no mod-256
     * wraparound — box-downsampled chroma cannot follow sharp edges, so
     * the subsampled band is only meaningful on smooth chroma) through

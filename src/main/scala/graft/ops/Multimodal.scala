@@ -458,6 +458,8 @@ object Multimodal {
       && bytes(3) == 'G') "png"
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
       && (bytes(2) & 0xff) == 0xff) "jpg"
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+      && bytes(3) == '8') "gif"
     else "unknown"
 
   // ------------------------------------------------------------------
@@ -484,12 +486,14 @@ object Multimodal {
         var i = 0
         while (i < s.length) { f(i & 7) += s(i); i += 1 }
         (s.length, sr, f)
-      case "bmp" | "ppm" | "png" | "jpg" =>
+      case "bmp" | "ppm" | "png" | "jpg" | "gif" =>
         // jpg features are approximate (lossy decode) — fine for
-        // similarity, excluded from the exact-oracle feature queries
+        // similarity, excluded from the exact-oracle feature queries;
+        // gif (like png) is lossless and exact
         val (w, h, rgb) =
           if (content(0) == 'B') decodeBmp(content)
           else if (content(0) == 'P') decodePpm(content)
+          else if (content(0) == 'G') Gif.decode(content)
           else if ((content(0) & 0xff) == 0xff) Jpeg.decode(content)
           else decodePng(content)
         val f = new Array[Float](8)
