@@ -111,6 +111,7 @@ object SparkEntry {
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
     "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
+    "q_video_features"    -> ((s, d) => DataQueries.videoFeatures(s, d)),
     "q_audio_resample"    -> ((s, d) => DataQueries.audioResample(s, d)),
     "q_strat_alloc"       -> ((s, d) => DataQueries.stratAlloc(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
@@ -2782,6 +2783,24 @@ object SparkEntry {
            sum((y + 1) * r)::BIGINT AS wsum_r,
            TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // video leg: 4-frame MJPEG clip, index-seek to frame 2, banded
+    // JPEG round trip on the extracted frame; analytic sums exact
+    "q_video_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, x, y,
+                 30 + 3 * x + 20 + doc_id % 50 AS r,
+                 20 + 4 * y + 20 + doc_id % 40 AS g,
+                 45 + 20 + doc_id % 120 AS b
+               FROM c)
+         SELECT doc_id, 4::BIGINT AS n_frames,
+           max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           TRUE AS within_band
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
     // GIF leg: LZW is lossless, so the DECODED sums are exact — no
     // band; the oracle replays the banded-palette pixel formulas
     "q_gif_features" ->

@@ -1621,6 +1621,72 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** VIDEO leg: per doc a 4-frame motion-JPEG clip (doc-keyed smooth
+    * gradients whose brightness ramps per frame), then an INDEX SEEK
+    * to the middle frame — only that frame's bytes enter the JPEG
+    * decoder — with the [[jpegFeatures]] banded-oracle pattern on the
+    * extracted frame. This is the frame-sampling access path a
+    * training pipeline runs over video: container index → one frame →
+    * decode → features, never a full-clip decode. */
+  def videoFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("within_band", BooleanType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          def frame(t: Int): Array[Int] = {
+            val rgb = new Array[Int](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = 30 + 3 * x + 10 * t + (doc % 50).toInt
+                rgb(p + 1) = 20 + 4 * y + 10 * t + (doc % 40).toInt
+                rgb(p + 2) = 45 + 10 * t + (doc % 120).toInt
+                x += 1
+              }
+              y += 1
+            }
+            rgb
+          }
+          val clip = Multimodal.encodeMjpeg(
+            (0 until 4).map(t => Jpeg.encode(w, h, frame(t), q = 1)))
+          val mid = frame(2)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < w * h) {
+            sr += mid(3 * i); sg += mid(3 * i + 1); sb += mid(3 * i + 2)
+            i += 1
+          }
+          val (dw, dh, dec) = Multimodal.decodeMjpegFrame(clip, 2)
+          var maxErr = 0
+          i = 0
+          while (i < mid.length) {
+            val e = math.abs(mid(i) - dec(i))
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          Row(doc, Multimodal.mjpegFrameCount(clip).toLong,
+            dw.toLong, dh.toLong, sr, sg, sb, maxErr <= 4)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** GIF leg of the codec gate — the second COMPRESSED image format
     * (LZW vs PNG's deflate), and lossless: the decoded-pixel sums are
     * EXACT, so unlike the JPEG legs there is no tolerance band — any

@@ -448,6 +448,45 @@ object Multimodal {
     (w, h, rgb)
   }
 
+  // ------------------------------------------------------------------
+  // Motion-JPEG frame container: video as a sequence of independently
+  // coded JPEG frames with an index — the access pattern that matters
+  // for training pipelines (seek to frame k without decoding 0..k-1).
+  // Layout: "MJPG" | u32 nFrames | u32 lengths[nFrames] | frames.
+  // ------------------------------------------------------------------
+
+  /** Pack already-encoded JPEG frames into an indexed container. */
+  def encodeMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpeg: no frames")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val hdr = new Array[Byte](4 + 4 * frames.length)
+    le32(hdr, 0, frames.length)
+    frames.zipWithIndex.foreach { case (f, i) => le32(hdr, 4 + 4 * i, f.length) }
+    out.write(hdr)
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Number of frames in a container. */
+  def mjpegFrameCount(bytes: Array[Byte]): Int = {
+    require(tag(bytes, 0) == "MJPG", "mjpeg: bad magic")
+    rd32(bytes, 4)
+  }
+
+  /** Decode frame `k` (0-based) — an INDEX SEEK: only the k-th
+    * frame's bytes enter the JPEG decoder, frames 0..k−1 are skipped
+    * by arithmetic on the length table. */
+  def decodeMjpegFrame(bytes: Array[Byte], k: Int): (Int, Int, Array[Int]) = {
+    val n = mjpegFrameCount(bytes)
+    require(k >= 0 && k < n, s"mjpeg: frame $k of $n")
+    var off = 8 + 4 * n
+    var i = 0
+    while (i < k) { off += rd32(bytes, 8 + 4 * i); i += 1 }
+    val len = rd32(bytes, 8 + 4 * k)
+    Jpeg.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+  }
+
   /** Container sniff by magic bytes. */
   def detectFormat(bytes: Array[Byte]): String =
     if (bytes == null || bytes.length < 4) "unknown"

@@ -203,6 +203,22 @@ class JpegSpec extends SparkSpec {
     assert(e.getMessage.contains("progressive"), s"wrong rejection: ${e.getMessage}")
   }
 
+  test("mjpeg container: index seek decodes exactly the k-th frame") {
+    val (w, h) = (24, 16)
+    val frames = (0 until 5).map { t =>
+      Jpeg.encode(w, h, formulaRgb(w, h).map(v => math.min(255, v / 2 + t * 7)), q = 1)
+    }
+    val clip = Multimodal.encodeMjpeg(frames)
+    assert(Multimodal.mjpegFrameCount(clip) == 5)
+    for (k <- Seq(0, 2, 4)) {
+      val (dw, dh, viaClip) = Multimodal.decodeMjpegFrame(clip, k)
+      val (_, _, direct) = Jpeg.decode(frames(k))
+      assert((dw, dh) == (w, h) && viaClip.sameElements(direct),
+        s"frame $k seek mismatch")
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeMjpegFrame(clip, 5))
+  }
+
   test("decodeFeatures routes jpg payloads through the codec") {
     val (w, h) = (20, 14)
     val rgb = formulaRgb(w, h)
