@@ -175,6 +175,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1L, 2L -> 2L), s"got $r2")
   }
 
+  test("gif: 1x1, single-color, and 2-color minimum-code images round-trip") {
+    import graft.ops.Gif
+    for ((w, h, rgb) <- Seq(
+      (1, 1, Array(7, 8, 9)),
+      (5, 4, Array.fill(5 * 4 * 3)(200)), // 1 color
+      (6, 3, Array.tabulate(6 * 3 * 3)(i => if ((i / 3) % 2 == 0) 0 else 255)))) {
+      val bytes = Gif.encode(w, h, rgb)
+      val (dw, dh, out) = Gif.decode(bytes)
+      assert((dw, dh) == (w, h) && out.sameElements(rgb), s"${w}x$h")
+    }
+  }
+
+  test("mjpeg: single-frame clip and empty-clip rejection") {
+    import graft.ops.{Jpeg, Multimodal}
+    val rgb = Array.tabulate(8 * 8 * 3)(i => (i * 5) % 256)
+    val clip = Multimodal.encodeMjpeg(Seq(Jpeg.encode(8, 8, rgb, q = 1)))
+    assert(Multimodal.mjpegFrameCount(clip) == 1)
+    val (w, h, _) = Multimodal.decodeMjpegFrame(clip, 0)
+    assert((w, h) == (8, 8))
+    intercept[IllegalArgumentException](Multimodal.encodeMjpeg(Seq.empty))
+  }
+
   test("empty text: quality/fingerprint columns are null-safe") {
     val df = Seq((1L, "")).toDF("doc_id", "text")
     val r = df.select(
