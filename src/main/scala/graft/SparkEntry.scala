@@ -112,6 +112,7 @@ object SparkEntry {
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
     "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
     "q_video_features"    -> ((s, d) => DataQueries.videoFeatures(s, d)),
+    "q_audio_fp"          -> ((s, d) => DataQueries.audioFingerprint(s, d)),
     "q_audio_resample"    -> ((s, d) => DataQueries.audioResample(s, d)),
     "q_strat_alloc"       -> ((s, d) => DataQueries.stratAlloc(s, d)),
     "q_media_neardup"     -> ((s, d) => DataQueries.mediaNearDup(s, d)),
@@ -2783,6 +2784,28 @@ object SparkEntry {
            sum((y + 1) * r)::BIGINT AS wsum_r,
            TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // perceptual audio fingerprint: frame-energy delta sign bits over
+    // the PCM round trip; same-seed clips collapse to one fingerprint
+    "q_audio_fp" ->
+      """WITH n AS (SELECT doc_id, doc_id % 16 AS seed FROM documents),
+         s AS (SELECT doc_id, seed, unnest(range(512)) AS i FROM n),
+         v AS (SELECT doc_id, i // 32 AS f,
+                 abs(((seed + 1) * 40503 + i * 2654435761) % 32768 - 16384
+                   + (doc_id * 31 + i) % 3 - 1) AS a
+               FROM s),
+         e AS (SELECT doc_id, f, CAST(sum(a) AS BIGINT) AS e
+               FROM v GROUP BY 1, 2),
+         dl AS (SELECT doc_id, f, e,
+                  lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+                FROM e),
+         fp AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN f >= 1 AND e > pe
+                    THEN 1::BIGINT << (f - 1) ELSE 0 END) AS BIGINT) AS fp
+                FROM dl GROUP BY 1),
+         g AS (SELECT fp, min(doc_id) AS rep, count(*) AS group_size
+               FROM fp GROUP BY 1)
+         SELECT f.doc_id, f.fp, g.rep, g.group_size
+         FROM fp f JOIN g USING (fp) ORDER BY f.doc_id""",
     // video leg: 4-frame MJPEG clip, index-seek to frame 2, banded
     // JPEG round trip on the extracted frame; analytic sums exact
     "q_video_features" ->

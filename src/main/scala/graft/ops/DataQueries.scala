@@ -1892,6 +1892,62 @@ object DataQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Perceptual AUDIO fingerprint — the audio analog of [[dhashGroups]]'
+    * dHash: 16 frames of 32 samples each, per-frame energy Σ|s|
+    * (exact integer), fingerprint = the 15 sign bits of consecutive
+    * frame-energy deltas. Same-seed clips (the [[mediaNearDup]] seed
+    * convention: shared base waveform, per-doc ±1 sample jitter)
+    * collapse to one fingerprint because the jitter is orders of
+    * magnitude below the frame-energy deltas — and the samples route
+    * through the REAL PCM WAV round trip first, so a codec defect
+    * shifts an energy sum and flips a bit. All-integer; the oracle
+    * replays waveform, energies, delta signs, and grouping
+    * bit-for-bit. At scale this is one map-only pass + a 64-bit
+    * group-by: the content-addressed dedup key for audio. */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    val fps = Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val seed = doc % 16
+          val n = 512 + (seed % 4).toInt * 64
+          val smp = Array.tabulate(n) { i =>
+            (((seed + 1) * 40503L + i.toLong * 2654435761L) % 32768L - 16384L
+              + (doc * 31L + i) % 3L - 1L).toInt
+          }
+          val bytes = Multimodal.encodeWavPcm16(smp, 8000)
+          val (_, dec) = Multimodal.decodeWav(bytes)
+          val e = new Array[Long](16)
+          var f = 0
+          while (f < 16) {
+            var j = 0
+            var acc = 0L
+            while (j < 32) { acc += math.abs(dec(f * 32 + j).toLong); j += 1 }
+            e(f) = acc
+            f += 1
+          }
+          var fp = 0L
+          f = 1
+          while (f < 16) {
+            if (e(f) > e(f - 1)) fp |= 1L << (f - 1)
+            f += 1
+          }
+          Row(doc, fp)
+        }
+      }
+    fps
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("fp")))
+      .select("doc_id", "fp", "rep", "group_size")
+      .orderBy("doc_id")
+  }
+
   /** Passage-level exact dedup over 8-token windows: per-doc passage
     * count, corpus-duplicated passage count, dup fraction, and the
     * dup-heavy flag a pipeline would gate removal on. */
