@@ -474,17 +474,32 @@ object Multimodal {
     rd32(bytes, 4)
   }
 
-  /** Decode frame `k` (0-based) — an INDEX SEEK: only the k-th
-    * frame's bytes enter the JPEG decoder, frames 0..k−1 are skipped
-    * by arithmetic on the length table. */
-  def decodeMjpegFrame(bytes: Array[Byte], k: Int): (Int, Int, Array[Int]) = {
+  /** Raw bytes of frame `k` (0-based) — an INDEX SEEK: frames 0..k−1
+    * are skipped by arithmetic on the length table, no decode. */
+  def mjpegFrameBytes(bytes: Array[Byte], k: Int): Array[Byte] = {
     val n = mjpegFrameCount(bytes)
     require(k >= 0 && k < n, s"mjpeg: frame $k of $n")
     var off = 8 + 4 * n
     var i = 0
     while (i < k) { off += rd32(bytes, 8 + 4 * i); i += 1 }
     val len = rd32(bytes, 8 + 4 * k)
-    Jpeg.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    java.util.Arrays.copyOfRange(bytes, off, off + len)
+  }
+
+  /** Decode frame `k`: the frame blob routes through the format sniff,
+    * so clips may carry any supported image codec per frame (JPEG for
+    * size, GIF/PNG when the pipeline needs lossless frames). */
+  def decodeMjpegFrame(bytes: Array[Byte], k: Int): (Int, Int, Array[Int]) = {
+    val f = mjpegFrameBytes(bytes, k)
+    detectFormat(f) match {
+      case "jpg" => Jpeg.decode(f)
+      case "gif" => Gif.decode(f)
+      case "png" => decodePng(f)
+      case "bmp" => decodeBmp(f)
+      case "ppm" => decodePpm(f)
+      case other => throw new IllegalArgumentException(
+        s"mjpeg: unsupported frame format $other")
+    }
   }
 
   /** Container sniff by magic bytes. */

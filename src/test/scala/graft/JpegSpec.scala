@@ -217,6 +217,15 @@ class JpegSpec extends SparkSpec {
         s"frame $k seek mismatch")
     }
     intercept[IllegalArgumentException](Multimodal.decodeMjpegFrame(clip, 5))
+    // frames route by sniff: a mixed JPEG/GIF clip decodes per-frame,
+    // and the GIF frame comes back bit-exact (lossless)
+    val palette = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; (((p % w) + (p / w)) % 4) * 36
+    }
+    val mixed = Multimodal.encodeMjpeg(Seq(
+      Jpeg.encode(w, h, palette, q = 1), graft.ops.Gif.encode(w, h, palette)))
+    val (_, _, gifFrame) = Multimodal.decodeMjpegFrame(mixed, 1)
+    assert(gifFrame.sameElements(palette), "gif frame not exact through the clip")
   }
 
   test("decodeFeatures routes jpg payloads through the codec") {
