@@ -106,6 +106,7 @@ object SparkEntry {
     "q_frame_sample"      -> ((s, d) => DataQueries.frameSample(s, d)),
     "q_media_features"    -> ((s, d) => DataQueries.mediaFeatures(s, d)),
     "q_ulaw_features"     -> ((s, d) => DataQueries.ulawFeatures(s, d)),
+    "q_adpcm_features"    -> ((s, d) => DataQueries.adpcmFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
@@ -2693,6 +2694,72 @@ object SparkEntry {
            max(abs(dv))::BIGINT AS max_abs, sum(abs(dv))::BIGINT AS sum_abs,
            sum((i + 1) * abs(dv))::BIGINT AS wsum_abs
          FROM dec GROUP BY doc_id ORDER BY doc_id""",
+    // IMA ADPCM: the oracle replays the CLOSED-LOOP encoder as a
+    // recursive CTE — per sample: step lookup, 3-bit magnitude
+    // quantize (successive step/2^k subtraction), vpdiff
+    // reconstruction, int16 predictor clamp, index-table walk with
+    // [0,88] clamp; block starts (i % 505 = 0) checkpoint the
+    // predictor to the verbatim sample, index carries across. The
+    // decoded value dv at every i IS the encoder's tracked predictor,
+    // which is exactly what the WAV decoder reproduces.
+    "q_adpcm_features" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n FROM documents),
+         s AS (SELECT doc_id, unnest(range(n)) AS i FROM n),
+         v AS (SELECT doc_id, i,
+                 ((doc_id * 40503 + i * 2654435761) % 65536) - 32768 AS v
+               FROM s),
+         st AS (
+           SELECT doc_id, i, v AS dv, v AS pred, CAST(0 AS BIGINT) AS idx
+           FROM v WHERE i = 0
+           UNION ALL
+           SELECT doc_id, i,
+             CASE WHEN reset THEN v ELSE np END AS dv,
+             CASE WHEN reset THEN v ELSE np END AS pred,
+             CASE WHEN reset THEN idx ELSE CAST(least(88, greatest(0,
+               idx + [-1,-1,-1,-1,2,4,6,8][b4 + b2 + b1 + 1])) AS BIGINT)
+             END AS idx
+           FROM (
+             SELECT doc_id, i, v, reset, pred, idx, b4, b2, b1,
+               CASE WHEN neg THEN greatest(-32768, pred - vp)
+                    ELSE least(32767, pred + vp) END AS np
+             FROM (
+               SELECT doc_id, i, v, reset, pred, idx, neg, b4, b2,
+                 CASE WHEN r2 >= step // 4 THEN 1 ELSE 0 END AS b1,
+                 step // 8 + CASE WHEN b4 = 4 THEN step ELSE 0 END
+                   + CASE WHEN b2 = 2 THEN step // 2 ELSE 0 END
+                   + CASE WHEN r2 >= step // 4 THEN step // 4 ELSE 0 END
+                   AS vp
+               FROM (
+                 SELECT doc_id, i, v, reset, pred, idx, step, neg, b4,
+                   CASE WHEN r1 >= step // 2 THEN 2 ELSE 0 END AS b2,
+                   r1 - CASE WHEN r1 >= step // 2 THEN step // 2 ELSE 0
+                        END AS r2
+                 FROM (
+                   SELECT doc_id, i, v, reset, pred, idx, step, neg,
+                     CASE WHEN ad >= step THEN 4 ELSE 0 END AS b4,
+                     ad - CASE WHEN ad >= step THEN step ELSE 0 END AS r1
+                   FROM (
+                     SELECT doc_id, i, v, reset, pred, idx,
+                       [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+                        34,37,41,45,50,55,60,66,73,80,88,97,107,118,
+                        130,143,157,173,190,209,230,253,279,307,337,
+                        371,408,449,494,544,598,658,724,796,876,963,
+                        1060,1166,1282,1411,1552,1707,1878,2066,2272,
+                        2499,2749,3024,3327,3660,4026,4428,4871,5358,
+                        5894,6484,7132,7845,8630,9493,10442,11487,
+                        12635,13899,15289,16818,18500,20350,22385,
+                        24623,27086,29794,32767][idx + 1] AS step,
+                       (v < pred) AS neg, abs(v - pred) AS ad
+                     FROM (
+                       SELECT x.doc_id, x.i, x.v,
+                         (x.i % 505 = 0) AS reset, t.pred, t.idx
+                       FROM st t JOIN v x
+                         ON x.doc_id = t.doc_id AND x.i = t.i + 1)))))))
+         SELECT doc_id, count(*) AS n_samples, 8000::BIGINT AS sample_rate,
+           max(abs(dv))::BIGINT AS max_abs, sum(abs(dv))::BIGINT AS sum_abs,
+           sum((i + 1) * abs(dv))::BIGINT AS wsum_abs
+         FROM st GROUP BY doc_id ORDER BY doc_id""",
     "q_image_features" ->
       """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
                   12 + (doc_id % 7) AS h,

@@ -1385,6 +1385,44 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Audio stats through the IMA ADPCM round trip (encode → decode →
+    * abs/position-weighted sums). Unlike µ-law, the decoded value at
+    * position i depends on the whole predictor history since the last
+    * block header, so a green oracle row proves the adaptive
+    * quantizer fold — step table walk, index clamp, block-boundary
+    * checkpointing — is replayed bit-exactly at every position. The
+    * DuckDB twin is a recursive CTE over the same closed-loop
+    * encoder state machine. Map-only partition transform. */
+  def adpcmFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("max_abs", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("wsum_abs", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val bytes = Multimodal.encodeWavAdpcm(wavSamples(doc), 8000)
+          val (sr, smp) = Multimodal.decodeWav(bytes)
+          var sumAbs = 0L; var wsum = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < smp.length) {
+            val a = math.abs(smp(i).toLong)
+            sumAbs += a; wsum += (i + 1) * a; if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Row(doc, smp.length.toLong, sr.toLong, maxAbs, sumAbs, wsum)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Image stats through the real BMP (even ids) / PPM (odd ids) round
     * trip: dims from the decoded header, channel sums + a row-weighted
     * sum from the decoded pixels (the weighted sum catches vertical

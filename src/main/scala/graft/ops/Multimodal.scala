@@ -138,12 +138,139 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------------------------
+  // IMA/DVI ADPCM (WAV format 0x11) — the codec family's first
+  // PREDICTIVE audio format: each 4-bit nibble encodes the delta from
+  // an adaptive predictor, so decode is a stateful fold, not a
+  // per-sample map like µ-law. Tables and update rules are the
+  // standard IMA ones (IMA Digital Audio Focus/Technical Working
+  // Group recommendation, as carried by the Microsoft WAV DVI/IMA
+  // registration). Everything is exact integer math, so a DuckDB
+  // recursive CTE can replay the whole encode∘decode fold bit-for-bit
+  // (`q_adpcm_features`); AdpcmSpec pins encoder-reconstruction ≡
+  // decoder output and golden bytes.
+  // ------------------------------------------------------------------
+
+  /** The 89-entry IMA step-size table (quantizer step per state). */
+  val adpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** Step-index adjustment per 3-bit magnitude (sign bit ignored). */
+  val adpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  @inline private def clampS16(v: Int): Int =
+    if (v > 32767) 32767 else if (v < -32768) -32768 else v
+  @inline private def clampIdx(v: Int): Int =
+    if (v > 88) 88 else if (v < 0) 0 else v
+
+  /** Quantize one sample against predictor state → (nibble, pred',
+    * idx'). pred' is exactly what the decoder will reconstruct — the
+    * encoder tracks its own quantization error (that closed loop is
+    * what makes ADPCM stable, and what lets the oracle replay only
+    * the encoder and still know the decoded values). */
+  def adpcmEncodeStep(sample: Int, pred: Int, idx: Int): (Int, Int, Int) = {
+    val step = adpcmStepTable(idx)
+    val diff0 = sample - pred
+    val sign = if (diff0 < 0) 8 else 0
+    var diff = if (diff0 < 0) -diff0 else diff0
+    var delta = 0
+    if (diff >= step) { delta = 4; diff -= step }
+    if (diff >= (step >> 1)) { delta |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) delta |= 1
+    val nib = sign | delta
+    val (p2, i2) = adpcmDecodeStep(nib, pred, idx)
+    (nib, p2, i2)
+  }
+
+  /** Apply one 4-bit code to predictor state → (pred', idx'); pred'
+    * IS the decoded sample. vpdiff accumulates step·(bit/2^k) + the
+    * step>>3 rounding term, exactly as the IMA reference pseudocode. */
+  def adpcmDecodeStep(nib: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = adpcmStepTable(idx)
+    var vpdiff = step >> 3
+    if ((nib & 4) != 0) vpdiff += step
+    if ((nib & 2) != 0) vpdiff += step >> 1
+    if ((nib & 1) != 0) vpdiff += step >> 2
+    val p2 = clampS16(if ((nib & 8) != 0) pred - vpdiff else pred + vpdiff)
+    val i2 = clampIdx(idx + adpcmIndexTable(nib & 7))
+    (p2, i2)
+  }
+
+  /** Samples per ADPCM block for our canonical 256-byte block align:
+    * 1 header sample + 252 payload bytes × 2 nibbles. */
+  val AdpcmSamplesPerBlock = 505
+
+  /** Encode mono samples as IMA ADPCM WAV (format 0x11). Block layout
+    * (mono, blockAlign=256): 4-byte header [predictor int16 LE =
+    * verbatim first sample of the block, step index uint8, reserved],
+    * then nibble pairs low-first. The step index carries ACROSS
+    * blocks (the header just checkpoints it); a `fact` chunk records
+    * the true sample count so a padded final block decodes to exactly
+    * the input length. */
+  def encodeWavAdpcm(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val spb = AdpcmSamplesPerBlock
+    val blockAlign = 4 + (spb - 1) / 2
+    val nBlocks = math.max(1, (samples.length + spb - 1) / spb)
+    val dataSize = nBlocks * blockAlign
+    val out = new Array[Byte](60 + dataSize)
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(out, 4, out.length - 8)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12)
+    le32(out, 16, 20)            // fmt chunk size: 18 + 2 extension
+    le16(out, 20, 0x11)          // WAVE_FORMAT_IMA_ADPCM
+    le16(out, 22, 1)             // mono
+    le32(out, 24, sampleRate)
+    le32(out, 28, sampleRate * blockAlign / spb) // nominal byte rate
+    le16(out, 32, blockAlign)
+    le16(out, 34, 4)             // bits/sample
+    le16(out, 36, 2)             // cbSize
+    le16(out, 38, spb)           // wSamplesPerBlock
+    "fact".getBytes.copyToArray(out, 40)
+    le32(out, 44, 4)
+    le32(out, 48, samples.length)
+    "data".getBytes.copyToArray(out, 52)
+    le32(out, 56, dataSize)
+    var idx = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = 60 + b * blockAlign
+      val s0 = b * spb
+      val first = if (s0 < samples.length) clampS16(samples(s0)) else 0
+      le16(out, base, first & 0xffff)
+      out(base + 2) = idx.toByte
+      out(base + 3) = 0
+      var pred = first
+      var k = 1
+      while (k < spb) {
+        val si = s0 + k
+        val sample = if (si < samples.length) samples(si) else pred
+        val (nib, p2, i2) = adpcmEncodeStep(sample, pred, idx)
+        pred = p2; idx = i2
+        val off = base + 4 + (k - 1) / 2
+        if (((k - 1) & 1) == 0) out(off) = nib.toByte
+        else out(off) = (out(off) | (nib << 4)).toByte
+        k += 1
+      }
+      b += 1
+    }
+    out
+  }
+
   /** Decode a WAV container → (sampleRate, samples). Walks the chunk
     * list (fmt / data in any order, unknown chunks skipped with even
     * padding, as the spec requires). PCM 16-bit mono passes samples
     * through; µ-law mono (format 7) expands each code to its
-    * quantized 16-bit value — anything else is a loud error, not a
-    * silent misdecode. */
+    * quantized 16-bit value; IMA ADPCM mono (format 0x11) runs the
+    * adaptive-predictor fold per block — anything else is a loud
+    * error, not a silent misdecode. */
   def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
     require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
       "decodeWav: not a RIFF/WAVE container")
@@ -152,6 +279,9 @@ object Multimodal {
     var fmt = -1
     var dataOff = -1
     var dataSz = 0
+    var blockAlign = 0
+    var spb = 0
+    var factN = -1
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val sz = rd32(bytes, off + 4)
@@ -162,9 +292,14 @@ object Multimodal {
           val ch = rd16(bytes, body + 2)
           val bits = rd16(bytes, body + 14)
           require((fmt == 1 && ch == 1 && bits == 16)
-            || (fmt == 7 && ch == 1 && bits == 8),
-            s"decodeWav: only PCM16/µ-law mono supported (fmt=$fmt ch=$ch bits=$bits)")
+            || (fmt == 7 && ch == 1 && bits == 8)
+            || (fmt == 0x11 && ch == 1 && bits == 4),
+            s"decodeWav: only PCM16/µ-law/IMA-ADPCM mono supported (fmt=$fmt ch=$ch bits=$bits)")
           sampleRate = rd32(bytes, body + 4)
+          blockAlign = rd16(bytes, body + 12)
+          if (fmt == 0x11) spb = rd16(bytes, body + 18)
+        case "fact" =>
+          factN = rd32(bytes, body)
         case "data" =>
           dataOff = body; dataSz = sz
         case _ => // skip unknown chunk
@@ -174,7 +309,28 @@ object Multimodal {
     require(sampleRate > 0 && dataOff >= 0 && fmt > 0,
       "decodeWav: missing fmt or data chunk")
     val data =
-      if (fmt == 1) {
+      if (fmt == 0x11) {
+        require(spb > 0 && blockAlign == 4 + (spb - 1) / 2 && factN >= 0,
+          s"decodeWav: bad ADPCM layout (spb=$spb align=$blockAlign fact=$factN)")
+        val d = new Array[Int](factN)
+        var i = 0
+        var base = dataOff
+        while (i < factN) {
+          var pred = rd16(bytes, base).toShort.toInt
+          var idx = bytes(base + 2) & 0xff
+          d(i) = pred; i += 1
+          var k = 1
+          while (k < spb && i < factN) {
+            val byte = bytes(base + 4 + (k - 1) / 2) & 0xff
+            val nib = if (((k - 1) & 1) == 0) byte & 0x0f else byte >> 4
+            val (p2, i2) = adpcmDecodeStep(nib, pred, idx)
+            pred = p2; idx = i2
+            d(i) = pred; i += 1; k += 1
+          }
+          base += blockAlign
+        }
+        d
+      } else if (fmt == 1) {
         val n = dataSz / 2
         val d = new Array[Int](n)
         var i = 0
