@@ -49,6 +49,7 @@ object SparkEntry {
     "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
     "q_fsm_zscore"        -> ((s, d) => SeriesQueries.fsmZscore(s, d)),
     "q_trade_monthly"     -> ((s, d) => SeriesQueries.tradeReturnsMonthly(s, d)),
+    "q_ohlc_bars"         -> ((s, d) => SeriesQueries.ohlcBars(s, d)),
     // ---- training-data pipeline: text / dedup / similarity ----
     "q_text_stats"        -> ((s, d) => DataQueries.textStats(s, d)),
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_bloom_screen"      -> ((s, d) => DataQueries.bloomScreen(s, d)),
     "q_cms_err"           -> ((s, d) => DataQueries.cmsErr(s, d)),
     "q_hll_err"           -> ((s, d) => DataQueries.hllErr(s, d)),
+    "q_sample_quantiles"  -> ((s, d) => DataQueries.sampleQuantiles(s, d)),
     "q_hist_quantile"     -> ((s, d) => DataQueries.histQuantile(s, d)),
     "q_join_size"         -> ((s, d) => DataQueries.joinSizeEst(s, d)),
     "q_incr_agg"          -> ((s, d) => DataQueries.incrAgg(s, d)),
@@ -796,6 +798,27 @@ object SparkEntry {
          SELECT pool, CAST(date_trunc('month', exit_ts) AS DATE) AS month,
            round(sum(pct_return), 6) AS pct_return, count(*) AS n_trades
          FROM trades GROUP BY 1, 2 ORDER BY 1, 2""",
+    // OHLC/VWAP candles: integer cents end to end (round(price*100)
+    // is exact on 2-decimal prices), open/close via min_by/max_by on
+    // the single-BIGINT total order (epoch_day, orderkey, line)
+    "q_ohlc_bars" ->
+      """WITH t AS (
+           SELECT l_returnflag AS flag,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               * 10000000 * 10 + l_orderkey * 10 + l_linenumber AS ord
+           FROM lineitem)
+         SELECT flag, month,
+           min_by(cents, ord) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           max_by(cents, ord) AS close_cents,
+           CAST(sum(cents * qty) * 1000 // sum(qty) AS BIGINT)
+             AS vwap_millicents,
+           CAST(sum(qty) AS BIGINT) AS volume, count(*) AS n_trades
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_fsm_zscore" ->
       s"""WITH RECURSIVE $FILLED_CTE,
          c AS (SELECT bucket, avg(value) AS c_mean FROM filled GROUP BY bucket),
@@ -1942,6 +1965,44 @@ object SparkEntry {
     // (α·m² = 38 significant bits; ·2^52 = exponent shift; then one
     // cast, one multiply, one correctly-rounded divide) — bit-for-bit
     // across engines, no transcendentals.
+    // Sampling-quantile sketch: the bottom-64-by-id-hash sample is
+    // replayed EXACTLY (row_number over the engine-independent hash
+    // order), then both the sample's and the exact side's quantiles
+    // use the same 1-based-rank definition as q_hist_quantile
+    "q_sample_quantiles" ->
+      s"""WITH hk AS (SELECT source,
+                 ${H64.format("CAST(doc_id AS VARCHAR)")} AS hk, n_chars
+               FROM documents),
+         samp AS (SELECT source, n_chars, row_number() OVER
+                    (PARTITION BY source ORDER BY hk, n_chars) AS rk
+                  FROM hk),
+         sv AS (SELECT source, n_chars, row_number() OVER
+                  (PARTITION BY source ORDER BY n_chars) AS vr,
+                  count(*) OVER (PARTITION BY source) AS k_eff
+                FROM samp WHERE rk <= 64),
+         est AS (SELECT source, max(k_eff) AS k_eff,
+                   max(CASE WHEN vr = (50 * k_eff + 99) // 100
+                       THEN n_chars END) AS est_p50,
+                   max(CASE WHEN vr = (90 * k_eff + 99) // 100
+                       THEN n_chars END) AS est_p90
+                 FROM sv GROUP BY 1),
+         ev AS (SELECT source, n_chars, row_number() OVER
+                  (PARTITION BY source ORDER BY n_chars) AS vr,
+                  count(*) OVER (PARTITION BY source) AS n
+                FROM hk),
+         ex AS (SELECT source, max(n) AS n_docs,
+                  max(CASE WHEN vr = (50 * n + 99) // 100
+                      THEN n_chars END) AS exact_p50,
+                  max(CASE WHEN vr = (90 * n + 99) // 100
+                      THEN n_chars END) AS exact_p90
+                FROM ev GROUP BY 1)
+         SELECT e.source, CAST(x.n_docs AS BIGINT) AS n_docs,
+           CAST(e.k_eff AS BIGINT) AS k_eff,
+           e.est_p50::BIGINT AS est_p50, x.exact_p50::BIGINT AS exact_p50,
+           e.est_p90::BIGINT AS est_p90, x.exact_p90::BIGINT AS exact_p90,
+           abs(e.est_p50 - x.exact_p50)::BIGINT AS err_p50,
+           abs(e.est_p90 - x.exact_p90)::BIGINT AS err_p90
+         FROM est e JOIN ex x USING (source) ORDER BY e.source""",
     "q_hll_err" ->
       s"""WITH $TOKS_CTE,
          g0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN

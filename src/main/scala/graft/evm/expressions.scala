@@ -315,5 +315,11 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Uint256SumAgg].getName, "uint256_sum"),
       (args: Seq[Expression]) =>
         Uint256SumAgg(args(0)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("bottomk_sample"),
+      new ExpressionInfo(classOf[graft.ops.BottomKSampleAgg].getName,
+        "bottomk_sample"),
+      (args: Seq[Expression]) =>
+        graft.ops.BottomKSampleAgg(args(0), args(1), args(2))
+          .toAggregateExpression()))
   }
 }

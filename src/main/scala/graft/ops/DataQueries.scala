@@ -709,6 +709,48 @@ object DataQueries {
     * the register file (mergeable by `max`) and drop the exact scan.
     * Completes the oracled-sketch set: KMV + HLL (distinct), Bloom
     * (membership), CMS (frequency). */
+  /** Sampling-based approximate quantiles with oracled rank error —
+    * rounds out the sketch set with RANK statistics (KMV/HLL count
+    * distinct, CMS counts frequency, Bloom answers membership; none
+    * answer "what value sits at quantile q"). The sketch is
+    * `bottomk_sample` (k=64 smallest unique-id hashes per source →
+    * their n_chars, an order-independent uniform sample, O(groups·k)
+    * shuffle); the estimate is the sample's own rank statistic at
+    * ⌈q·k⌉, the same explicit 1-based-rank definition
+    * `q_hist_quantile` pins. The exact side (full row_number per
+    * source) is the small-sf calibration twin — at 100 TB you ship
+    * only the sketch and the `err_*` columns are the telemetry this
+    * query calibrates. */
+  def sampleQuantiles(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("source"),
+      TextOps.h64(col("doc_id").cast("string")).as("hk"), col("n_chars"))
+    val sk = docs.groupBy("source").agg(
+      expr(s"bottomk_sample(hk, n_chars, $k)").as("smp"),
+      count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val ranked = docs
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n")), "source")
+      .withColumn("vr", row_number().over(w))
+    val exact = ranked.groupBy("source").agg(
+      max(when(col("vr") === expr("(50 * n + 99) div 100"),
+        col("n_chars"))).as("exact_p50"),
+      max(when(col("vr") === expr("(90 * n + 99) div 100"),
+        col("n_chars"))).as("exact_p90"))
+    sk.join(exact, "source")
+      .select(col("source"), col("n_docs"),
+        size(col("smp")).cast("long").as("k_eff"),
+        expr("element_at(smp, CAST((50 * size(smp) + 99) div 100 AS INT))")
+          .as("est_p50"),
+        col("exact_p50"),
+        expr("element_at(smp, CAST((90 * size(smp) + 99) div 100 AS INT))")
+          .as("est_p90"),
+        col("exact_p90"))
+      .withColumn("err_p50", abs(col("est_p50") - col("exact_p50")))
+      .withColumn("err_p90", abs(col("est_p90") - col("exact_p90")))
+      .orderBy("source")
+  }
+
   def hllErr(s: SparkSession, d: String): DataFrame = {
     val m = 512 // p = 9 bucket bits; 51-bit residue; ρ ∈ [1, 52]
     val alphaMicro = 719783L // 0.7213/(1 + 1.079/512), micro-units

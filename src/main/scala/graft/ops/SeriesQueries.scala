@@ -13,6 +13,40 @@ object SeriesQueries {
 
   private val keys = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Monthly OHLC + VWAP candles over the lineitem trade tape — the
+    * bar-building primitive every price pipeline downstream of the
+    * indexer needs (ref's bots consume resampled price series;
+    * candles are the standard exchange aggregation of the same tape).
+    * All money is integer CENTS (`round(price·100)` — exact because
+    * stored prices are 2-decimal) so open/high/low/close/vwap are
+    * hash-exact cross-engine with no float-sum exposure; VWAP is
+    * integer millicents via `div`. Open/close pick the row with the
+    * min/max single-BIGINT order key (epoch_day, orderkey, line) —
+    * a total order, so `min_by`/`max_by` are deterministic and the
+    * DuckDB twin's `min_by`/`max_by` agree. One hash exchange on
+    * (flag, month); partial aggregation map-side — the shape that
+    * holds at any scale. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("qty", col("l_quantity").cast("long"))
+      .withColumn("ord",
+        (datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long") * 10000000L + col("l_orderkey")) * 10L
+          + col("l_linenumber"))
+    li.groupBy(col("l_returnflag").as("flag"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(
+        min_by(col("cents"), col("ord")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("ord")).as("close_cents"),
+        expr("sum(cents * qty) * 1000 div sum(qty)").as("vwap_millicents"),
+        sum(col("qty")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("flag", "month")
+  }
+
   private def filled(s: SparkSession, d: String): DataFrame =
     TimeSeries.resampleFfill(Tables.events(s, d),
       "event_type", "ts", "value", "hour", "event_id")

@@ -51,4 +51,39 @@ class KmvParitySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
     assert(!plan.contains("Window"))
   }
+
+  // ---- bottomk_sample (the quantile-sample cousin) ----
+
+  private def sampleForm(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("source")
+      .agg(call_function("bottomk_sample",
+        col("hk"), col("v"), lit(k)).as("smp"))
+
+  test("bottomk_sample: partitioning-invariant and equal to the relational replay") {
+    val t = Tables.documents(spark, sf)
+      .select(col("source"),
+        TextOps.h64(col("doc_id").cast("string")).as("hk"),
+        col("n_chars").as("v"))
+    val one = sampleForm(t.repartition(1), 16).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    val many = sampleForm(t.repartition(13), 16).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(one.toSeq == many.toSeq, "merge order changed the sample")
+    // relational replay: k smallest hk per source, values sorted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("hk", "v")
+    val rel = t.withColumn("rk", row_number().over(w)).filter(col("rk") <= 16)
+      .groupBy("source").agg(sort_array(collect_list(col("v"))).as("smp"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(one.toSeq == rel.toSeq, "aggregate diverged from the window replay")
+  }
+
+  test("bottomk_sample: below-k groups return every value (exact degenerate case)") {
+    import spark.implicits._
+    val df = Seq(("s", 5L, 30L), ("s", 2L, 10L), ("s", 9L, 20L))
+      .toDF("source", "hk", "v")
+    val r = sampleForm(df, 64).collect()
+    assert(r.length == 1 && r(0).getSeq[Long](1) == Seq(10L, 20L, 30L))
+  }
 }
