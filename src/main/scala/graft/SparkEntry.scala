@@ -99,6 +99,7 @@ object SparkEntry {
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
+    "q_dbscan"            -> ((s, d) => DataQueries.dbscanClusters(s, d)),
     "q_ann_neardup"       -> ((s, d) => DataQueries.annNearDup(s, d)),
     "q_embed_groups_lsh"  -> ((s, d) => DataQueries.embedGroupsLsh(s, d)),
     "q_semdedup"          -> ((s, d) => DataQueries.semDedup(s, d)),
@@ -3890,6 +3891,43 @@ object SparkEntry {
          sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
          SELECT node AS vec, comp, comp_size
          FROM comps JOIN sz USING (comp) ORDER BY vec""",
+    // DBSCAN: core = (deg+1) >= minPts, clusters = min-id CC over the
+    // core-core subgraph (anchored at EVERY core so isolated cores
+    // are singletons), border = min adjacent core cluster
+    // (deterministic variant of first-scanner-wins), noise = -1
+    "q_dbscan" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         near AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id
+                  WHERE list_dot_product(a.ve, b.ve) /
+                    (sqrt(list_dot_product(a.ve, a.ve)) *
+                     sqrt(list_dot_product(b.ve, b.ve))) >= 0.4),
+         edges AS (SELECT va AS src, vb AS dst FROM near
+                   UNION SELECT vb, va FROM near),
+         deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         core AS (SELECT node FROM deg WHERE deg + 1 >= 3),
+         ce AS (SELECT src, dst FROM edges
+                WHERE src IN (SELECT node FROM core)
+                  AND dst IN (SELECT node FROM core)),
+         cc(node, label) AS (
+           SELECT node, node FROM core
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN ce e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         border AS (SELECT e.src AS node, min(c.comp) AS comp
+                    FROM edges e JOIN comps c ON e.dst = c.node
+                    WHERE e.src NOT IN (SELECT node FROM core)
+                    GROUP BY 1),
+         lab AS (SELECT node, comp, 'core' AS role FROM comps
+                 UNION ALL SELECT node, comp, 'border' FROM border),
+         allv AS (SELECT vec_id AS vec, coalesce(l.role, 'noise') AS role,
+                    CAST(coalesce(l.comp, -1) AS BIGINT) AS cluster
+                  FROM v LEFT JOIN lab l ON v.vec_id = l.node),
+         sz AS (SELECT cluster, count(*) AS cluster_size FROM allv
+                WHERE cluster <> -1 GROUP BY 1)
+         SELECT vec, role, cluster,
+           CAST(coalesce(sz.cluster_size, 0) AS BIGINT) AS cluster_size
+         FROM allv LEFT JOIN sz USING (cluster) ORDER BY vec""",
     // Near-copy-augmented corpus: every 10th vector gets a planted
     // near-dup (id + 1000000, components nudged by a deterministic
     // md5-derived δ). The Spark side generates candidates with

@@ -1141,6 +1141,55 @@ object DataQueries {
         "vec_id", "embedding", 0.4)
       .select("vec_a", "vec_b"), nodeOut = "vec")
 
+  /** Density clustering (DBSCAN) over embeddings with cosine
+    * similarity ≥ thr as the ε-neighborhood: CORE = (deg + 1) ≥
+    * minPts (the point counts itself), clusters = connected
+    * components of the core-core subgraph (min-id labels), BORDER
+    * joins the MINIMUM adjacent core cluster — the deterministic
+    * variant of textbook DBSCAN's first-scanner-wins border rule, so
+    * both engines agree and results are parallelism-invariant.
+    * Everything is the hash-join algebra the dedup stack already
+    * scales: ε-edges from the blocked exact scan here (the oracle
+    * regime; swap in `lshNearDup` candidates at τ ≥ 0.9 for the
+    * 100 TB path — same downstream), degrees one exchange,
+    * components star-contraction. Noise keeps cluster = −1. */
+  def dbscanClusters(s: SparkSession, d: String,
+                     thr: Double = 0.4, minPts: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = VectorOps.cosineNearDupBlocked(emb, "vec_id", "embedding", thr)
+      .select(col("vec_a"), col("vec_b")).localCheckpoint(true)
+    val edges = pairs.unionByName(
+      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val core = edges.groupBy(col("vec_a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") + 1 >= minPts).select("node")
+    val coreEdges = edges
+      .join(core.withColumnRenamed("node", "vec_a"), Seq("vec_a"))
+      .join(core.withColumnRenamed("node", "vec_b"), Seq("vec_b"))
+      .select("vec_a", "vec_b")
+    val cc = DedupOps.connectedComponents(coreEdges).select("node", "comp")
+    val isolated = core.join(cc, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("comp"))
+    val coreComp = cc.unionByName(isolated)
+    val borderComp = edges
+      .join(coreComp.withColumnRenamed("node", "vec_b"), Seq("vec_b"))
+      .join(core.withColumnRenamed("node", "vec_a"), Seq("vec_a"), "left_anti")
+      .groupBy(col("vec_a").as("node")).agg(min(col("comp")).as("comp"))
+    val assigned = coreComp.withColumn("role", lit("core"))
+      .unionByName(borderComp.withColumn("role", lit("border")))
+      .withColumnRenamed("node", "vec")
+    val all = emb.select(col("vec_id").as("vec"))
+      .join(assigned, Seq("vec"), "left")
+      .select(col("vec"), coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("comp"), lit(-1L)).as("cluster"))
+    val sizes = all.filter(col("cluster") =!= -1L)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("cluster"), "left")
+      .select(col("vec"), col("role"), col("cluster"),
+        coalesce(col("cluster_size"), lit(0L)).as("cluster_size"))
+      .orderBy("vec")
+  }
+
   /** Embeddings plus a planted near-copy of every 10th vector: copy id
     * = vec_id + 1000000, each component nudged by a deterministic
     * md5-derived δ ∈ [−1e−4, 1e−4] — cos(v, v′) ≈ 1 − 1e−9 while
