@@ -124,6 +124,7 @@ object SparkEntry {
     "q_winnow_pairs"      -> ((s, d) => DataQueries.winnowPairs(s, d)),
     "q_containment"       -> ((s, d) => DataQueries.containmentPairs(s, d)),
     "q_passage_dedup"     -> ((s, d) => DataQueries.passageDedup(s, d)),
+    "q_substr_dedup"      -> ((s, d) => DataQueries.substrDedup(s, d)),
     "q_lm_score"          -> ((s, d) => DataQueries.lmScore(s, d)),
     "q_token_budget"      -> ((s, d) => DataQueries.tokenBudget(s, d)),
     "q_quality_deciles"   -> ((s, d) => DataQueries.qualityDeciles(s, d)),
@@ -2421,6 +2422,31 @@ object SparkEntry {
            round(n_dup / n_passages, 6) AS dup_frac,
            round(n_dup / n_passages, 6) >= 0.5 AS dup_heavy
          FROM agg ORDER BY doc_id""",
+    // Sliding-window substring dedup: token covered when any 8-window
+    // containing it repeats corpus-wide; kept text is hash-pinned
+    "q_substr_dedup" ->
+      s"""WITH $TOKS_CTE,
+         g0 AS (SELECT doc_id, i,
+                  ${H64.format("array_to_string(list_slice(tk, i + 1, i + 8), ' ')")} AS g
+                FROM (SELECT doc_id, tk,
+                        unnest(CASE WHEN len(tk) >= 8
+                          THEN range(len(tk) - 7) ELSE [] END) AS i
+                      FROM toks)),
+         dup AS (SELECT g FROM g0 GROUP BY g HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, cp FROM
+                   (SELECT doc_id, unnest(range(i, i + 8)) AS cp
+                    FROM g0 WHERE g IN (SELECT g FROM dup))),
+         cv AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id),
+         k AS (SELECT t.doc_id, len(tk) AS n_tokens,
+                 coalesce(len(cov), 0) AS n_dup,
+                 list_filter(tk, (x, i) ->
+                   NOT list_contains(coalesce(cov, []), i - 1)) AS kept
+               FROM toks t LEFT JOIN cv USING (doc_id))
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_dup AS BIGINT) AS n_dup_tokens,
+           CAST(n_tokens - n_dup AS BIGINT) AS n_kept,
+           ${H64.format("coalesce(array_to_string(kept, ' '), '')")} AS kept_h
+         FROM k ORDER BY doc_id""",
     // Bigram LM score: add-1 smoothing over corpus-trained counts;
     // per-bigram log-probs quantized to integer micro-nats (round 6,
     // then ×1e6) so the per-doc sum is exact — accumulation order and

@@ -2077,6 +2077,11 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window duplicated-substring removal (Lee-et-al form):
+    * see [[DedupOps.duplicatedSpanStrip]]. */
+  def substrDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps.duplicatedSpanStrip(Tables.documents(s, d), "doc_id", "text", n = 8)
+
   /** Passage-level exact dedup over 8-token windows: per-doc passage
     * count, corpus-duplicated passage count, dup fraction, and the
     * dup-heavy flag a pipeline would gate removal on. */

@@ -268,6 +268,56 @@ object DedupOps {
         h64(coalesce(col("clean"), lit(""))).as("clean_h"))
   }
 
+  /** Cross-document duplicated-SUBSTRING removal with SLIDING n-gram
+    * windows — the alignment-robust form of corpus dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * a token is dup-covered when ANY n-window containing it occurs ≥2
+    * times corpus-wide (within-doc repeats count), and covered tokens
+    * are dropped. Disjoint-chunk passes ([[passageStats]] /
+    * [[boilerplateStrip]]) go blind after a one-token insertion shifts
+    * every chunk; sliding windows re-match immediately, which is why
+    * the substring form is the published standard for training-data
+    * dedup.
+    *
+    * Scale shape: the occurrence stream is one row per token (the
+    * volume every shingle op here already shuffles), carrying only
+    * (doc, pos, h64) — strings never shuffle. Window frequency is a
+    * map-side-combining hash aggregate on the 60-bit gram hash; the
+    * duplicated-gram set flows back as a semi-join on the same hash;
+    * coverage expansion is a map-only explode of n ints per dup
+    * occurrence; the per-doc coverage set is bounded by document
+    * length. No windows, no sorts, no driver state.
+    *
+    * Output per doc: token counts before/after, covered-token count,
+    * and the h64 of the rebuilt (kept-token) text — the
+    * reconstruction is hash-pinned, not just counted. */
+  def duplicatedSpanStrip(df: DataFrame, id: String, text: String,
+                          n: Int): DataFrame = {
+    val docs = df.select(col(id).as("doc"),
+        TextOps.tokens(col(text)).as("tk"))
+      .withColumn("grams", expr(s"shingle_h64s_all(tk, $n)"))
+    val occ = docs.select(col("doc"),
+      posexplode(col("grams")).as(Seq("pos", "g")))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val cov = occ.join(dup, Seq("g"), "left_semi")
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cp"))
+      .distinct()
+      .groupBy("doc").agg(collect_set(col("cp")).as("cov"))
+    docs.join(cov, Seq("doc"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(col("tk"), (t, i) => !array_contains(col("cov"), i)))
+      .select(col("doc").as("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_dup_tokens"),
+        (size(col("tk")) - size(col("cov"))).cast("long").as("n_kept"),
+        h64(concat_ws(" ", col("kept"))).as("kept_h"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 shingle (an
     * equi-join on the shingle — inverted-index semantics), exact
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from distinct-shingle counts.

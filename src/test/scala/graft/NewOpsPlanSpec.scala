@@ -505,4 +505,19 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!exchanges.contains("w#") && !exchanges.contains("text"),
       s"token/text strings ride a shuffle:\n$exchanges")
   }
+
+  test("substring dedup: hash joins on gram hashes only, no nested loops") {
+    val p = plan(DataQueries.substrDedup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"degraded join in the dup-span pipeline:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text rides a shuffle:\n$exchanges")
+  }
+
+  test("dbscan: core/border/cluster algebra is all equi-joins") {
+    val p = plan(DataQueries.dbscanClusters(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"degraded join in dbscan:\n$p")
+  }
 }
