@@ -201,6 +201,7 @@ object SparkEntry {
     "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d)),
     "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d)),
     "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d)),
+    "q_modularity"        -> ((s, d) => GraphOps.modularity(s, d)),
     "q_harmonic"          -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     "q_bpe_apply"         -> ((s, d) => DataQueries.bpeApply(s, d)),
@@ -1727,6 +1728,65 @@ object SparkEntry {
          sz AS (SELECT community, count(*) AS comm_size FROM alln GROUP BY 1)
          SELECT a.doc_id, a.community, sz.comm_size
          FROM alln a JOIN sz USING (community) ORDER BY a.doc_id""",
+    // Newman modularity terms per community, CC vs label-prop on the
+    // same graph; q_num/q_den as exact integers (no division — floor
+    // vs truncate diverges across engines on negative numerators)
+    "q_modularity" ->
+      s"""WITH RECURSIVE $TOKS_CTE,
+         $SHING_CTE,
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
+         exs AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         und AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
+         mt AS (SELECT count(*) AS m FROM und),
+         deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node AS id, min(label) AS community
+                   FROM cc GROUP BY 1),
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+         n1 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+         l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n1)
+                WHERE rk = 1),
+         n2 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+         l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n2)
+                WHERE rk = 1),
+         n3 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l2 l ON e.dst = l.v GROUP BY 1, 2),
+         l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n3)
+                WHERE rk = 1),
+         part AS (SELECT 'cc' AS scheme, id, community FROM comps
+                  UNION ALL SELECT 'lp', v, lbl FROM l3),
+         dsum AS (SELECT scheme, community, count(*) AS n_nodes,
+                    CAST(sum(deg) AS BIGINT) AS d_sum
+                  FROM part JOIN deg USING (id) GROUP BY 1, 2),
+         ein AS (SELECT pa.scheme, pa.community, count(*) AS e_in
+                 FROM und u
+                   JOIN part pa ON pa.id = u.src
+                   JOIN part pb ON pb.id = u.dst AND pb.scheme = pa.scheme
+                 WHERE pa.community = pb.community GROUP BY 1, 2)
+         SELECT d.scheme, d.community, d.n_nodes,
+           CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, d.d_sum,
+           CAST(4 * mt.m * coalesce(e.e_in, 0) - d.d_sum * d.d_sum
+             AS BIGINT) AS q_num,
+           CAST(4 * mt.m * mt.m AS BIGINT) AS q_den
+         FROM dsum d LEFT JOIN ein e USING (scheme, community), mt
+         ORDER BY d.scheme, d.community""",
     // BPE trainer inner loop, two unrolled merge rounds over the
     // word-frequency table; merges are relational (x≠y winners can't
     // overlap; x=y winners apply by run-length parity over

@@ -358,6 +358,52 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Partition-quality telemetry: per-community NEWMAN-MODULARITY
+    * terms for two partitions of the SAME near-dup graph — connected
+    * components ('cc') vs label propagation ('lp') — the number a
+    * pipeline reads before trusting dedup groups as training shards.
+    * Exact integers only: with m undirected edges, E_c intra edges
+    * and D_c the community degree sum, the community's contribution
+    * to Q is (4·m·E_c − D_c²) / 4m² — emitted as the `q_num` /
+    * `q_den` pair, NO division in the artifact (floor-vs-truncate
+    * semantics diverge across engines on negative numerators; the
+    * caller sums q_num and divides once). CC is the upper bound on
+    * coverage (E_c = m exactly, every edge internal); LP trades
+    * coverage for balance — the comparison IS the telemetry. All
+    * hash-join algebra on the shared checkpointed edge list; the only
+    * driver value is the 1-row edge count. */
+  def modularity(s: SparkSession, d: String, rounds: Int = 3,
+                 maxDocFreq: Option[Long] = None): DataFrame = {
+    val edges = neardupEdges(s, d, maxDocFreq)
+    val und = edges.filter(col("src") < col("dst")).localCheckpoint(true)
+    val m = und.count()
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cc = DedupOps.connectedComponents(und)
+      .select(col("node").as("id"), col("comp").as("community"))
+    val lp = labelPropOf(deg.select("id"), edges, rounds)
+      .select(col("id"), col("community"))
+    def stats(part: DataFrame, scheme: String): DataFrame = {
+      val dsum = part.join(deg, Seq("id"))
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+      val ein = und
+        .join(part.select(col("id").as("src"), col("community").as("ca")),
+          Seq("src"))
+        .join(part.select(col("id").as("dst"), col("community").as("cb")),
+          Seq("dst"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+      dsum.join(ein, Seq("community"), "left")
+        .select(lit(scheme).as("scheme"), col("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"))
+    }
+    stats(cc, "cc").unionByName(stats(lp, "lp"))
+      .withColumn("q_num",
+        lit(4L * m) * col("e_in") - col("d_sum") * col("d_sum"))
+      .withColumn("q_den", lit(4L * m * m))
+      .orderBy("scheme", "community")
+  }
+
   /** [[labelProp]] over an arbitrary symmetrized edge list plus a node
     * frame (for the property spec). */
   private[graft] def labelPropOf(nodes: DataFrame, edges: DataFrame,
