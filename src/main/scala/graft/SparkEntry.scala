@@ -50,6 +50,7 @@ object SparkEntry {
     "q_fsm_zscore"        -> ((s, d) => SeriesQueries.fsmZscore(s, d)),
     "q_trade_monthly"     -> ((s, d) => SeriesQueries.tradeReturnsMonthly(s, d)),
     "q_ohlc_bars"         -> ((s, d) => SeriesQueries.ohlcBars(s, d)),
+    "q_robust_outliers"   -> ((s, d) => SeriesQueries.robustOutliers(s, d)),
     // ---- training-data pipeline: text / dedup / similarity ----
     "q_text_stats"        -> ((s, d) => DataQueries.textStats(s, d)),
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
@@ -822,6 +823,28 @@ object SparkEntry {
              AS vwap_millicents,
            CAST(sum(qty) AS BIGINT) AS volume, count(*) AS n_trades
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    // rolling median/MAD outliers: integer cents, list-window replay,
+    // cross-multiplied 3.5-MAD cutoff (no signed division)
+    "q_robust_outliers" ->
+      """WITH daily AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT day, cents,
+                 list(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win,
+                 count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS nw
+               FROM daily),
+         m AS (SELECT day, cents, win, list_sort(win)[4] AS med7
+               FROM r WHERE nw = 7),
+         x AS (SELECT day, cents, med7,
+                 list_sort(list_transform(win, v -> abs(v - med7)))[4] AS mad7
+               FROM m)
+         SELECT day, cents, med7, mad7, cents - med7 AS dev_cents,
+           abs(cents - med7) * 2 > mad7 * 7 AS is_outlier
+         FROM x ORDER BY day""",
     "q_fsm_zscore" ->
       s"""WITH RECURSIVE $FILLED_CTE,
          c AS (SELECT bucket, avg(value) AS c_mean FROM filled GROUP BY bucket),

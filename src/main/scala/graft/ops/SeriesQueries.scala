@@ -51,6 +51,38 @@ object SeriesQueries {
     TimeSeries.resampleFfill(Tables.events(s, d),
       "event_type", "ts", "value", "hour", "event_id")
 
+  /** Robust anomaly detection on the daily revenue series: rolling
+    * 7-observation median + MAD (median absolute deviation), the
+    * outlier-resistant alternative to `q_rolling_zscore`'s mean/σ (a
+    * single spike inflates σ and masks itself; the median/MAD pair
+    * doesn't). Exact integer cents end to end; a point flags when
+    * 2·|x − med| > 7·MAD (|dev| > 3.5·MAD, the standard cutoff,
+    * cross-multiplied so there is NO division — floor-vs-truncate
+    * semantics diverge across engines on signed quotients). Rolling
+    * windows sit on the DAY-aggregated series (groups-sized, not
+    * corpus-sized), so the unpartitioned window is a few thousand
+    * rows at any corpus scale — the heavy lifting is the one
+    * map-side-combining aggregate underneath. First 6 days (warm-up)
+    * are dropped, as the oracle's COUNT guard mirrors. */
+  def robustOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.lineitem(s, d)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.withColumn("win", collect_list(col("cents")).over(w))
+      .filter(size(col("win")) === 7)
+      .withColumn("med7", expr("element_at(array_sort(win), 4)"))
+      .withColumn("mad7",
+        expr("element_at(array_sort(transform(win, x -> abs(x - med7))), 4)"))
+      .select(col("day"), col("cents"), col("med7"), col("mad7"),
+        (col("cents") - col("med7")).as("dev_cents"),
+        (abs(col("cents") - col("med7")) * 2 > col("mad7") * 7)
+          .as("is_outlier"))
+      .orderBy("day")
+  }
+
   /** A1 bucket step. */
   def resampleLast(s: SparkSession, d: String): DataFrame =
     TimeSeries.resampleLast(Tables.events(s, d),
