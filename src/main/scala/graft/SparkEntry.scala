@@ -97,6 +97,8 @@ object SparkEntry {
     "q_sq8_encode"        -> ((s, d) => DataQueries.sq8Codes(s, d)),
     "q_sq8_topk"          -> ((s, d) => DataQueries.sq8TopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
+    "q_knn_graph"         -> ((s, d) => VectorOps.knnGraphMutual(
+                                Tables.embeddings(s, d), "vec_id", "embedding", 5)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
@@ -3981,6 +3983,25 @@ object SparkEntry {
                FROM v a JOIN v b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(cos, 6) AS cos
          FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    // mutual kNN graph: per-node cosine top-5 (ties by id), edge kept
+    // only when BOTH endpoints rank each other
+    "q_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))) AS cos
+               FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         dir AS (SELECT va AS src, vb AS dst, cos FROM p
+                 UNION ALL SELECT vb, va, cos FROM p),
+         top AS (SELECT src, dst, cos, row_number() OVER
+                   (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+                 FROM dir),
+         t5 AS (SELECT * FROM top WHERE rk <= 5)
+         SELECT a.src AS vec_a, a.dst AS vec_b, round(a.cos, 6) AS cos,
+           a.rk AS rank_a, b.rk AS rank_b
+         FROM t5 a JOIN t5 b ON a.src = b.dst AND a.dst = b.src
+         WHERE a.src < a.dst ORDER BY vec_a, vec_b""",
     // Embedding near-dup groups: same recursive min-reachability CC
     // oracle as q_dedup_groups, over the cosine pair edges.
     "q_embed_groups" ->

@@ -354,6 +354,37 @@ object VectorOps {
         greatest(col("id_a"), col("id_b")).as("vec_b"), col("cos"))
   }
 
+  /** Mutual (reciprocal) kNN graph: edge (a, b) survives when b sits
+    * in a's cosine top-k AND a in b's — the standard density-aware
+    * sparsifier in front of HDBSCAN/UMAP-style pipelines (one-sided
+    * kNN edges into a hub node dissolve cluster boundaries; mutuality
+    * prunes hubs by construction). Ranks are deterministic: ties on
+    * cosine break by neighbor id. This exact form pairs every vector
+    * (the small-sf oracle regime, like [[cosineNearDupBlocked]]); at
+    * scale swap the pair generator for the IVF/LSH candidate paths —
+    * the rank/mutuality algebra downstream is unchanged. */
+  def knnGraphMutual(df: DataFrame, id: String, vec: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = cosineNearDupBlocked(df, id, vec, threshold = -1.0)
+    val dir = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val top = dir.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val rev = top.select(col("dst").as("src"), col("src").as("dst"),
+      col("rk").as("rk_b"))
+    top.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        round(col("cos"), 6).as("cos"),
+        col("rk").cast("long").as("rank_a"),
+        col("rk_b").cast("long").as("rank_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Sub-quadratic near-dup for HIGH thresholds: multi-table SRP-LSH
     * bucket equi-join generates candidates, an exact cosine re-check
     * keeps true pairs — the SemDeDup/dedup regime (τ ≥ ~0.9, near-copy
