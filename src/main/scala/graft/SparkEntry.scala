@@ -30,6 +30,7 @@ object SparkEntry {
     "q_dedup_first"       -> ((s, d) => Relational.dedupFirstEvent(s, d)),
     "q_coerce_props"      -> ((s, d) => Relational.coerceProps(s, d)),
     "q_monthly_sales"     -> ((s, d) => Relational.monthlySales(s, d)),
+    "q_basket_pairs"      -> ((s, d) => Relational.basketPairs(s, d)),
     // ---- time series (SURVEY §2.4, §2.2) ----
     "q_resample_last"     -> ((s, d) => SeriesQueries.resampleLast(s, d)),
     "q_resample_ffill"    -> ((s, d) => SeriesQueries.resampleFfill(s, d)),
@@ -684,6 +685,24 @@ object SparkEntry {
          CAST(year(o_orderdate) AS INT) AS yr,
          round(sum(o_totalprice), 4) AS total, count(*) AS n_orders
          FROM orders GROUP BY 1, 2 ORDER BY 1""",
+    // a-priori 2-itemsets over order baskets; positive integer lift
+    // (truncate ≡ floor on positives)
+    "q_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+         tot AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+         item AS (SELECT p, count(*) AS c FROM b GROUP BY 1),
+         pr AS (SELECT a.p AS pa, b2.p AS pb, count(*) AS cnt
+                FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT pa, pb, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ia.c AS BIGINT) AS ca, CAST(ib.c AS BIGINT) AS cb,
+           CAST(tot.n_orders AS BIGINT) AS n_orders,
+           CAST(cnt * tot.n_orders * 1000000 // (ia.c * ib.c) AS BIGINT)
+             AS lift_micro
+         FROM pr JOIN item ia ON pr.pa = ia.p
+                 JOIN item ib ON pr.pb = ib.p, tot
+         ORDER BY pa, pb""",
     "q_resample_last" ->
       s"""WITH b AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket, value,

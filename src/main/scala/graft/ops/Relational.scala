@@ -146,6 +146,42 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Market-basket association pairs over order baskets: part pairs
+    * co-purchased in ≥ minSupport orders, with per-item order counts
+    * and integer-micro LIFT = cnt·N / (c_a·c_b) — the a-priori
+    * 2-itemset pass, the workhorse of co-occurrence analytics (and,
+    * on a token/doc matrix, of collocation mining — `q_collocations`
+    * is the same algebra one table over). All quotients are positive,
+    * so `div` (truncate) and `//` (floor) agree cross-engine.
+    *
+    * Scale: the basket self-join fans out as Σ|basket|² — bounded
+    * here (≤7 items/order); on long-tailed baskets cap basket size or
+    * item frequency first, exactly like `jaccardPairs`' maxDocFreq
+    * lever. Support filtering happens in the pair aggregate
+    * (map-side combined), so only above-threshold pairs reach the
+    * lift joins; the 1-row total broadcasts. */
+  def basketPairs(spark: SparkSession, dir: String,
+                  minSupport: Long = 3): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val tot = b.agg(countDistinct(col("o")).as("n_orders"))
+    val item = b.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = b.as("a")
+      .join(b.as("bb"), col("a.o") === col("bb.o") && col("a.p") < col("bb.p"))
+      .groupBy(col("a.p").as("pa"), col("bb.p").as("pb"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+    pairs
+      .join(item.select(col("p").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(item.select(col("p").as("pb"), col("c").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("cnt"), col("ca"), col("cb"),
+        col("n_orders"),
+        expr("cnt * n_orders * 1000000 div (ca * cb)").as("lift_micro"))
+      .orderBy("pa", "pb")
+  }
+
   /** Date-part aggregation (P15/A9 — monthly/yearly return sums,
     * `stable_eth_meanrevert_bot.py:255-266`). */
   def monthlySales(spark: SparkSession, dir: String): DataFrame =
