@@ -151,6 +151,7 @@ object SparkEntry {
     "q_balanced_sample"   -> ((s, d) => DataQueries.balancedSample(s, d)),
     "q_topic_quality"     -> ((s, d) => DataQueries.topicQuality(s, d)),
     "q_quality_model"     -> ((s, d) => graft.ml.QualityClassifier.qualityModel(s, d)),
+    "q_isotonic_cal"      -> ((s, d) => DataQueries.isotonicCalibration(s, d)),
     "q_quality_agreement" -> ((s, d) => graft.ml.QualityClassifier.qualityAgreement(s, d)),
     "q_hybrid_rrf"        -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
     "q_dup_coverage"      -> ((s, d) => DataQueries.dupCoverage(s, d)),
@@ -3199,6 +3200,56 @@ object SparkEntry {
             AND coalesce(alpha_frac >= 0.8, false)
             AND stop_hits >= 2) AS keep
          FROM sig ORDER BY doc_id""",
+    // isotonic calibration via the minimax formula over 10 score
+    // bins; integer micro rates, floored (monotone regardless)
+    "q_isotonic_cal" ->
+      s"""WITH $TOKS_CTE,
+         sc AS (SELECT doc_id,
+             least(9, CAST(floor((
+               0.4 * least(len(tk) / 100.0, 1.0)
+               + 0.3 * (1.0 - coalesce(CASE WHEN len(toks.text) > 0 THEN
+                   (len(toks.text) - len(regexp_replace(toks.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                     / len(toks.text) END, 0.0))
+               + 0.3 * least(coalesce(CASE WHEN len(tk) > 0 THEN
+                   len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                     / len(tk) END, 0.0) * 5.0, 1.0)) * 10) AS BIGINT))
+               AS bin,
+             CASE WHEN len(tk) >= 20 AND len(tk) <= 100000
+               AND (CASE WHEN len(tk) > 0 THEN
+                 list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+                 END) >= 2.0
+               AND (CASE WHEN len(tk) > 0 THEN
+                 list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+                 END) <= 10.0
+               AND coalesce((CASE WHEN len(tk) > 0 THEN
+                 len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                   / len(tk) END) >= 0.8, false)
+               AND (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
+                    CASE WHEN list_contains(tk, 'a')   THEN 1 ELSE 0 END +
+                    CASE WHEN list_contains(tk, 'of')  THEN 1 ELSE 0 END +
+                    CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END +
+                    CASE WHEN list_contains(tk, 'is')  THEN 1 ELSE 0 END) >= 2
+             THEN 1 ELSE 0 END AS pos
+           FROM toks),
+         bins AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS pos
+                  FROM sc GROUP BY 1),
+         cum AS (SELECT bin, n, pos,
+                   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                   CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+                 FROM bins),
+         seg AS (SELECT j.bin AS jb, k.bin AS kb,
+                   CAST((k.cp - (j.cp - j.pos)) * 1000000
+                     // (k.cn - (j.cn - j.n)) AS BIGINT) AS r
+                 FROM cum j JOIN cum k ON j.bin <= k.bin),
+         inner0 AS (SELECT b.bin AS i, s.jb, min(s.r) AS mn
+                    FROM bins b JOIN seg s
+                      ON s.jb <= b.bin AND s.kb >= b.bin
+                    GROUP BY 1, 2),
+         iso AS (SELECT i, max(mn) AS iso_rate_micro FROM inner0 GROUP BY 1)
+         SELECT b.bin, CAST(b.n AS BIGINT) AS n, b.pos,
+           CAST(b.pos * 1000000 // b.n AS BIGINT) AS raw_rate_micro,
+           CAST(iso.iso_rate_micro AS BIGINT) AS iso_rate_micro
+         FROM bins b JOIN iso ON b.bin = iso.i ORDER BY b.bin""",
     "q_len_quantiles" ->
       """WITH t AS (SELECT lang, n_chars,
              len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -43,6 +43,53 @@ object DataQueries {
   }
 
   /** Gopher-style rule gate: the four signals + keep flag per doc. */
+  /** Isotonic (PAV) calibration of the heuristic quality score
+    * against the Gopher keep label, computed RELATIONALLY via the
+    * minimax characterization iso[i] = max_{j≤i} min_{k≥i}
+    * mean(rate over bins j..k) — no sequential pool-adjacent fold, so
+    * the whole fit is three joins over the 10-row bin frame and both
+    * engines replay it exactly. Rates are integer micro-units
+    * (floored; the minimax of floored segment means is still
+    * monotone — the max-over-grow / min-over-shrink argument is
+    * value-function-agnostic), so there is no float anywhere after
+    * the bin assignment. The corpus-sized work is ONE map-side
+    * aggregate into ≤10 bins; the O(bins³) minimax runs on a frame
+    * that never grows with the corpus — bounded non-equi joins over
+    * ten rows, not a scale risk. The iso_rate column is the
+    * monotone-calibrated P(keep | score bin) a ranking pipeline
+    * thresholds on. */
+  def isotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+    val (nWords, meanLen, alphaFrac, stopHits) = TextOps.gopherSignals(col("text"))
+    val scored = t.select(
+      least(lit(9L), floor(TextOps.qualityScore(col("text")) * 10)).as("bin"),
+      TextOps.gopherKeep(nWords, meanLen, alphaFrac, stopHits)
+        .cast("long").as("pos"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cp", sum("pos").over(w))
+    val jf = cum.select(col("bin").as("jb"), (col("cn") - col("n")).as("cnj"),
+      (col("cp") - col("pos")).as("cpj"))
+    val kf = cum.select(col("bin").as("kb"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val seg = jf.join(kf, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        expr("(cpk - cpj) * 1000000 div (cnk - cnj)").as("r"))
+    val iso = bins.select(col("bin").as("i"))
+      .join(seg, col("jb") <= col("i") && col("kb") >= col("i"))
+      .groupBy("i", "jb").agg(min("r").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_rate_micro"))
+    bins.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("pos * 1000000 div n").as("raw_rate_micro"),
+        col("iso_rate_micro"))
+      .orderBy("bin")
+  }
+
   def gopherQuality(s: SparkSession, d: String): DataFrame = {
     val (nWords, meanLen, alphaFrac, stopHits) = TextOps.gopherSignals(col("text"))
     Tables.documents(s, d).select(
