@@ -28,6 +28,32 @@ object StreamOps {
       .agg(max_by(col(value), struct(col(ts), col(tiebreak))).as(value))
       .select(col(key), col("w.start").as("bucket"), col(value))
 
+  /** Streaming OHLC/VWAP candles — [[graft.ops.SeriesQueries.ohlcBars]]'
+    * live twin, the bar feed a trading bot consumes off the indexer
+    * tip. One tumbling window per (key, bucket): open/close via
+    * `min_by`/`max_by` on the caller's total-order column, high/low
+    * as plain extrema, volume-weighted price as the exact integer
+    * pair (Σ price·qty, Σ qty) — division is the READER's move, so
+    * the incremental aggregation state is a handful of BIGINTs per
+    * open bucket and the emitted row is engine-exact. Append mode:
+    * a bar emits once, when the watermark passes its close. */
+  def ohlcStream(df: DataFrame, key: String, ts: String, price: String,
+                 qty: String, ord: String, freq: String,
+                 watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(ts, watermark)
+      .groupBy(col(key), window(col(ts), s"1 $freq").as("w"))
+      .agg(
+        min_by(col(price), col(ord)).as("open"),
+        max(col(price)).as("high"),
+        min(col(price)).as("low"),
+        max_by(col(price), col(ord)).as("close"),
+        sum(col(price) * col(qty)).as("pq_sum"),
+        sum(col(qty)).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col(key), col("w.start").as("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("pq_sum"),
+        col("volume"), col("n_trades"))
+
   /** Streaming tumbling-window mean/count per key (the monitoring-style
     * aggregation a chain-tip follower reports per chunk, C6). */
   def windowedStats(df: DataFrame, key: String, ts: String, value: String,

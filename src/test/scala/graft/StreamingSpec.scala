@@ -291,6 +291,50 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", 2.0), ("2024-01-01 01:00:00.0", 3.0)))
   }
 
+  test("ohlcStream: closed candles equal the batch OHLC aggregation, exactly") {
+    implicit val sc = spark.sqlContext
+    // (key, ts, price_cents, qty, ord) — ord is the total order
+    val input = MemoryStream[(String, java.sql.Timestamp, Long, Long, Long)]
+    val df = input.toDF().toDF("k", "t", "c", "q", "o")
+    val agg = StreamOps.ohlcStream(df, "k", "t", "c", "q", "o", "hour")
+    val qy = agg.writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    val batch1 = Seq(
+      ("p", ts("2024-01-01 00:05:00"), 100L, 2L, 1L),
+      ("p", ts("2024-01-01 00:20:00"), 130L, 1L, 2L),
+      ("p", ts("2024-01-01 00:40:00"), 90L, 3L, 3L))
+    val batch2 = Seq(
+      ("p", ts("2024-01-01 00:55:00"), 120L, 4L, 4L), // same bucket, later batch
+      ("p", ts("2024-01-01 01:10:00"), 200L, 1L, 5L))
+    input.addData(batch1: _*)
+    qy.processAllAvailable()
+    input.addData(batch2: _*)
+    qy.processAllAvailable()
+    input.addData(("p", ts("2024-01-01 03:30:00"), 1L, 1L, 6L)) // advance watermark
+    qy.processAllAvailable()
+    val got = spark.table("ohlc_out").orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    qy.stop()
+    // batch recompute over the union of the two in-window batches
+    import spark.implicits._
+    val all = (batch1 ++ batch2).toDF("k", "t", "c", "q", "o")
+    val want = all
+      .groupBy(window(col("t"), "1 hour").as("w"))
+      .agg(min_by(col("c"), col("o")).as("open"), max("c").as("high"),
+        min("c").as("low"), max_by(col("c"), col("o")).as("close"),
+        sum(col("c") * col("q")).as("pq"), sum("q").as("vol"))
+      .orderBy(col("w.start")).collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // only closed buckets (00 and 01) have emitted
+    assert(got.toSeq == want.toSeq.take(got.length) && got.length == 2,
+      s"stream=${got.toSeq} batch=${want.toSeq}")
+    // the cross-batch bucket-00 candle saw all four trades
+    assert(got(0) == ("2024-01-01 00:00:00.0", 100L, 130L, 90L, 120L,
+      100L * 2 + 130L + 90L * 3 + 120L * 4, 10L))
+  }
+
   test("pinned-model scoring: stream and batch produce identical scores") {
     implicit val sc = spark.sqlContext
     val cols = Seq("event_type", "z", "devdt", "bias", "sigma", "pair_id")
