@@ -115,6 +115,7 @@ object SparkEntry {
     "q_adpcm_features"    -> ((s, d) => DataQueries.adpcmFeatures(s, d)),
     "q_image_features"    -> ((s, d) => DataQueries.imageFeatures(s, d)),
     "q_png_features"      -> ((s, d) => DataQueries.pngFeatures(s, d)),
+    "q_qoi_features"      -> ((s, d) => DataQueries.qoiFeatures(s, d)),
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
     "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
@@ -3007,6 +3008,23 @@ object SparkEntry {
          FROM rk ORDER BY lang""",
     // PNG twin: identical pixel formulas, 'png' container — a defect
     // anywhere in the deflate/inflate/filter path shifts a sum
+    // QOI round trip (lossless — same analytic oracle as PNG/GIF)
+    "q_qoi_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h, 'qoi' AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 (doc_id + 3 * x + 7 * y) % 256 AS r,
+                 (2 * doc_id + 5 * x + y) % 256 AS g,
+                 (3 * doc_id + x + 11 * y) % 256 AS b
+               FROM c)
+         SELECT doc_id, format, max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((y + 1) * r)::BIGINT AS wsum_r
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
     "q_png_features" ->
       """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
                   12 + (doc_id % 7) AS h, 'png' AS format

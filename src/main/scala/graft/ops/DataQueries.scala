@@ -1732,6 +1732,53 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** QOI leg of the codec family ([[Qoi]]): identical formula pixels
+    * to [[pngFeatures]] through the QOI encode→decode round trip —
+    * lossless, so the oracle recomputes the decoded sums analytically
+    * with no band. The formula's ±(3,5,7,11)-step row gradients
+    * exercise DIFF/LUMA chunks; modular wrap points force RGB
+    * literals; repeated colors hit the INDEX table. */
+  def qoiFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("wsum_r", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((doc + 3L * x + 7L * y) % 256L).toInt
+              rgb(p + 1) = ((2L * doc + 5L * x + y) % 256L).toInt
+              rgb(p + 2) = ((3L * doc + x + 11L * y) % 256L).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Qoi.encode(w, h, rgb)
+          val (dw, dh, f) = Multimodal.decodeFeatures(bytes)
+          Row(doc, Multimodal.detectFormat(bytes), dw.toLong, dh.toLong,
+            f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** JPEG leg of the codec family ([[Jpeg]]): identical formula pixels
     * to [[pngFeatures]], but the round trip rides the LOSSY baseline
     * path — RGB→YCbCr, 8×8 DCT, quantize, Annex-K Huffman entropy

@@ -670,6 +670,8 @@ object Multimodal {
       && (bytes(2) & 0xff) == 0xff) "jpg"
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
       && bytes(3) == '8') "gif"
+    else if (bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i'
+      && bytes(3) == 'f') "qoi"
     else "unknown"
 
   // ------------------------------------------------------------------
@@ -696,14 +698,15 @@ object Multimodal {
         var i = 0
         while (i < s.length) { f(i & 7) += s(i); i += 1 }
         (s.length, sr, f)
-      case "bmp" | "ppm" | "png" | "jpg" | "gif" =>
+      case "bmp" | "ppm" | "png" | "jpg" | "gif" | "qoi" =>
         // jpg features are approximate (lossy decode) — fine for
         // similarity, excluded from the exact-oracle feature queries;
-        // gif (like png) is lossless and exact
+        // gif and qoi (like png) are lossless and exact
         val (w, h, rgb) =
           if (content(0) == 'B') decodeBmp(content)
           else if (content(0) == 'P') decodePpm(content)
           else if (content(0) == 'G') Gif.decode(content)
+          else if (content(0) == 'q') Qoi.decode(content)
           else if ((content(0) & 0xff) == 0xff) Jpeg.decode(content)
           else decodePng(content)
         val f = new Array[Float](8)
