@@ -52,6 +52,7 @@ object SparkEntry {
     "q_trade_monthly"     -> ((s, d) => SeriesQueries.tradeReturnsMonthly(s, d)),
     "q_ohlc_bars"         -> ((s, d) => SeriesQueries.ohlcBars(s, d)),
     "q_robust_outliers"   -> ((s, d) => SeriesQueries.robustOutliers(s, d)),
+    "q_attribution"       -> ((s, d) => SeriesQueries.lastTouchAttribution(s, d)),
     // ---- training-data pipeline: text / dedup / similarity ----
     "q_text_stats"        -> ((s, d) => DataQueries.textStats(s, d)),
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
@@ -868,6 +869,20 @@ object SparkEntry {
          SELECT day, cents, med7, mad7, cents - med7 AS dev_cents,
            abs(cents - med7) * 2 > mad7 * 7 AS is_outlier
          FROM x ORDER BY day""",
+    // last-touch attribution: running max(click ts) strictly before
+    // each row on the (user, ts, event_id) order; 24h window test via
+    // whole-second date_diff (both engines floor to seconds first)
+    "q_attribution" ->
+      """WITH c AS (SELECT event_id, user_id, event_type, ts,
+             max(CASE WHEN event_type = 'click' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_ts
+           FROM events)
+         SELECT event_id, user_id, ts AS purchase_ts, click_ts,
+           (click_ts IS NOT NULL
+            AND date_diff('second', click_ts, ts) <= 86400) AS attributed
+         FROM c WHERE event_type = 'purchase' ORDER BY event_id""",
     "q_fsm_zscore" ->
       s"""WITH RECURSIVE $FILLED_CTE,
          c AS (SELECT bucket, avg(value) AS c_mean FROM filled GROUP BY bucket),

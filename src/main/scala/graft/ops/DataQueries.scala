@@ -2061,18 +2061,20 @@ object DataQueries {
             }
             y += 1
           }
-          // container rotates over all THREE image codecs (PNG takes
-          // the compressed leg); decoded pixels are container-
-          // independent, so the analytic oracle is untouched while
-          // every codec's round trip rides the gate
-          val bytes = (doc % 3) match {
+          // container rotates over all FOUR lossless image codecs
+          // (PNG and QOI take the compressed legs); decoded pixels
+          // are container-independent, so the analytic oracle is
+          // untouched while every codec's round trip rides the gate
+          val bytes = (doc % 4) match {
             case 0 => Multimodal.encodeBmp24(w, h, rgb)
             case 1 => Multimodal.encodePpm(w, h, rgb)
+            case 2 => Qoi.encode(w, h, rgb)
             case _ => Multimodal.encodePng(w, h, rgb)
           }
           val (dw, dh, drgb) = Multimodal.detectFormat(bytes) match {
             case "bmp" => Multimodal.decodeBmp(bytes)
             case "ppm" => Multimodal.decodePpm(bytes)
+            case "qoi" => Qoi.decode(bytes)
             case _ => Multimodal.decodePng(bytes)
           }
           Row(doc, Multimodal.dHash(dw, dh, drgb))

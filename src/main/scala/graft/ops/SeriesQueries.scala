@@ -51,6 +51,35 @@ object SeriesQueries {
     TimeSeries.resampleFfill(Tables.events(s, d),
       "event_type", "ts", "value", "hour", "event_id")
 
+  /** Last-touch attribution: each purchase attributes to the same
+    * user's most recent click within a 24 h lookback — the standard
+    * marketing/conversion join, here as ONE pass over the per-user
+    * event timeline instead of a purchases×clicks join: a running
+    * `max(ts) where type = click` over the (user, time)-ordered
+    * stream carries the candidate forward (clicks and purchases never
+    * tie on the full (ts, event_id) order, so last-click-BEFORE is
+    * exact), then purchases test the 24 h window. One exchange on
+    * user_id; per-user timelines are bounded, so the window never
+    * sees corpus-scale partitions. Unattributed purchases keep a NULL
+    * click and attributed=false. */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        (col("click_ts").isNotNull &&
+          col("ts").cast("long") - col("click_ts").cast("long") <= 86400L)
+          .as("attributed"))
+      .orderBy("event_id")
+  }
+
   /** Robust anomaly detection on the daily revenue series: rolling
     * 7-observation median + MAD (median absolute deviation), the
     * outlier-resistant alternative to `q_rolling_zscore`'s mean/σ (a
