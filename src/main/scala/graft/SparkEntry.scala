@@ -45,6 +45,8 @@ object SparkEntry {
     "q_interval_join"     -> ((s, d) => SeriesQueries.intervalJoin(s, d)),
     "q_funnel"            -> ((s, d) => SeriesQueries.funnel(s, d)),
     "q_retention"         -> ((s, d) => SeriesQueries.retention(s, d)),
+    "q_cohort_ltv"        -> ((s, d) => SeriesQueries.cohortLtv(s, d)),
+    "q_transitions"       -> ((s, d) => SeriesQueries.eventTransitions(s, d)),
     "q_value_hist"        -> ((s, d) => SeriesQueries.valueHist(s, d)),
     // ---- stateful FSM backtests (SURVEY §2.6) ----
     "q_fsm_meanrev"       -> ((s, d) => SeriesQueries.fsmMeanrev(s, d)),
@@ -180,6 +182,7 @@ object SparkEntry {
     "q_aqp_sum"           -> ((s, d) => DataQueries.aqpSum(s, d)),
     "q_ref_integrity"     -> ((s, d) => DataQueries.refIntegrity(s, d)),
     "q_lang_confusion"    -> ((s, d) => DataQueries.langConfusion(s, d)),
+    "q_langid_metrics"    -> ((s, d) => DataQueries.langIdMetrics(s, d)),
     "q_day_audit"         -> ((s, d) => DataQueries.dayAudit(s, d)),
     "q_embed_drift"       -> ((s, d) => DataQueries.embedDrift(s, d)),
     "q_dup_size_hist"     -> ((s, d) => DataQueries.dupSizeHist(s, d)),
@@ -1029,6 +1032,46 @@ object SparkEntry {
          SELECT lang, pred, n,
            round(n / sum(n) OVER (PARTITION BY lang), 6) AS frac
          FROM m ORDER BY lang, pred""",
+    // per-label precision/recall/F1 in integer micro over the same
+    // confusion matrix (positive divisions only; -1 = label never
+    // predicted)
+    "q_langid_metrics" ->
+      s"""WITH $TOKS_CTE,
+         sc AS (SELECT doc_id,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('der','die','und','das','ist')))::DOUBLE / len(tk) ELSE 0 END AS s_de,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('the','a','of','and','is')))::DOUBLE / len(tk) ELSE 0 END AS s_en,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('el','la','de','que','y')))::DOUBLE / len(tk) ELSE 0 END AS s_es,
+           CASE WHEN len(tk) > 0 THEN len(list_filter(tk,
+             x -> x IN ('le','la','et','les','des')))::DOUBLE / len(tk) ELSE 0 END AS s_fr
+           FROM toks),
+         pr AS (SELECT doc_id,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                ELSE 'und' END AS pred
+           FROM sc),
+         m AS (SELECT d.lang, pr.pred, CAST(count(*) AS BIGINT) AS n
+               FROM pr JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         tp AS (SELECT lang, n AS tp FROM m WHERE lang = pred),
+         lab AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_label
+                 FROM m GROUP BY 1),
+         pd AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS n_pred
+                FROM m GROUP BY 1)
+         SELECT l.lang, CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+           l.n_label, CAST(coalesce(pd.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(CASE WHEN coalesce(pd.n_pred, 0) = 0 THEN -1
+             ELSE coalesce(tp.tp, 0) * 1000000 // pd.n_pred END AS BIGINT)
+             AS precision_micro,
+           CAST(coalesce(tp.tp, 0) * 1000000 // l.n_label AS BIGINT)
+             AS recall_micro,
+           CAST(2 * coalesce(tp.tp, 0) * 1000000
+             // (l.n_label + coalesce(pd.n_pred, 0)) AS BIGINT) AS f1_micro
+         FROM lab l LEFT JOIN tp USING (lang) LEFT JOIN pd USING (lang)
+         ORDER BY l.lang""",
     "q_dedup_exact" ->
       s"""SELECT ${H64.format("text")} AS content_hash,
            min(doc_id) AS keep_id, count(*) AS n_dups
@@ -3722,6 +3765,39 @@ object SparkEntry {
            round(n_active / cohort_size, 6) AS retention
          FROM cells JOIN base USING (cohort)
          ORDER BY cohort, wk_offset""",
+    // cohort LTV: purchase revenue per (cohort, week offset) in micro
+    // units + the cumulative lifetime curve
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+             CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+         c AS (SELECT user_id, event_type, value, week,
+             min(week) OVER (PARTITION BY user_id) AS cohort FROM e),
+         r AS (SELECT cohort, CAST((week - cohort) // 7 AS BIGINT)
+                 AS wk_offset,
+                 CAST(round(value * 1000000) AS BIGINT) AS micro
+               FROM c WHERE event_type = 'purchase' AND value IS NOT NULL),
+         g AS (SELECT cohort, wk_offset, CAST(sum(micro) AS BIGINT)
+                 AS rev_micro, count(*) AS n_purchases
+               FROM r GROUP BY 1, 2)
+         SELECT cohort, wk_offset, rev_micro, n_purchases,
+           CAST(sum(rev_micro) OVER (PARTITION BY cohort ORDER BY wk_offset)
+             AS BIGINT) AS cum_rev_micro
+         FROM g ORDER BY cohort, wk_offset""",
+    // first-order Markov transitions on per-user timelines; integer
+    // micro row-normalized probabilities
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         t AS (SELECT event_type AS src, next_type AS dst,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         o AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS out_cnt
+               FROM t GROUP BY 1)
+         SELECT t.src, t.dst, t.cnt, o.out_cnt,
+           CAST(t.cnt * 1000000 // o.out_cnt AS BIGINT) AS prob_micro
+         FROM t JOIN o USING (src) ORDER BY t.src, t.dst""",
     "q_value_hist" ->
       """SELECT event_type, floor(value / 50.0)::BIGINT AS bin,
            count(*) AS n, round(min(value), 4) AS v_min,

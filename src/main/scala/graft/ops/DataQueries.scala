@@ -3264,6 +3264,35 @@ object DataQueries {
       .orderBy("lang", "pred")
   }
 
+  /** Classifier metrics over the language-ID confusion matrix:
+    * per-label precision / recall / F1 in integer micro-units (tp,
+    * n_pred = tp+fp and n_label = tp+fn are exact counts; every
+    * division is positive-over-positive so truncate ≡ floor across
+    * engines; an unpredicted label gets precision −1, a sentinel
+    * rather than a NULL or a crash). The corpus-sized work is the one
+    * confusion aggregate — metrics algebra runs on the ≤langs² frame. */
+  def langIdMetrics(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs.withColumn("__tk", TextOps.tokens(col("text")))
+      .select(col("lang"), TextOps.langIdFromTokens(col("__tk")).as("pred"))
+    val m = scored.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val tp = m.filter(col("lang") === col("pred"))
+      .select(col("lang"), col("n").as("tp"))
+    val lab = m.groupBy("lang").agg(sum("n").as("n_label"))
+    val pred = m.groupBy(col("pred").as("lang")).agg(sum("n").as("n_pred"))
+    lab.join(tp, Seq("lang"), "left").join(pred, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        col("n_label"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_pred = 0 THEN -1 ELSE tp * 1000000 div n_pred END"))
+      .withColumn("recall_micro", expr("tp * 1000000 div n_label"))
+      .withColumn("f1_micro",
+        expr("2 * tp * 1000000 div (n_label + n_pred)"))
+      .orderBy("lang")
+  }
+
   /** Referential-integrity audit across the star schema: orphaned
     * foreign keys per relationship (lineitem→orders, orders→customer,
     * customer→nation) as anti-join counts next to row totals. The

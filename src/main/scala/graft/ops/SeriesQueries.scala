@@ -328,6 +328,53 @@ object SeriesQueries {
       .orderBy("cohort", "wk_offset")
   }
 
+  /** Cohort LTV curves — [[retention]]'s value-weighted sibling: per
+    * (first-activity-week cohort, week offset), purchase revenue in
+    * integer micro-units and its cumulative along the offset axis
+    * (the lifetime-value curve). Same scale shape as retention: the
+    * cohort stamp is a window min on the user_id exchange, revenue is
+    * one (cohort, offset) aggregate, and the cumulative window runs
+    * on the cohort×offset frame, which never grows with the corpus. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .withColumn("cohort", min("week").over(w))
+      .withColumn("wk_offset",
+        expr("CAST(datediff(week, cohort) div 7 AS BIGINT)"))
+    val rev = e
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("micro", round(col("value") * 1000000).cast("long"))
+      .groupBy("cohort", "wk_offset")
+      .agg(sum("micro").as("rev_micro"), count(lit(1)).as("n_purchases"))
+    val cum = Window.partitionBy("cohort").orderBy("wk_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("cum_rev_micro", sum("rev_micro").over(cum))
+      .orderBy("cohort", "wk_offset")
+  }
+
+  /** First-order Markov transition matrix between consecutive events
+    * on each user's timeline: counts + integer-micro row-normalized
+    * probabilities — the session-path-mining primitive (what follows
+    * a click? where do errors send users?). One user_id exchange for
+    * the lead(), one aggregate into the ≤types² matrix. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val t = e.groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = t.groupBy("src").agg(sum("cnt").as("out_cnt"))
+    t.join(out, Seq("src"))
+      .withColumn("prob_micro", expr("cnt * 1000000 div out_cnt"))
+      .orderBy("src", "dst")
+  }
+
   /** Fixed-width value histogram per event type (bin = floor(v/50)):
     * the profile report an ingest pipeline emits per batch. */
   def valueHist(s: SparkSession, d: String): DataFrame =

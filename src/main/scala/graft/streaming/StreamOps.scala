@@ -763,6 +763,44 @@ object StreamOps {
     * (`idx` must advance on warm-up rows too, so the hold clock matches
     * the batch FSM across micro-batch boundaries). `side` is null when
     * flat. */
+  case class AttrIn(userId: Long, eventId: Long, eventType: String,
+                    tsMicros: Long)
+  case class AttrState(lastClickMicros: Long)
+  case class AttrOut(event_id: Long, user_id: Long, purchase_micros: Long,
+                     click_micros: java.lang.Long, attributed: Boolean)
+
+  /** Streaming last-touch attribution — the live twin of
+    * [[graft.ops.SeriesQueries.lastTouchAttribution]]: per-user state
+    * is ONE long (the latest click timestamp), purchases emit
+    * immediately with the attribution verdict. Rows are folded in
+    * (ts, event_id) order within each micro-batch; the 24 h window
+    * test floors both timestamps to whole seconds, exactly as the
+    * batch query's long casts do. State size is O(users), not
+    * O(events) — the canonical mapGroupsWithState shape. */
+  def attributionStream(ev: org.apache.spark.sql.Dataset[AttrIn])
+      : org.apache.spark.sql.Dataset[AttrOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.userId)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[AttrIn], state: GroupState[AttrState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+          var last = state.getOption.map(_.lastClickMicros).getOrElse(-1L)
+          val out = Seq.newBuilder[AttrOut]
+          for (r <- sorted) {
+            if (r.eventType == "click") last = r.tsMicros
+            else if (r.eventType == "purchase") {
+              val has = last >= 0
+              out += AttrOut(r.eventId, user, r.tsMicros,
+                if (has) java.lang.Long.valueOf(last) else null,
+                has && r.tsMicros / 1000000L - last / 1000000L <= 86400L)
+            }
+          }
+          state.update(AttrState(last))
+          out.result().iterator
+      }
+  }
+
   case class ZState(idx: Long, side: String, entryIdx: Long, entryTs: Long,
                     entryPrice: Double, entryZ: Double)
   case class ZTickIn(key: String, ts: Long, price: Double, z: Double)

@@ -79,6 +79,24 @@ class QoiSpec extends SparkSpec {
     assert(f(0).toLong == sumR)
   }
 
+  test("transcode chain: BMP → PNG → QOI → GIF → BMP is pixel-identical") {
+    // every lossless codec decodes what any other encoded — the
+    // cross-container interop a media pipeline actually performs.
+    // GIF is palette-bound, so the fixture uses ≤256 distinct colors.
+    val w = 17; val h = 11
+    val rgb = Array.tabulate(w * h * 3) { k =>
+      val p = k / 3
+      Seq((p * 7) % 256, (p * 13) % 256, (p * 29) % 256)(k % 3)
+    }
+    val viaBmp = Multimodal.decodeBmp(Multimodal.encodeBmp24(w, h, rgb))
+    val viaPng = Multimodal.decodePng(Multimodal.encodePng(viaBmp._1, viaBmp._2, viaBmp._3))
+    val viaQoi = Qoi.decode(Qoi.encode(viaPng._1, viaPng._2, viaPng._3))
+    val viaGif = graft.ops.Gif.decode(graft.ops.Gif.encode(viaQoi._1, viaQoi._2, viaQoi._3))
+    val back = Multimodal.decodeBmp(Multimodal.encodeBmp24(viaGif._1, viaGif._2, viaGif._3))
+    assert(back._1 == w && back._2 == h)
+    assert(back._3.toSeq == rgb.toSeq, "pixels drifted through the chain")
+  }
+
   test("index op: far-apart re-occurrence of a cached color is one byte") {
     // color A, then 70 distinct colors, then A again — A must come
     // back via INDEX (its slot survives unless evicted by a collider)

@@ -291,6 +291,36 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", 2.0), ("2024-01-01 01:00:00.0", 3.0)))
   }
 
+  test("attributionStream: click state carries across batches; 24h window holds") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.AttrIn]
+    val out = StreamOps.attributionStream(input.toDS())
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    val H = 3600L * 1000000L // an hour in micros
+    // batch 1: user 1 clicks at t=0h and 2h; user 2 never clicks
+    input.addData(
+      StreamOps.AttrIn(1L, 10L, "click", 0L),
+      StreamOps.AttrIn(1L, 11L, "click", 2 * H),
+      StreamOps.AttrIn(2L, 20L, "view", H))
+    q.processAllAvailable()
+    // batch 2: purchases — user 1 at 3h (attributed to the 2h click,
+    // which lives only in STATE now) and at 28h (>24h later: click_ts
+    // still set, attributed=false); user 2 purchase → null, false
+    input.addData(
+      StreamOps.AttrIn(1L, 12L, "purchase", 3 * H),
+      StreamOps.AttrIn(1L, 13L, "purchase", 28 * H),
+      StreamOps.AttrIn(2L, 21L, "purchase", 4 * H))
+    q.processAllAvailable()
+    val got = spark.table("attr_out").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4)))
+    q.stop()
+    assert(got.toSeq == Seq(
+      (12L, 2 * H, true), (13L, 2 * H, false), (21L, -1L, false)))
+  }
+
   test("ohlcStream: closed candles equal the batch OHLC aggregation, exactly") {
     implicit val sc = spark.sqlContext
     // (key, ts, price_cents, qty, ord) — ord is the total order
