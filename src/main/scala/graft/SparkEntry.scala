@@ -80,6 +80,7 @@ object SparkEntry {
     "q_tfidf"             -> ((s, d) => DataQueries.tfidf(s, d)),
     "q_pack_bins"         -> ((s, d) => DataQueries.packBins(s, d)),
     "q_pack_shards"       -> ((s, d) => DataQueries.packBinsSharded(s, d)),
+    "q_tar_shards"        -> ((s, d) => DataQueries.tarShards(s, d)),
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
     "q_state_probe"       -> ((s, d) => DataQueries.stateProbe(s, d)),
@@ -3620,6 +3621,21 @@ object SparkEntry {
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""",
+    // WebDataset tar shards: every column is recomputed analytically
+    // from the text (USTAR size arithmetic; xor of content hashes),
+    // while Spark reports them from the DECODED archive bytes
+    "q_tar_shards" ->
+      """WITH e AS (SELECT doc_id, doc_id % 8 AS shard,
+             octet_length(encode(text)) AS nb,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents)
+         SELECT shard, count(*) AS n_entries,
+           CAST(sum(nb) AS BIGINT) AS payload_bytes,
+           CAST(sum(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
+             AS tar_bytes,
+           CAST(bit_xor(h) AS BIGINT) AS xor_h64,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM e GROUP BY shard ORDER BY shard""",
     "q_norm_outliers" ->
       """WITH e AS (SELECT vec_id, label,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))

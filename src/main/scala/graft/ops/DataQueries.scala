@@ -480,6 +480,63 @@ object DataQueries {
       .orderBy("lang", "shard", "bin")
   }
 
+  /** WebDataset-style tar shards through the REAL container
+    * ([[Tar]]): each shard's documents are written into one USTAR
+    * archive (member name `<doc_id>.txt`, payload = UTF-8 text), the
+    * archive is decoded back, and every reported number — member
+    * count, payload bytes, archive size, the XOR of per-member
+    * content hashes, the id range parsed back out of member NAMES —
+    * comes from the DECODED side. The oracle recomputes all of them
+    * analytically from the text alone (USTAR size arithmetic:
+    * 512-byte header + payload padded to 512, plus the 1024-byte
+    * terminator), so a defect anywhere in header layout, checksum,
+    * padding, or payload placement shifts a sum and fails the gate.
+    *
+    * Scale shape: parallelism is shard-grained (here `doc_id mod 8`
+    * to keep the oracle closed-form; a 100 TB writer uses
+    * `doc_id div shardSize` so shard count grows with the corpus and
+    * per-shard memory stays at the target shard size). One key
+    * exchange; the archive bytes never shuffle. */
+  def tarShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("n_entries", LongType, nullable = false),
+      StructField("payload_bytes", LongType, nullable = false),
+      StructField("tar_bytes", LongType, nullable = false),
+      StructField("xor_h64", LongType, nullable = false),
+      StructField("first_doc", LongType, nullable = false),
+      StructField("last_doc", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    import s.implicits._
+    Tables.documents(s, d)
+      .selectExpr("doc_id % 8 AS shard", "doc_id", "text")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val entries = it.map { case (_, id, text) => (id, text) }
+          .toArray.sortBy(_._1)
+        val tarBytes = Tar.encode(entries.toSeq.map { case (id, t) =>
+          (f"$id%012d.txt",
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val dec = Tar.decode(tarBytes)
+        var payload = 0L; var xor = 0L
+        var first = Long.MaxValue; var last = Long.MinValue
+        dec.foreach { case (name, data) =>
+          val id = name.stripSuffix(".txt").toLong
+          payload += data.length
+          xor ^= Hashing.h64(data)
+          if (id < first) first = id
+          if (id > last) last = id
+        }
+        Row(shard, dec.size.toLong, payload, tarBytes.length.toLong,
+          xor, first, last)
+      }
+      .orderBy("shard")
+  }
+
   /** Embedding hygiene: flag vectors whose L2 norm falls outside the
     * per-label [p01, p99] band (broken encoders / zero vectors / scale
     * outliers). The per-label stats frame is label-cardinality-sized —
