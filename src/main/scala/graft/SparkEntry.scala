@@ -81,6 +81,7 @@ object SparkEntry {
     "q_pack_bins"         -> ((s, d) => DataQueries.packBins(s, d)),
     "q_pack_shards"       -> ((s, d) => DataQueries.packBinsSharded(s, d)),
     "q_tar_shards"        -> ((s, d) => DataQueries.tarShards(s, d)),
+    "q_zip_extract"       -> ((s, d) => DataQueries.zipShards(s, d)),
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
     "q_state_probe"       -> ((s, d) => DataQueries.stateProbe(s, d)),
@@ -3633,6 +3634,20 @@ object SparkEntry {
            CAST(sum(nb) AS BIGINT) AS payload_bytes,
            CAST(sum(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
              AS tar_bytes,
+           CAST(bit_xor(h) AS BIGINT) AS xor_h64,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM e GROUP BY shard ORDER BY shard""",
+    // ZIP extraction: content columns only (deflate size isn't
+    // closed-form) — the CRC/central-directory walk is gated because
+    // every value is computed from the DECODED members
+    "q_zip_extract" ->
+      """WITH e AS (SELECT doc_id, doc_id % 8 AS shard,
+             octet_length(encode(text)) AS nb,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents)
+         SELECT shard, count(*) AS n_entries,
+           CAST(sum(nb) AS BIGINT) AS payload_bytes,
+           CAST(max(nb) AS BIGINT) AS max_member_bytes,
            CAST(bit_xor(h) AS BIGINT) AS xor_h64,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM e GROUP BY shard ORDER BY shard""",

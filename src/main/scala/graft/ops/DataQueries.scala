@@ -537,6 +537,55 @@ object DataQueries {
       .orderBy("shard")
   }
 
+  /** ZIP twin of [[tarShards]] — the compressed archive container
+    * ([[Zip]]): per-shard documents are DEFLATE-compressed into one
+    * PKZIP archive, decoded back through the central-directory walk
+    * (CRC-32 verified per member), and every reported column comes
+    * from the decoded side. Archive size is NOT reported (deflate
+    * output length is not closed-form), so the oracle gates content:
+    * member count, payload bytes, the longest member, content-hash
+    * XOR, and the id range parsed from member names. Same shard-grain
+    * scale shape as the tar writer. */
+  def zipShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("n_entries", LongType, nullable = false),
+      StructField("payload_bytes", LongType, nullable = false),
+      StructField("max_member_bytes", LongType, nullable = false),
+      StructField("xor_h64", LongType, nullable = false),
+      StructField("first_doc", LongType, nullable = false),
+      StructField("last_doc", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    import s.implicits._
+    Tables.documents(s, d)
+      .selectExpr("doc_id % 8 AS shard", "doc_id", "text")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val entries = it.map { case (_, id, text) => (id, text) }
+          .toArray.sortBy(_._1)
+        val zipBytes = Zip.encode(entries.toSeq.map { case (id, t) =>
+          (f"$id%012d.txt",
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val dec = Zip.decode(zipBytes)
+        var payload = 0L; var maxB = 0L; var xor = 0L
+        var first = Long.MaxValue; var last = Long.MinValue
+        dec.foreach { case (name, data) =>
+          val id = name.stripSuffix(".txt").toLong
+          payload += data.length
+          if (data.length > maxB) maxB = data.length
+          xor ^= Hashing.h64(data)
+          if (id < first) first = id
+          if (id > last) last = id
+        }
+        Row(shard, dec.size.toLong, payload, maxB, xor, first, last)
+      }
+      .orderBy("shard")
+  }
+
   /** Embedding hygiene: flag vectors whose L2 norm falls outside the
     * per-label [p01, p99] band (broken encoders / zero vectors / scale
     * outliers). The per-label stats frame is label-cardinality-sized —
