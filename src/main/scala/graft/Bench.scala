@@ -59,7 +59,25 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Validated query-name filter from CLI args. Unknown names are a
+    * LOUD error (exit 2), mirroring Verify's targeted mode: in round 7
+    * a mis-invocation with positional args silently selected zero
+    * queries and overwrote BENCH_LAST.json with an empty artifact —
+    * the comparison baseline for the next round's auto-re-run gate. */
+  private[graft] def parseOnly(args: Array[String]): Either[String, Set[String]] = {
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      Left(s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    else Right(only)
+  }
+
   def main(args: Array[String]): Unit = {
+    // fail fast, BEFORE the session build / warm-up / any artifact write
+    val only = parseOnly(args) match {
+      case Left(msg) => System.err.println(s"[bench] $msg"); sys.exit(2); Set.empty[String]
+      case Right(s) => s
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -87,7 +105,8 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if only.isEmpty || only(n)) {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
       sweep()
     }
@@ -98,8 +117,8 @@ object Bench {
     // ANY rep is reported failed.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // optional args: restrict to named queries (local iteration on one
-    // operator without replaying the whole set; the driver passes none)
-    val only = args.toSet
+    // operator without replaying the whole set; the driver passes none;
+    // names validated by parseOnly above)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 

@@ -105,6 +105,15 @@ object SparkEntry {
     "q_cosine_neardup"    -> ((s, d) => DataQueries.cosineNearDup(s, d)),
     "q_knn_graph"         -> ((s, d) => VectorOps.knnGraphMutual(
                                 Tables.embeddings(s, d), "vec_id", "embedding", 5)),
+    // production twin: SRP-LSH candidates, same mutual-rank algebra,
+    // same oracle verbatim — (2, 16) is recall-1.0 on this corpus at
+    // every shipped sf, measured: the round-8 sweep found diff=0 at
+    // sf{0.001,0.01,0.1} for (2,16)/(2,24)/(3,48)/(4,64) and diff>0
+    // at (2,12)/(3,32); 16 tables is the cheapest verified setting
+    // (the q_state_probe one-oracle-two-plans pattern)
+    "q_knn_graph_lsh"     -> ((s, d) => VectorOps.knnGraphMutualLsh(
+                                Tables.embeddings(s, d), "vec_id", "embedding", 5,
+                                planes = 2, tables = 16)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
@@ -123,6 +132,7 @@ object SparkEntry {
     "q_qoi_features"      -> ((s, d) => DataQueries.qoiFeatures(s, d)),
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
+    "q_jpeg_prog_features" -> ((s, d) => DataQueries.jpegProgFeatures(s, d)),
     "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
     "q_video_features"    -> ((s, d) => DataQueries.videoFeatures(s, d)),
     "q_audio_fp"          -> ((s, d) => DataQueries.audioFingerprint(s, d)),
@@ -217,6 +227,11 @@ object SparkEntry {
     "q_harmonic"          -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     "q_bpe_apply"         -> ((s, d) => DataQueries.bpeApply(s, d)),
+    // vocabulary-depth demonstration: 64 merges via the BATCHED trainer
+    // (top-M non-interacting merges per Spark round, provably ≡ the
+    // sequential trainer — see bpeTrainBatched); the oracle unrolls all
+    // 64 sequential rounds (generated, MATERIALIZED CTEs)
+    "q_bpe_train64"       -> ((s, d) => DataQueries.bpeTrainBatched(s, d, 64, 8)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -384,6 +399,66 @@ object SparkEntry {
                   (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
                 FROM m2),
          b2 AS (SELECT CAST(sum(wcnt) AS BIGINT) AS n FROM s2)"""
+
+  /** One unrolled sequential-BPE round for the generated 64-merge
+    * oracle: identical algebra to [[BPE_CTES]]' hand-written rounds
+    * (winner by (cnt desc, x, y); x≠y merge/drop; x=y run-length
+    * parity), CTEs MATERIALIZED because DuckDB's inliner otherwise
+    * expands the 64-deep chain combinatorially (each a_i/t_i is
+    * referenced twice). */
+  private def bpeRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""a$i AS MATERIALIZED (SELECT w, wcnt, pos, sym,
+              lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+              lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv
+            FROM s$p),
+     t$i AS MATERIALIZED (SELECT sym AS x, nxt AS y,
+              CAST(sum(wcnt) AS BIGINT) AS cnt
+            FROM a$i WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
+     r$i AS MATERIALIZED (SELECT a.*, t.x, t.y,
+              sum(CASE WHEN a.sym = t.x THEN 1 ELSE 0 END)
+                OVER (PARTITION BY a.w ORDER BY a.pos) AS cumx
+            FROM a$i a, t$i t),
+     r${i}b AS MATERIALIZED (SELECT *,
+              CASE WHEN sym = x THEN pos - cumx END AS runkey
+            FROM r$i),
+     r${i}c AS MATERIALIZED (SELECT *,
+              row_number() OVER (PARTITION BY w, runkey ORDER BY pos) AS idx,
+              count(*) OVER (PARTITION BY w, runkey) AS runlen
+            FROM r${i}b),
+     m$i AS MATERIALIZED (SELECT w, wcnt, pos,
+              CASE WHEN x = y THEN
+                     CASE WHEN sym = x AND idx % 2 = 1 AND idx < runlen
+                          THEN x || y ELSE sym END
+                   WHEN sym = x AND nxt = y THEN x || y
+                   ELSE sym END AS sym
+            FROM r${i}c
+            WHERE CASE WHEN x = y THEN NOT (sym = x AND idx % 2 = 0)
+                  ELSE NOT coalesce(prv = x AND sym = y, FALSE) END),
+     s$i AS MATERIALIZED (SELECT w, wcnt, CAST(row_number() OVER
+              (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, sym
+            FROM m$i)"""
+  }
+
+  /** Generated 64-round sequential-BPE oracle (q_bpe_train64). */
+  private lazy val BPE64_SQL: String = {
+    val rounds = 64
+    val head = s"""$TOKS_CTE,
+     wt AS MATERIALIZED (SELECT w, count(*) AS wcnt
+            FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+     s0 AS MATERIALIZED (SELECT w, wcnt, CAST(u.i + 1 AS BIGINT) AS pos,
+              u.s AS sym
+            FROM (SELECT w, wcnt,
+                    unnest(list_transform(range(len(string_split(w, ''))),
+                      i -> {'i': i, 's': string_split(w, '')[i + 1]})) AS u
+                  FROM wt))"""
+    val sel = (1 to rounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, x, y, cnt FROM t$i")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (head +: (1 to rounds).map(bpeRoundSql)).mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
 
   /** Full-recompute connected components over the near-dup graph —
     * shared VERBATIM by q_dedup_groups (batch form) and q_incr_cc
@@ -1906,6 +1981,9 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), t2.x, t2.y, t2.cnt, b1.n, b2.n
          FROM t2, b1, b2
          ORDER BY merge_rank""",
+    // 64 sequential merge rounds, generated + MATERIALIZED (the
+    // batched Spark trainer must reproduce the sequential list exactly)
+    "q_bpe_train64" -> BPE64_SQL,
     // tokenizer APPLY: the trained merges' final symbol table (s2)
     // joined against per-source word counts — per-source compression
     "q_bpe_apply" ->
@@ -3122,6 +3200,27 @@ object SparkEntry {
            sum((y + 1) * r)::BIGINT AS wsum_r,
            TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // progressive JPEG leg: JDK-written 10-scan SOF2 streams (the
+    // libjpeg simple-progression script — constant for 3 components,
+    // verified over the doc-id range), OUR decoder; analytic sums
+    // exact, decode banded <=8 on smooth gradients at q=1.0
+    "q_jpeg_prog_features" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 9) AS w,
+                  12 + (doc_id % 7) AS h, 'jpg' AS format
+                FROM documents),
+         px AS (SELECT doc_id, w, h, format, unnest(range(w * h)) AS p FROM dims),
+         c AS (SELECT doc_id, w, h, format, p % w AS x, p // w AS y FROM px),
+         v AS (SELECT doc_id, w, h, format, x, y,
+                 20 + 2 * x + 3 * y + doc_id % 60 AS r,
+                 35 + 4 * x + y + doc_id % 45 AS g,
+                 50 + x + 2 * y + doc_id % 70 AS b
+               FROM c)
+         SELECT doc_id, format, 10::BIGINT AS n_scans,
+           max(w) AS width, max(h) AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           TRUE AS within_band
+         FROM v GROUP BY doc_id, format ORDER BY doc_id""",
     // perceptual audio fingerprint: frame-energy delta sign bits over
     // the PCM round trip; same-seed clips collapse to one fingerprint
     "q_audio_fp" ->
@@ -4196,6 +4295,26 @@ object SparkEntry {
     // mutual kNN graph: per-node cosine top-5 (ties by id), edge kept
     // only when BOTH endpoints rank each other
     "q_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))) AS cos
+               FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         dir AS (SELECT va AS src, vb AS dst, cos FROM p
+                 UNION ALL SELECT vb, va, cos FROM p),
+         top AS (SELECT src, dst, cos, row_number() OVER
+                   (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+                 FROM dir),
+         t5 AS (SELECT * FROM top WHERE rk <= 5)
+         SELECT a.src AS vec_a, a.dst AS vec_b, round(a.cos, 6) AS cos,
+           a.rk AS rank_a, b.rk AS rank_b
+         FROM t5 a JOIN t5 b ON a.src = b.dst AND a.dst = b.src
+         WHERE a.src < a.dst ORDER BY vec_a, vec_b""",
+    // the LSH production twin shares the exact form's oracle VERBATIM:
+    // at the declared (planes=2, tables=24) the candidate set covers
+    // every true top-5, so the outputs are cell-identical
+    "q_knn_graph_lsh" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
          p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
                  list_dot_product(a.ve, b.ve) /

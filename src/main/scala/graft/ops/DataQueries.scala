@@ -2126,6 +2126,103 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** PROGRESSIVE JPEG leg ([[Jpeg.decodeProgressive]] via the frame
+    * dispatcher): a real crawl is ~10% progressive (SOF2), so the
+    * multimodal pipeline must decode it, not reject it. The fixture
+    * bytes are synthesized by the JDK's ImageIO writer in progressive
+    * MODE_DEFAULT at quality 1.0 — its standard multi-scan script
+    * exercises spectral selection AND successive approximation (DC
+    * Al=1 + refinement, AC bands at Al=2/1/0) over 4:2:0 chroma; the
+    * DECODER under test is ours. The JDK writer is fixture synthesis
+    * here (this library ships no progressive encoder — encoding
+    * progressive is a size optimization, decoding it is a correctness
+    * requirement); determinism is the JDK implementation's, pinned by
+    * the hash gate itself. Smooth-gradient pixels keep the
+    * subsampling loss tight: measured worst error 5 over doc ids
+    * 0..4095 at q=1.0, band set at 8. Analytic sums replay exactly in
+    * the oracle; a defect in any scan pass (DC refinement bit, AC
+    * EOB-run, correction-bit walk) shifts pixels out of band. */
+  def jpegProgFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("n_scans", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("within_band", BooleanType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val w = 16 + (doc % 9).toInt
+          val h = 12 + (doc % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = (20 + 2 * x + 3 * y + (doc % 60)).toInt
+              rgb(p + 1) = (35 + 4 * x + y + (doc % 45)).toInt
+              rgb(p + 2) = (50 + x + 2 * y + (doc % 70)).toInt
+              sr += rgb(p); sg += rgb(p + 1); sb += rgb(p + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var yy = 0
+          while (yy < h) {
+            var x = 0
+            while (x < w) {
+              val p = (yy * w + x) * 3
+              img.setRGB(x, yy, (rgb(p) << 16) | (rgb(p + 1) << 8) | rgb(p + 2))
+              x += 1
+            }
+            yy += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+          val param = wr.getDefaultWriteParam
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(1.0f)
+          wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
+          wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          wr.dispose()
+          val bytes = baos.toByteArray
+          // count SOS markers: the structural proof the stream really
+          // is multi-scan progressive, pinned as a column
+          var nScans = 0L
+          var i = 0
+          while (i < bytes.length - 1) {
+            if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda)
+              nScans += 1
+            i += 1
+          }
+          val (dw, dh, dec) = Jpeg.decode(bytes)
+          var maxErr = 0
+          var j = 0
+          while (j < rgb.length) {
+            val e = math.abs(rgb(j) - dec(j))
+            if (e > maxErr) maxErr = e
+            j += 1
+          }
+          Row(doc, Multimodal.detectFormat(bytes), nScans, dw.toLong,
+            dh.toLong, sr, sg, sb, maxErr <= 8)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup groups via dHash: 12 planted seed groups —
     * same-seed images share base pixels and dimensions, each doc adds a
     * sparse +2 luminance perturbation — go through the REAL encode
@@ -2903,6 +3000,169 @@ object DataQueries {
         .localCheckpoint(true)
       (top, next)
     }
+  }
+
+  /** BATCHED BPE training — the vocabulary-scale path. [[bpeMerges]]'
+    * one-Spark-round-per-merge shape is driver-paced: a real 32k-merge
+    * vocabulary would be 32k sequential jobs. Here each round applies
+    * the top-M mutually NON-INTERACTING merges (the standard
+    * distributed-trainer batching), keeping rounds ∝ vocab/M — while
+    * still producing EXACTLY the sequential trainer's merge list, by
+    * construction rather than approximately:
+    *
+    *   - candidates walk the (cnt desc, x, y)-sorted pair table; a
+    *     pair joins the batch only if its symbol triple {x, y, x∥y} is
+    *     disjoint from every already-kept triple (the concat is in the
+    *     triple so a later winner can never equal or contain a symbol
+    *     an earlier merge is about to create);
+    *   - the walk STOPS at the first conflicting (or self-pair) row,
+    *     and the batch is truncated to members with cnt STRICTLY above
+    *     that row's count. Every pair a kept merge can create is count-
+    *     bounded by some pair that shares a symbol with it — which the
+    *     walk, by stopping, proved sits at or below the stop count. So
+    *     no created pair can outrank (or tie-break against) a later
+    *     batch member, and disjointness keeps batch members' own
+    *     counts invariant: the sequential trainer picks exactly this
+    *     batch, in this order;
+    *   - if any winner's concat already EXISTS as a symbol (merging
+    *     would FOLD created pairs into an existing pair's count,
+    *     breaking the single-source bound), the round falls back to
+    *     one merge — as it does when a self-pair wins or truncation
+    *     empties the batch. The existence test is DRIVER-side and
+    *     free: every symbol is either a single character or the
+    *     concat of a previous winner, so "concat exists" reduces to
+    *     membership in the accumulated winner-concat set. Fallback
+    *     rounds are the always-safe sequential step, so equality is
+    *     UNCONDITIONAL: BpeProps pins batched ≡ sequential on
+    *     duplicate-heavy random corpora, not just when batching
+    *     happens to engage.
+    *
+    * Representation: ONE ROW PER DISTINCT WORD with its symbol array —
+    * not the (word, pos, sym) exploded table of the oracle-able
+    * fixed-round form. Pair counting is zip_with(adjacent)+explode
+    * into one map-combined aggregate (overlapping self-pairs counted
+    * at every occurrence, Sennrich get_stats); merge application is a
+    * codegen'd `aggregate` fold over the array — a pure map with NO
+    * window, which also gives left-to-right non-overlapping self-pair
+    * semantics natively (the fold carries the scan state the
+    * relational per-position form had to reconstruct with run-length
+    * parity). Per round: one shuffle (the pair count), one bounded
+    * collect (4·maxBatch+4 rows), one map-only apply + checkpoint. */
+  def bpeTrainBatched(s: SparkSession, d: String, merges: Int = 64,
+                      maxBatch: Int = 8): DataFrame =
+    bpeTrainBatchedOf(Tables.documents(s, d), merges, maxBatch)
+
+  /** [[bpeTrainBatched]] over an arbitrary `text`-column frame.
+    * Output: (merge_rank, x, y, cnt) — the first `merges` merges of
+    * the textbook sequential trainer. */
+  def bpeTrainBatchedOf(docs: DataFrame, merges: Int,
+                        maxBatch: Int): DataFrame = {
+    val sp = docs.sparkSession
+    require(maxBatch >= 1 && merges >= 1, "bpeTrainBatched: bad sizes")
+    // One row per distinct word: (wcnt, symbol array) — the ONLY
+    // corpus-sized computation, one map-combined DataFrame aggregate.
+    // The iteration itself runs on an RDD of that vocab-sized state:
+    // measured on this corpus, a DataFrame loop spent ~150 ms/round in
+    // Catalyst analysis/planning of the per-round fold against ~5 ms
+    // of actual data work, and a ~60-round training run is driver-
+    // paced by exactly that planning. The RDD loop is the documented
+    // per-partition-imperative-logic exception: one takeOrdered job
+    // per round, lineage truncated every 8 rounds.
+    val init = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"), filter(split(col("w"), ""), c => c =!= "").as("syms"))
+    var state = init.rdd
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      .coalesce(8)
+    state.cache().count()
+    val winners = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val created = scala.collection.mutable.Set.empty[String]
+    var exhausted = false
+    var lastCached = state
+    var sinceCkpt = 0
+    val probeN = 4 * maxBatch + 4
+    implicit val ord: Ordering[((String, String), Long)] =
+      Ordering.by { case ((x, y), c) => (-c, x, y) }
+    while (winners.size < merges && !exhausted) {
+      if (sys.env.contains("GRAFT_BPE_TRACE"))
+        println(s"BPEROUND t=${System.nanoTime() / 1000000} winners=${winners.size}")
+      val top = state.flatMap { case (c, syms) =>
+        // overlapping adjacent pairs at every occurrence (get_stats)
+        (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
+      }.reduceByKey(_ + _, 8).takeOrdered(probeN)
+        .map { case ((x, y), c) => (x, y, c) }
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch = selectBpeBatch(top, math.min(maxBatch, merges - winners.size),
+          probeExhaustive = top.length < probeN)
+        // collision guard is driver-side and free: a concat can only
+        // pre-exist as a symbol if some earlier winner created that
+        // exact string (initial symbols are single chars, concats
+        // have length ≥ 2)
+        val applied: Seq[(String, String, Long)] =
+          if (batch.nonEmpty && !batch.exists(t => created(t._1 + t._2)))
+            batch.toSeq
+          else Seq(top.head) // fallback: one textbook-safe merge
+        // apply all merges in one left-to-right scan per word: a
+        // symbol joins the previous one iff (prev, cur) is a winner
+        // and prev was not itself just merged — the scan state that
+        // gives textbook non-overlapping semantics, self-pairs
+        // included. Winners are symbol-disjoint so rules never compete
+        // for a position.
+        val rules = applied.map { case (x, y, _) => (x, y) -> (x + y) }.toMap
+        state = state.mapValues { syms =>
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            val merged = if (out.nonEmpty) rules.get((out.last, syms(i))) else None
+            merged match {
+              case Some(m) => out(out.length - 1) = m
+              case None => out += syms(i)
+            }
+            i += 1
+          }
+          out.toArray
+        }
+        winners ++= applied
+        created ++= applied.map(t => t._1 + t._2)
+        sinceCkpt += 1
+        if (sinceCkpt >= 8 && winners.size < merges) {
+          state.cache().count()
+          lastCached.unpersist(blocking = false)
+          lastCached = state
+          sinceCkpt = 0
+        }
+      }
+    }
+    lastCached.unpersist(blocking = false)
+    import sp.implicits._
+    winners.take(merges).zipWithIndex
+      .map { case ((x, y, c), i) => ((i + 1).toLong, x, y, c) }
+      .toSeq.toDF("merge_rank", "x", "y", "cnt")
+  }
+
+  /** Driver-side batch selection over the probed top pairs (sorted by
+    * cnt desc, x, y): greedy symbol-triple-disjoint prefix, stopping
+    * at the first conflict or self-pair, then truncated to counts
+    * strictly above the stop row's count (see [[bpeTrainBatched]] for
+    * why that makes batched ≡ sequential). */
+  private[graft] def selectBpeBatch(top: Array[(String, String, Long)],
+      maxBatch: Int, probeExhaustive: Boolean): Array[(String, String, Long)] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    var stopCnt = -1L
+    var i = 0
+    while (stopCnt < 0 && i < top.length && kept.size < maxBatch) {
+      val (x, y, c) = top(i)
+      if (x == y || used(x) || used(y) || used(x + y)) stopCnt = c
+      else { kept += top(i); used += x; used += y; used += (x + y); i += 1 }
+    }
+    if (stopCnt < 0)
+      stopCnt =
+        if (i < top.length) top(i)._3 // walk hit maxBatch; next row bounds the rest
+        else if (probeExhaustive) 0L  // no pair exists outside the batch
+        else top.last._3              // unseen rows bounded by the probe's tail
+    kept.takeWhile(_._3 > stopCnt).toArray
   }
 
   /** [[bpeMerges]] over an arbitrary `text`-column frame. */

@@ -156,7 +156,7 @@ object GraphOps {
     * Symmetrization is ONE pass over the pair stream (explode of the
     * two directions), not a self-union that would run the Jaccard
     * pipeline twice. */
-  private[ops] def neardupEdges(s: SparkSession, d: String,
+  private[graft] def neardupEdges(s: SparkSession, d: String,
                                 maxDocFreq: Option[Long]): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
@@ -335,27 +335,41 @@ object GraphOps {
                 maxDocFreq: Option[Long] = None): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val edges = neardupEdges(s, d, maxDocFreq)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val nb = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
-        .groupBy(col("src").as("v"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
-      labels = nb.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("v"), col("lbl"))
-        .localCheckpoint(true)
-    }
+    var labels = lpSeed(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      labels = lpRound(edges, labels).localCheckpoint(true)
     val alln = docs
       .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("community"))
-    val sizes = alln.groupBy("community").agg(count(lit(1)).as("comm_size"))
-    alln.join(sizes, Seq("community"))
-      .select(col("doc_id"), col("community"), col("comm_size"))
-      .orderBy("doc_id")
+    lpSized(alln)
+  }
+
+  /** [[labelProp]] run to CONVERGENCE instead of a fixed round count:
+    * the same deterministic sync schedule, stopping at the first
+    * FIXPOINT (a round that changes no label) or the first PERIOD-2
+    * CYCLE (this round's labels equal those two rounds ago). The cycle
+    * check is not an optional nicety: synchronous
+    * take-the-neighborhood-majority LPA provably 2-cycles on bipartite
+    * components, and a near-dup corpus graph is FULL of 2-node
+    * duplicate-pair components (EdgeCaseSpec pins the K2 oscillation as
+    * the deterministic contract) — a fixpoint-only loop would exhaust
+    * its entire `maxRounds` valve on every real dedup graph. With the
+    * cycle stop, duplicate-heavy corpora settle in a handful of rounds.
+    * `maxRounds` stays as the final safety valve (longer cycles exist).
+    * Detection price: two existence-check jobs per round over the
+    * 16-byte (node, label) frames — far cheaper than the wasted rounds
+    * of a conservative fixed count. The declared fixed-round queries
+    * stay unchanged as the oracle-able twins (a SQL oracle replays k
+    * rounds, not a data-dependent stop); the bridging law, pinned by
+    * GraphRetrievalSpec on the corpus graph, is that the converged form
+    * output ≡ the fixed-round form at the stop round it reports. */
+  def labelPropConverged(s: SparkSession, d: String, maxRounds: Int = 20,
+                         maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val edges = neardupEdges(s, d, maxDocFreq).localCheckpoint(true)
+    val (lab, _, _) = labelPropConvergedOf(docs, edges, maxRounds)
+    lpSized(lab.select(col("id").as("doc_id"), col("community")))
   }
 
   /** Partition-quality telemetry: per-community NEWMAN-MODULARITY
@@ -404,23 +418,73 @@ object GraphOps {
       .orderBy("scheme", "community")
   }
 
+  /** Initial LPA labels: every node its own label. */
+  private def lpSeed(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("v")).distinct().withColumn("lbl", col("v"))
+
+  /** One synchronous LPA round: each node takes its neighborhood's
+    * most frequent label, ties to the smallest (the shared kernel of
+    * the fixed-round and converged forms — one edge-sized hash join +
+    * a map-combined (node, label) count). */
+  private def lpRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nb = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+      .groupBy(col("src").as("v"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
+    nb.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("v"), col("lbl"))
+  }
+
+  /** Attach community sizes, the declared-query output shape. */
+  private def lpSized(alln: DataFrame): DataFrame = {
+    val sizes = alln.groupBy("community").agg(count(lit(1)).as("comm_size"))
+    alln.join(sizes, Seq("community"))
+      .select(col("doc_id"), col("community"), col("comm_size"))
+      .orderBy("doc_id")
+  }
+
   /** [[labelProp]] over an arbitrary symmetrized edge list plus a node
     * frame (for the property spec). */
   private[graft] def labelPropOf(nodes: DataFrame, edges: DataFrame,
                                  rounds: Int): DataFrame = {
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-    for (_ <- 1 to rounds) {
-      val nb = edges.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
-        .groupBy(col("src").as("v"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
-      labels = nb.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("v"), col("lbl"))
-    }
+    var labels = lpSeed(edges)
+    for (_ <- 1 to rounds)
+      labels = lpRound(edges, labels)
     nodes.join(labels.withColumnRenamed("v", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("community"))
+  }
+
+  /** Convergence-detecting core shared by [[labelPropConverged]]:
+    * iterates [[lpRound]] with per-round localCheckpoint (lineage
+    * truncation, same discipline as the fixed-round form) until a
+    * fixpoint, a period-2 cycle, or `maxRounds`. Returns (assignment,
+    * rounds actually run, stop reason ∈ {fixpoint, cycle, valve}).
+    * The returned assignment is exactly [[labelPropOf]] at the
+    * returned round count — the bridging law the spec pins. Change
+    * probes are `limit(1).count()` existence checks that
+    * short-circuit, not full diff counts. */
+  private[graft] def labelPropConvergedOf(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int): (DataFrame, Int, String) = {
+    def differs(a: DataFrame, b: DataFrame): Boolean = a
+      .join(b.withColumnRenamed("lbl", "prev"), Seq("v"))
+      .filter(col("lbl") =!= col("prev"))
+      .limit(1).count() > 0
+    var prevPrev: DataFrame = null
+    var labels = lpSeed(edges).localCheckpoint(true)
+    var r = 0
+    var reason = "valve"
+    while (reason == "valve" && r < maxRounds) {
+      val next = lpRound(edges, labels).localCheckpoint(true)
+      r += 1
+      if (!differs(next, labels)) reason = "fixpoint"
+      else if (prevPrev != null && !differs(next, prevPrev)) reason = "cycle"
+      prevPrev = labels
+      labels = next
+    }
+    (nodes.join(labels.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("community")),
+      r, reason)
   }
 
   /** PageRank over the document near-dup graph: edges = symmetrized

@@ -558,6 +558,36 @@ object Jpeg {
   def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff
       && (bytes(1) & 0xff) == 0xd8, "jpeg decode: bad SOI")
+    // frame-type dispatch: walk markers up to the SOF and route —
+    // baseline/extended-sequential stay on the single-scan decoder,
+    // SOF2 takes the progressive path, anything else rejects loudly
+    var dp = 2
+    def du16(at: Int): Int = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+    var route = 0 // 0 = undecided, 1 = baseline, 2 = progressive
+    while (route == 0) {
+      require((bytes(dp) & 0xff) == 0xff, "jpeg decode: lost marker sync")
+      val m = bytes(dp + 1) & 0xff
+      m match {
+        case 0xc0 | 0xc1 => route = 1
+        case 0xc2 => route = 2
+        case sof if sof >= 0xc3 && sof <= 0xcf
+            && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          throw new IllegalArgumentException(
+            f"jpeg decode: unsupported frame type 0x$sof%02x")
+        case 0xd8 | 0x01 => dp += 2 // SOI / TEM: standalone
+        case rst if rst >= 0xd0 && rst <= 0xd7 =>
+          throw new IllegalArgumentException(
+            f"jpeg decode: standalone RST 0x$rst%02x before SOF")
+        case 0xd9 | 0xda =>
+          throw new IllegalArgumentException("jpeg decode: missing SOF")
+        case _ => dp += 2 + du16(dp + 2)
+      }
+    }
+    if (route == 2) decodeProgressive(bytes) else decodeBaseline(bytes)
+  }
+
+  /** Baseline / extended-sequential (SOF0/SOF1) single-scan decode. */
+  private def decodeBaseline(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     var pos = 2
     val qtab = Array.ofDim[Int](4, 64) // natural order
     val dcTabs = new Array[HuffDec](4)
@@ -625,8 +655,9 @@ object Jpeg {
             c += 1
           }
           pos += len
-        case 0xc2 =>
-          throw new IllegalArgumentException("jpeg decode: progressive not supported")
+        case 0xc2 => // unreachable: decode() routes SOF2 to the
+          // progressive path before this walker runs
+          throw new IllegalArgumentException("jpeg decode: unexpected SOF2")
         case 0xdd =>
           restartInterval = u16(pos + 2); pos += u16(pos)
         case 0xda =>
@@ -646,6 +677,14 @@ object Jpeg {
           scanStart = pos + len
         case 0xd9 =>
           throw new IllegalArgumentException("jpeg decode: EOI before SOS")
+        case 0x01 => // TEM: standalone (no length segment), legal; skip
+        case rst if rst >= 0xd0 && rst <= 0xd7 =>
+          // RSTn is standalone too — falling through to the length
+          // branch would read two garbage 'length' bytes and turn a
+          // malformed stream into a confusing downstream error; a
+          // restart marker before any SOS is malformed, say so loudly
+          throw new IllegalArgumentException(
+            f"jpeg decode: standalone RST 0x$rst%02x before SOS")
         case _ => // APPn, COM, anything else with a length: skip
           pos += u16(pos)
       }
@@ -732,6 +771,15 @@ object Jpeg {
       my += 1
     }
 
+    planesToRgb(w, h, nComp, compH, compV, hmax, vmax, planeW, planes)
+  }
+
+  /** Shared output tail of both decode paths: nearest-neighbor chroma
+    * upsample from per-component planes + YCbCr→RGB (or grayscale
+    * replication). */
+  private def planesToRgb(w: Int, h: Int, nComp: Int, compH: Array[Int],
+      compV: Array[Int], hmax: Int, vmax: Int, planeW: Array[Int],
+      planes: Array[Array[Int]]): (Int, Int, Array[Int]) = {
     val rgb = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -760,5 +808,359 @@ object Jpeg {
       y += 1
     }
     (w, h, rgb)
+  }
+
+  // ---------------------------------------------------------------
+  // Progressive decoder (SOF2)
+  // ---------------------------------------------------------------
+
+  /** Find the next marker position at or after `from`, skipping
+    * entropy-coded data: stuffed 0xFF00 bytes and RST markers are part
+    * of the scan; anything else 0xFFxx is the next segment. */
+  private def skipEntropy(bytes: Array[Byte], from: Int): Int = {
+    var p = from
+    var done = false
+    while (!done) {
+      if ((bytes(p) & 0xff) == 0xff) {
+        val m = bytes(p + 1) & 0xff
+        if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2 else done = true
+      } else p += 1
+    }
+    p
+  }
+
+  /** Progressive (SOF2) decode: spectral selection + successive
+    * approximation per ITU-T T.81 Annex G (G.1.2 coding models,
+    * G.2 decoder control). Coefficients accumulate RAW (unquantized,
+    * scaled by the scan's point transform) across scans into
+    * per-component block grids padded to the interleaved MCU
+    * geometry; dequantization + IDCT + upsample run once at EOI.
+    * DC scans may be interleaved (MCU order) or single-component;
+    * AC scans are single-component over the component's own block
+    * raster (T.81 G.1.1.1.1). The AC refinement correction-bit model
+    * follows G.1.2.3 (the same algebra libjpeg's
+    * decode_mcu_AC_refine implements): a zero-history coefficient
+    * can newly appear with magnitude ±1<<Al, every nonzero-history
+    * coefficient crossed on the way consumes one correction bit, and
+    * EOB runs still pay correction bits over the rest of the band.
+    * Restart markers reset DC predictors AND the EOB run. */
+  private def decodeProgressive(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    var pos = 2
+    val qtab = Array.ofDim[Int](4, 64) // natural order
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var w = -1; var h = -1
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var restartInterval = 0
+    var hmax = 0; var vmax = 0; var mcuW = 0; var mcuH = 0
+    var coefs: Array[Array[Int]] = null // raw coefficients, natural order
+    var bWpad: Array[Int] = null; var bHpad: Array[Int] = null
+    var bW: Array[Int] = null; var bH: Array[Int] = null
+    var seenScan = false
+
+    def u16(at: Int): Int = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+
+    def doScan(ns: Int, sc: Array[Int], sdc: Array[Int], sac: Array[Int],
+               ss: Int, se: Int, ah: Int, al: Int, br: BitReader): Unit = {
+      var eobrun = 0
+      val preds = new Array[Int](nComp)
+      var rstExpect = 0
+      var units = 0
+      def restartCheck(): Unit =
+        if (restartInterval > 0 && units > 0 && units % restartInterval == 0) {
+          br.align()
+          require((bytes(br.pos) & 0xff) == 0xff
+            && (bytes(br.pos + 1) & 0xff) == 0xd0 + rstExpect,
+            s"jpeg decode: expected RST$rstExpect at ${br.pos}")
+          br.pos += 2
+          rstExpect = (rstExpect + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+      def dcUnit(c: Int, ci: Int, bx: Int, by: Int): Unit = {
+        val base = (by * bWpad(c) + bx) * 64
+        if (ah == 0) {
+          val dc = dcTabs(sdc(ci))
+          require(dc != null, "jpeg decode: missing DC table")
+          val t = dc.decode(br)
+          preds(c) += extend(br.receive(t), t)
+          coefs(c)(base) = preds(c) << al
+        } else if (br.bit() == 1) coefs(c)(base) |= (1 << al)
+      }
+      def acFirst(arr: Array[Int], base: Int, ac: HuffDec): Unit = {
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val rs = ac.decode(br)
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.receive(r)
+                done = true
+              }
+            } else {
+              k += r
+              require(k <= se, "jpeg decode: AC run past band end")
+              arr(base + Zig(k)) = extend(br.receive(s), s) << al
+              k += 1
+            }
+          }
+        }
+      }
+      def acRefine(arr: Array[Int], base: Int, ac: HuffDec): Unit = {
+        val p1 = 1 << al; val m1 = -1 << al
+        def correct(zi: Int): Unit =
+          if (br.bit() == 1 && (arr(zi) & p1) == 0)
+            arr(zi) += (if (arr(zi) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = ac.decode(br)
+            var r = rs >> 4; val s = rs & 0x0f
+            var newval = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.receive(r)
+                done = true
+              } // r == 15: ZRL, skip 16 zero-history coefficients below
+            } else {
+              require(s == 1, "jpeg decode: refinement magnitude != 1")
+              newval = if (br.bit() == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val zi = base + Zig(k)
+                if (arr(zi) != 0) correct(zi)
+                else if (r == 0) placed = true
+                else r -= 1
+                if (!placed) k += 1
+              }
+              if (newval != 0) {
+                require(k <= se, "jpeg decode: refinement placement past band")
+                arr(base + Zig(k)) = newval
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val zi = base + Zig(k)
+            if (arr(zi) != 0) correct(zi)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (ss == 0) {
+        require(se == 0, "jpeg decode: DC scan with Se != 0")
+        if (ns > 1) { // interleaved DC scan, MCU order
+          var my = 0
+          while (my < mcuH) {
+            var mx = 0
+            while (mx < mcuW) {
+              restartCheck()
+              var ci = 0
+              while (ci < ns) {
+                val c = sc(ci)
+                var j = 0
+                while (j < compV(c)) {
+                  var i = 0
+                  while (i < compH(c)) {
+                    dcUnit(c, ci, mx * compH(c) + i, my * compV(c) + j)
+                    i += 1
+                  }
+                  j += 1
+                }
+                ci += 1
+              }
+              units += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else { // single-component DC scan: the component's own raster
+          val c = sc(0)
+          var by = 0
+          while (by < bH(c)) {
+            var bx = 0
+            while (bx < bW(c)) {
+              restartCheck()
+              dcUnit(c, 0, bx, by)
+              units += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+      } else {
+        require(ns == 1, "jpeg decode: interleaved AC scan")
+        require(se >= ss && se < 64, "jpeg decode: bad spectral band")
+        val c = sc(0)
+        val arr = coefs(c)
+        val ac = acTabs(sac(0))
+        require(ac != null, "jpeg decode: missing AC table")
+        var by = 0
+        while (by < bH(c)) {
+          var bx = 0
+          while (bx < bW(c)) {
+            restartCheck()
+            val base = (by * bWpad(c) + bx) * 64
+            if (ah == 0) acFirst(arr, base, ac) else acRefine(arr, base, ac)
+            units += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    }
+
+    var eoi = false
+    while (!eoi) {
+      require((bytes(pos) & 0xff) == 0xff, "jpeg decode: lost marker sync")
+      val m = bytes(pos + 1) & 0xff
+      pos += 2
+      m match {
+        case 0xd8 => // stray SOI: ignore
+        case 0xdb =>
+          val len = u16(pos); var p = pos + 2
+          while (p < pos + len) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, "jpeg decode: only 8-bit quant tables")
+            var i = 0
+            while (i < 64) { qtab(tq)(Zig(i)) = bytes(p + 1 + i) & 0xff; i += 1 }
+            p += 65
+          }
+          pos += len
+        case 0xc4 =>
+          val len = u16(pos); var p = pos + 2
+          while (p < pos + len) {
+            val cls = (bytes(p) & 0xff) >> 4
+            val id = bytes(p) & 0x0f
+            val bits = (0 until 16).map(i => bytes(p + 1 + i) & 0xff).toArray
+            val nv = bits.sum
+            val vals = (0 until nv).map(i => bytes(p + 17 + i) & 0xff).toArray
+            if (cls == 0) dcTabs(id) = new HuffDec(bits, vals)
+            else acTabs(id) = new HuffDec(bits, vals)
+            p += 17 + nv
+          }
+          pos += len
+        case 0xc2 =>
+          val len = u16(pos)
+          require((bytes(pos + 2) & 0xff) == 8, "jpeg decode: only 8-bit precision")
+          h = u16(pos + 3); w = u16(pos + 5)
+          nComp = bytes(pos + 7) & 0xff
+          require(nComp == 1 || nComp == 3, s"jpeg decode: $nComp components")
+          compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = bytes(pos + 8 + 3 * c) & 0xff
+            val hv = bytes(pos + 9 + 3 * c) & 0xff
+            compH(c) = (hv >> 4) & 0x0f
+            compV(c) = hv & 0x0f
+            require(compH(c) >= 1 && compH(c) <= 2
+              && compV(c) >= 1 && compV(c) <= 2,
+              f"jpeg decode: sampling factor 0x$hv%02x out of the 1..2 range")
+            compQ(c) = bytes(pos + 10 + 3 * c) & 0xff
+            c += 1
+          }
+          hmax = compH.max; vmax = compV.max
+          mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+          mcuH = (h + 8 * vmax - 1) / (8 * vmax)
+          bWpad = Array.tabulate(nComp)(c => mcuW * compH(c))
+          bHpad = Array.tabulate(nComp)(c => mcuH * compV(c))
+          bW = Array.tabulate(nComp)(c =>
+            (((w * compH(c) + hmax - 1) / hmax) + 7) / 8)
+          bH = Array.tabulate(nComp)(c =>
+            (((h * compV(c) + vmax - 1) / vmax) + 7) / 8)
+          coefs = Array.tabulate(nComp)(c =>
+            new Array[Int](bWpad(c) * bHpad(c) * 64))
+          pos += len
+        case 0xc0 | 0xc1 =>
+          throw new IllegalArgumentException("jpeg decode: mixed frame types")
+        case 0xdd =>
+          restartInterval = u16(pos + 2); pos += u16(pos)
+        case 0xda =>
+          require(coefs != null, "jpeg decode: SOS before SOF2")
+          val len = u16(pos)
+          val ns = bytes(pos + 2) & 0xff
+          val sc = new Array[Int](ns)
+          val sdc = new Array[Int](ns)
+          val sac = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cid = bytes(pos + 3 + 2 * i) & 0xff
+            val idx = compId.indexOf(cid)
+            require(idx >= 0, s"jpeg decode: scan component $cid not in frame")
+            sc(i) = idx
+            sdc(i) = (bytes(pos + 4 + 2 * i) & 0xff) >> 4
+            sac(i) = bytes(pos + 4 + 2 * i) & 0x0f
+            i += 1
+          }
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+          val br = new BitReader(bytes, pos + len)
+          doScan(ns, sc, sdc, sac, ss, se, ahal >> 4, ahal & 0x0f, br)
+          seenScan = true
+          pos = skipEntropy(bytes, br.pos)
+        case 0xd9 => eoi = true
+        case 0x01 => // TEM: standalone, skip
+        case rst if rst >= 0xd0 && rst <= 0xd7 =>
+          throw new IllegalArgumentException(
+            f"jpeg decode: standalone RST 0x$rst%02x outside a scan")
+        case _ => pos += u16(pos)
+      }
+    }
+    require(w > 0 && h > 0 && seenScan, "jpeg decode: no scan data")
+
+    // dequantize + IDCT every padded block into component planes
+    val planeW = Array.tabulate(nComp)(c => bWpad(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * bHpad(c) * 8))
+    val deq = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val qt = qtab(compQ(c))
+      val arr = coefs(c)
+      var by = 0
+      while (by < bHpad(c)) {
+        var bx = 0
+        while (bx < bWpad(c)) {
+          val base = (by * bWpad(c) + bx) * 64
+          var k = 0
+          while (k < 64) { deq(k) = arr(base + k) * qt(k); k += 1 }
+          val px = idct(deq)
+          val x0 = bx * 8; val y0 = by * 8
+          var r = 0
+          while (r < 8) {
+            var cl = 0
+            while (cl < 8) {
+              planes(c)((y0 + r) * planeW(c) + x0 + cl) = px(r * 8 + cl)
+              cl += 1
+            }
+            r += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    planesToRgb(w, h, nComp, compH, compV, hmax, vmax, planeW, planes)
   }
 }

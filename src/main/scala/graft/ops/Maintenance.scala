@@ -48,8 +48,13 @@ object Maintenance {
     * assertions are filesystem-dependent and live in MaintenanceSpec
     * instead. */
   def compactReport(s: SparkSession, d: String): DataFrame = {
+    // per-invocation UUID, not a hash of the path: hashCode collisions
+    // (or two sessions compacting different datasets concurrently)
+    // must never share a tmp dir — an interleaved overwrite-write and
+    // read-back would report another dataset's content. The dir must
+    // outlive this call (the returned frame reads it lazily).
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.util.UUID.randomUUID().toString
     compactEventsZorder(Tables.events(s, d), out, 8)
     s.read.parquet(out)
       .groupBy("event_type")

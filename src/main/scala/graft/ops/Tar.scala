@@ -89,7 +89,14 @@ object Tar {
         while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
         val name = new String(bytes, off, nameEnd - off,
           java.nio.charset.StandardCharsets.UTF_8)
-        val size = parseOctal(bytes, off + 124, 12).toInt
+        // size stays Long until range-checked: a >=2 GiB member must
+        // fail LOUDLY here, not silently truncate through .toInt and
+        // mis-slice the copy below (the 11-octal-digit envelope is
+        // 8 GiB; a JVM byte[] caps the in-memory shard at 2 GiB)
+        val sizeL = parseOctal(bytes, off + 124, 12)
+        require(sizeL <= Int.MaxValue.toLong - BLOCK,
+          s"tar: member '$name' size $sizeL exceeds in-memory shard limit")
+        val size = sizeL.toInt
         val data = java.util.Arrays.copyOfRange(bytes,
           off + BLOCK, off + BLOCK + size)
         out += ((name, data))

@@ -225,8 +225,15 @@ object StreamOps {
 
   /** Highest stream batchId applied into the newest committed version
     * (−1 when no version exists). Read from the newest marker's
-    * content; a legacy empty marker falls back to its version number,
-    * which equaled the batchId before maintenance commits existed. */
+    * content; a legacy EMPTY marker falls back to its version number,
+    * which equaled the batchId before maintenance commits existed.
+    * That fallback is ONLY for the empty-content case: a read or
+    * parse failure rethrows. Swallowing it into the fallback would
+    * over-report after a maintenance commit (version > applied
+    * batchId), silently widening the replay-skip gate — an unapplied
+    * replayed batch with batchId ≤ vmax would be dropped, i.e. data
+    * loss under at-least-once delivery. Better to fail the trigger
+    * and let the retry re-read the marker. */
   private[graft] def lastAppliedStream(sp: SparkSession,
                                        statePath: String): Long = {
     val committed = committedVersions(sp, statePath)
@@ -234,12 +241,10 @@ object StreamOps {
     else {
       val vmax = committed.max
       val (fs, root) = rollupFs(sp, statePath)
-      try {
-        val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$vmax"))
-        val txt = new String(in.readAllBytes(), "UTF-8").trim
-        in.close()
-        if (txt.isEmpty) vmax else txt.toLong
-      } catch { case _: Exception => vmax }
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_COMMIT_$vmax"))
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim
+                finally in.close()
+      if (txt.isEmpty) vmax else txt.toLong
     }
   }
 

@@ -59,6 +59,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(rm >= 0.4, f"multi-table recall too low: $rm%.3f")
   }
 
+  test("knn graph LSH twin: cell-identical to the exact form at the declared settings") {
+    // the q_knn_graph_lsh contract: at (planes=2, tables=16) the SRP
+    // candidate set covers every node's true top-5 on this corpus
+    // (verified diff=0 at sf0.001/0.01/0.1 in the round-8 sweep), so
+    // edges, cosines AND ranks all match the exact form — recall 1.0,
+    // not approximately
+    val e = Tables.embeddings(spark, d)
+    val exact = VectorOps.knnGraphMutual(e, "vec_id", "embedding", 5)
+      .collect().map(_.toString).sorted
+    val lsh = VectorOps.knnGraphMutualLsh(e, "vec_id", "embedding", 5,
+      planes = 2, tables = 16).collect().map(_.toString).sorted
+    assert(exact.length > 0 && exact.sameElements(lsh),
+      s"LSH twin diverged: ${exact.diff(lsh).take(3).toSeq} vs ${lsh.diff(exact).take(3).toSeq}")
+  }
+
+  test("knn graph LSH twin: bucketed equi-join plan, no quadratic operator") {
+    val e = Tables.embeddings(spark, d)
+    val p = VectorOps.knnGraphMutualLsh(e, "vec_id", "embedding", 5,
+      planes = 2, tables = 16).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic candidate join in the LSH twin:\n$p")
+    // and not the blocked all-pairs generator either: its signature is
+    // the explode(sequence(blk, ...)) block-pair fan-out
+    assert(!p.contains("sequence("),
+      s"block-pair fan-out leaked into the LSH twin:\n$p")
+  }
+
   test("pca power iteration: hand-computed integer trace on a 2-d fixture") {
     import spark.implicits._
     // dominant axis e0 (two unit vectors), minor axis e1 (one half vector)

@@ -175,6 +175,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1L, 2L -> 2L), s"got $r2")
   }
 
+  test("label prop converged: fixpoint on K3, period-2 cycle stop on K2") {
+    import spark.implicits._
+    // triangle: R1 {1→2, 2→1, 3→1} (node 1 ties {2,3}→min 2); R2
+    // {1→1, 2→1, 3→1} (node 2 ties count-1 labels {2,1}→min 1); R3
+    // changes nothing → fixpoint detected at round 3 of a 20 budget
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val (lab, rounds, why) =
+      graft.ops.GraphOps.labelPropConvergedOf(nodes, tri, maxRounds = 20)
+    val got = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
+    assert(rounds == 3 && why == "fixpoint", s"expected fixpoint@3, got $why@$rounds")
+    // and it agrees with any fixed-round form at ≥ the convergence depth
+    val fixed = graft.ops.GraphOps.labelPropOf(nodes, tri, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == got)
+    // K2 NEVER reaches a fixpoint under sync LPA (the oscillation the
+    // previous test pins): the period-2 detector must stop it at round
+    // 2 (R2 labels == seed labels), not burn the whole valve
+    val k2 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (lab2, r2, why2) = graft.ops.GraphOps.labelPropConvergedOf(
+      Seq(1L, 2L).toDF("id"), k2, maxRounds = 20)
+    assert(r2 == 2 && why2 == "cycle", s"expected cycle@2, got $why2@$r2")
+    // bridging law: output ≡ the fixed-round form at the stop round
+    val f2 = graft.ops.GraphOps.labelPropOf(Seq(1L, 2L).toDF("id"), k2, r2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == f2)
+  }
+
   test("gif: 1x1, single-color, and 2-color minimum-code images round-trip") {
     import graft.ops.Gif
     for ((w, h, rgb) <- Seq(

@@ -446,6 +446,27 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(core.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("label prop converged: early stop on the corpus graph ≡ fixed-round there") {
+    // the corpus near-dup graph contains 2-node duplicate-pair
+    // components, which 2-cycle forever under sync LPA — so the
+    // detector must stop EARLY (cycle or fixpoint, never the valve)
+    // and its output must equal the fixed-round form at the stop
+    // round: the bridging law that makes the data-dependent stop
+    // auditable against the SQL-oracle-able fixed-round contract
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"))
+    val edges = GraphOps.neardupEdges(spark, sf, None).localCheckpoint(true)
+    val (lab, rounds, why) =
+      GraphOps.labelPropConvergedOf(docs, edges, maxRounds = 20)
+    info(s"corpus LPA stopped: $why after $rounds rounds")
+    assert(why != "valve" && rounds < 20,
+      s"expected an early stop on the corpus graph, got $why@$rounds")
+    val conv = lab.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val fixed = GraphOps.labelPropOf(docs, edges, rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(conv.sameElements(fixed),
+      s"converged ≠ fixed-round@$rounds: ${conv.diff(fixed).take(3).toSeq}")
+  }
+
   test("collocations: hand-computed integer PMI ratios and tie order") {
     // "a b a b c": bigrams ab×2 ba×1 bc×1, N=4; unigrams a=2 b=2 c=1
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")

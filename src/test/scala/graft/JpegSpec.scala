@@ -196,11 +196,77 @@ class JpegSpec extends SparkSpec {
     assert(vsIo <= 10, s"imageio decode of our 4:2:0 stream err $vsIo")
   }
 
-  test("progressive streams fail loudly") {
-    val (w, h) = (24, 16)
-    val bytes = imageioColorJpeg(w, h, formulaRgb(w, h), progressive = true)
-    val e = intercept[IllegalArgumentException](Jpeg.decode(bytes))
-    assert(e.getMessage.contains("progressive"), s"wrong rejection: ${e.getMessage}")
+  test("golden: progressive color (sharp + smooth chroma) matches imageio") {
+    // the JDK writer's MODE_DEFAULT progressive script exercises both
+    // spectral selection AND successive approximation (DC Al=1 +
+    // refinement, AC bands at Al=2/1/0) over its default 4:2:0 layout
+    val (w, h) = (37, 23)
+    val sharp = imageioColorJpeg(w, h, formulaRgb(w, h), progressive = true)
+    val (dw, dh, mine) = Jpeg.decode(sharp)
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sharp))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = ref.getRGB(x, y); val p = (y * w + x) * 3
+      sum += math.abs(((px >> 16) & 0xff) - mine(p)) +
+        math.abs(((px >> 8) & 0xff) - mine(p + 1)) +
+        math.abs((px & 0xff) - mine(p + 2))
+    }
+    val mean = sum.toDouble / (w * h * 3)
+    assert(mean <= 16.0, s"progressive sharp-chroma mean disagreement $mean")
+    // smooth chroma: box-vs-triangular upsampling barely matters
+    val smoothRgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      i % 3 match { case 0 => x * 3 + 40; case 1 => y * 4 + 30; case _ => 90 }
+    }
+    val smooth = imageioColorJpeg(w, h, smoothRgb, progressive = true)
+    val (_, _, m2) = Jpeg.decode(smooth)
+    val r2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(smooth))
+    var maxs = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = r2.getRGB(x, y); val p = (y * w + x) * 3
+      maxs = math.max(maxs, math.max(
+        math.abs(((px >> 16) & 0xff) - m2(p)), math.max(
+          math.abs(((px >> 8) & 0xff) - m2(p + 1)),
+          math.abs((px & 0xff) - m2(p + 2)))))
+    }
+    assert(maxs <= 8, s"progressive smooth-chroma max disagreement $maxs")
+    // and a progressive stream really is multi-scan: > 1 SOS marker
+    def sosCount(b: Array[Byte]): Int = (0 until b.length - 1).count(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)
+    assert(sosCount(sharp) > 1, "imageio progressive stream has one scan?")
+  }
+
+  test("golden: progressive grayscale matches imageio exactly-decoded pixels") {
+    val (w, h) = (29, 17)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 7 + y * 11) % 256
+      img.getRaster.setSample(x, y, 0, g)
+    }
+    val baos = new java.io.ByteArrayOutputStream
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    wr.dispose()
+    val bytes = baos.toByteArray
+    val (dw, dh, mine) = Jpeg.decode(bytes)
+    assert((dw, dh) == (w, h))
+    // single component: no upsampling choice, only IDCT rounding —
+    // cross-decoder agreement is tight
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxd = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ref.getRaster.getSample(x, y, 0)
+      maxd = math.max(maxd, math.abs(g - mine((y * w + x) * 3)))
+    }
+    assert(maxd <= 2, s"progressive gray cross-decoder disagreement $maxd")
   }
 
   test("mjpeg container: index seek decodes exactly the k-th frame") {

@@ -546,6 +546,46 @@ object BpeProps extends SparkProps("BPE") {
       val want = refBpe(words, 2)
       Prop(got == want) :| s"words=$words got=$got want=$want"
     }
+
+  // wider alphabet so disjoint winners actually exist and batching
+  // ENGAGES (the a/b/c gen above mostly exercises the fallbacks)
+  private val wideWordGen = Gen.chooseNum(1, 8)
+    .flatMap(n => Gen.listOfN(n,
+      Gen.oneOf('a' to 'j')).map(_.mkString))
+  private val wideCorpusGen = Gen.chooseNum(8, 40)
+    .flatMap(n => Gen.listOfN(n, wideWordGen))
+
+  /** The batched trainer's contract is UNCONDITIONAL equality with the
+    * sequential trainer — batching engages only when the safe-prefix
+    * rule proves the batch is what the sequential trainer would do,
+    * and falls back to single merges otherwise. Pinned on both the
+    * duplicate-heavy gen (self-pairs, concat collisions → fallbacks)
+    * and the wide gen (real batches). */
+  property("batched trainer ≡ sequential trainer (duplicate-heavy corpora)") =
+    forAll(corpusGen, Gen.chooseNum(1, 4)) { (words, mb) =>
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ops.DataQueries
+        .bpeTrainBatchedOf(docs, merges = 6, maxBatch = mb).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+        .toSeq
+      val want = refBpe(words, 6).map(t => (t._1, t._2, t._3, t._4))
+      Prop(got == want) :| s"mb=$mb words=$words got=$got want=$want"
+    }
+
+  property("batched trainer ≡ sequential trainer (wide-alphabet corpora)") =
+    forAll(wideCorpusGen, Gen.chooseNum(2, 6)) { (words, mb) =>
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ops.DataQueries
+        .bpeTrainBatchedOf(docs, merges = 8, maxBatch = mb).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+        .toSeq
+      val want = refBpe(words, 8).map(t => (t._1, t._2, t._3, t._4))
+      Prop(got == want) :| s"mb=$mb words=$words got=$got want=$want"
+    }
 }
 
 /** Fixed-round k-core peeling reaches the true k-core fixpoint once

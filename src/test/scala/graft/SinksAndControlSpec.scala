@@ -388,4 +388,14 @@ class ControlPlaneSpec extends SparkSpec {
       s"state=${reg.status(id).map(_.state)}")
     reg.shutdown()
   }
+
+  test("Bench arg guard: unknown query names are a loud error, not an empty sweep") {
+    // round 7 incident: positional args silently selected zero queries
+    // and overwrote BENCH_LAST.json with an empty artifact
+    assert(Bench.parseOnly(Array.empty).toOption.contains(Set.empty[String]))
+    val known = SparkEntry.queries.keySet.take(2).toArray
+    assert(Bench.parseOnly(known).toOption.contains(known.toSet))
+    val bad = Bench.parseOnly(Array(known.head, "q_definitely_not_a_query"))
+    assert(bad.isLeft && bad.swap.toOption.get.contains("q_definitely_not_a_query"))
+  }
 }
