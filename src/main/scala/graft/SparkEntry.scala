@@ -133,6 +133,7 @@ object SparkEntry {
     "q_jpeg_features"     -> ((s, d) => DataQueries.jpegFeatures(s, d)),
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
     "q_jpeg_prog_features" -> ((s, d) => DataQueries.jpegProgFeatures(s, d)),
+    "q_flac_features"     -> ((s, d) => DataQueries.flacFeatures(s, d)),
     "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
     "q_video_features"    -> ((s, d) => DataQueries.videoFeatures(s, d)),
     "q_audio_fp"          -> ((s, d) => DataQueries.audioFingerprint(s, d)),
@@ -3221,6 +3222,21 @@ object SparkEntry {
            sum(b)::BIGINT AS sum_b,
            TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // FLAC leg: lossless round trip ⇒ decoded aggregates EXACT (the
+    // gif pattern, no band); the oracle replays the PCM formula
+    "q_flac_features" ->
+      """WITH n AS (SELECT doc_id, 600 + doc_id % 50 AS n FROM documents),
+         s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM n),
+         v AS (SELECT doc_id, n,
+                 (i * (200 + doc_id % 32)) % 8000 - 4000
+                   + (doc_id * 31 + i) % 5 AS s
+               FROM s)
+         SELECT doc_id, 16000::BIGINT AS sample_rate,
+           max(n)::BIGINT AS n_samples,
+           sum(s)::BIGINT AS sum_s, sum(abs(s))::BIGINT AS sum_abs,
+           min(s)::BIGINT AS min_s, max(s)::BIGINT AS max_s,
+           TRUE AS compressed
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
     // perceptual audio fingerprint: frame-energy delta sign bits over
     // the PCM round trip; same-seed clips collapse to one fingerprint
     "q_audio_fp" ->

@@ -2223,6 +2223,56 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** FLAC leg of the audio family ([[Flac]]): doc-keyed piecewise-
+    * linear 16-bit PCM rides a full encode (best fixed predictor +
+    * exact Rice parameter search) → decode (CRC-8/CRC-16/MD5 verified)
+    * round trip. FLAC is LOSSLESS, so the decoded aggregates are
+    * EXACT — the q_gif_features pattern, no tolerance band: the oracle
+    * replays the PCM formula and any defect anywhere in the
+    * predictor/Rice/bit-layout path changes a sum (or trips one of the
+    * three in-stream checksums, which is a loud error, not a wrong
+    * row). `compressed` pins that the smooth signal really came out
+    * smaller than raw PCM — a regression to escape-everything would
+    * flip it. Map-only partition-wise, like every codec query. */
+  def flacFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_s", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("min_s", LongType, nullable = false),
+      StructField("max_s", LongType, nullable = false),
+      StructField("compressed", BooleanType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val doc = row.getLong(0)
+          val n = 600 + (doc % 50).toInt
+          val pcm = Array.tabulate(n) { i =>
+            ((i.toLong * (200 + doc % 32)) % 8000 - 4000
+              + (doc * 31 + i) % 5).toInt
+          }
+          val bytes = Flac.encode(Array(pcm), sampleRate = 16000)
+          val (sr, ch, dec) = Flac.decode(bytes)
+          require(sr == 16000 && ch == 1, "flac leg: header mismatch")
+          var sum = 0L; var sabs = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          dec(0).foreach { v =>
+            sum += v; sabs += math.abs(v.toLong)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          Row(doc, 16000L, dec(0).length.toLong, sum, sabs, mn, mx,
+            bytes.length < 2 * n)
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup groups via dHash: 12 planted seed groups —
     * same-seed images share base pixels and dimensions, each doc adds a
     * sparse +2 luminance perturbation — go through the REAL encode
