@@ -134,6 +134,7 @@ object SparkEntry {
     "q_jpeg420_features"  -> ((s, d) => DataQueries.jpeg420Features(s, d)),
     "q_jpeg_prog_features" -> ((s, d) => DataQueries.jpegProgFeatures(s, d)),
     "q_flac_features"     -> ((s, d) => DataQueries.flacFeatures(s, d)),
+    "q_pipeline_e2e"      -> ((s, d) => graft.pipelines.Corpus.pipelineE2e(s, d)),
     "q_gif_features"      -> ((s, d) => DataQueries.gifFeatures(s, d)),
     "q_video_features"    -> ((s, d) => DataQueries.videoFeatures(s, d)),
     "q_audio_fp"          -> ((s, d) => DataQueries.audioFingerprint(s, d)),
@@ -460,6 +461,128 @@ object SparkEntry {
     "WITH " + (head +: (1 to rounds).map(bpeRoundSql)).mkString(",\n") +
       s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
+
+  /** End-to-end pipeline oracle (q_pipeline_e2e): every stage of the
+    * composed corpus build replayed relationally — the gopher gate,
+    * self-dedup window removal, exact dedup on the kept content,
+    * windowed near-dup drop, decontamination, per-language quality
+    * deciles and the 50% mixture budget — each from the SAME fragment
+    * spelling its standalone oracle uses, chained over survivors. */
+  private lazy val PIPELINE_SQL: String =
+    s"""WITH $TOKS_CTE,
+       $SHING_CTE,
+       gop AS (SELECT doc_id, len(tk) AS n_words,
+           (len(tk) >= 20 AND len(tk) <= 100000
+            AND CASE WHEN len(tk) > 0 THEN
+              list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+            END >= 2.0
+            AND CASE WHEN len(tk) > 0 THEN
+              list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+            END <= 10.0
+            AND coalesce(CASE WHEN len(tk) > 0 THEN
+              len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                / len(tk) END >= 0.8, false)
+            AND (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(tk, 'a')   THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(tk, 'of')  THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(tk, 'is')  THEN 1 ELSE 0 END) >= 2)
+             AS keep_gopher
+           FROM toks),
+       qual AS (SELECT toks.doc_id,
+           0.4 * least(len(tk) / 100.0, 1.0)
+           + 0.3 * (1.0 - coalesce(CASE WHEN len(toks.text) > 0 THEN
+               (len(toks.text) - len(regexp_replace(toks.text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                 / len(toks.text) END, 0.0))
+           + 0.3 * least(coalesce(CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, x -> x IN ('the','a','of','and','is')))::DOUBLE
+                 / len(tk) END, 0.0) * 5.0, 1.0) AS q
+           FROM toks),
+       sbase AS (SELECT doc_id, tk, len(tk) AS nb FROM toks),
+       w0 AS (SELECT doc_id, tk,
+                unnest(range(greatest(nb - 7, 0))) AS i FROM sbase),
+       w AS (SELECT doc_id, i,
+               ${H64.format("array_to_string(tk[i+1:i+8], ' ')")} AS wh
+             FROM w0),
+       f AS (SELECT doc_id, wh, min(i) AS fi FROM w GROUP BY 1, 2),
+       repw AS (SELECT w.doc_id, w.i FROM w
+                JOIN f ON w.doc_id = f.doc_id AND w.wh = f.wh
+                WHERE w.i > f.fi),
+       cov0 AS (SELECT doc_id, unnest(range(i, i + 8)) AS p FROM repw),
+       cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+       tokp AS (SELECT doc_id, unnest(range(len(tk))) AS p,
+                  unnest(tk) AS t FROM sbase),
+       keptt AS (SELECT tokp.doc_id, tokp.p, tokp.t FROM tokp
+                 LEFT JOIN cov ON tokp.doc_id = cov.doc_id AND tokp.p = cov.p
+                 WHERE cov.p IS NULL),
+       sagg AS (SELECT doc_id, count(*) AS na,
+                  string_agg(t, ' ' ORDER BY p) AS ks
+                FROM keptt GROUP BY 1),
+       sd AS (SELECT b.doc_id, coalesce(a.na, 0)::BIGINT AS n_kept,
+                ${H64.format("coalesce(a.ks, '')")} AS kept_hash
+              FROM sbase b LEFT JOIN sagg a USING (doc_id)),
+       base AS (SELECT d.doc_id, d.lang, g.n_words::BIGINT AS n_words,
+                  g.keep_gopher, sd.n_kept, sd.kept_hash,
+                  (d.doc_id % 20 = 0) AS is_bench, q.q
+                FROM documents d
+                JOIN gop g USING (doc_id)
+                JOIN sd USING (doc_id)
+                JOIN qual q USING (doc_id)),
+       s1 AS (SELECT * FROM base WHERE keep_gopher),
+       s3 AS (SELECT * FROM (SELECT *, row_number() OVER
+                (PARTITION BY kept_hash ORDER BY doc_id) AS rk FROM s1)
+              WHERE rk = 1),
+       ex AS (SELECT s.doc_id, s.doc_id % 10 AS batch,
+                len(sh.shs) AS sz, unnest(sh.shs) AS sg
+              FROM s3 s JOIN shing sh USING (doc_id)),
+       prs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               WHERE abs(a.batch - b.batch) <= 1
+               GROUP BY 1, 2),
+       dropb AS (SELECT DISTINCT db FROM prs
+                 WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.1),
+       s4 AS (SELECT * FROM s3
+              WHERE doc_id NOT IN (SELECT db FROM dropb)),
+       sh5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5
+                 THEN list_distinct([array_to_string(tk[i+1:i+5], ' ')
+                                     for i in range(0, len(tk) - 4)])
+                 ELSE [] END AS shs FROM toks),
+       bench AS (SELECT DISTINCT unnest(shs) AS sg FROM sh5
+                 WHERE doc_id % 20 = 0),
+       hits AS (SELECT c.doc_id, count(*) AS n_hits
+                FROM (SELECT s4.doc_id, unnest(sh5.shs) AS sg
+                      FROM s4 JOIN sh5 USING (doc_id)) c
+                JOIN bench USING (sg) GROUP BY 1),
+       s5 AS (SELECT s4.* FROM s4 LEFT JOIN hits USING (doc_id)
+              WHERE NOT is_bench AND coalesce(n_hits, 0) < 5),
+       s6 AS (SELECT * FROM (SELECT *, ntile(10) OVER
+                (PARTITION BY lang ORDER BY q DESC, doc_id) AS dec FROM s5)
+              WHERE dec <= 7),
+       s7 AS (SELECT * FROM (SELECT *,
+                sum(n_kept) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(n_kept) OVER (PARTITION BY lang) AS tot FROM s6)
+              WHERE cum <= tot * 50 // 100)
+       SELECT * FROM (
+         SELECT 0::BIGINT AS stage_no, 'raw' AS stage,
+           count(*)::BIGINT AS n_docs,
+           coalesce(sum(n_words), 0)::BIGINT AS n_tokens FROM base
+         UNION ALL SELECT 1, 'gopher', count(*)::BIGINT,
+           coalesce(sum(n_words), 0)::BIGINT FROM s1
+         UNION ALL SELECT 2, 'self_dedup', count(*)::BIGINT,
+           coalesce(sum(n_kept), 0)::BIGINT FROM s1
+         UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT,
+           coalesce(sum(n_kept), 0)::BIGINT FROM s3
+         UNION ALL SELECT 4, 'windowed_neardup', count(*)::BIGINT,
+           coalesce(sum(n_kept), 0)::BIGINT FROM s4
+         UNION ALL SELECT 5, 'decontam', count(*)::BIGINT,
+           coalesce(sum(n_kept), 0)::BIGINT FROM s5
+         UNION ALL SELECT 6, 'quality_deciles', count(*)::BIGINT,
+           coalesce(sum(n_kept), 0)::BIGINT FROM s6
+         UNION ALL SELECT 7, 'mixture', count(*)::BIGINT,
+           coalesce(sum(n_kept), 0)::BIGINT FROM s7
+       ) ORDER BY stage_no"""
 
   /** Full-recompute connected components over the near-dup graph —
     * shared VERBATIM by q_dedup_groups (batch form) and q_incr_cc
@@ -3222,6 +3345,9 @@ object SparkEntry {
            sum(b)::BIGINT AS sum_b,
            TRUE AS within_band
          FROM v GROUP BY doc_id, format ORDER BY doc_id""",
+    // end-to-end corpus pipeline: per-stage doc counts + token mass,
+    // every stage replayed from its standalone oracle's fragment
+    "q_pipeline_e2e" -> PIPELINE_SQL,
     // FLAC leg: lossless round trip ⇒ decoded aggregates EXACT (the
     // gif pattern, no band); the oracle replays the PCM formula
     "q_flac_features" ->

@@ -1,0 +1,129 @@
+package graft.pipelines
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** END-TO-END training-corpus pipeline: the individual cleaning
+  * operators this library ships (each oracle-gated on its own) composed
+  * the way a real pre-training data build runs them, as ONE declared
+  * query — because the lineage bugs of rounds 5-6 were exactly
+  * cross-stage composition effects (a stage silently re-reading or
+  * re-deriving what the previous stage already transformed).
+  *
+  * Stages, each a funnel step over the previous stage's survivors:
+  *   0 raw               — the whole corpus (token mass = raw tokens)
+  *   1 gopher            — Rae et al. rule gate (graft.ops.TextOps.gopherKeep)
+  *   2 self_dedup        — within-doc repeated-8-token-window removal;
+  *                         docs unchanged, token mass moves to the KEPT
+  *                         sequence (drop_repeated_windows, one map pass)
+  *   3 exact_dedup       — first occurrence per kept-content hash
+  *   4 windowed_neardup  — time-windowed 3-gram Jaccard pairs (|batch
+  *                         diff| ≤ 1, τ=0.1, the q_windowed_dedup shape);
+  *                         the LATER doc of every pair drops
+  *   5 decontam          — benchmark docs (id%20=0) and anything sharing
+  *                         ≥5 distinct 5-gram shingles with them drop
+  *   6 quality_deciles   — per-language ntile(10) by composite quality;
+  *                         deciles 8-10 drop
+  *   7 mixture           — per-language token budget: highest-quality
+  *                         docs first until ≤ 50% of the language's
+  *                         post-stage-6 token mass (integer floor)
+  *
+  * Scale shape: ALL per-document signals (gopher, kept windows, both
+  * shingle sets, quality) are computed in ONE projection over the
+  * corpus and eagerly localCheckpointed — the corpus parquet is
+  * scanned exactly once, and every stage (including both sides of the
+  * near-dup self-join and the benchmark side of decontamination) reads
+  * the checkpointed signal frame. PipelineSpec pins the executed plan
+  * to ZERO parquet scans (and no quadratic join). Per-stage output is
+  * (stage_no, stage, n_docs, n_tokens), each an aggregate row — the
+  * counts + token-mass audit a data build publishes per stage. */
+object Corpus {
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nWords, meanLen, alphaFrac, stopHits) = TextOps.gopherSignals(col("text"))
+    val base = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        nWords.cast("long").as("n_words"),
+        TextOps.gopherKeep(nWords, meanLen, alphaFrac, stopHits).as("keep_gopher"),
+        call_function("drop_repeated_windows",
+          TextOps.tokens(col("text")), lit(8)).as("kept"),
+        TextOps.shingleHashes(col("text"), 3).as("shs3"),
+        TextOps.shingleHashes(col("text"), 5).as("shs5"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .withColumn("n_kept", size(col("kept")).cast("long"))
+      .withColumn("kept_hash", TextOps.h64(array_join(col("kept"), " ")))
+      .withColumn("is_bench", col("doc_id") % 20 === 0)
+      .drop("kept")
+      .localCheckpoint(true)
+
+    val s1 = base.filter(col("keep_gopher"))
+    val s2 = s1 // self-dedup transforms text; the metric moves to n_kept
+    val s3 = s2.withColumn("rk", row_number().over(
+        Window.partitionBy("kept_hash").orderBy("doc_id")))
+      .filter(col("rk") === 1).drop("rk")
+
+    // windowed near-dup among stage-3 survivors: (shingle, bucket)
+    // keys with {b, b+1} replication — the bounded-state candidate
+    // shape — then exact Jaccard; the later doc of each pair drops
+    val ex = s3.select(col("doc_id"), (col("doc_id") % 10).as("batch"),
+        size(col("shs3")).as("sz"), explode_outer(col("shs3")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val rep = ex.select(col("doc_id"), col("batch"), col("sz"), col("sh"),
+      explode(array(col("batch"), col("batch") + 1)).as("bk"))
+    val aSide = rep.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("sh"), col("bk"))
+    val bSide = rep.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("sh"), col("bk"))
+    val dropB = aSide.join(bSide, Seq("sh", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sz_a", "sz_b", "sh")
+      .distinct() // same-bucket pairs meet at both replicas
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s4 = s3.join(dropB, Seq("doc_id"), "left_anti")
+
+    // decontamination: the benchmark shingle set derives from the SAME
+    // checkpointed frame (no second corpus scan) and broadcasts
+    val benchSh = base.filter(col("is_bench"))
+      .select(explode(col("shs5")).as("sh")).distinct()
+      .withColumn("__hit", lit(1L))
+    val contaminated = s4
+      .select(col("doc_id"), explode_outer(col("shs5")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") >= 5)
+      .select("doc_id")
+    val s5 = s4.filter(!col("is_bench"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    val byQ = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
+    val s6 = s5.withColumn("decile", ntile(10).over(byQ))
+      .filter(col("decile") <= 7)
+    val s7 = s6
+      .withColumn("cum", sum("n_kept").over(
+        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("n_kept").over(Window.partitionBy("lang")))
+      .filter(col("cum") <= expr("tot * 50 div 100"))
+
+    def st(df: DataFrame, no: Int, name: String, tok: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col(tok)), lit(0L)).as("n_tokens"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    st(base, 0, "raw", "n_words")
+      .unionByName(st(s1, 1, "gopher", "n_words"))
+      .unionByName(st(s2, 2, "self_dedup", "n_kept"))
+      .unionByName(st(s3, 3, "exact_dedup", "n_kept"))
+      .unionByName(st(s4, 4, "windowed_neardup", "n_kept"))
+      .unionByName(st(s5, 5, "decontam", "n_kept"))
+      .unionByName(st(s6, 6, "quality_deciles", "n_kept"))
+      .unionByName(st(s7, 7, "mixture", "n_kept"))
+      .orderBy("stage_no")
+  }
+}
