@@ -81,6 +81,7 @@ object SparkEntry {
     "q_pack_bins"         -> ((s, d) => DataQueries.packBins(s, d)),
     "q_pack_shards"       -> ((s, d) => DataQueries.packBinsSharded(s, d)),
     "q_tar_shards"        -> ((s, d) => DataQueries.tarShards(s, d)),
+    "q_targz_shards"      -> ((s, d) => DataQueries.tarGzShards(s, d)),
     "q_zip_extract"       -> ((s, d) => DataQueries.zipShards(s, d)),
     "q_norm_outliers"     -> ((s, d) => DataQueries.normOutliers(s, d)),
     "q_incr_dedup"        -> ((s, d) => DataQueries.incrDedup(s, d)),
@@ -461,6 +462,23 @@ object SparkEntry {
     "WITH " + (head +: (1 to rounds).map(bpeRoundSql)).mkString(",\n") +
       s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
+
+  /** USTAR shard oracle, shared verbatim by q_tar_shards and its
+    * .tar.gz twin (both report the UNCOMPRESSED archive arithmetic —
+    * 512-byte header + payload padded to 512 per member + the
+    * 1024-byte terminator). */
+  private lazy val TAR_SHARDS_SQL: String =
+    """WITH e AS (SELECT doc_id, doc_id % 8 AS shard,
+           octet_length(encode(text)) AS nb,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+         FROM documents)
+       SELECT shard, count(*) AS n_entries,
+         CAST(sum(nb) AS BIGINT) AS payload_bytes,
+         CAST(sum(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
+           AS tar_bytes,
+         CAST(bit_xor(h) AS BIGINT) AS xor_h64,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM e GROUP BY shard ORDER BY shard"""
 
   /** End-to-end pipeline oracle (q_pipeline_e2e): every stage of the
     * composed corpus build replayed relationally — the gopher gate,
@@ -3866,18 +3884,10 @@ object SparkEntry {
     // WebDataset tar shards: every column is recomputed analytically
     // from the text (USTAR size arithmetic; xor of content hashes),
     // while Spark reports them from the DECODED archive bytes
-    "q_tar_shards" ->
-      """WITH e AS (SELECT doc_id, doc_id % 8 AS shard,
-             octet_length(encode(text)) AS nb,
-             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-           FROM documents)
-         SELECT shard, count(*) AS n_entries,
-           CAST(sum(nb) AS BIGINT) AS payload_bytes,
-           CAST(sum(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
-             AS tar_bytes,
-           CAST(bit_xor(h) AS BIGINT) AS xor_h64,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM e GROUP BY shard ORDER BY shard""",
+    "q_tar_shards" -> TAR_SHARDS_SQL,
+    // the .tar.gz twin reports the INFLATED archive (closed-form USTAR
+    // arithmetic), so it shares the plain twin's oracle verbatim
+    "q_targz_shards" -> TAR_SHARDS_SQL,
     // ZIP extraction: content columns only (deflate size isn't
     // closed-form) — the CRC/central-directory walk is gated because
     // every value is computed from the DECODED members

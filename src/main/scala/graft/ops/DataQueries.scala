@@ -537,6 +537,58 @@ object DataQueries {
       .orderBy("shard")
   }
 
+  /** `.tar.gz` twin of [[tarShards]]: the identical USTAR archive
+    * wrapped in a GZIP member (the WebDataset on-disk form loaders
+    * actually stream). Every reported column — INCLUDING `tar_bytes`,
+    * the INFLATED archive length, which stays closed-form — comes from
+    * the gunzip→decode side, so the query shares q_tar_shards' oracle
+    * VERBATIM (one oracle, two container paths): a defect in the gzip
+    * wrap, the inflate, or anything it disturbed in the tar walk
+    * breaks a cell. The compressed size itself is not closed-form and
+    * is pinned by TarSpec's GNU-tar interop instead. */
+  def tarGzShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("n_entries", LongType, nullable = false),
+      StructField("payload_bytes", LongType, nullable = false),
+      StructField("tar_bytes", LongType, nullable = false),
+      StructField("xor_h64", LongType, nullable = false),
+      StructField("first_doc", LongType, nullable = false),
+      StructField("last_doc", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    import s.implicits._
+    Tables.documents(s, d)
+      .selectExpr("doc_id % 8 AS shard", "doc_id", "text")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val entries = it.map { case (_, id, text) => (id, text) }
+          .toArray.sortBy(_._1)
+        val gz = Tar.encodeGz(entries.toSeq.map { case (id, t) =>
+          (f"$id%012d.txt",
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val tarBytes = Tar.gunzip(gz)
+        require(gz.length < tarBytes.length,
+          s"tar.gz shard $shard did not compress") // text always deflates
+        val dec = Tar.decode(tarBytes)
+        var payload = 0L; var xor = 0L
+        var first = Long.MaxValue; var last = Long.MinValue
+        dec.foreach { case (name, data) =>
+          val id = name.stripSuffix(".txt").toLong
+          payload += data.length
+          xor ^= Hashing.h64(data)
+          if (id < first) first = id
+          if (id > last) last = id
+        }
+        Row(shard, dec.size.toLong, payload, tarBytes.length.toLong,
+          xor, first, last)
+      }
+      .orderBy("shard")
+  }
+
   /** ZIP twin of [[tarShards]] — the compressed archive container
     * ([[Zip]]): per-shard documents are DEFLATE-compressed into one
     * PKZIP archive, decoded back through the central-directory walk

@@ -106,6 +106,33 @@ object Tar {
     out.result()
   }
 
+  /** `.tar.gz` WebDataset shard: the same USTAR archive wrapped in a
+    * single GZIP member (RFC 1952, the JDK's Deflater) — the on-disk
+    * form WebDataset loaders actually stream. The tar layout is
+    * unchanged, so the compressed twin shares the plain twin's oracle
+    * verbatim after [[gunzip]]. */
+  def encodeGz(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(encode(entries))
+    gz.finish(); gz.close()
+    baos.toByteArray
+  }
+
+  /** Inflate a single-member GZIP stream (loud on trailing garbage —
+    * a concatenated second member would silently vanish otherwise). */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = in.readAllBytes()
+    require(in.read() < 0, "tar.gz: trailing bytes after the gzip member")
+    out
+  }
+
+  /** Decode a `.tar.gz` shard: gunzip, then the USTAR walk. */
+  def decodeGz(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    decode(gunzip(bytes))
+
   private def parseOctal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
     var i = off

@@ -82,4 +82,48 @@ class TarSpec extends AnyFunSuite {
     assert(dec.map(_._1) == Seq("member.txt"))
     assert(new String(dec.head._2, UTF_8) == payload)
   }
+
+  test("tar.gz: gz round trip equals the plain decode and compresses") {
+    val entries = Seq(
+      "a.txt" -> ("lorem ipsum " * 50).getBytes(UTF_8),
+      "b.txt" -> "short".getBytes(UTF_8))
+    val gz = Tar.encodeGz(entries)
+    // RFC 1952 magic + deflate method
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b && gz(2) == 8)
+    assert(gz.length < Tar.encode(entries).length, "gzip did not compress")
+    assert(Tar.gunzip(gz).sameElements(Tar.encode(entries)))
+    val dec = Tar.decodeGz(gz)
+    assert(dec.map(_._1) == entries.map(_._1))
+    assert(dec.zip(entries).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // a truncated gz stream fails loudly, not quietly short
+    intercept[Exception](Tar.decodeGz(gz.take(gz.length - 5)))
+  }
+
+  test("golden: GNU tar -z reads our .tar.gz; we decode GNU's .tar.gz") {
+    val tarBin = new java.io.File("/usr/bin/tar")
+    assume(tarBin.canExecute, "system tar not present")
+    val dir = java.nio.file.Files.createTempDirectory("targz")
+    val body = "compressed shard member body\n" * 30
+    java.nio.file.Files.write(dir.resolve("ours.tar.gz"),
+      Tar.encodeGz(Seq("shard/doc.txt" -> body.getBytes(UTF_8))))
+    def run(args: String*): String = {
+      val p = new ProcessBuilder(args: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+      assert(p.waitFor() == 0, s"${args.mkString(" ")} failed:\n$out")
+      out
+    }
+    assert(run("/usr/bin/tar", "-tzf", dir.resolve("ours.tar.gz").toString)
+      .linesIterator.toSeq == Seq("shard/doc.txt"))
+    assert(run("/usr/bin/tar", "-xzOf", dir.resolve("ours.tar.gz").toString,
+      "shard/doc.txt") == body)
+    // and the reverse: GNU writes, we decode
+    java.nio.file.Files.write(dir.resolve("member.txt"), body.getBytes(UTF_8))
+    val p = new ProcessBuilder("/usr/bin/tar", "--format=ustar", "-czf",
+      dir.resolve("g.tar.gz").toString, "-C", dir.toString, "member.txt").start()
+    assert(p.waitFor() == 0)
+    val dec = Tar.decodeGz(
+      java.nio.file.Files.readAllBytes(dir.resolve("g.tar.gz")))
+    assert(dec.map(_._1) == Seq("member.txt"))
+    assert(new String(dec.head._2, UTF_8) == body)
+  }
 }
