@@ -387,8 +387,11 @@ object Flac {
       val chanAsn = br.bits(4).toInt
       val ssCode = br.bits(3).toInt
       br.bits(1)
-      require(chanAsn == channels - 1,
-        s"flac: channel assignment $chanAsn unsupported (mid/side out of subset)")
+      // 0..7 independent; 8 left/side; 9 right/side; 10 mid/side —
+      // the stereo decorrelation modes libFLAC emits by default
+      val decorrelated = chanAsn >= 8 && chanAsn <= 10
+      require((decorrelated && channels == 2) || chanAsn == channels - 1,
+        s"flac: channel assignment $chanAsn vs $channels channels")
       require(ssCode == 4, "flac: frame sample size != 16 bit")
       readUtf8(br)
       val bs = bsCode match {
@@ -412,10 +415,35 @@ object Flac {
       require(c8 == crc8(bytes, frameStart, headerEnd),
         s"flac: frame header CRC mismatch at $frameStart")
 
+      // the SIDE channel carries one extra bit of sample resolution
+      // (T.81-analog in the FLAC spec: side = L−R spans 17 bits)
+      def chanBps(c: Int): Int = chanAsn match {
+        case 8 => if (c == 1) 17 else 16  // left/side
+        case 9 => if (c == 0) 17 else 16  // side/right
+        case 10 => if (c == 1) 17 else 16 // mid/side
+        case _ => 16
+      }
+      val raw = Array.tabulate(channels)(c => decodeSubframe(br, bs, chanBps(c)))
+      val chans: Array[Array[Int]] = chanAsn match {
+        case 8 => // left/side: R = L − S
+          Array(raw(0), Array.tabulate(bs)(i => raw(0)(i) - raw(1)(i)))
+        case 9 => // side/right: L = R + S
+          Array(Array.tabulate(bs)(i => raw(1)(i) + raw(0)(i)), raw(1))
+        case 10 => // mid/side: m2 = (mid<<1)|(side&1); L,R = (m2±side)>>1
+          val l = new Array[Int](bs); val r = new Array[Int](bs)
+          var i = 0
+          while (i < bs) {
+            val m2 = (raw(0)(i) << 1) | (raw(1)(i) & 1)
+            l(i) = (m2 + raw(1)(i)) >> 1
+            r(i) = (m2 - raw(1)(i)) >> 1
+            i += 1
+          }
+          Array(l, r)
+        case _ => raw
+      }
       var c = 0
       while (c < channels) {
-        val s = decodeSubframe(br, bs)
-        System.arraycopy(s, 0, pcm(c), written, bs)
+        System.arraycopy(chans(c), 0, pcm(c), written, bs)
         c += 1
       }
       br.alignSkip()
@@ -444,12 +472,12 @@ object Flac {
     (sampleRate, channels, pcm)
   }
 
-  private def decodeSubframe(br: BR, bs: Int): Array[Int] = {
+  private def decodeSubframe(br: BR, bs: Int, bps: Int): Array[Int] = {
     require(br.bits(1) == 0, "flac: subframe pad bit set")
     val typ = br.bits(6).toInt
     val wastedFlag = br.bits(1).toInt
     val wasted = if (wastedFlag == 1) br.unary() + 1 else 0
-    val ebps = 16 - wasted
+    val ebps = bps - wasted
     val s = new Array[Int](bs)
     typ match {
       case 0 => // CONSTANT

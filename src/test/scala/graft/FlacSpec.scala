@@ -167,6 +167,65 @@ class FlacSpec extends AnyFunSuite {
       s"${pcm(0).toSeq} != ${expect.toSeq}")
   }
 
+  /** Assemble a complete 2-channel single-frame stream with the given
+    * channel assignment and verbatim subframes (side channel at 17
+    * bits per the spec), plus STREAMINFO + MD5 of the expected L/R. */
+  private def stereoFixture(chanAsn: Int, ch0: Array[Int], ch1: Array[Int],
+                            bps0: Int, bps1: Int,
+                            expectL: Array[Int], expectR: Array[Int]): Array[Byte] = {
+    val bs = ch0.length
+    val fw = new TW
+    fw.put(0x3ffe, 14); fw.put(0, 1); fw.put(0, 1)
+    fw.put(0x7, 4); fw.put(0, 4)
+    fw.put(chanAsn, 4)
+    fw.put(0x4, 3); fw.put(0, 1)
+    fw.put(0, 8) // frame number 0
+    fw.put(bs - 1, 16)
+    val head = fw.out.toByteArray
+    fw.put(crc8(head), 8)
+    for ((ch, bps) <- Seq((ch0, bps0), (ch1, bps1))) {
+      fw.put(0, 1); fw.put(1, 6); fw.put(0, 1) // VERBATIM, no wasted bits
+      ch.foreach(v => fw.put(v.toLong & ((1L << bps) - 1), bps))
+    }
+    fw.align()
+    val body = fw.out.toByteArray
+    val frame = new java.io.ByteArrayOutputStream
+    frame.write(body, 0, body.length)
+    val c16 = crc16(body)
+    frame.write((c16 >> 8) & 0xff); frame.write(c16 & 0xff)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (i <- 0 until bs; s <- Seq(expectL(i), expectR(i))) {
+      md.update((s & 0xff).toByte); md.update(((s >> 8) & 0xff).toByte)
+    }
+    val si = new TW
+    si.put(4096, 16); si.put(4096, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(1, 3); si.put(15, 5); si.put(bs.toLong, 36)
+    val out = new java.io.ByteArrayOutputStream
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(si.out.toByteArray, 0, 18)
+    out.write(md.digest(), 0, 16)
+    out.write(frame.toByteArray)
+    out.toByteArray
+  }
+
+  test("hand-built stereo decorrelation: mid/side, left/side, right/side") {
+    // libFLAC's default stereo modes — the decoder legs our (subset,
+    // independent-channels) encoder never emits; expected L/R worked
+    // out by hand from the spec's reconstruction formulas, extremes
+    // included (the mid channel drops a bit, side's LSB restores it)
+    val l = Array(100, -50, 3, 32767)
+    val r = Array(90, -60, 4, -32768)
+    val mid = Array.tabulate(4)(i => (l(i) + r(i)) >> 1)
+    val side = Array.tabulate(4)(i => l(i) - r(i))
+    val ms = Flac.decode(stereoFixture(10, mid, side, 16, 17, l, r))
+    assert(ms._3(0).sameElements(l) && ms._3(1).sameElements(r), "mid/side")
+    val ls = Flac.decode(stereoFixture(8, l, side, 16, 17, l, r))
+    assert(ls._3(0).sameElements(l) && ls._3(1).sameElements(r), "left/side")
+    val rs = Flac.decode(stereoFixture(9, side, r, 17, 16, l, r))
+    assert(rs._3(0).sameElements(l) && rs._3(1).sameElements(r), "right/side")
+  }
+
   test("corruption fails loudly: frame CRC, MD5, magic, truncation") {
     val pcm = triangle(1000, 9)
     val bytes = Flac.encode(Array(pcm))
