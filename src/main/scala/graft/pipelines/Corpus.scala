@@ -60,9 +60,15 @@ object Corpus {
 
     val s1 = base.filter(col("keep_gopher"))
     val s2 = s1 // self-dedup transforms text; the metric moves to n_kept
+    // stage frames feeding MULTIPLE consumers (their own audit row,
+    // both sides of the pair self-join, the decontam probe, the s7
+    // window pair) are checkpointed — doc-count-sized frames, and
+    // without them each stage aggregate re-executes the upstream
+    // join/window chain (measured: 7.5 s vs 5.2 s at sf0.1)
     val s3 = s2.withColumn("rk", row_number().over(
         Window.partitionBy("kept_hash").orderBy("doc_id")))
       .filter(col("rk") === 1).drop("rk")
+      .localCheckpoint(true)
 
     // windowed near-dup among stage-3 survivors: (shingle, bucket)
     // keys with {b, b+1} replication — the bounded-state candidate
@@ -85,7 +91,11 @@ object Corpus {
       .filter(col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
       .select(col("doc_b").as("doc_id")).distinct()
+    // the one mid-pipeline materialization: everything upstream of the
+    // shingle pair join is cheap to recompute from the base checkpoint,
+    // but the join itself must run once, not once per stage aggregate
     val s4 = s3.join(dropB, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
 
     // decontamination: the benchmark shingle set derives from the SAME
     // checkpointed frame (no second corpus scan) and broadcasts
@@ -101,10 +111,12 @@ object Corpus {
       .select("doc_id")
     val s5 = s4.filter(!col("is_bench"))
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
 
     val byQ = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
     val s6 = s5.withColumn("decile", ntile(10).over(byQ))
       .filter(col("decile") <= 7)
+      .localCheckpoint(true)
     val s7 = s6
       .withColumn("cum", sum("n_kept").over(
         byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
