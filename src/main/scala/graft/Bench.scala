@@ -179,10 +179,17 @@ object Bench {
     println(json)
     // Also persist the artifact to a file: a stdout-captured artifact
     // can be truncated or interleaved by the harness; the file is the
-    // byte-exact record (round-4 advice).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case _: Throwable => }
+    // byte-exact record (round-4 advice). Write-then-ATOMIC-rename: a
+    // kill mid-write must never leave a truncated artifact where the
+    // next round's prev-medians baseline should be.
+    try {
+      val out = java.nio.file.Paths.get(outPath)
+      val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+      java.nio.file.Files.writeString(tmp, json + "\n")
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => }
     spark.stop()
     // A bench with erroring queries must not look like a clean run: exit
     // nonzero so the harness records the failure machine-checkably
