@@ -4464,7 +4464,7 @@ object SparkEntry {
          FROM t5 a JOIN t5 b ON a.src = b.dst AND a.dst = b.src
          WHERE a.src < a.dst ORDER BY vec_a, vec_b""",
     // the LSH production twin shares the exact form's oracle VERBATIM:
-    // at the declared (planes=2, tables=24) the candidate set covers
+    // at the declared (planes=2, tables=16) the candidate set covers
     // every true top-5, so the outputs are cell-identical
     "q_knn_graph_lsh" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),

@@ -25,8 +25,10 @@ package graft.ops
   * 5-bit parameters) and the raw-bits escape, wasted-bits unary
   * prefixes, and verifies CRC-8, CRC-16 and the stream MD5 — a
   * truncated or bit-flipped stream fails loudly, never silently
-  * (the module family's posture). Mid/side channel decorrelation is
-  * out of subset and rejected loudly.
+  * (the module family's posture). The decoder also handles all three
+  * stereo decorrelation modes — left/side, right/side, and mid/side
+  * (channel assignments 8-10); the encoder remains
+  * independent-channels only.
   */
 object Flac {
   private val BlockSize = 4096

@@ -120,12 +120,48 @@ object Tar {
   }
 
   /** Inflate a single-member GZIP stream (loud on trailing garbage —
-    * a concatenated second member would silently vanish otherwise). */
+    * a concatenated second member or junk suffix would silently vanish
+    * otherwise). GZIPInputStream itself drains to EOF (it transparently
+    * decodes concatenated members), so the check must be byte-exact:
+    * inflate the one member with Inflater directly and compare the
+    * member's total footprint (10-byte header + optional fields +
+    * deflate payload + 8-byte trailer) against the input length. */
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = in.readAllBytes()
-    require(in.read() < 0, "tar.gz: trailing bytes after the gzip member")
+    require(bytes.length >= 18 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b && bytes(2) == 8,
+      "tar.gz: not a gzip (RFC 1952) stream")
+    val flg = bytes(3) & 0xff
+    var off = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      off += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (bytes(off) != 0) off += 1; off += 1 }  // FNAME
+    if ((flg & 16) != 0) { while (bytes(off) != 0) off += 1; off += 1 } // FCOMMENT
+    if ((flg & 2) != 0) off += 2                                        // FHCRC
+    val inf = new java.util.zip.Inflater(true) // raw deflate
+    inf.setInput(bytes, off, bytes.length - off)
+    val baos = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    val buf = new Array[Byte](65536)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || !inf.needsInput(), "tar.gz: truncated deflate stream")
+      baos.write(buf, 0, n)
+    }
+    val consumed = off + (inf.getTotalIn: Int) + 8 // + CRC32 + ISIZE trailer
+    inf.end()
+    require(bytes.length >= consumed, "tar.gz: truncated gzip trailer")
+    require(bytes.length == consumed,
+      s"tar.gz: ${bytes.length - consumed} trailing bytes after the gzip member")
+    val out = baos.toByteArray
+    // verify the member trailer (CRC32 of the uncompressed data, ISIZE mod 2^32)
+    val crc = new java.util.zip.CRC32; crc.update(out)
+    val tOff = consumed - 8
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    require(le32(tOff) == crc.getValue, "tar.gz: CRC32 mismatch")
+    require(le32(tOff + 4) == (out.length & 0xffffffffL), "tar.gz: ISIZE mismatch")
     out
   }
 

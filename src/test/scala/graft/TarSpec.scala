@@ -99,6 +99,25 @@ class TarSpec extends AnyFunSuite {
     intercept[Exception](Tar.decodeGz(gz.take(gz.length - 5)))
   }
 
+  test("tar.gz: trailing garbage and concatenated members fail loudly") {
+    val gz = Tar.encodeGz(Seq("a.txt" -> "payload".getBytes(UTF_8)))
+    // junk suffix after the member (GZIPInputStream would swallow this)
+    val junk = gz ++ Array[Byte](1, 2, 3)
+    val eJunk = intercept[IllegalArgumentException](Tar.gunzip(junk))
+    assert(eJunk.getMessage.contains("trailing bytes"))
+    // a concatenated second member would silently vanish under the JDK
+    // stream's multi-member decode — it must be rejected, not merged
+    val eCat = intercept[IllegalArgumentException](Tar.gunzip(gz ++ gz))
+    assert(eCat.getMessage.contains("trailing bytes"))
+    // a flipped CRC trailer byte fails the trailer verification
+    val badCrc = gz.clone()
+    badCrc(gz.length - 8) = (badCrc(gz.length - 8) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Tar.gunzip(badCrc))
+    // clean member still inflates after all the guards
+    assert(Tar.gunzip(gz).sameElements(
+      Tar.encode(Seq("a.txt" -> "payload".getBytes(UTF_8)))))
+  }
+
   test("golden: GNU tar -z reads our .tar.gz; we decode GNU's .tar.gz") {
     val tarBin = new java.io.File("/usr/bin/tar")
     assume(tarBin.canExecute, "system tar not present")
