@@ -235,6 +235,10 @@ object SparkEntry {
     // sequential trainer — see bpeTrainBatched); the oracle unrolls all
     // 64 sequential rounds (generated, MATERIALIZED CTEs)
     "q_bpe_train64"       -> ((s, d) => DataQueries.bpeTrainBatched(s, d, 64, 8)),
+    // apply leg of the 64-merge vocabulary: rank-ordered per-rule
+    // replay over the word table (rules interact across ranks); the
+    // oracle reuses the train64 CTE chain's final symbol table s64
+    "q_bpe_apply64"       -> ((s, d) => DataQueries.bpeApply64(s, d, 64, 8)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline
@@ -316,9 +320,20 @@ object SparkEntry {
 
   /** Shared oracle fragments for the text/dedup family. */
   private val H64 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
-  private val TOKS_CTE =
-    """toks AS (SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+
+  /** DuckDB twin of TextOps.tokens (CJK-safe): pad every non-spaced-
+    * script codepoint (Han/Kana/Hangul/Thai — RE2's `\p{Xxx}` spelling
+    * of the SAME Unicode script classes the Java side names
+    * `\p{IsXxx}`), split on whitespace, drop empties. On pure-ASCII
+    * text the pad never matches, so this is the plain whitespace
+    * split there. */
+  private def duckToks(texpr: String): String =
+    "list_filter(regexp_split_to_array(regexp_replace(" + texpr +
+      ", '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}\\p{Thai}])'" +
+      ", ' \\1 ', 'g'), '\\s+'), t -> len(t) > 0)"
+  private lazy val TOKS_CTE =
+    s"""toks AS (SELECT doc_id, text,
+         ${duckToks("text")} AS tk
        FROM documents)"""
   private val SHING_CTE =
     """shing AS (SELECT doc_id,
@@ -444,9 +459,10 @@ object SparkEntry {
             FROM m$i)"""
   }
 
-  /** Generated 64-round sequential-BPE oracle (q_bpe_train64). */
-  private lazy val BPE64_SQL: String = {
-    val rounds = 64
+  /** Shared 64-round sequential-BPE CTE chain (q_bpe_train64 and the
+    * q_bpe_apply64 leg both read it; s64 is the post-64-merge symbol
+    * table). */
+  private lazy val BPE64_CTES: String = {
     val head = s"""$TOKS_CTE,
      wt AS MATERIALIZED (SELECT w, count(*) AS wcnt
             FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
@@ -456,12 +472,33 @@ object SparkEntry {
                     unnest(list_transform(range(len(string_split(w, ''))),
                       i -> {'i': i, 's': string_split(w, '')[i + 1]})) AS u
                   FROM wt))"""
-    val sel = (1 to rounds)
+    (head +: (1 to 64).map(bpeRoundSql)).mkString(",\n")
+  }
+
+  /** Generated 64-round sequential-BPE oracle (q_bpe_train64). */
+  private lazy val BPE64_SQL: String = {
+    val sel = (1 to 64)
       .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, x, y, cnt FROM t$i")
       .mkString("\nUNION ALL\n")
-    "WITH " + (head +: (1 to rounds).map(bpeRoundSql)).mkString(",\n") +
-      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+    "WITH " + BPE64_CTES + s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
+
+  /** Apply leg of the 64-merge vocabulary (q_bpe_apply64): the final
+    * symbol table s64 IS the corpus word table after the 64 sequential
+    * merges, so per-source compression is the q_bpe_apply join shape
+    * over it. */
+  private lazy val BPE64_APPLY_SQL: String =
+    "WITH " + BPE64_CTES + """,
+     pw AS (SELECT w, count(*) AS n_sym FROM s64 GROUP BY w),
+     srcw AS (SELECT d.source, unnest(t.tk) AS w
+              FROM toks t JOIN documents d USING (doc_id)),
+     swc AS (SELECT source, w, count(*) AS cnt FROM srcw GROUP BY 1, 2)
+     SELECT source,
+       CAST(sum(cnt * len(w)) AS BIGINT) AS syms_before,
+       CAST(sum(cnt * n_sym) AS BIGINT) AS syms_after,
+       (CAST(sum(cnt * n_sym) AS BIGINT) * 1000000)
+         // CAST(sum(cnt * len(w)) AS BIGINT) AS compression_micro
+     FROM swc JOIN pw USING (w) GROUP BY source ORDER BY source"""
 
   /** USTAR shard oracle, shared verbatim by q_tar_shards and its
     * .tar.gz twin (both report the UNCOMPRESSED archive arithmetic —
@@ -1350,8 +1387,7 @@ object SparkEntry {
     // covered positions, ordered reconstruction
     "q_self_dedup" ->
       s"""WITH toks AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(text || ' ' || text, '\\s+'),
-                 t -> len(t) > 0) AS tk
+               ${duckToks("text || ' ' || text")} AS tk
              FROM documents),
          base AS (SELECT doc_id, tk, len(tk) AS nb FROM toks),
          w0 AS (SELECT doc_id, tk,
@@ -2126,6 +2162,8 @@ object SparkEntry {
     // 64 sequential merge rounds, generated + MATERIALIZED (the
     // batched Spark trainer must reproduce the sequential list exactly)
     "q_bpe_train64" -> BPE64_SQL,
+    // apply leg over the same 64-round chain's final symbol table
+    "q_bpe_apply64" -> BPE64_APPLY_SQL,
     // tokenizer APPLY: the trained merges' final symbol table (s2)
     // joined against per-source word counts — per-source compression
     "q_bpe_apply" ->
@@ -3095,9 +3133,8 @@ object SparkEntry {
     // Token-budget selection: greedy by type-token ratio per source,
     // cumulative token count capped at 800.
     "q_token_budget" ->
-      """WITH t AS (SELECT doc_id, source,
-             list_filter(regexp_split_to_array(text, '\s+'),
-               x -> len(x) > 0) AS tk
+      s"""WITH t AS (SELECT doc_id, source,
+             ${duckToks("text")} AS tk
            FROM documents),
          sc AS (SELECT doc_id, source, len(tk) AS n_tok,
              len(list_distinct(tk)) / len(tk) AS ttr FROM t),
@@ -3588,9 +3625,8 @@ object SparkEntry {
            CAST(iso.iso_rate_micro AS BIGINT) AS iso_rate_micro
          FROM bins b JOIN iso ON b.bin = iso.i ORDER BY b.bin""",
     "q_len_quantiles" ->
-      """WITH t AS (SELECT lang, n_chars,
-             len(list_filter(regexp_split_to_array(text, '\s+'),
-                 t -> len(t) > 0)) AS n_toks
+      s"""WITH t AS (SELECT lang, n_chars,
+             len(${duckToks("text")}) AS n_toks
            FROM documents)
          SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4) AS mean_chars,
@@ -3619,8 +3655,7 @@ object SparkEntry {
     "q_corpus_stats" ->
       s"""WITH t AS (SELECT source,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
-             len(list_filter(regexp_split_to_array(text, '\\s+'),
-                 x -> len(x) > 0)) AS n_tok
+             len(${duckToks("text")}) AS n_tok
            FROM documents),
          base AS (SELECT source, count(*) AS n_docs,
                     CAST(sum(n_tok) AS BIGINT) AS total_tokens

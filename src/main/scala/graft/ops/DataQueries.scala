@@ -2685,20 +2685,22 @@ object DataQueries {
   /** Token-budget mixture selection: within each source, greedily keep
     * the highest-quality documents (type-token ratio, ties by id) until
     * the source's token budget is spent — the "build a balanced 1T-token
-    * mix from a 100T-token corpus" selection step. One window shuffle
-    * per source stratum; at scale the stratum becomes (source, shard)
-    * exactly as in [[packBinsSharded]]. */
+    * mix from a 100T-token corpus" selection step.
+    *
+    * Scale shape: the skew-safe [[RankKernel]] two-pass — the running
+    * sum never sorts a whole source on one task, and the budget prune
+    * drops every score-bucket whose token offset already exceeds the
+    * budget BEFORE the intra-bucket window, so at scale only the
+    * surviving high-TTR prefix of each source is ever sorted at all. */
   def tokenBudget(s: SparkSession, d: String, budget: Long = 800): DataFrame = {
     val tk = TextOps.tokens(col("text"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("ttr").desc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(s, d)
+    val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
         (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
-      .withColumn("cum_tok", sum("n_tok").over(w))
+    RankKernel.withStratumRank(scored, "source", "ttr", "doc_id",
+        mass = Some("n_tok"), prune = Some(col("__moff") <= budget))
+      .withColumn("cum_tok", col("__cum_before") + col("n_tok"))
       .filter(col("cum_tok") <= budget)
       .select(col("source"), col("doc_id"), col("n_tok"),
         round(col("ttr"), 6).as("ttr"), col("cum_tok"))
@@ -2708,16 +2710,18 @@ object DataQueries {
   /** Per-language quality deciles: every document ranked into its
     * language's quality tenths (ntile over the composite score, ties by
     * id) — the binning a curriculum sampler or quality-ablation study
-    * reads. One window shuffle per language stratum. */
+    * reads.
+    *
+    * Scale shape: the skew-safe [[RankKernel]] two-pass exact rank +
+    * arithmetic ntile — no per-language single-task sort; the only
+    * bare-`lang` window runs over the tiny bucket table. */
   def qualityDeciles(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
-    Tables.documents(s, d)
+    val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"))
-      .withColumn("decile", ntile(10).over(w))
+    RankKernel.withStratumRank(scored, "lang", "q", "doc_id")
       .select(col("doc_id"), col("lang"), round(col("q"), 6).as("quality"),
-        col("decile"))
+        RankKernel.ntileOfRank(col("__rank"), col("__n"), 10).as("decile"))
       .orderBy("doc_id")
   }
 
@@ -3316,6 +3320,66 @@ object DataQueries {
       .orderBy("source")
   }
 
+  /** One left-to-right non-overlapping merge pass for a SINGLE rule
+    * (x, y) → x∥y: the apply-side scan. Self-pairs get run-length
+    * parity natively (a merged x∥y can never re-match as x because
+    * symbols only grow). Equivalent to one relational [[bpeRoundStep]]
+    * merge with that winner — BpeProps pins the law. */
+  private[graft] def bpeFoldOne(syms: Array[String], x: String,
+                                y: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == x && syms(i) == y)
+        out(out.length - 1) = x + y
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** TOKENIZER APPLY at vocabulary depth — closes the round-8 gap
+    * "a user training a vocab with bpeTrainBatched has no apply leg":
+    * train the full `merges`-deep vocabulary with the batched trainer,
+    * REPLAY the merges in rank order over the word table (one
+    * [[bpeFoldOne]] pass per merge — rules interact across ranks
+    * (later merges consume earlier merges' outputs), so apply must
+    * replay per-rule in priority order, NOT reuse the trainer's
+    * disjoint-batch rule-map fold, which is only sound because each
+    * batch is symbol-triple-disjoint), then report per-source
+    * compression exactly like [[bpeApply]].
+    *
+    * Scale shape: training is the q_bpe_train64 path (rounds ∝
+    * vocab/M); replay is `merges` array folds over the VOCAB-sized
+    * distinct-word table — a pure map with a 64-rule broadcast
+    * closure — and the corpus is touched only by the same two
+    * map-combined word-count aggregates as [[bpeApply]]. */
+  def bpeApply64(s: SparkSession, d: String, merges: Int = 64,
+                 maxBatch: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ruleList = bpeTrainBatchedOf(docs, merges, maxBatch)
+      .orderBy("merge_rank").select("x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nSymAfter = udf { (w: String) =>
+      var syms: Array[String] = w.split("").filter(_.nonEmpty)
+      ruleList.foreach { case (x, y) => syms = bpeFoldOne(syms, x, y) }
+      syms.length.toLong
+    }
+    val perWord = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(col("w"), nSymAfter(col("w")).as("n_sym"))
+    val srcW = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    srcW.join(perWord, Seq("w"))
+      .groupBy("source").agg(
+        sum(col("cnt") * length(col("w"))).as("syms_before"),
+        sum(col("cnt") * col("n_sym")).as("syms_after"))
+      .withColumn("compression_micro",
+        expr("(syms_after * 1000000) div syms_before"))
+      .orderBy("source")
+  }
+
   /** Per-source inverse-Simpson token concentration ("effective
     * vocabulary size"): N²/Σc² in integer micro-units — the
     * concentration-side complement to [[ngramDiversity]]'s
@@ -3502,24 +3566,21 @@ object DataQueries {
     * boundary is engine-exact; only the ordering key itself is float,
     * with ties broken by doc_id like every other ranking here.
     *
-    * Scale shape: one shuffle on lang for both windows (cumsum and the
-    * per-lang total share the partitioning). Languages are a bounded
-    * stratum; for per-source curricula at huge fan-out, the same shape
-    * applies per (lang, shard) as in q_pack_shards. */
+    * Scale shape: the skew-safe [[RankKernel]] two-pass — the running
+    * token sum and the per-lang total both come from the kernel, so no
+    * window ever sorts a whole language on one task (the round-8
+    * "languages are a bounded stratum" justification addressed stratum
+    * COUNT, not stratum VOLUME; this form fixes the volume). */
   def curriculum(s: SparkSession, d: String): DataFrame = {
-    val wc = Window.partitionBy("lang")
-      .orderBy(col("q").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy("lang")
-    Tables.documents(s, d)
+    val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum("n_tok").over(wc))
-      .withColumn("t_tok", sum("n_tok").over(wt))
+    RankKernel.withStratumRank(scored, "lang", "q", "doc_id",
+        mass = Some("n_tok"))
       .withColumn("phase",
-        when(col("t_tok") > 0,
-          least(expr("((cum_tok - n_tok) * 3) div t_tok"), lit(2L)))
+        when(col("__m") > 0,
+          least(expr("(__cum_before * 3) div __m"), lit(2L)))
           .otherwise(lit(0L)))
       .select(col("doc_id"), col("lang"), round(col("q"), 6).as("quality"),
         col("n_tok"), col("phase"))

@@ -78,7 +78,9 @@ object Flac {
     val out = new java.io.ByteArrayOutputStream
     private var acc = 0
     private var n = 0
+    var bitsWritten: Long = 0 // exact-cost probe for predictor selection
     def put(v: Long, bits: Int): Unit = {
+      bitsWritten += bits
       var i = bits - 1
       while (i >= 0) {
         acc = (acc << 1) | ((v >>> i) & 1L).toInt
@@ -129,9 +131,16 @@ object Flac {
   /** Encode 16-bit PCM (`pcm(ch)(i)`, 1 or 2 independent channels) to
     * a FLAC stream. `partOrder` selects the Rice partition order used
     * in every frame (must divide the block evenly after warmup; 0 is
-    * always legal). */
+    * always legal). `lpcOrder` > 0 additionally fits a general LPC
+    * predictor per block (Levinson-Durbin up to that order, 12-bit
+    * quantized coefficients) and picks fixed-vs-LPC by EXACT encoded
+    * subframe bits; 0 (the default) keeps the round-8 fixed-predictor
+    * path byte-identical. Lossless either way — the residual is
+    * computed against the same quantized reconstruction the decoder
+    * replays, and the stream MD5 gate verifies every decode. */
   def encode(pcm: Array[Array[Int]], sampleRate: Int = 16000,
-             partOrder: Int = 0): Array[Byte] = {
+             partOrder: Int = 0, lpcOrder: Int = 0): Array[Byte] = {
+    require(lpcOrder >= 0 && lpcOrder <= 31, "flac encode: lpc order 0-31")
     val channels = pcm.length
     require(channels == 1 || channels == 2, "flac encode: 1 or 2 channels")
     val total = pcm(0).length.toLong
@@ -172,7 +181,8 @@ object Flac {
     var off = 0
     while (off < pcm(0).length) {
       val bs = math.min(BlockSize, pcm(0).length - off)
-      out.write(encodeFrame(pcm, off, bs, frameNo, channels, partOrder))
+      out.write(encodeFrame(pcm, off, bs, frameNo, channels, partOrder,
+        lpcOrder))
       off += bs
       frameNo += 1
     }
@@ -238,9 +248,178 @@ object Flac {
     c
   }
 
+  /** Rice-partitioned residual block (method + partition order +
+    * per-partition exact parameter search with the raw escape) —
+    * shared by the fixed and LPC subframe writers. */
+  private def writeResidual(bw: BW, res: Array[Int], bs: Int, order: Int,
+                            partOrder: Int): Unit = {
+    val po = if ((bs % (1 << partOrder)) == 0 &&
+      (bs >> partOrder) > order) partOrder else 0
+    bw.put(0, 2)                 // residual method: 4-bit Rice
+    bw.put(po, 4)
+    val parts = 1 << po
+    var pi = 0
+    while (pi < parts) {
+      val pLen = bs >> po
+      val from = if (pi == 0) 0 else pi * pLen - order
+      val until = (pi + 1) * pLen - order
+      // exact parameter search incl. the raw escape
+      var bestP = 0
+      var bestBits = Long.MaxValue
+      var p = 0
+      while (p <= 14) {
+        val cost = riceCost(res, from, until, p)
+        if (cost < bestBits) { bestBits = cost; bestP = p }
+        p += 1
+      }
+      // raw escape width: smallest signed width covering the
+      // partition (an order-4 residual on 16-bit input can need 21)
+      var rawLen = 1
+      var i0 = from
+      while (i0 < until) {
+        val v = res(i0)
+        var nb = 1
+        while (!(v >= -(1 << (nb - 1)) && v <= (1 << (nb - 1)) - 1)) nb += 1
+        if (nb > rawLen) rawLen = nb
+        i0 += 1
+      }
+      val rawBits = 5L + (until - from).toLong * rawLen
+      if (rawBits < bestBits) {
+        bw.put(0xf, 4) // escape
+        bw.put(rawLen, 5)
+        var i = from
+        while (i < until) { bw.put(res(i).toLong, rawLen); i += 1 }
+      } else {
+        bw.put(bestP, 4)
+        var i = from
+        while (i < until) {
+          val f = fold(res(i))
+          bw.putUnary((f >>> bestP).toInt)
+          if (bestP > 0) bw.put(f & ((1L << bestP) - 1), bestP)
+          i += 1
+        }
+      }
+      pi += 1
+    }
+  }
+
+  private def writeFixedSubframe(bw: BW, s: Array[Int], bs: Int, order: Int,
+                                 partOrder: Int): Unit = {
+    val res = fixedResidual(s, order)
+    bw.put(0, 1)                 // subframe pad bit
+    bw.put(8 + order, 6)         // FIXED, order
+    bw.put(0, 1)                 // no wasted bits
+    var w = 0
+    // warmup samples: two's-complement low 16 bits
+    while (w < order) { bw.put(s(w).toLong, 16); w += 1 }
+    writeResidual(bw, res, bs, order, partOrder)
+  }
+
+  private def writeLpcSubframe(bw: BW, s: Array[Int], bs: Int, prec: Int,
+                               shift: Int, coef: Array[Int],
+                               partOrder: Int): Unit = {
+    val order = coef.length
+    val res = lpcResidual(s, shift, coef)
+    bw.put(0, 1)                 // subframe pad bit
+    bw.put(31 + order, 6)        // LPC, order
+    bw.put(0, 1)                 // no wasted bits
+    var w = 0
+    while (w < order) { bw.put(s(w).toLong, 16); w += 1 }
+    bw.put(prec - 1, 4)
+    bw.put(shift.toLong, 5)      // always ≥ 0 here (decoder requires it)
+    var j = 0
+    while (j < order) { bw.put(coef(j).toLong, prec); j += 1 }
+    writeResidual(bw, res, bs, order, partOrder)
+  }
+
+  /** Residuals of the quantized-LPC predictor — the EXACT mirror of
+    * the decoder's reconstruction (64-bit accumulate, arithmetic
+    * shift), which is what makes the subframe lossless regardless of
+    * how lossy the coefficient quantization was. */
+  private def lpcResidual(s: Array[Int], shift: Int,
+                          coef: Array[Int]): Array[Int] = {
+    val order = coef.length
+    val n = s.length
+    val r = new Array[Int](n - order)
+    var i = order
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coef(j).toLong * s(i - 1 - j); j += 1 }
+      r(i - order) = s(i) - (acc >> shift).toInt
+      i += 1
+    }
+    r
+  }
+
+  /** Levinson-Durbin LPC fit over the block's (rectangular-window)
+    * autocorrelation, then 12-bit coefficient quantization with the
+    * largest in-range shift. Returns (precision, shift, coefs) — the
+    * fit stops early at instability (|reflection| ≥ 1), and None means
+    * the block is degenerate (too short, zero energy, or zero
+    * coefficients) and only the fixed predictors apply. */
+  private def lpcFit(s: Array[Int], maxOrder: Int): Option[(Int, Int, Array[Int])] = {
+    val n = s.length
+    if (n <= 2 * maxOrder) return None
+    val ac = new Array[Double](maxOrder + 1)
+    var lag = 0
+    while (lag <= maxOrder) {
+      var acc = 0.0
+      var i = lag
+      while (i < n) { acc += s(i).toDouble * s(i - lag); i += 1 }
+      ac(lag) = acc
+      lag += 1
+    }
+    if (ac(0) <= 0.0) return None // digital silence: CONSTANT territory
+    var err = ac(0)
+    val lpc = new Array[Double](maxOrder)
+    var m = 0
+    var stop = false
+    while (m < maxOrder && !stop) {
+      var k = ac(m + 1)
+      var j = 0
+      while (j < m) { k -= lpc(j) * ac(m - j); j += 1 }
+      k /= err
+      if (java.lang.Double.isNaN(k) || math.abs(k) >= 1.0) stop = true
+      else {
+        // reflection update: c'_i = c_i − k·c_{m−1−i}
+        var i = 0
+        while (i < m / 2) {
+          val t = lpc(i)
+          lpc(i) = t - k * lpc(m - 1 - i)
+          lpc(m - 1 - i) = lpc(m - 1 - i) - k * t
+          i += 1
+        }
+        if (m % 2 == 1) lpc(m / 2) -= k * lpc(m / 2)
+        lpc(m) = k
+        err *= 1.0 - k * k
+        m += 1
+      }
+    }
+    if (m == 0) return None
+    val prec = 12
+    var cmax = 0.0
+    var i = 0
+    while (i < m) { cmax = math.max(cmax, math.abs(lpc(i))); i += 1 }
+    if (cmax == 0.0) return None
+    // shift: largest so round(c·2^shift) stays within prec-1 signed bits
+    var shift = 0
+    while (shift < 15 && cmax * (1L << (shift + 1)) < (1 << (prec - 1)) - 1)
+      shift += 1
+    val qc = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val q = math.round(lpc(i) * (1L << shift))
+      qc(i) = math.max(-(1 << (prec - 1)),
+        math.min((1 << (prec - 1)) - 1, q.toInt))
+      i += 1
+    }
+    Some((prec, shift, qc))
+  }
+
   private def encodeFrame(pcm: Array[Array[Int]], off: Int, bs: Int,
                           frameNo: Long, channels: Int,
-                          partOrder: Int): Array[Byte] = {
+                          partOrder: Int, lpcOrder: Int = 0): Array[Byte] = {
     val bw = new BW
     bw.put(0x3ffe, 14)       // sync
     bw.put(0, 1)             // reserved
@@ -260,71 +439,34 @@ object Flac {
     while (c < channels) {
       val s = new Array[Int](bs)
       System.arraycopy(pcm(c), off, s, 0, bs)
-      // best fixed order by least sum |residual| (ties → lower order)
-      var bestOrd = 0
-      var bestCost = Long.MaxValue
-      var o = 0
-      while (o <= math.min(4, bs - 1)) {
-        val r = fixedResidual(s, o)
-        var sum = 0L
-        r.foreach(v => sum += math.abs(v.toLong))
-        if (sum < bestCost) { bestCost = sum; bestOrd = o }
-        o += 1
-      }
-      val po = if ((bs % (1 << partOrder)) == 0 &&
-        (bs >> partOrder) > bestOrd) partOrder else 0
-      val res = fixedResidual(s, bestOrd)
-      bw.put(0, 1)                 // subframe pad bit
-      bw.put(8 + bestOrd, 6)       // FIXED, order
-      bw.put(0, 1)                 // no wasted bits
-      var w = 0
-      // warmup samples: two's-complement low 16 bits
-      while (w < bestOrd) { bw.put(s(w).toLong, 16); w += 1 }
-      bw.put(0, 2)                 // residual method: 4-bit Rice
-      bw.put(po, 4)
-      val parts = 1 << po
-      var pi = 0
-      while (pi < parts) {
-        val pLen = bs >> po
-        val from = if (pi == 0) 0 else pi * pLen - bestOrd
-        val until = (pi + 1) * pLen - bestOrd
-        // exact parameter search incl. the raw escape
-        var bestP = 0
-        var bestBits = Long.MaxValue
-        var p = 0
-        while (p <= 14) {
-          val cost = riceCost(res, from, until, p)
-          if (cost < bestBits) { bestBits = cost; bestP = p }
-          p += 1
+      if (lpcOrder <= 0) {
+        // round-8 path, byte-identical: best fixed order by least
+        // sum |residual| (ties → lower order)
+        var bestOrd = 0
+        var bestCost = Long.MaxValue
+        var o = 0
+        while (o <= math.min(4, bs - 1)) {
+          val r = fixedResidual(s, o)
+          var sum = 0L
+          r.foreach(v => sum += math.abs(v.toLong))
+          if (sum < bestCost) { bestCost = sum; bestOrd = o }
+          o += 1
         }
-        // raw escape width: smallest signed width covering the
-        // partition (an order-4 residual on 16-bit input can need 21)
-        var rawLen = 1
-        var i0 = from
-        while (i0 < until) {
-          val v = res(i0)
-          var nb = 1
-          while (!(v >= -(1 << (nb - 1)) && v <= (1 << (nb - 1)) - 1)) nb += 1
-          if (nb > rawLen) rawLen = nb
-          i0 += 1
-        }
-        val rawBits = 5L + (until - from).toLong * rawLen
-        if (rawBits < bestBits) {
-          bw.put(0xf, 4) // escape
-          bw.put(rawLen, 5)
-          var i = from
-          while (i < until) { bw.put(res(i).toLong, rawLen); i += 1 }
-        } else {
-          bw.put(bestP, 4)
-          var i = from
-          while (i < until) {
-            val f = fold(res(i))
-            bw.putUnary((f >>> bestP).toInt)
-            if (bestP > 0) bw.put(f & ((1L << bestP) - 1), bestP)
-            i += 1
+        writeFixedSubframe(bw, s, bs, bestOrd, partOrder)
+      } else {
+        // exact-bit selection: every candidate is test-written to a
+        // scratch bit sink (the costs below are encoded sizes, not
+        // estimates), cheapest wins; ties → the earlier (simpler) one
+        val candidates: Seq[BW => Unit] =
+          (0 to math.min(4, bs - 1)).map(o =>
+            (w: BW) => writeFixedSubframe(w, s, bs, o, partOrder)) ++
+          lpcFit(s, lpcOrder).toSeq.map { case (prec, shift, qc) =>
+            (w: BW) => writeLpcSubframe(w, s, bs, prec, shift, qc, partOrder)
           }
+        val best = candidates.minBy { f =>
+          val probe = new BW; f(probe); probe.bitsWritten
         }
-        pi += 1
+        best(bw)
       }
       c += 1
     }

@@ -458,28 +458,52 @@ object GraphOps {
   /** Convergence-detecting core shared by [[labelPropConverged]]:
     * iterates [[lpRound]] with per-round localCheckpoint (lineage
     * truncation, same discipline as the fixed-round form) until a
-    * fixpoint, a period-2 cycle, or `maxRounds`. Returns (assignment,
-    * rounds actually run, stop reason ∈ {fixpoint, cycle, valve}).
-    * The returned assignment is exactly [[labelPropOf]] at the
-    * returned round count — the bridging law the spec pins. Change
-    * probes are `limit(1).count()` existence checks that
-    * short-circuit, not full diff counts. */
+    * fixpoint, a repeated state (cycle of ANY period), or `maxRounds`.
+    * Returns (assignment, rounds actually run, stop reason ∈
+    * {fixpoint, cycle, valve}). The returned assignment is exactly
+    * [[labelPropOf]] at the returned round count — the bridging law
+    * the spec pins, which holds for EVERY stop reason.
+    *
+    * Cycle detection is a 64-bit state signature per round —
+    * bit_xor(xxhash64(v, lbl)), one scalar aggregate (XOR: overflow-
+    * free under ANSI mode, order-independent, and sound here because
+    * (v, lbl) rows are unique per v — no self-cancelling duplicates) —
+    * kept in a driver-side set: a repeat means the dynamics re-entered a
+    * previous state, so every later round stays inside the cycle and
+    * nothing new can be learned. This upgrades round-8's exact
+    * period-2 probe to arbitrary periods at the SAME two jobs per
+    * round (one fixpoint existence check + one signature aggregate).
+    * On undirected (symmetrized) edges, synchronous plurality dynamics
+    * with a fixed tie order has eventual period ≤ 2 (Poljak & Sůra
+    * 1983, "On periodical behaviour in societies with symmetric
+    * influences" — the classic Goles-Olivos threshold argument
+    * extended to plurality), so there the signature only re-derives
+    * the period-2 stop; the general detector matters for DIRECTED
+    * edge lists fed through [[labelPropConvergedOf]] directly, where
+    * rotations of any period occur (EdgeCaseSpec pins a period-4
+    * directed ring). A signature collision (≈2⁻⁶⁴ per comparison)
+    * would stop early with a valid fixed-round assignment — the same
+    * semantics as the maxRounds valve, so soundness is unaffected.
+    * Fixpoint keeps its EXACT existence check: `fixpoint` is a
+    * stability CLAIM callers may act on, never probabilistic. */
   private[graft] def labelPropConvergedOf(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int): (DataFrame, Int, String) = {
     def differs(a: DataFrame, b: DataFrame): Boolean = a
       .join(b.withColumnRenamed("lbl", "prev"), Seq("v"))
       .filter(col("lbl") =!= col("prev"))
       .limit(1).count() > 0
-    var prevPrev: DataFrame = null
+    def sig(df: DataFrame): Long = df
+      .agg(coalesce(expr("bit_xor(xxhash64(v, lbl))"), lit(0L)))
+      .head().getLong(0)
     var labels = lpSeed(edges).localCheckpoint(true)
+    val seen = scala.collection.mutable.Set(sig(labels))
     var r = 0
     var reason = "valve"
     while (reason == "valve" && r < maxRounds) {
       val next = lpRound(edges, labels).localCheckpoint(true)
       r += 1
       if (!differs(next, labels)) reason = "fixpoint"
-      else if (prevPrev != null && !differs(next, prevPrev)) reason = "cycle"
-      prevPrev = labels
+      else if (!seen.add(sig(next))) reason = "cycle"
       labels = next
     }
     (nodes.join(labels.withColumnRenamed("v", "id"), Seq("id"), "left")

@@ -17,9 +17,24 @@ object TextOps {
   def h64(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Whitespace tokenization, empty tokens dropped. */
+  /** Codepoints of scripts written WITHOUT word spacing (Han, Kana,
+    * Hangul, Thai — incl. Thai combining vowel/tone marks, which are
+    * script=Thai): each becomes its own token, the standard char-level
+    * fallback. Without it a whitespace tokenizer degrades CJK/Thai
+    * text to one-token-per-sentence, silently weakening lang-ID,
+    * shingles, dedup and every token-mass metric on a multilingual
+    * crawl. Java `\p{IsXxx}` script classes here; the DuckDB oracle
+    * twin uses RE2's `\p{Xxx}` spelling of the SAME Unicode scripts. */
+  private val NonSpacedScriptChar =
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}\\p{IsThai}])"
+
+  /** Whitespace tokenization with a non-spaced-script fallback: pad
+    * every Han/Kana/Hangul/Thai codepoint with spaces, split on
+    * whitespace, drop empties. Pure-ASCII text takes the exact
+    * pre-round-9 path (the pad regex never matches). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(regexp_replace(text, NonSpacedScriptChar, " $1 "), "\\s+"),
+      t => length(t) > 0)
 
   /** Distinct word n-gram shingles. Empty array when the document has
     * fewer than n tokens (guard needed: Spark `sequence` with start >

@@ -406,10 +406,13 @@ object VectorOps {
     * fixture. Honesty note, measured: THIS fixture's 5th-neighbor
     * cosines sit at 0.24–0.35 (near-orthogonal), so full recall needs
     * generous settings (few planes, many tables) under which pruning
-    * is weak — the regime [[cosineNearDupBlocked]] documents. On real
+    * is weak — the regime [[cosineNearDupBlocked]] documents. On
     * clustered corpora top-k neighbors are high-cosine and the same
-    * plan prunes hard; the plan SHAPE (bucketed equi-join, no
-    * quadratic operator) is what survives 100×. */
+    * plan prunes hard — MEASURED, not asserted: AnnRecallSpec's
+    * mixture-of-Gaussians fixture pins recall 1.0 at (8 planes,
+    * 8 tables) with candidate mass < 15% of all-pairs and the twin
+    * wall-clock FASTER than the exact form; the plan SHAPE (bucketed
+    * equi-join, no quadratic operator) is what survives 100×. */
   def knnGraphMutualLsh(df: DataFrame, id: String, vec: String, k: Int,
                         planes: Int, tables: Int): DataFrame = {
     val base = withNorm(df, id, vec, "vid", "v", "n")

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.Tables
-import graft.ops.TextOps
+import graft.ops.{RankKernel, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,10 +40,16 @@ import org.apache.spark.sql.functions._
   * (stage_no, stage, n_docs, n_tokens), each an aggregate row — the
   * counts + token-mass audit a data build publishes per stage. */
 object Corpus {
-  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+
+  /** ALL per-document signals in ONE projection over a `(doc_id, lang,
+    * text)` frame — shared VERBATIM by the batch pipeline below and the
+    * incremental maintainer ([[graft.streaming.StreamOps]]
+    * `maintainPipeline`), so the two can never drift on a signal
+    * definition. Columns: doc_id, lang, n_words, keep_gopher, shs3,
+    * shs5, q, n_kept, kept_hash, is_bench. */
+  private[graft] def signalFrame(docs: DataFrame): DataFrame = {
     val (nWords, meanLen, alphaFrac, stopHits) = TextOps.gopherSignals(col("text"))
-    val base = Tables.documents(s, d).select(
+    docs.select(
         col("doc_id"), col("lang"),
         nWords.cast("long").as("n_words"),
         TextOps.gopherKeep(nWords, meanLen, alphaFrac, stopHits).as("keep_gopher"),
@@ -56,6 +62,36 @@ object Corpus {
       .withColumn("kept_hash", TextOps.h64(array_join(col("kept"), " ")))
       .withColumn("is_bench", col("doc_id") % 20 === 0)
       .drop("kept")
+  }
+
+  /** Stages 6-7 over the stage-5 survivor frame (needs doc_id, lang,
+    * q, n_kept): per-language quality deciles ≤ 7, then the 50% token
+    * mixture — both on the skew-safe RankKernel two-pass. Shared by
+    * the batch pipeline and the maintainer's read face. */
+  private[graft] def rankStages(s5: DataFrame): (DataFrame, DataFrame) = {
+    val s6 = RankKernel.withStratumRank(s5, "lang", "q", "doc_id")
+      .filter(RankKernel.ntileOfRank(col("__rank"), col("__n"), 10) <= 7)
+      .drop("__rank", "__n")
+      .localCheckpoint(true)
+    val s7 = RankKernel.withStratumRank(s6, "lang", "q", "doc_id",
+        mass = Some("n_kept"),
+        prune = Some(expr("__moff <= (__m * 50) div 100")))
+      .filter(col("__cum_before") + col("n_kept") <= expr("(__m * 50) div 100"))
+    (s6, s7)
+  }
+
+  /** One audit row: (stage_no, stage, n_docs, n_tokens) over a stage's
+    * survivor frame, token mass from `tok`. */
+  private[graft] def stageAudit(df: DataFrame, no: Int, name: String,
+                                tok: String): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(tok)), lit(0L)).as("n_tokens"))
+      .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+        col("n_docs"), col("n_tokens"))
+
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = signalFrame(Tables.documents(s, d))
       .localCheckpoint(true)
 
     val s1 = base.filter(col("keep_gopher"))
@@ -113,29 +149,21 @@ object Corpus {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    val byQ = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
-    val s6 = s5.withColumn("decile", ntile(10).over(byQ))
-      .filter(col("decile") <= 7)
-      .localCheckpoint(true)
-    val s7 = s6
-      .withColumn("cum", sum("n_kept").over(
-        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum("n_kept").over(Window.partitionBy("lang")))
-      .filter(col("cum") <= expr("tot * 50 div 100"))
+    // stages 6-7 use the skew-safe RankKernel two-pass (bucketed exact
+    // rank / running sum): no window here ever sorts a whole language
+    // on one task — the only bare-`lang` windows run over the kernel's
+    // tiny per-(lang, score-bucket) table. Stage 7's prune drops whole
+    // buckets past the 50% token budget before the intra-bucket window.
+    val (s6, s7) = rankStages(s5)
 
-    def st(df: DataFrame, no: Int, name: String, tok: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col(tok)), lit(0L)).as("n_tokens"))
-        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    st(base, 0, "raw", "n_words")
-      .unionByName(st(s1, 1, "gopher", "n_words"))
-      .unionByName(st(s2, 2, "self_dedup", "n_kept"))
-      .unionByName(st(s3, 3, "exact_dedup", "n_kept"))
-      .unionByName(st(s4, 4, "windowed_neardup", "n_kept"))
-      .unionByName(st(s5, 5, "decontam", "n_kept"))
-      .unionByName(st(s6, 6, "quality_deciles", "n_kept"))
-      .unionByName(st(s7, 7, "mixture", "n_kept"))
+    stageAudit(base, 0, "raw", "n_words")
+      .unionByName(stageAudit(s1, 1, "gopher", "n_words"))
+      .unionByName(stageAudit(s2, 2, "self_dedup", "n_kept"))
+      .unionByName(stageAudit(s3, 3, "exact_dedup", "n_kept"))
+      .unionByName(stageAudit(s4, 4, "windowed_neardup", "n_kept"))
+      .unionByName(stageAudit(s5, 5, "decontam", "n_kept"))
+      .unionByName(stageAudit(s6, 6, "quality_deciles", "n_kept"))
+      .unionByName(stageAudit(s7, 7, "mixture", "n_kept"))
       .orderBy("stage_no")
   }
 }

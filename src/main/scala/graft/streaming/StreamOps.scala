@@ -718,6 +718,253 @@ object StreamOps {
     dirs.size.toLong
   }
 
+  // -----------------------------------------------------------------
+  // CONTINUOUSLY-MAINTAINED corpus pipeline (the incremental twin of
+  // graft.pipelines.Corpus.pipelineE2e)
+  // -----------------------------------------------------------------
+
+  private val HitsSchema = "doc_id BIGINT, n_hits BIGINT"
+  private val RowsSchema = "doc_id BIGINT, lang STRING, n_words BIGINT, " +
+    "keep_gopher BOOLEAN, q DOUBLE, n_kept BIGINT, kept_hash BIGINT, " +
+    "is_bench BOOLEAN, s3 BOOLEAN, s4 BOOLEAN"
+
+  /** Append-only per-batch state dirs under `statePath/<kind>` that
+    * exist (maintainCc's posting-dir listing shape). `except` skips
+    * one batch's dir: a crashed-and-retried apply must read PRIOR
+    * state only — its own orphan dir from the failed attempt would
+    * otherwise feed back into the retry (e.g. an anti-join against a
+    * set that already contains this batch's delta emits an empty
+    * delta, losing the rows). */
+  private def batchDirs(sp: SparkSession, statePath: String, kind: String,
+                        except: Long = Long.MinValue): Seq[String] = {
+    val (fs, root) = rollupFs(sp, s"$statePath/$kind")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("b=") &&
+            n.stripPrefix("b=").toLong != except => s"$root/$n"
+      }
+  }
+
+  private def readAppendState(sp: SparkSession, statePath: String,
+                              kind: String, schemaDDL: String,
+                              except: Long = Long.MinValue): DataFrame = {
+    val dirs = batchDirs(sp, statePath, kind, except)
+    if (dirs.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+    else sp.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+      .parquet(dirs: _*)
+  }
+
+  /** CONTINUOUSLY-MAINTAINED corpus pipeline: each micro-batch of
+    * `(doc_id, lang, text)` documents folds through gopher → exact
+    * dedup → windowed near-dup → decontamination against maintained
+    * state, instead of re-running the whole funnel (the round-8 gap:
+    * a daily-crawl user re-ran `q_pipeline_e2e` per ingest). The
+    * maintainCc posting-index pattern throughout:
+    *
+    *   - `rows/b=<id>`   append-only per-doc signal rows (the ONE
+    *     signal projection, `Corpus.signalFrame` — signals are
+    *     computed once per doc, never recomputed);
+    *   - `sig3/b=<id>`   3-gram postings of stage-3 admits — the
+    *     near-dup index (postings never rewrite; stage-4 DROPPED docs
+    *     stay, because the batch rule drops the later doc of a pair
+    *     whose earlier side need not itself survive stage 4);
+    *   - `five/b=<id>`   5-gram postings of stage-4 surviving
+    *     non-bench docs — the decontamination probe targets;
+    *   - `bench5/b=<id>` NEW distinct benchmark shingles only (set
+    *     semantics: a shingle two bench docs share contributes once);
+    *   - `hits/`         versioned (doc_id, n_hits) — the ONLY mutable
+    *     state, rows only for decontam-touched docs. A LATER bench doc
+    *     retroactively retracts an earlier survivor by pushing its
+    *     cumulative hit count past the threshold — handled by probing
+    *     the five-index with each batch's NEW bench shingles; retracted
+    *     docs fall out at READ time (alive ⟺ n_hits < 5), exactly the
+    *     batch semantics where decontamination sees the WHOLE bench set.
+    *
+    * Ordering contract (LOUD, not assumed): batches must arrive in
+    * doc_id order (min of the batch above every previously applied
+    * id, journaled in `_MAXID_<batchId>` files — no data scan). The
+    * batch pipeline's first-occurrence dedup and later-doc-drops rules
+    * are id-ordered; an out-of-order ingest would need retraction
+    * cascades this maintainer deliberately rejects instead of
+    * silently approximating.
+    *
+    * Per-trigger cost: |batch| signal projection + index probes keyed
+    * on the batch side (shuffles carry batch-sized and posting-hit
+    * rows; prior TEXT is never re-read, prior signals never
+    * recomputed) + the small hits-table rewrite under the usual
+    * versioned `_COMMIT` (at-least-once replays skip; a failed apply
+    * rewrites its own orphan b= dirs with mode-overwrite before the
+    * hits version commits). PipelineSpec pins sequential micro-batches
+    * cell-identical to the batch recompute, replay idempotence, the
+    * ordering guard, and per-dir batch-boundedness. */
+  def maintainPipeline(stream: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyPipelineBatch(batch, statePath, batchId)
+      }
+      .start()
+
+  private[graft] def applyPipelineBatch(batch: org.apache.spark.sql.Dataset[Row],
+                                        statePath: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    val hitsPath = s"$statePath/hits"
+    val committed = committedVersions(sp, hitsPath)
+    if (batchId <= lastAppliedStream(sp, hitsPath))
+      return // at-least-once replay: already applied (b= dirs included)
+
+    // ---- ordering gate: the _MAXID journal, one tiny file per batch
+    val (fs, root) = rollupFs(sp, statePath)
+    val priorMax: Long =
+      if (!fs.exists(root)) Long.MinValue
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("_MAXID_") &&
+            n.stripPrefix("_MAXID_").toLong != batchId =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(root, n))
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+      }.foldLeft(Long.MinValue)(math.max)
+    val idBounds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (idBounds.isNullAt(0)) { // empty batch: advance the replay gate only
+      val prevHits = readVersioned(sp, hitsPath, HitsSchema).localCheckpoint(true)
+      commitVersioned(sp, hitsPath, nextVersion(committed, batchId), prevHits,
+        committed, batchId)
+      return
+    }
+    require(idBounds.getLong(0) > priorMax,
+      s"maintainPipeline: out-of-order ingest (batch min doc_id " +
+        s"${idBounds.getLong(0)} ≤ applied max $priorMax) — the id-ordered " +
+        "dedup/near-dup rules do not fold out-of-order batches")
+
+    // ---- per-doc signals, ONCE (the shared projection)
+    val sig = graft.pipelines.Corpus.signalFrame(batch.toDF())
+      .localCheckpoint(true)
+    val s1 = sig.filter(col("keep_gopher"))
+
+    // ---- stage 3: first occurrence per kept_hash (prior index + batch).
+    // Every prior-state read EXCLUDES this batch's own dirs (crash-retry
+    // orphans must not feed back into the retry).
+    val priorRows = readAppendState(sp, statePath, "rows", RowsSchema, batchId)
+    val priorHash = priorRows.filter(col("s3")).select("kept_hash").distinct()
+    val wHash = Window.partitionBy("kept_hash").orderBy("doc_id")
+    val s3 = s1.join(priorHash, Seq("kept_hash"), "left_anti")
+      .withColumn("__rk", row_number().over(wHash))
+      .filter(col("__rk") === 1).drop("__rk")
+      .localCheckpoint(true)
+
+    // ---- stage-3 postings appended, then the windowed near-dup probe
+    val sig3New = s3.select(col("doc_id").as("doc"),
+        (col("doc_id") % 10).as("bkey"), size(col("shs3")).as("sz"),
+        explode_outer(col("shs3")).as("sh"))
+      .filter(col("sh").isNotNull)
+    sig3New.write.mode("overwrite").parquet(s"$statePath/sig3/b=$batchId")
+    val sig3Schema = "doc BIGINT, bkey BIGINT, sz INT, sh BIGINT"
+    val index3 = readAppendState(sp, statePath, "sig3", sig3Schema)
+    val probe3 = sp.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(sig3Schema))
+      .parquet(s"$statePath/sig3/b=$batchId")
+    val dropped4 = probe3.toDF("pa", "ba", "sza", "s")
+      .join(index3.toDF("pb", "bb", "szb", "s"), Seq("s"))
+      .filter(col("pa") =!= col("pb") &&
+        abs(col("ba") - col("bb")) <= 1) // the {b, b+1} window, both sides
+      .select(
+        when(col("pa") < col("pb"), col("pa")).otherwise(col("pb")).as("doc_a"),
+        when(col("pa") < col("pb"), col("sza")).otherwise(col("szb")).as("sz_a"),
+        when(col("pa") < col("pb"), col("pb")).otherwise(col("pa")).as("doc_b"),
+        when(col("pa") < col("pb"), col("szb")).otherwise(col("sza")).as("sz_b"),
+        col("s"))
+      .distinct() // batch-batch pairs arrive in both orientations
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+      .select(col("doc_b").as("doc_id")).distinct() // later doc drops
+    val s4 = s3.join(dropped4, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // ---- decontamination state: bench-shingle delta + five postings
+    val benchSchema = "sh BIGINT"
+    val priorBench = readAppendState(sp, statePath, "bench5", benchSchema, batchId)
+    val benchDelta = sig.filter(col("is_bench"))
+      .select(explode_outer(col("shs5")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+      .join(priorBench, Seq("sh"), "left_anti")
+      .localCheckpoint(true)
+    benchDelta.write.mode("overwrite").parquet(s"$statePath/bench5/b=$batchId")
+    val fiveNew = s4.filter(!col("is_bench"))
+      .select(col("doc_id").as("doc"), explode_outer(col("shs5")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    fiveNew.write.mode("overwrite").parquet(s"$statePath/five/b=$batchId")
+    val fiveSchema = "doc BIGINT, sh BIGINT"
+    val fivePrior = readAppendState(sp, statePath, "five", fiveSchema, batchId)
+
+    // new docs score against the FULL bench set (prior ∪ this delta);
+    // prior docs score against the DELTA only (their prior hits are in
+    // the hits table; delta ∩ prior-bench = ∅ keeps the sum exact)
+    val benchAll = priorBench.unionByName(benchDelta)
+    val hitsNew = fiveNew.join(benchAll, Seq("sh"))
+      .groupBy(col("doc").as("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val hitsIncr = fivePrior.join(benchDelta, Seq("sh"))
+      .groupBy(col("doc").as("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val prevHits = readVersioned(sp, hitsPath, HitsSchema)
+    val nextHits = prevHits.unionByName(hitsNew).unionByName(hitsIncr)
+      .groupBy("doc_id").agg(sum("n_hits").as("n_hits"))
+      .localCheckpoint(true)
+
+    // ---- per-doc signal rows appended (immutable; s3/s4 decided now)
+    val rowsOut = sig
+      .join(s3.select(col("doc_id"), lit(true).as("s3")), Seq("doc_id"), "left")
+      .join(s4.select(col("doc_id"), lit(true).as("s4")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("keep_gopher"),
+        col("q"), col("n_kept"), col("kept_hash"), col("is_bench"),
+        coalesce(col("s3"), lit(false)).as("s3"),
+        coalesce(col("s4"), lit(false)).as("s4"))
+    rowsOut.write.mode("overwrite").parquet(s"$statePath/rows/b=$batchId")
+
+    // ---- journal the id high-water mark, then commit (the marker is
+    // the replay gate; everything above is idempotent mode-overwrite)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, s"_MAXID_$batchId"), true)
+    out.write(idBounds.getLong(1).toString.getBytes("UTF-8"))
+    out.close()
+    commitVersioned(sp, hitsPath, nextVersion(committed, batchId), nextHits,
+      committed, batchId)
+  }
+
+  /** Read face of [[maintainPipeline]]: the SAME 8 audit rows as the
+    * batch `Corpus.pipelineE2e`, reconstructed from maintained state —
+    * stages 0-5 are flag filters over the appended signal rows (+ the
+    * hits threshold), stages 6-7 are the shared RankKernel ranking over
+    * the stage-5 survivors. No document text is touched. */
+  def pipelineStateAudit(sp: SparkSession, statePath: String): DataFrame = {
+    import graft.pipelines.Corpus
+    val rows = readAppendState(sp, statePath, "rows", RowsSchema)
+      .localCheckpoint(true)
+    val hits = readVersioned(sp, s"$statePath/hits", HitsSchema)
+    val s1 = rows.filter(col("keep_gopher"))
+    val s3 = rows.filter(col("s3"))
+    val s4 = rows.filter(col("s4"))
+    val s5 = s4.filter(!col("is_bench"))
+      .join(hits.filter(col("n_hits") >= 5).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val (s6, s7) = Corpus.rankStages(s5)
+    Corpus.stageAudit(rows, 0, "raw", "n_words")
+      .unionByName(Corpus.stageAudit(s1, 1, "gopher", "n_words"))
+      .unionByName(Corpus.stageAudit(s1, 2, "self_dedup", "n_kept"))
+      .unionByName(Corpus.stageAudit(s3, 3, "exact_dedup", "n_kept"))
+      .unionByName(Corpus.stageAudit(s4, 4, "windowed_neardup", "n_kept"))
+      .unionByName(Corpus.stageAudit(s5, 5, "decontam", "n_kept"))
+      .unionByName(Corpus.stageAudit(s6, 6, "quality_deciles", "n_kept"))
+      .unionByName(Corpus.stageAudit(s7, 7, "mixture", "n_kept"))
+      .orderBy("stage_no")
+  }
+
   /** Streaming near-dup screen: each arriving document is
     * minhash-signed and banded MAP-SIDE, probes the static corpus band
     * index ([[graft.ops.DedupOps.bandIndex]], typically a persisted

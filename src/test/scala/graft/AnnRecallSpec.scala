@@ -86,6 +86,77 @@ class AnnRecallSpec extends SparkSpec {
       s"block-pair fan-out leaked into the LSH twin:\n$p")
   }
 
+  // ---------------------------------------------------------------
+  // Clustered-corpus fixture: the regime the shipped near-uniform
+  // embeddings table can't show (its 5th-neighbor cosines sit at
+  // 0.24-0.35, forcing full-recall settings where SRP pruning is
+  // weak). Real corpora cluster; here top-k neighbors are high-cosine
+  // (~0.997), so tight settings keep recall 1.0 AND prune hard —
+  // turning the twin's 100× claim from plan shape into measurement.
+  // ---------------------------------------------------------------
+
+  /** Mixture of Gaussians on the unit sphere: `clusters` seeded unit
+    * centers, points = center + noise·(random unit) — within-cluster
+    * cosine ≈ 1/(1+noise²) ≈ 0.995+, cross-cluster ≈ N(0, dims^-1/2).
+    * Deterministic (fixed seed). */
+  private def clusteredFixture(n: Int, clusters: Int, dims: Int,
+                               noise: Double): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nm)
+    }
+    val centers = Array.fill(clusters)(unit())
+    (0 until n).map { i =>
+      val c = centers(i % clusters)
+      val p = unit()
+      (i.toLong, c.zip(p).map { case (a, b) => (a + noise * b).toFloat })
+    }.toDF("vec_id", "embedding").repartition(8)
+  }
+
+  test("clustered corpus: LSH twin recall 1.0 at tight settings AND candidate mass ≪ all-pairs") {
+    val n = 1500
+    val emb = clusteredFixture(n, clusters = 30, dims = 64, noise = 0.05)
+      .localCheckpoint(true)
+    // tight settings: 8 planes/table × 8 tables — miss prob per true
+    // top-5 pair ≈ (1-0.978^8)^8 ≈ 7e-7, random-pair collision ≈ 3%
+    val planes = 8; val tables = 8
+    val exact = VectorOps.knnGraphMutual(emb, "vec_id", "embedding", 5)
+      .collect().map(_.toString).sorted
+    val lsh = VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5,
+      planes, tables).collect().map(_.toString).sorted
+    assert(exact.length > 0 && exact.sameElements(lsh),
+      s"clustered twin diverged: ${exact.diff(lsh).take(3).toSeq} vs ${lsh.diff(exact).take(3).toSeq}")
+    // the measured pruning claim: candidates ≪ N(N-1)/2
+    val allPairs = n.toLong * (n - 1) / 2
+    val cand = VectorOps.lshCandidatesForProfile(
+      emb, "vec_id", "embedding", planes, tables).count()
+    val ratio = cand.toDouble / allPairs
+    info(f"candidates=$cand of $allPairs all-pairs (ratio=$ratio%.4f)")
+    assert(ratio < 0.15,
+      f"LSH candidate mass not ≪ all-pairs on a clustered corpus: $ratio%.4f")
+  }
+
+  test("clustered corpus: LSH twin measured FASTER than the exact form") {
+    val emb = clusteredFixture(1500, clusters = 30, dims = 64, noise = 0.05)
+      .localCheckpoint(true)
+    def timeMin(f: () => Unit): Long = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); f(); System.nanoTime() - t0
+    }.min
+    // warm both paths once (codegen + broadcast warm-up off the clock)
+    VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5, 8, 8).count()
+    VectorOps.knnGraphMutual(emb, "vec_id", "embedding", 5).count()
+    val tExact = timeMin(() =>
+      VectorOps.knnGraphMutual(emb, "vec_id", "embedding", 5).count())
+    val tLsh = timeMin(() =>
+      VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5, 8, 8).count())
+    info(f"exact=${tExact / 1e9}%.2fs lsh=${tLsh / 1e9}%.2fs speedup=${tExact.toDouble / tLsh}%.1f×")
+    assert(tLsh < tExact,
+      f"LSH twin not faster on the clustered fixture: lsh=${tLsh / 1e9}%.2fs exact=${tExact / 1e9}%.2fs")
+  }
+
   test("pca power iteration: hand-computed integer trace on a 2-d fixture") {
     import spark.implicits._
     // dominant axis e0 (two unit vectors), minor axis e1 (one half vector)

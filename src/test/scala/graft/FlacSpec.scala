@@ -59,6 +59,50 @@ class FlacSpec extends AnyFunSuite {
     assert(out(0).sameElements(pcm))
   }
 
+  test("lpc encoder: tonal fixture round-trips exactly and beats the fixed predictors") {
+    // mid-frequency sine (ω = π/3): the order-2 LPC recursion
+    // s[n] = 2cos(ω)s[n−1] − s[n−2] is EXACT for a sinusoid, while
+    // every fixed polynomial predictor leaves a residual proportional
+    // to the amplitude — the signal class LPC exists for. Mild LCG
+    // dither keeps the stream from degenerating to CONSTANT runs.
+    var st = 99
+    val pcm = Array.tabulate(4096 * 2 + 500) { i =>
+      st = st * 1103515245 + 12345
+      val dither = (st >> 28) % 4
+      (12000 * math.sin(i * math.Pi / 3)).toInt + dither
+    }
+    require(pcm.forall(v => v >= -32768 && v <= 32767))
+    val fixed = Flac.encode(Array(pcm))
+    val lpc = Flac.encode(Array(pcm), lpcOrder = 8)
+    // lossless: the decoder's MD5 gate arbitrates both streams
+    val (_, _, oF) = Flac.decode(fixed)
+    val (_, _, oL) = Flac.decode(lpc)
+    assert(oF(0).sameElements(pcm) && oL(0).sameElements(pcm))
+    info(s"fixed=${fixed.length}B lpc=${lpc.length}B " +
+      f"ratio=${lpc.length.toDouble / fixed.length}%.3f")
+    assert(lpc.length < fixed.length,
+      s"LPC should out-compress fixed predictors on a tonal signal: " +
+        s"lpc=${lpc.length} fixed=${fixed.length}")
+  }
+
+  test("lpc encoder: exact-cost selection never loses to the default path") {
+    // on every fixture class the exact-bit candidate search (which
+    // includes all five fixed predictors) is ≤ the heuristic default;
+    // noise and constants must round-trip through the LPC entry too
+    for (pcm <- Seq(
+        triangle(5000, 3),
+        Array.fill(6000)(77),
+        { var st = 5; Array.fill(5000) {
+            st = st * 1103515245 + 12345; ((st >> 16) << 16) >> 16 } })) {
+      val dflt = Flac.encode(Array(pcm))
+      val sel = Flac.encode(Array(pcm), lpcOrder = 8)
+      val (_, _, out) = Flac.decode(sel)
+      assert(out(0).sameElements(pcm))
+      assert(sel.length <= dflt.length,
+        s"exact selection regressed: sel=${sel.length} dflt=${dflt.length}")
+    }
+  }
+
   test("constant and near-constant blocks compress far below raw") {
     val pcm = Array.fill(8192)(1234)
     val bytes = Flac.encode(Array(pcm))

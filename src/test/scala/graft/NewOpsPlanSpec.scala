@@ -67,16 +67,25 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$p")
   }
 
-  test("token budget: one window exchange plus the output sort only") {
+  // Round 9: both ranking queries moved to the skew-safe RankKernel
+  // two-pass (per-(stratum, score-bucket) aggregate → tiny offset
+  // window → broadcast fan-back → intra-bucket window), trading the
+  // old single-window plan (one task per stratum at scale) for a few
+  // bounded exchanges: the bucket aggregate, the tiny offset window,
+  // the (stratum, bucket) corpus window, and the output sort.
+  // RankKernelSpec pins the load-bearing property (no corpus window
+  // partitioned by the bare stratum); here we keep a cap so the
+  // exchange count can't silently grow past the kernel's budget.
+  test("token budget: only the kernel's bounded exchanges appear") {
     val df = DataQueries.tokenBudget(spark, sf)
     val n = "Exchange".r.findAllIn(plan(df)).size
-    assert(n <= 2, s"budget selection should be a single window shuffle:\n${plan(df)}")
+    assert(n <= 5, s"token budget grew extra shuffles beyond the kernel plan:\n${plan(df)}")
   }
 
-  test("quality deciles: one window exchange plus the output sort only") {
+  test("quality deciles: only the kernel's bounded exchanges appear") {
     val df = DataQueries.qualityDeciles(spark, sf)
     val n = "Exchange".r.findAllIn(plan(df)).size
-    assert(n <= 2, s"decile ranking should be a single window shuffle:\n${plan(df)}")
+    assert(n <= 5, s"decile ranking grew extra shuffles beyond the kernel plan:\n${plan(df)}")
   }
 
   test("centroid similarity: label-pair join is an equi-join on the dim") {

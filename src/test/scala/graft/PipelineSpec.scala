@@ -35,4 +35,42 @@ class PipelineSpec extends SparkSpec {
     // the mixture stage really budgets: strictly under stage 6's mass
     assert(toks(7) <= toks(6) * 50 / 100 + 1, s"mixture over budget: ${toks.toSeq}")
   }
+
+  test("maintainPipeline: sequential micro-batches ≡ the batch recompute; replay, order, boundedness") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("mpipe").toString
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val c1 = ids(ids.length / 3); val c2 = ids(2 * ids.length / 3)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.applyPipelineBatch(b, dir, i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = rows(StreamOps.pipelineStateAudit(spark, dir))
+    val want = rows(pipelines.Corpus.pipelineE2e(spark, sf))
+    assert(got == want, s"incremental fold diverged:\n got=$got\nwant=$want")
+    // at-least-once replay of an applied batch is a no-op
+    StreamOps.applyPipelineBatch(batches(1), dir, 1L)
+    assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
+    // out-of-order ingest fails LOUDLY (id-ordered dedup rules)
+    val e = intercept[IllegalArgumentException](
+      StreamOps.applyPipelineBatch(batches.head, dir, 9L))
+    assert(e.getMessage.contains("out-of-order"))
+    // per-trigger boundedness: each batch's signal-row dir holds exactly
+    // that batch's docs — prior text is never re-read or re-signalled
+    val perDir = (0 to 2).map { b =>
+      spark.read.parquet(s"$dir/rows/b=$b").count()
+    }
+    assert(perDir.sum == docs.count(), s"rows dirs: $perDir")
+    assert(perDir == batches.map(_.count()), s"rows dirs not batch-bounded: $perDir")
+    // an empty batch just advances the replay gate
+    StreamOps.applyPipelineBatch(docs.filter(lit(false)), dir, 10L)
+    assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
+  }
 }

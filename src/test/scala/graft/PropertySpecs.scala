@@ -586,6 +586,43 @@ object BpeProps extends SparkProps("BPE") {
       val want = refBpe(words, 8).map(t => (t._1, t._2, t._3, t._4))
       Prop(got == want) :| s"mb=$mb words=$words got=$got want=$want"
     }
+
+  /** Textbook reference apply: the trainer's own merge scan (match at
+    * i → consume i, i+1 → continue at i+2) replayed per rule. */
+  private def refApply(w: String, merges: Seq[(String, String)]): List[String] = {
+    var ss: List[String] = w.split("").filter(_.nonEmpty).toList
+    merges.foreach { case (x, y) =>
+      val nw = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == x && ss(i + 1) == y) {
+          nw += x + y; i += 2
+        } else { nw += ss(i); i += 1 }
+      }
+      ss = nw.toList
+    }
+    ss
+  }
+
+  /** The apply-side law behind q_bpe_apply64: replaying the learned
+    * merges rank-by-rank through bpeFoldOne (the left-to-right fold)
+    * reproduces the textbook per-rule merge scan on every word —
+    * self-pair run parity and cross-rank rule interaction included
+    * (both generators: duplicate-heavy forces "aa"-runs, wide-alphabet
+    * forces multi-level merges). */
+  property("bpeFoldOne rank-ordered replay ≡ textbook per-rule apply") =
+    forAll(Gen.oneOf(corpusGen, wideCorpusGen)) { words =>
+      val merges = refBpe(words, 8).map(t => (t._2, t._3))
+      val bad = words.distinct.flatMap { w =>
+        var syms = w.split("").filter(_.nonEmpty)
+        merges.foreach { case (x, y) =>
+          syms = graft.ops.DataQueries.bpeFoldOne(syms, x, y)
+        }
+        val want = refApply(w, merges)
+        if (syms.toList == want) None else Some((w, syms.toList, want))
+      }
+      Prop(bad.isEmpty) :| s"words=$words diverged=$bad merges=$merges"
+    }
 }
 
 /** Fixed-round k-core peeling reaches the true k-core fixpoint once
