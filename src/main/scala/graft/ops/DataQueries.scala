@@ -2694,10 +2694,15 @@ object DataQueries {
     * surviving high-TTR prefix of each source is ever sorted at all. */
   def tokenBudget(s: SparkSession, d: String, budget: Long = 800): DataFrame = {
     val tk = TextOps.tokens(col("text"))
+    // narrow signal frame materialized ONCE: the kernel's two passes
+    // (bucket aggregate + fan-back) then iterate on 20-byte rows
+    // instead of re-scoring the text column per stage — the same
+    // scan-once-iterate-narrow shape as pipelines.Corpus at 100 TB
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
         (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
+      .localCheckpoint(true)
     RankKernel.withStratumRank(scored, "source", "ttr", "doc_id",
         mass = Some("n_tok"), prune = Some(col("__moff") <= budget))
       .withColumn("cum_tok", col("__cum_before") + col("n_tok"))
@@ -2716,9 +2721,11 @@ object DataQueries {
     * arithmetic ntile — no per-language single-task sort; the only
     * bare-`lang` window runs over the tiny bucket table. */
   def qualityDeciles(s: SparkSession, d: String): DataFrame = {
+    // narrow signal frame materialized once (see tokenBudget's note)
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"))
+      .localCheckpoint(true)
     RankKernel.withStratumRank(scored, "lang", "q", "doc_id")
       .select(col("doc_id"), col("lang"), round(col("q"), 6).as("quality"),
         RankKernel.ntileOfRank(col("__rank"), col("__n"), 10).as("decile"))
@@ -3572,10 +3579,12 @@ object DataQueries {
     * "languages are a bounded stratum" justification addressed stratum
     * COUNT, not stratum VOLUME; this form fixes the volume). */
   def curriculum(s: SparkSession, d: String): DataFrame = {
+    // narrow signal frame materialized once (see tokenBudget's note)
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
     RankKernel.withStratumRank(scored, "lang", "q", "doc_id",
         mass = Some("n_tok"))
       .withColumn("phase",

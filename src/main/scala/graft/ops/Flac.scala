@@ -25,10 +25,13 @@ package graft.ops
   * 5-bit parameters) and the raw-bits escape, wasted-bits unary
   * prefixes, and verifies CRC-8, CRC-16 and the stream MD5 — a
   * truncated or bit-flipped stream fails loudly, never silently
-  * (the module family's posture). The decoder also handles all three
-  * stereo decorrelation modes — left/side, right/side, and mid/side
-  * (channel assignments 8-10); the encoder remains
-  * independent-channels only.
+  * (the module family's posture). Both sides handle all three stereo
+  * decorrelation modes — left/side, right/side, and mid/side (channel
+  * assignments 8-10): always on decode; on encode behind the opt-in
+  * `stereo` flag, chosen per frame against independent channels by
+  * exact encoded bits. General LPC is likewise decode-always /
+  * encode-opt-in (`lpcOrder`); the DEFAULT encode path stays the
+  * fixed-predictor form, byte-identical to round 8.
   */
 object Flac {
   private val BlockSize = 4096
@@ -135,11 +138,15 @@ object Flac {
     * predictor per block (Levinson-Durbin up to that order, 12-bit
     * quantized coefficients) and picks fixed-vs-LPC by EXACT encoded
     * subframe bits; 0 (the default) keeps the round-8 fixed-predictor
-    * path byte-identical. Lossless either way — the residual is
-    * computed against the same quantized reconstruction the decoder
-    * replays, and the stream MD5 gate verifies every decode. */
+    * path byte-identical. `stereo` = true additionally tries the three
+    * stereo decorrelation modes per frame (left/side, side/right,
+    * mid/side — the decoder already handles all three) and keeps the
+    * cheapest by exact bits. Lossless in every combination — residuals
+    * are computed against the same quantized reconstruction the
+    * decoder replays, and the stream MD5 gate verifies every decode. */
   def encode(pcm: Array[Array[Int]], sampleRate: Int = 16000,
-             partOrder: Int = 0, lpcOrder: Int = 0): Array[Byte] = {
+             partOrder: Int = 0, lpcOrder: Int = 0,
+             stereo: Boolean = false): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 31, "flac encode: lpc order 0-31")
     val channels = pcm.length
     require(channels == 1 || channels == 2, "flac encode: 1 or 2 channels")
@@ -182,7 +189,7 @@ object Flac {
     while (off < pcm(0).length) {
       val bs = math.min(BlockSize, pcm(0).length - off)
       out.write(encodeFrame(pcm, off, bs, frameNo, channels, partOrder,
-        lpcOrder))
+        lpcOrder, stereo))
       off += bs
       frameNo += 1
     }
@@ -304,32 +311,64 @@ object Flac {
   }
 
   private def writeFixedSubframe(bw: BW, s: Array[Int], bs: Int, order: Int,
-                                 partOrder: Int): Unit = {
+                                 bps: Int, partOrder: Int): Unit = {
     val res = fixedResidual(s, order)
     bw.put(0, 1)                 // subframe pad bit
     bw.put(8 + order, 6)         // FIXED, order
     bw.put(0, 1)                 // no wasted bits
     var w = 0
-    // warmup samples: two's-complement low 16 bits
-    while (w < order) { bw.put(s(w).toLong, 16); w += 1 }
+    // warmup samples: two's-complement low `bps` bits (17 for a
+    // stereo-decorrelation side channel, 16 otherwise)
+    while (w < order) { bw.put(s(w).toLong, bps); w += 1 }
     writeResidual(bw, res, bs, order, partOrder)
   }
 
   private def writeLpcSubframe(bw: BW, s: Array[Int], bs: Int, prec: Int,
                                shift: Int, coef: Array[Int],
-                               partOrder: Int): Unit = {
+                               bps: Int, partOrder: Int): Unit = {
     val order = coef.length
     val res = lpcResidual(s, shift, coef)
     bw.put(0, 1)                 // subframe pad bit
     bw.put(31 + order, 6)        // LPC, order
     bw.put(0, 1)                 // no wasted bits
     var w = 0
-    while (w < order) { bw.put(s(w).toLong, 16); w += 1 }
+    while (w < order) { bw.put(s(w).toLong, bps); w += 1 }
     bw.put(prec - 1, 4)
     bw.put(shift.toLong, 5)      // always ≥ 0 here (decoder requires it)
     var j = 0
     while (j < order) { bw.put(coef(j).toLong, prec); j += 1 }
     writeResidual(bw, res, bs, order, partOrder)
+  }
+
+  /** Best subframe for one channel: the round-8 heuristic fixed pick
+    * when `lpcOrder` ≤ 0 (byte-identical default), else exact-bit
+    * selection over fixed 0-4 + the Levinson-Durbin fit. */
+  private def writeBestSubframe(bw: BW, s: Array[Int], bs: Int, bps: Int,
+                                partOrder: Int, lpcOrder: Int): Unit = {
+    if (lpcOrder <= 0) {
+      var bestOrd = 0
+      var bestCost = Long.MaxValue
+      var o = 0
+      while (o <= math.min(4, bs - 1)) {
+        val r = fixedResidual(s, o)
+        var sum = 0L
+        r.foreach(v => sum += math.abs(v.toLong))
+        if (sum < bestCost) { bestCost = sum; bestOrd = o }
+        o += 1
+      }
+      writeFixedSubframe(bw, s, bs, bestOrd, bps, partOrder)
+    } else {
+      val candidates: Seq[BW => Unit] =
+        (0 to math.min(4, bs - 1)).map(o =>
+          (w: BW) => writeFixedSubframe(w, s, bs, o, bps, partOrder)) ++
+        lpcFit(s, lpcOrder).toSeq.map { case (prec, shift, qc) =>
+          (w: BW) => writeLpcSubframe(w, s, bs, prec, shift, qc, bps, partOrder)
+        }
+      val best = candidates.minBy { f =>
+        val probe = new BW; f(probe); probe.bitsWritten
+      }
+      best(bw)
+    }
   }
 
   /** Residuals of the quantized-LPC predictor — the EXACT mirror of
@@ -419,14 +458,46 @@ object Flac {
 
   private def encodeFrame(pcm: Array[Array[Int]], off: Int, bs: Int,
                           frameNo: Long, channels: Int,
-                          partOrder: Int, lpcOrder: Int = 0): Array[Byte] = {
+                          partOrder: Int, lpcOrder: Int = 0,
+                          stereo: Boolean = false): Array[Byte] = {
+    // channel plan: independent always; with `stereo` on a 2-channel
+    // stream, also the three decorrelation modes (side = L−R spans 17
+    // bits; mid = (L+R)>>1 — the exact inverses of the decoder's
+    // reconstruction), picked by EXACT total subframe bits
+    val chan = Array.tabulate(channels) { c =>
+      val s = new Array[Int](bs); System.arraycopy(pcm(c), off, s, 0, bs); s
+    }
+    // (channel-assignment header field, per-subframe (samples, bps))
+    val indep: (Int, Array[(Array[Int], Int)]) =
+      (channels - 1, chan.map(s => (s, 16)))
+    val modes: Seq[(Int, Array[(Array[Int], Int)])] =
+      if (!stereo || channels != 2) Seq(indep)
+      else {
+        val l = chan(0); val r = chan(1)
+        val side = Array.tabulate(bs)(i => l(i) - r(i))
+        val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+        Seq(indep,
+          (8, Array((l, 16), (side, 17))),   // left/side
+          (9, Array((side, 17), (r, 16))),   // side/right
+          (10, Array((mid, 16), (side, 17)))) // mid/side
+      }
+    val (asnField, subs) =
+      if (modes.size == 1) modes.head
+      else modes.minBy { case (_, ss) =>
+        ss.map { case (s, bps) =>
+          val probe = new BW
+          writeBestSubframe(probe, s, bs, bps, partOrder, lpcOrder)
+          probe.bitsWritten
+        }.sum
+      }
+
     val bw = new BW
     bw.put(0x3ffe, 14)       // sync
     bw.put(0, 1)             // reserved
     bw.put(0, 1)             // fixed-blocksize stream
     bw.put(0x7, 4)           // block size: 16-bit value-1 at header end
     bw.put(0, 4)             // sample rate: from STREAMINFO
-    bw.put(channels - 1, 4)  // independent channels
+    bw.put(asnField, 4)      // channel assignment (indep or decorrelated)
     bw.put(0x4, 3)           // 16 bits per sample
     bw.put(0, 1)             // reserved
     putUtf8(bw, frameNo)
@@ -435,40 +506,8 @@ object Flac {
     val headBytes = bw.out.toByteArray
     bw.put(crc8(headBytes, 0, headBytes.length), 8)
 
-    var c = 0
-    while (c < channels) {
-      val s = new Array[Int](bs)
-      System.arraycopy(pcm(c), off, s, 0, bs)
-      if (lpcOrder <= 0) {
-        // round-8 path, byte-identical: best fixed order by least
-        // sum |residual| (ties → lower order)
-        var bestOrd = 0
-        var bestCost = Long.MaxValue
-        var o = 0
-        while (o <= math.min(4, bs - 1)) {
-          val r = fixedResidual(s, o)
-          var sum = 0L
-          r.foreach(v => sum += math.abs(v.toLong))
-          if (sum < bestCost) { bestCost = sum; bestOrd = o }
-          o += 1
-        }
-        writeFixedSubframe(bw, s, bs, bestOrd, partOrder)
-      } else {
-        // exact-bit selection: every candidate is test-written to a
-        // scratch bit sink (the costs below are encoded sizes, not
-        // estimates), cheapest wins; ties → the earlier (simpler) one
-        val candidates: Seq[BW => Unit] =
-          (0 to math.min(4, bs - 1)).map(o =>
-            (w: BW) => writeFixedSubframe(w, s, bs, o, partOrder)) ++
-          lpcFit(s, lpcOrder).toSeq.map { case (prec, shift, qc) =>
-            (w: BW) => writeLpcSubframe(w, s, bs, prec, shift, qc, partOrder)
-          }
-        val best = candidates.minBy { f =>
-          val probe = new BW; f(probe); probe.bitsWritten
-        }
-        best(bw)
-      }
-      c += 1
+    subs.foreach { case (s, bps) =>
+      writeBestSubframe(bw, s, bs, bps, partOrder, lpcOrder)
     }
     bw.alignZero()
     val body = bw.out.toByteArray

@@ -30,11 +30,23 @@ object TextOps {
 
   /** Whitespace tokenization with a non-spaced-script fallback: pad
     * every Han/Kana/Hangul/Thai codepoint with spaces, split on
-    * whitespace, drop empties. Pure-ASCII text takes the exact
-    * pre-round-9 path (the pad regex never matches). */
-  def tokens(text: Column): Column =
-    filter(split(regexp_replace(text, NonSpacedScriptChar, " $1 "), "\\s+"),
-      t => length(t) > 0)
+    * whitespace, drop empties.
+    *
+    * The pad only runs when the row contains a non-ASCII byte, gated
+    * by `length(text) = octet_length(text)` — in UTF-8 char count
+    * equals byte count iff every char is ASCII, and both counts are
+    * tight byte loops (no regex). All five padded scripts are
+    * non-ASCII, so the branch is semantics-preserving for EVERY
+    * input: pure-ASCII text takes the exact pre-round-9 path at the
+    * pre-round-9 cost. (Measured at sf0.1: the unconditional Java
+    * script-property pad taxed every tokenizing query ~0.1-0.5 s per
+    * expression evaluation; an rlike gate re-taxed ~60% of it — the
+    * length gate is the one that's actually free.) */
+  def tokens(text: Column): Column = {
+    val padded = when(length(text) === octet_length(text), text)
+      .otherwise(regexp_replace(text, NonSpacedScriptChar, " $1 "))
+    filter(split(padded, "\\s+"), t => length(t) > 0)
+  }
 
   /** Distinct word n-gram shingles. Empty array when the document has
     * fewer than n tokens (guard needed: Spark `sequence` with start >

@@ -66,18 +66,29 @@ object Corpus {
 
   /** Stages 6-7 over the stage-5 survivor frame (needs doc_id, lang,
     * q, n_kept): per-language quality deciles ≤ 7, then the 50% token
-    * mixture — both on the skew-safe RankKernel two-pass. Shared by
-    * the batch pipeline and the maintainer's read face. */
+    * mixture — ONE skew-safe RankKernel pass, shared by the batch
+    * pipeline and the maintainer's read face.
+    *
+    * One pass suffices because stage 6 is a PREFIX of the stage-5
+    * ordering: the arithmetic ntile is monotone in the exact rank, so
+    * "deciles 1-7" is exactly "rank ≤ per-language boundary". For any
+    * stage-6 row every strictly-earlier stage-5 row is therefore also
+    * in stage 6, which makes the stage-5 running token mass equal to
+    * the stage-6 running mass on the surviving rows — stage 7 reuses
+    * `__cum_before` verbatim and only needs stage 6's per-language
+    * token total (a tiny broadcast aggregate), not a second bucketed
+    * rank. Same oracle algebra, one kernel instead of two. */
   private[graft] def rankStages(s5: DataFrame): (DataFrame, DataFrame) = {
-    val s6 = RankKernel.withStratumRank(s5, "lang", "q", "doc_id")
-      .filter(RankKernel.ntileOfRank(col("__rank"), col("__n"), 10) <= 7)
-      .drop("__rank", "__n")
+    val ranked = RankKernel.withStratumRank(s5, "lang", "q", "doc_id",
+        mass = Some("n_kept"))
       .localCheckpoint(true)
-    val s7 = RankKernel.withStratumRank(s6, "lang", "q", "doc_id",
-        mass = Some("n_kept"),
-        prune = Some(expr("__moff <= (__m * 50) div 100")))
-      .filter(col("__cum_before") + col("n_kept") <= expr("(__m * 50) div 100"))
-    (s6, s7)
+    val s6 = ranked
+      .filter(RankKernel.ntileOfRank(col("__rank"), col("__n"), 10) <= 7)
+    val tot6 = s6.groupBy("lang").agg(sum("n_kept").as("__m6"))
+    val s7 = s6.join(broadcast(tot6), Seq("lang"))
+      .filter(col("__cum_before") + col("n_kept") <= expr("(__m6 * 50) div 100"))
+    (s6.drop("__rank", "__n", "__cum_before", "__m"),
+      s7.drop("__rank", "__n", "__cum_before", "__m", "__m6"))
   }
 
   /** One audit row: (stage_no, stage, n_docs, n_tokens) over a stage's

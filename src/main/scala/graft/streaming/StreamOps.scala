@@ -728,22 +728,84 @@ object StreamOps {
     "keep_gopher BOOLEAN, q DOUBLE, n_kept BIGINT, kept_hash BIGINT, " +
     "is_bench BOOLEAN, s3 BOOLEAN, s4 BOOLEAN"
 
-  /** Append-only per-batch state dirs under `statePath/<kind>` that
-    * exist (maintainCc's posting-dir listing shape). `except` skips
+  /** Live append-state pieces under `statePath/<kind>`: the newest
+    * consolidated run (committed by an `_AIDX_<id>` marker, see
+    * [[compactPipelineIndex]]) plus every per-batch `b=` dir newer
+    * than it — maintainCc's posting-dir listing shape. `except` skips
     * one batch's dir: a crashed-and-retried apply must read PRIOR
     * state only — its own orphan dir from the failed attempt would
     * otherwise feed back into the retry (e.g. an anti-join against a
     * set that already contains this batch's delta emits an empty
-    * delta, losing the rows). */
+    * delta, losing the rows). Orphans are never compacted (eligibility
+    * is bounded by the committed replay gate), so the exclusion holds
+    * across compactions. */
   private def batchDirs(sp: SparkSession, statePath: String, kind: String,
                         except: Long = Long.MinValue): Seq[String] = {
     val (fs, root) = rollupFs(sp, s"$statePath/$kind")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect {
-        case n if n.startsWith("b=") &&
-            n.stripPrefix("b=").toLong != except => s"$root/$n"
-      }
+    if (!fs.exists(root)) return Seq.empty
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val cIds = names.collect {
+      case n if n.startsWith("_AIDX_") => n.stripPrefix("_AIDX_").toLong
+    }
+    val base = if (cIds.isEmpty) -1L else cIds.max
+    val cdir = if (base >= 0) Seq(s"$root/c=$base") else Nil
+    cdir ++ names.collect {
+      case n if n.startsWith("b=") && {
+        val id = n.stripPrefix("b=").toLong
+        id > base && id != except
+      } => s"$root/$n"
+    }
+  }
+
+  /** COMPACT the maintainPipeline append state: per kind (rows, sig3,
+    * five, bench5), merge the consolidated run and every newer
+    * per-batch dir into ONE run, committed by an atomic `_AIDX_<id>`
+    * marker before the superseded dirs are deleted — the same
+    * small-files sweep [[compactCcIndex]] gives the CC posting index
+    * (a year of hourly ingests is 8760 dirs per kind; scan planning
+    * pays per file). ONLY batches already committed into the hits
+    * version are eligible: an orphan dir from a crashed apply must
+    * stay a `b=` dir, or the retry's own-dir exclusion (see
+    * [[batchDirs]]) could no longer carve it out of the consolidated
+    * run. Crash-safe: until the marker exists readers use the old
+    * pieces; after it, old pieces are dead weight a re-run deletes.
+    * Run between triggers (single-writer). Returns dirs folded. */
+  def compactPipelineIndex(sp: SparkSession, statePath: String): Long = {
+    val applied = lastAppliedStream(sp, s"$statePath/hits")
+    Seq("rows", "sig3", "five", "bench5")
+      .map(k => compactAppendKind(sp, s"$statePath/$k", applied)).sum
+  }
+
+  private def compactAppendKind(sp: SparkSession, kindRoot: String,
+                                maxEligible: Long): Long = {
+    val (fs, root) = rollupFs(sp, kindRoot)
+    if (!fs.exists(root)) return 0L
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val cIds = names.collect {
+      case n if n.startsWith("_AIDX_") => n.stripPrefix("_AIDX_").toLong
+    }
+    val base = if (cIds.isEmpty) -1L else cIds.max
+    val bIds = names.collect {
+      case n if n.startsWith("b=") => n.stripPrefix("b=").toLong
+    }.filter(id => id > base && id <= maxEligible)
+    val pieces = (if (base >= 0) Seq(s"$root/c=$base") else Nil) ++
+      bIds.sorted.map(id => s"$root/b=$id")
+    if (bIds.isEmpty || pieces.size < 2) return 0L
+    val maxId = math.max(base, bIds.max)
+    sp.read.parquet(pieces: _*)
+      .write.mode("overwrite").parquet(s"$root/c=$maxId")
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_AIDX_$maxId"), true)
+      .close() // commit point
+    names.foreach {
+      case n if n.startsWith("b=") && n.stripPrefix("b=").toLong <= maxId =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+      case n if n.startsWith("c=") && n.stripPrefix("c=").toLong < maxId =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+      case n if n.startsWith("_AIDX_") && n.stripPrefix("_AIDX_").toLong < maxId =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), false)
+      case _ => ()
+    }
+    pieces.size.toLong
   }
 
   private def readAppendState(sp: SparkSession, statePath: String,

@@ -103,6 +103,37 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("stereo decorrelation encoder: correlated channels shrink, decode exact") {
+    // R tracks L closely → side = L−R is tiny → decorrelated modes
+    // out-compress independent channels; uncorrelated channels must
+    // never LOSE to independent (the mode pick is min over exact bits
+    // including independent itself)
+    val l = triangle(4096 * 2 + 300, 4)
+    var st = 17
+    val rCorr = l.map { v =>
+      st = st * 1103515245 + 12345
+      math.max(-32768, math.min(32767, v + ((st >> 28) % 8)))
+    }
+    val indep = Flac.encode(Array(l, rCorr))
+    val dec = Flac.encode(Array(l, rCorr), stereo = true)
+    val (_, ch, out) = Flac.decode(dec)
+    assert(ch == 2 && out(0).sameElements(l) && out(1).sameElements(rCorr))
+    info(s"independent=${indep.length}B decorrelated=${dec.length}B")
+    assert(dec.length < indep.length,
+      s"decorrelation should win on correlated channels: ${dec.length} vs ${indep.length}")
+    // uncorrelated: picks at worst the independent mode, stays exact
+    val rUnc = triangle(l.length, 23).map(v => -v)
+    val dec2 = Flac.encode(Array(l, rUnc), stereo = true)
+    val (_, _, out2) = Flac.decode(dec2)
+    assert(out2(0).sameElements(l) && out2(1).sameElements(rUnc))
+    assert(dec2.length <= Flac.encode(Array(l, rUnc)).length)
+    // and stereo + LPC compose (both opt-ins on, MD5 gate arbitrates)
+    val both = Flac.encode(Array(l, rCorr), lpcOrder = 8, stereo = true)
+    val (_, _, out3) = Flac.decode(both)
+    assert(out3(0).sameElements(l) && out3(1).sameElements(rCorr))
+    assert(both.length <= dec.length)
+  }
+
   test("constant and near-constant blocks compress far below raw") {
     val pcm = Array.fill(8192)(1234)
     val bytes = Flac.encode(Array(pcm))

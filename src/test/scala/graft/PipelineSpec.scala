@@ -47,9 +47,13 @@ class PipelineSpec extends SparkSpec {
       docs.filter(col("doc_id") <= c1),
       docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
       docs.filter(col("doc_id") > c2))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      StreamOps.applyPipelineBatch(b, dir, i.toLong)
-    }
+    StreamOps.applyPipelineBatch(batches(0), dir, 0L)
+    StreamOps.applyPipelineBatch(batches(1), dir, 1L)
+    // compaction mid-stream: folds committed b= dirs into one c= run
+    // per kind and the fold keeps going on top of it transparently
+    assert(StreamOps.compactPipelineIndex(spark, dir) > 0)
+    assert(StreamOps.compactPipelineIndex(spark, dir) == 0, "second compact must no-op")
+    StreamOps.applyPipelineBatch(batches(2), dir, 2L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     val got = rows(StreamOps.pipelineStateAudit(spark, dir))
@@ -62,13 +66,14 @@ class PipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       StreamOps.applyPipelineBatch(batches.head, dir, 9L))
     assert(e.getMessage.contains("out-of-order"))
-    // per-trigger boundedness: each batch's signal-row dir holds exactly
-    // that batch's docs — prior text is never re-read or re-signalled
-    val perDir = (0 to 2).map { b =>
-      spark.read.parquet(s"$dir/rows/b=$b").count()
-    }
-    assert(perDir.sum == docs.count(), s"rows dirs: $perDir")
-    assert(perDir == batches.map(_.count()), s"rows dirs not batch-bounded: $perDir")
+    // per-trigger boundedness: a batch's signal-row dir holds exactly
+    // that batch's docs — prior text is never re-read or re-signalled.
+    // Batches 0-1 were compacted into rows/c=1 (their b= dirs are
+    // gone); batch 2 landed after the compaction as its own b= dir.
+    assert(spark.read.parquet(s"$dir/rows/b=2").count() == batches(2).count())
+    assert(spark.read.parquet(s"$dir/rows/c=1").count() ==
+      batches(0).count() + batches(1).count())
+    assert(got.head._3 == docs.count(), "stage-0 audit must cover every doc")
     // an empty batch just advances the replay gate
     StreamOps.applyPipelineBatch(docs.filter(lit(false)), dir, 10L)
     assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
