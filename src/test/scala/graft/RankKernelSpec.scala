@@ -94,6 +94,76 @@ class RankKernelSpec extends SparkSpec {
     assert(survivors(pruned = true) == survivors(pruned = false))
   }
 
+  test("measured: the kernel spreads a skewed stratum across tasks; naive puts it on one") {
+    // the 100× claim as a MEASUREMENT, not a plan shape: on a fixture
+    // where one stratum holds 95% of rows, record the max
+    // shuffle-read records any single task processes. The naive
+    // bare-stratum window funnels the whole giant stratum through one
+    // task; the kernel's (stratum, bucket) partitioning spreads it.
+    // AQE partition coalescing is disabled for the measurement — at
+    // test scale (6 MB) it would legally re-merge everything into one
+    // task by SIZE, which is the regime real data never sees.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 200000L
+    val df = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(col("id") % 20 === 0,
+          concat(lit("l"), pmod(col("id"), lit(19)))).otherwise(lit("en")).as("lang"),
+        (pmod(hash(col("id")), lit(1000000)).cast("double") / 1e6).as("q"),
+        lit(1L).as("n_tok"))
+      .localCheckpoint(true)
+    @volatile var maxRecords = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) maxRecords = math.max(maxRecords,
+          m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    def measure(f: => Unit): Long = {
+      maxRecords = 0L
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        // listener events are async: poll until the max is stable
+        var last = -1L; var spins = 0
+        while (last != maxRecords && spins < 20) {
+          last = maxRecords; Thread.sleep(250); spins += 1
+        }
+        maxRecords
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(coalesceKey, "true")
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      // the shared test session runs 2 shuffle partitions (perfect
+      // spread would still be N/2); measure at the production 32 so
+      // the per-task ceiling is the one the claim is about
+      spark.conf.set(partKey, "32")
+      val naiveMax = measure {
+        val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+        df.withColumn("r", row_number().over(w)).filter(col("r") > 0).count()
+      }
+      val kernelMax = measure {
+        RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+          mass = Some("n_tok")).filter(col("__rank") > 0).count()
+      }
+      info(s"max records on one task: naive=$naiveMax kernel=$kernelMax")
+      assert(naiveMax >= (n * 9) / 10 * 19 / 20,
+        s"fixture sanity: naive window should funnel ~95% of $n rows " +
+          s"through one task, saw $naiveMax")
+      assert(kernelMax * 5 <= naiveMax,
+        s"kernel did not spread the skewed stratum: max task " +
+          s"records $kernelMax vs naive $naiveMax")
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(partKey, prevParts)
+    }
+  }
+
   // ---------------------------------------------------------------
   // Plan pins: no corpus-sized window partitioned by the bare stratum
   // ---------------------------------------------------------------
