@@ -60,6 +60,8 @@ object SparkEntry {
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
     "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
     "q_dedup_norm"        -> ((s, d) => DataQueries.dedupNormalized(s, d)),
+    // Unicode-NFC dedup key: oracle is DuckDB's NATIVE nfc_normalize
+    "q_dedup_nfc"         -> ((s, d) => DataQueries.dedupNfc(s, d)),
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
@@ -1342,6 +1344,16 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
                FROM documents)
+         GROUP BY 1 ORDER BY keep_id""",
+    // Unicode-NFC dedup: DuckDB's native nfc_normalize is the
+    // independent NFC implementation (ASOF-join posture); both engines
+    // md5 the normalized string's UTF-8 bytes
+    "q_dedup_nfc" ->
+      s"""SELECT ${H64.format("nfc_normalize(text)")} AS nfc_hash,
+           min(doc_id) AS keep_id, count(*) AS n_docs,
+           CAST(count(DISTINCT ${H64.format("text")}) AS BIGINT)
+             AS n_raw_variants
+         FROM documents
          GROUP BY 1 ORDER BY keep_id""",
     "q_jaccard_pairs" ->
       s"""WITH $TOKS_CTE,

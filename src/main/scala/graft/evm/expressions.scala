@@ -321,5 +321,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.ops.BottomKSampleAgg(args(0), args(1), args(2))
           .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.ops.NfcNormalizeExpr].getName,
+        "nfc_normalize"),
+      (args: Seq[Expression]) => graft.ops.NfcNormalizeExpr(args.head)))
   }
 }

@@ -680,6 +680,29 @@ object DataQueries {
         countDistinct("raw_hash").as("n_raw_variants"))
       .orderBy("keep_id")
 
+  /** UNICODE-NORMALIZED exact dedup: the key is h64(NFC(text)) — a
+    * composed "café" (U+00E9) and its decomposed re-encode
+    * ("e" + U+0301) are the same document to every reader but
+    * different bytes, so they evade BOTH [[dedupExact]] and
+    * [[dedupNormalized]] (casefold/whitespace collapse never
+    * recomposes combining marks). Multilingual crawls mix composed
+    * and decomposed producers routinely (macOS filenames are NFD).
+    * NFC runs through the codegen'd `nfc_normalize` expression whose
+    * ASCII fast path (byte count == char count → identity, zero
+    * allocation) makes this cost one byte-scan over [[dedupExact]] on
+    * ASCII data. Same hash-only shuffle shape; the oracle replays
+    * DuckDB's NATIVE nfc_normalize — an independent NFC
+    * implementation, the ASOF-join posture. */
+  def dedupNfc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        TextOps.h64(call_function("nfc_normalize", col("text")))
+          .as("nfc_hash"),
+        TextOps.h64(col("text")).as("raw_hash"))
+      .groupBy("nfc_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct("raw_hash").as("n_raw_variants"))
+      .orderBy("keep_id")
+
   /** n-gram Jaccard near-dup pairs, 3-gram shingles, threshold 0.1. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",

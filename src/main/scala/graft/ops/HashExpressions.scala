@@ -28,6 +28,13 @@ object Hashing {
   /** md5-derived 60-bit hash of a string — equals TextOps.h64. */
   def h64(s: String): Long = h64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Unicode NFC composition with the ASCII identity fast path (see
+    * [[NfcNormalizeExpr]]); called from generated code. */
+  def nfc(u: UTF8String): UTF8String =
+    if (u.numBytes == u.numChars) u // pure ASCII: NFC is the identity
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      u.toString, java.text.Normalizer.Form.NFC))
+
   def h64(bytes: Array[Byte]): Long = {
     val d = md.get()
     d.reset()
@@ -589,4 +596,28 @@ case class DropRepWindowsExpr(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** nfc_normalize(string) → the Unicode NFC composition of the string —
+  * the canonical form under which a composed "é" (U+00E9) and its
+  * decomposed twin ("e" + U+0301) are the SAME text. Byte-exact dedup
+  * keys must normalize first or visually-identical re-encodes slip
+  * through. ASCII fast path: in UTF-8, byte count == char count iff
+  * every char is ASCII, and NFC is the identity there — the common
+  * case returns the input UTF8String untouched (no decode, no
+  * allocation). Oracle twin: DuckDB's native `nfc_normalize` — an
+  * independent engine's NFC table, not a re-spelling of ours. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
 }

@@ -279,6 +279,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(toks("") == Seq.empty)
   }
 
+  test("nfc dedup key: composed and decomposed re-encodes collapse; ASCII is identity") {
+    val composed = "café menu"      // é as U+00E9
+    val decomposed = "café menu"   // e + COMBINING ACUTE ACCENT
+    assert(composed != decomposed, "fixture must differ byte-wise")
+    val df = Seq((1L, composed), (2L, decomposed),
+      (3L, "plain ascii"), (4L, "plain ascii")).toDF("doc_id", "text")
+    val n = df.select(col("doc_id"),
+        call_function("nfc_normalize", col("text")).as("nfc")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n(1L) == n(2L), "NFC must unify composed/decomposed twins")
+    assert(n(1L) == composed, "NFC composes to the precomposed form")
+    assert(n(3L) == "plain ascii", "ASCII fast path is the identity")
+    // the dedup-key grouping collapses the pair into one group with
+    // two raw variants — the mass byte-exact dedup misses
+    val groups = df.select(TextOps.h64(
+        call_function("nfc_normalize", col("text"))).as("k"),
+        TextOps.h64(col("text")).as("raw"))
+      .groupBy("k").agg(countDistinct("raw").as("nv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(groups.toSeq == Seq((1L, 2L), (2L, 2L)), s"got ${groups.toSeq}")
+    // SQL surface too (the registry injection)
+    assert(spark.sql(s"SELECT nfc_normalize('café')").head().getString(0)
+      == "café")
+  }
+
   test("mixed-script text flows through shingles, counts and lang-ID") {
     val df = Seq(
       (1L, "机器学习 数据 machine learning data"),
