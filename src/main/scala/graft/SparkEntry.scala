@@ -122,6 +122,10 @@ object SparkEntry {
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
     "q_dbscan"            -> ((s, d) => DataQueries.dbscanClusters(s, d)),
     "q_ann_neardup"       -> ((s, d) => DataQueries.annNearDup(s, d)),
+    // fixed-round integer Lloyd k-means (the IVF/SemDeDup cell trainer);
+    // oracle = generated unrolled rounds, MATERIALIZED (the BPE64 pattern)
+    "q_kmeans"            -> ((s, d) => graft.ops.VectorOps.kmeansAssign(
+      graft.Tables.embeddings(s, d), "vec_id", "embedding", k = 8, rounds = 2)),
     "q_embed_groups_lsh"  -> ((s, d) => DataQueries.embedGroupsLsh(s, d)),
     "q_semdedup"          -> ((s, d) => DataQueries.semDedup(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
@@ -475,6 +479,60 @@ object SparkEntry {
                       i -> {'i': i, 's': string_split(w, '')[i + 1]})) AS u
                   FROM wt))"""
     (head +: (1 to 64).map(bpeRoundSql)).mkString(",\n")
+  }
+
+  /** One unrolled Lloyd round for the generated k-means oracle
+    * (q_kmeans): exact-integer distances, argmin ties to the lowest
+    * centroid id, per-dim floor(mean) updates, emptied clusters keep
+    * their previous centroid. MATERIALIZED like the BPE rounds. */
+  private def kmeansRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""d$i AS MATERIALIZED (SELECT v.vec_id, c.cl,
+          CAST(list_sum(list_transform(range(1, len(v.vq) + 1),
+            j -> (v.vq[j] - c.c[j]) * (v.vq[j] - c.c[j]))) AS BIGINT) AS dist2
+        FROM v, c$p c),
+     a$i AS MATERIALIZED (SELECT vec_id, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist2, cl) AS rk FROM d$i) WHERE rk = 1),
+     u$i AS MATERIALIZED (SELECT cl, list(dm ORDER BY j) AS c FROM (
+          SELECT cl, u.j AS j,
+            CAST(floor(CAST(sum(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS dm
+          FROM (SELECT a.cl,
+                  unnest(list_transform(range(1, len(v.vq) + 1),
+                    jj -> {'j': jj, 'x': v.vq[jj]})) AS u
+                FROM a$i a JOIN v USING (vec_id))
+          GROUP BY cl, u.j) GROUP BY cl),
+     c$i AS MATERIALIZED (SELECT c$p.cl, coalesce(u$i.c, c$p.c) AS c
+          FROM c$p LEFT JOIN u$i USING (cl))"""
+  }
+
+  /** Generated k-means oracle: quantize (the q_centroid_sim twin),
+    * init from the k lowest-id vectors, `rounds` unrolled Lloyd
+    * rounds, final assignment + cluster sizes. */
+  private lazy val KMEANS_SQL: String = {
+    val rounds = 2
+    val k = 8
+    val head = s"""v AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(round(x * 1e6) AS BIGINT)) AS vq
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0),
+     c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+          vq AS c
+        FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT $k))"""
+    val fin = s"""dF AS (SELECT v.vec_id, c.cl,
+          CAST(list_sum(list_transform(range(1, len(v.vq) + 1),
+            j -> (v.vq[j] - c.c[j]) * (v.vq[j] - c.c[j]))) AS BIGINT) AS dist2
+        FROM v, c$rounds c),
+     aF AS (SELECT vec_id, cl, dist2 FROM (
+          SELECT vec_id, cl, dist2, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist2, cl) AS rk FROM dF) WHERE rk = 1),
+     sz AS (SELECT cl, count(*) AS n FROM aF GROUP BY cl)
+     SELECT aF.vec_id, aF.cl AS cluster, aF.dist2,
+       CAST(sz.n AS BIGINT) AS cluster_size
+     FROM aF JOIN sz USING (cl) ORDER BY aF.vec_id"""
+    "WITH " +
+      (Seq(head) ++ (1 to rounds).map(kmeansRoundSql) :+ fin).mkString(",\n")
   }
 
   /** Generated 64-round sequential-BPE oracle (q_bpe_train64). */
@@ -2174,6 +2232,8 @@ object SparkEntry {
     // 64 sequential merge rounds, generated + MATERIALIZED (the
     // batched Spark trainer must reproduce the sequential list exactly)
     "q_bpe_train64" -> BPE64_SQL,
+    // fixed-round integer Lloyd k-means, generated unrolled oracle
+    "q_kmeans" -> KMEANS_SQL,
     // apply leg over the same 64-round chain's final symbol table
     "q_bpe_apply64" -> BPE64_APPLY_SQL,
     // tokenizer APPLY: the trained merges' final symbol table (s2)

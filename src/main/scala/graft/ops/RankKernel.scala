@@ -78,6 +78,8 @@ object RankKernel {
       prune: Option[Column] = None,
       cols: Cols = Cols()): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(prune.isEmpty || mass.isDefined,
+      "prune predicates reference the mass offsets (__moff/__m); pass mass")
     // order-preserving quantizer: higher score → higher bucket id
     val bkt = least(greatest(floor(col(score) * buckets), lit(0.0)),
       lit((buckets - 1).toDouble)).cast("int")

@@ -427,6 +427,78 @@ object VectorOps {
     mutualTopK(pairs, k)
   }
 
+  /** Fixed-round Lloyd k-means in EXACT integer fixed point — the real
+    * clustering behind SemDeDup cells and IVF coarse lists
+    * ([[ivfTopK]] documents "production swaps in k-means centroids
+    * without changing the plan"; this is that trainer). Everything is
+    * deterministic and engine-exact so the assignment can be oracled:
+    *
+    *   - vectors quantize to 1e-6 fixed point (the q_centroid_sim
+    *     twin: round(x·1e6) as bigint);
+    *   - init = the `k` lowest-id vectors (the same deterministic
+    *     stand-in IVF uses);
+    *   - assignment = exact integer argmin of squared L2 over the k
+    *     centroids (‖v‖² − 2·v·c + ‖c‖², all bigint, ties → lowest
+    *     centroid id);
+    *   - update = per-dim floor(Σ/n): Math.floorDiv on the driver,
+    *     floor(sum::DOUBLE / n) in DuckDB — identical for every
+    *     |Σ| < 2⁵³, far past any cluster's quantized mass. An emptied
+    *     cluster keeps its previous centroid.
+    *
+    * Scale shape: per round ONE map-only assignment projection
+    * against k baked centroid literals (vec_dot_long codegen — the
+    * [[ivfTopK]] literal path) plus one (k·dims)-key map-combined
+    * aggregate; the driver holds k·dims longs (the pcaProject
+    * power-iteration pattern). `rounds` and `k` are bounded
+    * constants; the corpus never leaves the executors. */
+  def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,
+                   rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, "kmeans: k ≥ 1, rounds ≥ 0")
+    val base = df.filter(col(vec).isNotNull)
+      .select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
+      .filter(size(col("vq")) > 0)
+      .localCheckpoint(true) // consumed once per round + the final assign
+    val initRows = base.orderBy("vid").limit(k).collect()
+    require(initRows.length == k, s"kmeans: need ≥ $k vectors")
+    var cents: Array[Array[Long]] =
+      initRows.map(_.getSeq[Long](1).toArray)
+    def assignCol: Column = {
+      val vv = call_function("vec_dot_long", col("vq"), col("vq"))
+      least(cents.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        struct(
+          (vv - lit(2L) * call_function("vec_dot_long", col("vq"),
+            typedLit(c.toSeq)) + lit(cc)).as("d2"),
+          lit(i).as("cl"))
+      }: _*)
+    }
+    var r = 0
+    while (r < rounds) {
+      val sums = base.withColumn("a", assignCol)
+        .select(col("a.cl").as("cl"), posexplode(col("vq")).as(Seq("i", "x")))
+        .groupBy("cl", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect() // k·dims rows — bounded driver state, like pcaProject
+      val byCl = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCl.get(ci).fold(old) { rows => // empty cluster keeps its centroid
+          val next = old.clone()
+          rows.foreach { row =>
+            next(row.getInt(1)) = Math.floorDiv(row.getLong(2), row.getLong(3))
+          }
+          next
+        }
+      }
+      r += 1
+    }
+    val out = base.withColumn("a", assignCol)
+      .select(col("vid").as("vec_id"), col("a.cl").cast("long").as("cluster"),
+        col("a.d2").as("dist2"))
+    val sizes = out.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    out.join(broadcast(sizes), Seq("cluster"))
+      .select("vec_id", "cluster", "dist2", "cluster_size")
+      .orderBy("vec_id")
+  }
+
   /** Distinct colliding id pairs from the multi-table SRP-LSH bucket
     * equi-join (narrow rows: ids and keys only). Factored out of
     * [[knnGraphMutualLsh]] so its cost is profileable in isolation. */
@@ -568,7 +640,8 @@ object VectorOps {
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
     *
     * Coarse centroids: the `nlists` lowest-id vectors (deterministic
-    * sampling; production swaps in k-means centroids without changing
+    * sampling; production swaps in [[kmeansAssign]]'s trained
+    * centroids without changing
     * the plan shape — they are a plan-time constant either way, like a
     * broadcast dim table). Every vector is assigned to its nearest
     * centroid's inverted list by argmax cosine (ties → lowest centroid

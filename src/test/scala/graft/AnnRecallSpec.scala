@@ -157,6 +157,39 @@ class AnnRecallSpec extends SparkSpec {
       f"LSH twin not faster on the clustered fixture: lsh=${tLsh / 1e9}%.2fs exact=${tExact / 1e9}%.2fs")
   }
 
+  test("kmeans: hand-traced 2-cluster fixture, determinism, and Lloyd improvement") {
+    import spark.implicits._
+    // two tight groups on a line; init = the two lowest-id vectors,
+    // which both sit in the LEFT group — round 1 pulls centroid 1 to
+    // the right group's mass, the final assignment recovers {1,2}|{3,4}
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.0f)),
+      (3L, Array(10.0f, 0.0f)),
+      (4L, Array(10.1f, 0.0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(3)))
+    val byCluster = got.groupBy(_._1).view.mapValues(_.map(_._2._1).toSet).toMap
+    assert(byCluster(0L) == Set(1L, 2L) && byCluster(1L) == Set(3L, 4L),
+      s"got $byCluster")
+    assert(got.forall(_._2._2 == 2L), "both clusters hold 2 vectors")
+    // real table: deterministic across runs, and Lloyd rounds do not
+    // worsen the exact integer inertia (they should sharply improve it
+    // from the arbitrary lowest-id init)
+    val e = Tables.embeddings(spark, d)
+    def inertia(rounds: Int): Long =
+      VectorOps.kmeansAssign(e, "vec_id", "embedding", k = 8, rounds = rounds)
+        .agg(org.apache.spark.sql.functions.sum("dist2")).head().getLong(0)
+    val i0 = inertia(0); val i2 = inertia(2)
+    info(s"inertia rounds=0: $i0, rounds=2: $i2")
+    assert(i2 <= i0, s"Lloyd rounds worsened inertia: $i0 -> $i2")
+    val a = VectorOps.kmeansAssign(e, "vec_id", "embedding", 8, 2).collect()
+      .map(_.toString)
+    val b = VectorOps.kmeansAssign(e, "vec_id", "embedding", 8, 2).collect()
+      .map(_.toString)
+    assert(a.sameElements(b), "kmeans must be run-deterministic")
+  }
+
   test("pca power iteration: hand-computed integer trace on a 2-d fixture") {
     import spark.implicits._
     // dominant axis e0 (two unit vectors), minor axis e1 (one half vector)
