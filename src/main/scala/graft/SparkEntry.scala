@@ -126,6 +126,15 @@ object SparkEntry {
     // oracle = generated unrolled rounds, MATERIALIZED (the BPE64 pattern)
     "q_kmeans"            -> ((s, d) => graft.ops.VectorOps.kmeansAssign(
       graft.Tables.embeddings(s, d), "vec_id", "embedding", k = 8, rounds = 2)),
+    // IVF probing TRAINED k-means lists — the swap ivfTopK's scale
+    // note promises, oracled end-to-end (train + assign + probe)
+    "q_ivf_kmeans"        -> ((s, d) => graft.ops.VectorOps.ivfTopKKmeansExact(
+        graft.Tables.embeddings(s, d), "vec_id", "embedding",
+        nlists = 8, nprobe = 2, k = 3, queryPred = col("vec_id") < 10)
+      .select(col("query_id"), col("cand_id"),
+        org.apache.spark.sql.functions.round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")),
     "q_embed_groups_lsh"  -> ((s, d) => DataQueries.embedGroupsLsh(s, d)),
     "q_semdedup"          -> ((s, d) => DataQueries.semDedup(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
@@ -506,11 +515,12 @@ object SparkEntry {
           FROM c$p LEFT JOIN u$i USING (cl))"""
   }
 
-  /** Generated k-means oracle: quantize (the q_centroid_sim twin),
-    * init from the k lowest-id vectors, `rounds` unrolled Lloyd
-    * rounds, final assignment + cluster sizes. */
-  private lazy val KMEANS_SQL: String = {
-    val rounds = 2
+  /** Shared k-means CTE chain (k=8, rounds=2): quantize (the
+    * q_centroid_sim twin), init from the k lowest-id vectors, two
+    * unrolled Lloyd rounds → trained quantized centroids in c2. Read
+    * by q_kmeans (assignment + sizes) and q_ivf_kmeans (dequantized
+    * coarse centroids for the IVF probe). */
+  private lazy val KMEANS_CTES: String = {
     val k = 8
     val head = s"""v AS MATERIALIZED (SELECT vec_id,
           list_transform(embedding::DOUBLE[],
@@ -520,10 +530,16 @@ object SparkEntry {
      c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
           vq AS c
         FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT $k))"""
+    (Seq(head) ++ (1 to 2).map(kmeansRoundSql)).mkString(",\n")
+  }
+
+  /** Generated k-means oracle: final assignment + cluster sizes over
+    * the trained c2 centroids. */
+  private lazy val KMEANS_SQL: String = {
     val fin = s"""dF AS (SELECT v.vec_id, c.cl,
           CAST(list_sum(list_transform(range(1, len(v.vq) + 1),
             j -> (v.vq[j] - c.c[j]) * (v.vq[j] - c.c[j]))) AS BIGINT) AS dist2
-        FROM v, c$rounds c),
+        FROM v, c2 c),
      aF AS (SELECT vec_id, cl, dist2 FROM (
           SELECT vec_id, cl, dist2, row_number() OVER (PARTITION BY vec_id
             ORDER BY dist2, cl) AS rk FROM dF) WHERE rk = 1),
@@ -531,9 +547,44 @@ object SparkEntry {
      SELECT aF.vec_id, aF.cl AS cluster, aF.dist2,
        CAST(sz.n AS BIGINT) AS cluster_size
      FROM aF JOIN sz USING (cl) ORDER BY aF.vec_id"""
-    "WITH " +
-      (Seq(head) ++ (1 to rounds).map(kmeansRoundSql) :+ fin).mkString(",\n")
+    "WITH " + KMEANS_CTES + ",\n" + fin
   }
+
+  /** IVF with trained coarse centroids (q_ivf_kmeans): the k-means
+    * chain's c2 dequantized (x / 1e6 — the same long→double division
+    * Spark performs), then the q_ivf_topk probe shape verbatim over
+    * the ORIGINAL double vectors. */
+  private lazy val IVF_KMEANS_SQL: String =
+    "WITH " + KMEANS_CTES + """,
+     vd AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+     cent AS (SELECT cl AS cid, list_transform(c, x -> x / 1000000.0) AS cv
+              FROM c2),
+     ac AS (SELECT vd.vec_id, cent.cid,
+              list_dot_product(vd.ve, cent.cv) /
+                (sqrt(list_dot_product(vd.ve, vd.ve)) *
+                 sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+            FROM vd CROSS JOIN cent),
+     asg AS (SELECT vec_id, cid AS list_id FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, cid ASC) AS rn FROM ac)
+             WHERE rn = 1),
+     probe AS (SELECT vec_id, cid AS list_id FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, cid ASC) AS rn
+                FROM ac WHERE vec_id < 10)
+             WHERE rn <= 2),
+     sc AS (SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
+              list_dot_product(q.ve, c.ve) /
+                (sqrt(list_dot_product(q.ve, q.ve)) *
+                 sqrt(list_dot_product(c.ve, c.ve))) AS cos
+            FROM probe p JOIN asg a ON p.list_id = a.list_id
+              AND p.vec_id <> a.vec_id
+            JOIN vd q ON q.vec_id = p.vec_id
+            JOIN vd c ON c.vec_id = a.vec_id),
+     rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+     SELECT query_id, cand_id, round(cos, 6) AS cos, rnk
+     FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
   /** Generated 64-round sequential-BPE oracle (q_bpe_train64). */
   private lazy val BPE64_SQL: String = {
@@ -2234,6 +2285,8 @@ object SparkEntry {
     "q_bpe_train64" -> BPE64_SQL,
     // fixed-round integer Lloyd k-means, generated unrolled oracle
     "q_kmeans" -> KMEANS_SQL,
+    // IVF over the trained centers: k-means chain + the ivf probe shape
+    "q_ivf_kmeans" -> IVF_KMEANS_SQL,
     // apply leg over the same 64-round chain's final symbol table
     "q_bpe_apply64" -> BPE64_APPLY_SQL,
     // tokenizer APPLY: the trained merges' final symbol table (s2)

@@ -458,23 +458,41 @@ object VectorOps {
       .select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
       .filter(size(col("vq")) > 0)
       .localCheckpoint(true) // consumed once per round + the final assign
+    val cents = kmeansTrain(base, k, rounds)
+    val out = base.withColumn("a", kmeansAssignCol(cents))
+      .select(col("vid").as("vec_id"), col("a.cl").cast("long").as("cluster"),
+        col("a.d2").as("dist2"))
+    val sizes = out.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    out.join(broadcast(sizes), Seq("cluster"))
+      .select("vec_id", "cluster", "dist2", "cluster_size")
+      .orderBy("vec_id")
+  }
+
+  /** Exact-integer argmin-of-squared-L2 struct over `cents` (d2, cl);
+    * `least` over structs breaks distance ties to the lowest cluster. */
+  private def kmeansAssignCol(cents: Array[Array[Long]]): Column = {
+    val vv = call_function("vec_dot_long", col("vq"), col("vq"))
+    least(cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (vv - lit(2L) * call_function("vec_dot_long", col("vq"),
+          typedLit(c.toSeq)) + lit(cc)).as("d2"),
+        lit(i).as("cl"))
+    }: _*)
+  }
+
+  /** The Lloyd training loop shared by [[kmeansAssign]] and
+    * [[ivfTopKKmeansExact]]: `rounds` exact-integer rounds over a
+    * checkpointed (vid, vq) frame, returning the k quantized centroid
+    * vectors (see [[kmeansAssign]] for the full contract). */
+  private[graft] def kmeansTrain(base: DataFrame, k: Int,
+                                 rounds: Int): Array[Array[Long]] = {
     val initRows = base.orderBy("vid").limit(k).collect()
     require(initRows.length == k, s"kmeans: need ≥ $k vectors")
-    var cents: Array[Array[Long]] =
-      initRows.map(_.getSeq[Long](1).toArray)
-    def assignCol: Column = {
-      val vv = call_function("vec_dot_long", col("vq"), col("vq"))
-      least(cents.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(x => x * x).sum
-        struct(
-          (vv - lit(2L) * call_function("vec_dot_long", col("vq"),
-            typedLit(c.toSeq)) + lit(cc)).as("d2"),
-          lit(i).as("cl"))
-      }: _*)
-    }
+    var cents: Array[Array[Long]] = initRows.map(_.getSeq[Long](1).toArray)
     var r = 0
     while (r < rounds) {
-      val sums = base.withColumn("a", assignCol)
+      val sums = base.withColumn("a", kmeansAssignCol(cents))
         .select(col("a.cl").as("cl"), posexplode(col("vq")).as(Seq("i", "x")))
         .groupBy("cl", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
         .collect() // k·dims rows — bounded driver state, like pcaProject
@@ -490,13 +508,34 @@ object VectorOps {
       }
       r += 1
     }
-    val out = base.withColumn("a", assignCol)
-      .select(col("vid").as("vec_id"), col("a.cl").cast("long").as("cluster"),
-        col("a.d2").as("dist2"))
-    val sizes = out.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-    out.join(broadcast(sizes), Seq("cluster"))
-      .select("vec_id", "cluster", "dist2", "cluster_size")
-      .orderBy("vec_id")
+    cents
+  }
+
+  /** [[ivfTopK]] with TRAINED coarse centroids, the ORACLE-EXACT form:
+    * the integer Lloyd centers from [[kmeansTrain]], dequantized
+    * (c/1e6, the same long→double division in both engines) and baked
+    * into the SAME literal-assignment / probe / re-rank plan — the
+    * swap [[ivfTopK]]'s scale note promises, demonstrated end-to-end
+    * and DuckDB-replayable (q_ivf_kmeans). [[ivfTopKKmeans]] is the
+    * spark.ml twin for library users (its MLlib trainer is seeded but
+    * not engine-replayable, so it can't carry the oracle); list ids
+    * here are the cluster indexes 0..nlists-1. */
+  def ivfTopKKmeansExact(df: DataFrame, id: String, vec: String, nlists: Int,
+                         nprobe: Int, k: Int, queryPred: Column,
+                         rounds: Int = 2): DataFrame = {
+    val kmBase = df.filter(col(vec).isNotNull)
+      .select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
+      .filter(size(col("vq")) > 0)
+      .localCheckpoint(true)
+    val cents = kmeansTrain(kmBase, nlists, rounds).zipWithIndex.map {
+      case (c, i) => (i.toLong, c.map(_ / 1e6).toSeq)
+    }
+    val base = df.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"),
+        asDouble(col(vec)).as("v"), queryPred.as("__isq"))
+      .filter(norm(col("v")) > 0)
+    val (assigned, q) = literalAssignment(base, cents, nprobe)
+    rerankLists(assigned, q, k)
   }
 
   /** Distinct colliding id pairs from the multi-table SRP-LSH bucket
