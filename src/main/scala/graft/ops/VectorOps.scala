@@ -519,10 +519,15 @@ object VectorOps {
     * and DuckDB-replayable (q_ivf_kmeans). [[ivfTopKKmeans]] is the
     * spark.ml twin for library users (its MLlib trainer is seeded but
     * not engine-replayable, so it can't carry the oracle); list ids
-    * here are the cluster indexes 0..nlists-1. */
+    * here are the cluster indexes 0..nlists-1. Same assignment
+    * strategy switch as [[ivfTopK]]: literal projection up to
+    * `broadcastThreshold` lists, broadcast cross-join + max_by past it
+    * (codegen stops scaling past dozens of baked centroid literals —
+    * thousands of lists must go through the aggregate path). */
   def ivfTopKKmeansExact(df: DataFrame, id: String, vec: String, nlists: Int,
                          nprobe: Int, k: Int, queryPred: Column,
-                         rounds: Int = 2): DataFrame = {
+                         rounds: Int = 2,
+                         broadcastThreshold: Int = 64): DataFrame = {
     val kmBase = df.filter(col(vec).isNotNull)
       .select(col(id).as("vid"), quantized(asDouble(col(vec))).as("vq"))
       .filter(size(col("vq")) > 0)
@@ -534,7 +539,16 @@ object VectorOps {
       .select(col(id).cast("long").as("vid"),
         asDouble(col(vec)).as("v"), queryPred.as("__isq"))
       .filter(norm(col("v")) > 0)
-    val (assigned, q) = literalAssignment(base, cents, nprobe)
+    val (assigned, q) =
+      if (cents.length <= broadcastThreshold)
+        literalAssignment(base, cents, nprobe)
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        broadcastAssignment(base,
+          cents.toSeq.toDF("cid", "cv").select(col("cid"),
+            col("cv").cast("array<double>").as("cv")), nprobe)
+      }
     rerankLists(assigned, q, k)
   }
 
