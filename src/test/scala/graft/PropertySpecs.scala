@@ -805,3 +805,45 @@ object SketchProps extends SparkProps("Sketches") {
       })
     }
 }
+
+/** The skew-safe RankKernel equals the naive per-stratum window on
+  * RANDOM frames — strata of wildly different sizes, scores quantized
+  * coarsely (forcing both bucket collisions and exact ties), zero and
+  * repeated masses. RankKernelSpec pins a fixed adversarial fixture
+  * and the plan/task-spread properties; this randomizes the data. */
+object RankKernelProps extends SparkProps("RankKernel") {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  private val rowGen = for {
+    lang <- Gen.oneOf("en", "en", "en", "fr", "zz") // skewed strata
+    q <- Gen.chooseNum(0, 20).map(_ / 20.0)         // coarse → many ties
+    m <- Gen.chooseNum(0L, 5L)
+  } yield (lang, q, m)
+  private val frameGen = Gen.chooseNum(1, 60)
+    .flatMap(n => Gen.listOfN(n, rowGen))
+
+  property("rank + running mass ≡ the naive window on random skewed frames") =
+    forAll(frameGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((l, q, m), i) => (i.toLong, l, q, m) }
+        .toDF("doc_id", "lang", "q", "n_tok")
+      val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+      val naive = df
+        .withColumn("nr", row_number().over(w).cast("long"))
+        .withColumn("nc", sum("n_tok").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tok"))
+        .select("doc_id", "nr", "nc")
+      val kern = graft.ops.RankKernel.withStratumRank(
+          df, "lang", "q", "doc_id", mass = Some("n_tok"), buckets = 8)
+        .select(col("doc_id"), col("__rank").as("kr"),
+          col("__cum_before").as("kc"))
+      val bad = naive.join(kern, Seq("doc_id"))
+        .filter(col("nr") =!= col("kr") || col("nc") =!= col("kc"))
+        .collect()
+      Prop(bad.isEmpty) :| s"rows=$rows diverged=${bad.take(3).toSeq}"
+    }
+}
