@@ -279,6 +279,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(toks("") == Seq.empty)
   }
 
+  test("kmeans degenerates: identical vectors collapse to one cluster; k too large is loud") {
+    import graft.ops.VectorOps
+    val same = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f)),
+      (3L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    // identical points: every assignment ties → lowest cluster id 0;
+    // clusters 1-2 empty and keep their (identical) centroids — no
+    // divide-by-zero, no nondeterminism
+    val out = VectorOps.kmeansAssign(same, "vec_id", "embedding", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 0L, 3L), (2L, 0L, 0L, 3L), (3L, 0L, 0L, 3L)),
+      s"got ${out.toSeq}")
+    // fewer vectors than k: a loud contract, not a silent short table
+    val e = intercept[IllegalArgumentException](
+      VectorOps.kmeansAssign(same, "vec_id", "embedding", k = 5, rounds = 1)
+        .collect())
+    assert(e.getMessage.contains("need"))
+  }
+
+  test("rank kernel degenerate: a single-atom score distribution stays EXACT") {
+    // every row has the same score → ONE bucket (the documented
+    // residual-skew caveat collapses to the naive shape) — the answer
+    // must still be exact: ranks follow the tie-break alone
+    import graft.ops.RankKernel
+    val df = (1L to 30L).map(i => (i, "en", 0.5, i)).toDF("doc_id", "lang", "q", "n_tok")
+    val got = RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+        mass = Some("n_tok"))
+      .select("doc_id", "__rank", "__cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    got.foreach { case (id, rank, cumBefore) =>
+      assert(rank == id, s"doc $id rank $rank")                 // ties → id order
+      assert(cumBefore == id * (id - 1) / 2, s"doc $id cum $cumBefore")
+    }
+  }
+
   test("nfc dedup key: composed and decomposed re-encodes collapse; ASCII is identity") {
     val composed = "café menu"      // é as U+00E9
     val decomposed = "café menu"   // e + COMBINING ACUTE ACCENT
