@@ -91,6 +91,33 @@ class StreamingSpec extends SparkSpec {
       "maintained rollup diverges from the oracled batch aggregate")
   }
 
+  test("maintainPipeline: live stream of doc_id-ordered batches ≡ the batch pipeline") {
+    // the writeStream wiring itself (foreachBatch hookup, batchId
+    // sequencing, state commit under a REAL StreamingQuery) — the
+    // apply-function semantics are pinned in PipelineSpec
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val statePath = java.nio.file.Files
+      .createTempDirectory("mpipe_stream").toString + "/state"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.maintainPipeline(
+      input.toDF().toDF("doc_id", "lang", "text"), statePath)
+    try {
+      // doc_id-ordered micro-batches (the maintainer's loud contract)
+      val parts = Seq(docs.take(180), docs.slice(180, 390), docs.drop(390))
+      parts.foreach { p => input.addData(p: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = rows(graft.streaming.StreamOps.pipelineStateAudit(spark, statePath))
+    val want = rows(pipelines.Corpus.pipelineE2e(spark, d))
+    assert(got == want,
+      s"streamed pipeline state diverges from batch recompute:\n got=$got\nwant=$want")
+  }
+
   test("stream-stream interval join equals the batch pair join") {
     implicit val sc = spark.sqlContext
     val d = "/root/testdata/sf0.001"
