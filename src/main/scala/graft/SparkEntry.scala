@@ -60,8 +60,11 @@ object SparkEntry {
     "q_lang_id"           -> ((s, d) => DataQueries.langId(s, d)),
     "q_dedup_exact"       -> ((s, d) => DataQueries.dedupExact(s, d)),
     "q_dedup_norm"        -> ((s, d) => DataQueries.dedupNormalized(s, d)),
-    // Unicode-NFC dedup key: oracle is DuckDB's NATIVE nfc_normalize
+    // Unicode-NFC dedup key over the multilingual derivation: oracle
+    // is DuckDB's NATIVE nfc_normalize + codepoint-native chr
     "q_dedup_nfc"         -> ((s, d) => DataQueries.dedupNfc(s, d)),
+    "q_cjk_tokens"        -> ((s, d) => DataQueries.cjkTokens(s, d)),
+    "q_i18n_gate"         -> ((s, d) => DataQueries.i18nGate(s, d)),
     "q_jaccard_pairs"     -> ((s, d) => DataQueries.jaccardPairs(s, d)),
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
@@ -350,6 +353,43 @@ object SparkEntry {
     s"""toks AS (SELECT doc_id, text,
          ${duckToks("text")} AS tk
        FROM documents)"""
+
+  /** DuckDB twin of TextOps.textI18n — the deterministic multilingual
+    * derivation (hash-gated accent + CJK suffixes; composed vs
+    * decomposed accent picked by doc_id parity). Same shift/mod
+    * arithmetic on the same 60-bit hash; DuckDB's chr is
+    * codepoint-native (our Spark twin is the `uchr` expression). */
+  private def docs18Cte(src: String): String =
+    s"""docs18 AS (SELECT doc_id, lang, text0
+         || CASE WHEN ((h >> 35) % 4) <> 3 THEN ' '
+              || chr(CAST(97 + ((h >> 27) % 16) AS INT))
+              || chr(CAST(97 + ((h >> 31) % 16) AS INT))
+              || CASE WHEN doc_id % 2 = 1
+                   THEN chr(CAST(97 + ((h >> 2) % 2) * 4 AS INT))
+                     || chr(CAST(768 + CASE WHEN h % 4 = 3 THEN 8
+                                       ELSE h % 4 END AS INT))
+                   ELSE CASE WHEN (h >> 2) % 2 = 1
+                          THEN chr(CAST(232 + h % 4 AS INT))
+                          ELSE chr(CAST(224 + CASE WHEN h % 4 = 3 THEN 4
+                                         ELSE h % 4 END AS INT))
+                        END
+                 END
+            ELSE '' END
+         || CASE WHEN ((h >> 37) % 4) <> 3 THEN ' '
+              || chr(CAST(19968 + ((h >> 3) % 512) AS INT))
+              || chr(CAST(12354 + ((h >> 21) % 64) AS INT))
+              || chr(CAST(19968 + ((h >> 12) % 512) AS INT))
+            ELSE '' END AS text
+       FROM (SELECT doc_id, lang, text AS text0,
+               ${H64.format("text")} AS h FROM $src))"""
+  private lazy val DOCS18_CTE = docs18Cte("documents")
+  /** Two-producer variant for the NFC-merge gate: each doc plus an
+    * ODD-offset re-key, so the twin's accent takes the other encoding. */
+  private lazy val DOCS18X2_CTE =
+    """docs2 AS (SELECT doc_id, lang, text FROM documents
+       UNION ALL
+       SELECT doc_id + 10000001, lang, text FROM documents),
+    """ + docs18Cte("docs2")
   private val SHING_CTE =
     """shing AS (SELECT doc_id,
          CASE WHEN len(tk) >= 3
@@ -1458,12 +1498,46 @@ object SparkEntry {
     // independent NFC implementation (ASOF-join posture); both engines
     // md5 the normalized string's UTF-8 bytes
     "q_dedup_nfc" ->
-      s"""SELECT ${H64.format("nfc_normalize(text)")} AS nfc_hash,
+      s"""WITH $DOCS18X2_CTE
+         SELECT ${H64.format("nfc_normalize(text)")} AS nfc_hash,
            min(doc_id) AS keep_id, count(*) AS n_docs,
            CAST(count(DISTINCT ${H64.format("text")}) AS BIGINT)
              AS n_raw_variants
-         FROM documents
+         FROM docs18
          GROUP BY 1 ORDER BY keep_id""",
+    // CJK pad vs naive whitespace split over the multilingual
+    // derivation — holds Java \p{IsHan}≡RE2 \p{Han} (and the kana/
+    // combining-mark class edges) on the hash gate
+    "q_cjk_tokens" ->
+      s"""WITH $DOCS18_CTE,
+         t AS (SELECT lang,
+                 len(${duckToks("text")}) AS ntk,
+                 len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> len(x) > 0)) AS nws
+               FROM docs18)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(ntk) AS BIGINT) AS n_tok,
+           CAST(sum(nws) AS BIGINT) AS n_tok_ws,
+           CAST(sum(CASE WHEN ntk <> nws THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pad_changed
+         FROM t GROUP BY lang ORDER BY lang""",
+    // non-identity proof row: basis points of rows NFC rewrites / the
+    // pad re-tokenizes, exact integer division (no float boundary)
+    "q_i18n_gate" ->
+      s"""WITH $DOCS18_CTE,
+         t AS (SELECT
+                 CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END
+                   AS nfc_chg,
+                 CASE WHEN len(${duckToks("text")}) <>
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> len(x) > 0)) THEN 1 ELSE 0 END AS pad_chg
+               FROM docs18)
+         SELECT count(*) AS n_rows,
+           CAST(sum(nfc_chg) AS BIGINT) AS n_nfc_changed,
+           (10000 * CAST(sum(nfc_chg) AS BIGINT)) // count(*) AS bp_nfc,
+           CAST(sum(pad_chg) AS BIGINT) AS n_pad_changed,
+           (10000 * CAST(sum(pad_chg) AS BIGINT)) // count(*) AS bp_pad
+         FROM t""",
     "q_jaccard_pairs" ->
       s"""WITH $TOKS_CTE,
          $SHING_CTE,

@@ -325,5 +325,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.ops.NfcNormalizeExpr].getName,
         "nfc_normalize"),
       (args: Seq[Expression]) => graft.ops.NfcNormalizeExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("uchr"),
+      new ExpressionInfo(classOf[graft.ops.UchrExpr].getName, "uchr"),
+      (args: Seq[Expression]) => graft.ops.UchrExpr(args.head)))
   }
 }

@@ -35,6 +35,11 @@ object Hashing {
     else UTF8String.fromString(java.text.Normalizer.normalize(
       u.toString, java.text.Normalizer.Form.NFC))
 
+  /** Unicode codepoint → its single-character string (surrogate pair
+    * for supplementary planes); called from generated code. */
+  def uchr(cp: Long): UTF8String =
+    UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+
   def h64(bytes: Array[Byte]): Long = {
     val d = md.get()
     d.reset()
@@ -619,5 +624,30 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.nfc($c)")
   override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** uchr(codepoint) → the one-character string for a Unicode codepoint.
+  * Spark's builtin `chr` is byte-bound (mod-256 ASCII semantics), so it
+  * cannot synthesize accents or CJK; DuckDB's `chr` is codepoint-native.
+  * This expression is the Spark twin — it powers the deterministic
+  * multilingual derivation ([[TextOps.textI18n]]) that routes non-ASCII
+  * bytes through the cross-engine oracle gate. Codegen'd; folds on
+  * literals so derivations over constants collapse at plan time. */
+case class UchrExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs an integral codepoint")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "uchr"
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case l: java.lang.Long    => Hashing.uchr(l)
+    case i: java.lang.Integer => Hashing.uchr(i.toLong)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.uchr((long) $c)")
+  override protected def withNewChildInternal(newChild: Expression): UchrExpr =
     copy(child = newChild)
 }

@@ -73,6 +73,55 @@ object TextOps {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Deterministic multilingual derivation: append hash-derived accent
+    * and CJK suffixes to `text` so that non-ASCII bytes flow through
+    * the cross-engine oracle gate (the base corpus fixture is 100%
+    * ASCII, which would make NFC and the CJK tokenizer pad identity
+    * functions on every oracled row). All arithmetic runs on the shared
+    * 60-bit content hash [[h64]], so the DuckDB oracle replays the SAME
+    * string byte-for-byte via its codepoint-native `chr` (our twin is
+    * the `uchr` expression — Spark's builtin `chr` is mod-256 ASCII).
+    *
+    * Structure (each suffix hash-gated to ~75% of rows):
+    *  - accent token: two hash-picked ASCII letters + one accented
+    *    vowel (a/e × grave/acute/circumflex/diaeresis). The ENCODING is
+    *    picked by doc_id parity — odd docs emit the DECOMPOSED form
+    *    (base letter + U+0300..U+0308 combining mark), even docs the
+    *    COMPOSED Latin-1 codepoint — so two docs sharing raw `text` but
+    *    differing in parity are byte-different yet NFC-identical: the
+    *    composed/decomposed producer split a real multilingual crawl
+    *    has (macOS emits NFD filenames), and the case an NFC dedup key
+    *    exists to collapse.
+    *  - CJK token: two Han (U+4E00+9 bits) + one hiragana (U+3042+6
+    *    bits) codepoints, unspaced — the char-level tokenizer pad must
+    *    split them or every token-mass metric undercounts.
+    * Pure column arithmetic (shifts/mods on a positive 60-bit long), no
+    * UDF; one md5 per row. */
+  def textI18n(text: Column, docId: Column): Column = {
+    val h = h64(text)
+    def u(c: Column) = call_function("uchr", c)
+    // combining marks U+0300 grave / U+0301 acute / U+0302 circumflex /
+    // U+0308 diaeresis; composed Latin-1 offsets 0/1/2/4 (à á â ä / è é ê ë)
+    val mark = h % 4
+    val markOff = when(mark === 3, lit(8L)).otherwise(mark)
+    val vowelE  = shiftright(h, 2) % 2 // 0 → 'a' family, 1 → 'e' family
+    val decomposed = concat(u(lit(97L) + vowelE * 4), u(lit(768L) + markOff))
+    // Latin-1 layout asymmetry: the a-row skips ã (à á â _ ä → diaeresis
+    // at +4) while the e-row is packed (è é ê ë → diaeresis at +3)
+    val composed = when(vowelE === 1, u(lit(232L) + mark))
+      .otherwise(u(lit(224L) + when(mark === 3, lit(4L)).otherwise(mark)))
+    val accent = concat(lit(" "),
+      u(lit(97L) + shiftright(h, 27) % 16), u(lit(97L) + shiftright(h, 31) % 16),
+      when(docId % 2 === 1, decomposed).otherwise(composed))
+    val cjk = concat(lit(" "),
+      u(lit(19968L) + shiftright(h, 3) % 512),
+      u(lit(12354L) + shiftright(h, 21) % 64),
+      u(lit(19968L) + shiftright(h, 12) % 512))
+    concat(text,
+      when(shiftright(h, 35) % 4 =!= 3, accent).otherwise(lit("")),
+      when(shiftright(h, 37) % 4 =!= 3, cjk).otherwise(lit("")))
+  }
+
   /** BPE-ish subword segmentation regex (GPT-2-style word/number/punct
     * classes with common English contractions), restricted to syntax
     * both Java regex and RE2 accept (no lookahead) so the DuckDB oracle
