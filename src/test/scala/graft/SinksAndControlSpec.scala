@@ -398,4 +398,22 @@ class ControlPlaneSpec extends SparkSpec {
     val bad = Bench.parseOnly(Array(known.head, "q_definitely_not_a_query"))
     assert(bad.isLeft && bad.swap.toOption.get.contains("q_definitely_not_a_query"))
   }
+
+  test("Bench rerun gate: contended probes cannot confirm a regression") {
+    // synthetic sentinel values — the round-9 phantom class: the rerun
+    // machinery published a 7.3x "rerun-confirmed" regression whose
+    // re-measure ran on a contended machine. The gate is a pure
+    // function of the all-core spin probe vs the best spin observed.
+    val best = 100.0
+    assert(Bench.rerunControlled(100.0, best), "idle probe is controlled")
+    assert(Bench.rerunControlled(129.9, best), "within the 1.3x band")
+    assert(!Bench.rerunControlled(131.0, best), "beyond the band: contended")
+    assert(!Bench.rerunControlled(500.0, best),
+      "heavy co-tenant load must be flagged, never confirmed")
+    // the reference is the BEST observed: a later, quieter probe lowers
+    // it, so an early-loaded session cannot grandfather a high baseline
+    assert(!Bench.rerunControlled(140.0, math.min(best, 104.0)))
+    // custom band widens the window explicitly, not silently
+    assert(Bench.rerunControlled(150.0, best, band = 1.6))
+  }
 }
