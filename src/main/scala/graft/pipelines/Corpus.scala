@@ -49,8 +49,15 @@ object Corpus {
     * shs5, q, n_kept, kept_hash, is_bench. */
   private[graft] def signalFrame(docs: DataFrame): DataFrame = {
     val (nWords, meanLen, alphaFrac, stopHits) = TextOps.gopherSignals(col("text"))
+    // arrival stamp pass-through: the incremental maintainer keys its
+    // order-sensitive rules (first occurrence, later-doc drop) on the
+    // ARRIVAL order (__arr = batch arrival index, doc_id tiebreak);
+    // the batch pipeline runs with a constant 0, which reduces the
+    // lexicographic (arr, doc_id) key to plain doc_id — the original
+    // semantics, unchanged
+    val arr = if (docs.columns.contains("__arr")) col("__arr") else lit(0L)
     docs.select(
-        col("doc_id"), col("lang"),
+        col("doc_id"), col("lang"), arr.as("__arr"),
         nWords.cast("long").as("n_words"),
         TextOps.gopherKeep(nWords, meanLen, alphaFrac, stopHits).as("keep_gopher"),
         call_function("drop_repeated_windows",
@@ -100,9 +107,18 @@ object Corpus {
       .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
         col("n_docs"), col("n_tokens"))
 
-  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+  def pipelineE2e(s: SparkSession, d: String): DataFrame =
+    pipelineAudit(Tables.documents(s, d))
+
+  /** The full 8-stage funnel over any `(doc_id, lang, text)` frame —
+    * optionally carrying an `__arr` arrival stamp (see [[signalFrame]]);
+    * without one, every order-sensitive rule keys on doc_id, the
+    * declared-query semantics. PipelineSpec uses this with PERMUTED
+    * arrival stamps as the batch-recompute twin of the incremental
+    * maintainer. */
+  private[graft] def pipelineAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = signalFrame(Tables.documents(s, d))
+    val base = signalFrame(docs)
       .localCheckpoint(true)
 
     val s1 = base.filter(col("keep_gopher"))
@@ -113,24 +129,28 @@ object Corpus {
     // without them each stage aggregate re-executes the upstream
     // join/window chain (measured: 7.5 s vs 5.2 s at sf0.1)
     val s3 = s2.withColumn("rk", row_number().over(
-        Window.partitionBy("kept_hash").orderBy("doc_id")))
+        Window.partitionBy("kept_hash").orderBy("__arr", "doc_id")))
       .filter(col("rk") === 1).drop("rk")
       .localCheckpoint(true)
 
     // windowed near-dup among stage-3 survivors: (shingle, bucket)
     // keys with {b, b+1} replication — the bounded-state candidate
     // shape — then exact Jaccard; the later doc of each pair drops
-    val ex = s3.select(col("doc_id"), (col("doc_id") % 10).as("batch"),
+    val ex = s3.select(col("doc_id"),
+        struct(col("__arr"), col("doc_id")).as("ord"),
+        (col("doc_id") % 10).as("batch"),
         size(col("shs3")).as("sz"), explode_outer(col("shs3")).as("sh"))
       .filter(col("sh").isNotNull)
-    val rep = ex.select(col("doc_id"), col("batch"), col("sz"), col("sh"),
-      explode(array(col("batch"), col("batch") + 1)).as("bk"))
-    val aSide = rep.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-      col("sh"), col("bk"))
-    val bSide = rep.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-      col("sh"), col("bk"))
+    val rep = ex.select(col("doc_id"), col("ord"), col("batch"), col("sz"),
+      col("sh"), explode(array(col("batch"), col("batch") + 1)).as("bk"))
+    val aSide = rep.select(col("doc_id").as("doc_a"), col("ord").as("ord_a"),
+      col("sz").as("sz_a"), col("sh"), col("bk"))
+    val bSide = rep.select(col("doc_id").as("doc_b"), col("ord").as("ord_b"),
+      col("sz").as("sz_b"), col("sh"), col("bk"))
+    // the LATER-arriving side of each pair drops: lexicographic
+    // (arr, doc_id) — plain doc_id order when every __arr is 0
     val dropB = aSide.join(bSide, Seq("sh", "bk"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("ord_a") < col("ord_b"))
       .select("doc_a", "doc_b", "sz_a", "sz_b", "sh")
       .distinct() // same-bucket pairs meet at both replicas
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
