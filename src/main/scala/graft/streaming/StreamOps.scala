@@ -846,13 +846,21 @@ object StreamOps {
     *     docs fall out at READ time (alive ⟺ n_hits < 5), exactly the
     *     batch semantics where decontamination sees the WHOLE bench set.
     *
-    * Ordering contract (LOUD, not assumed): batches must arrive in
-    * doc_id order (min of the batch above every previously applied
-    * id, journaled in `_MAXID_<batchId>` files — no data scan). The
-    * batch pipeline's first-occurrence dedup and later-doc-drops rules
-    * are id-ordered; an out-of-order ingest would need retraction
-    * cascades this maintainer deliberately rejects instead of
-    * silently approximating.
+    * Ordering contract: every order-sensitive rule (stage-3 first
+    * occurrence, stage-4 later-doc drop) keys on ARRIVAL order — the
+    * lexicographic `(arr, doc_id)` key where `arr` is the micro-batch
+    * sequence (`batchId`, stamped as `__arr` into the shared signal
+    * projection and carried in the sig3 postings). Batches may carry
+    * ANY doc_ids — real crawl batches don't arrive in id order — and
+    * the fold stays cell-identical to `Corpus.pipelineAudit` over the
+    * same stamps, because arrival-keyed rules never retract: a prior
+    * admit always precedes a new doc, so the prior index wins by
+    * construction and only new docs ever drop. The one LOUD guard
+    * left is the batch SEQUENCE itself: each apply journals an
+    * `_ARR_<batchId>` marker (no data scan), and a batchId at or
+    * below an already-journaled one (a foreachBatch contract
+    * violation, e.g. a fresh checkpoint pointed at old state) is
+    * rejected instead of silently corrupting the arrival key.
     *
     * Per-trigger cost: |batch| signal projection + index probes keyed
     * on the batch side (shuffles carry batch-sized and posting-hit
@@ -860,14 +868,24 @@ object StreamOps {
     * recomputed) + the small hits-table rewrite under the usual
     * versioned `_COMMIT` (at-least-once replays skip; a failed apply
     * rewrites its own orphan b= dirs with mode-overwrite before the
-    * hits version commits). PipelineSpec pins sequential micro-batches
-    * cell-identical to the batch recompute, replay idempotence, the
-    * ordering guard, and per-dir batch-boundedness. */
-  def maintainPipeline(stream: DataFrame, statePath: String)
+    * hits version commits). PipelineSpec pins sequential AND permuted
+    * micro-batches cell-identical to the batch recompute on the same
+    * arrival stamps, replay idempotence, the sequence guard, and
+    * per-dir batch-boundedness.
+    *
+    * `compactEvery > 0` folds the append state ([[compactPipelineIndex]])
+    * after every Nth batch, between triggers (foreachBatch is the
+    * single writer) — without it a year of hourly ingests plans 8,760
+    * `b=` dirs per kind; with it the planner sees ≤ N + 1. */
+  def maintainPipeline(stream: DataFrame, statePath: String,
+                       compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         applyPipelineBatch(batch, statePath, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactPipelineIndex(batch.sparkSession, statePath)
+        ()
       }
       .start()
 
@@ -880,37 +898,47 @@ object StreamOps {
     if (batchId <= lastAppliedStream(sp, hitsPath))
       return // at-least-once replay: already applied (b= dirs included)
 
-    // ---- ordering gate: the _MAXID journal, one tiny file per batch
+    // ---- sequence journal: one empty `_ARR_<batchId>` file per batch.
+    // The arrival stamp IS the batchId; the only guard left is that the
+    // batch SEQUENCE is fresh — a batchId at or below one already
+    // journaled (excluding this batch's own crash-retry marker) means a
+    // restarted query with a rewound checkpoint is about to corrupt the
+    // arrival key, and that fails LOUDLY instead of folding.
     val (fs, root) = rollupFs(sp, statePath)
-    val priorMax: Long =
+    val priorArr: Long =
       if (!fs.exists(root)) Long.MinValue
       else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
-        case n if n.startsWith("_MAXID_") &&
-            n.stripPrefix("_MAXID_").toLong != batchId =>
-          val in = fs.open(new org.apache.hadoop.fs.Path(root, n))
-          try new String(in.readAllBytes(), "UTF-8").trim.toLong
-          finally in.close()
+        case n if n.startsWith("_ARR_") &&
+            n.stripPrefix("_ARR_").toLong != batchId =>
+          n.stripPrefix("_ARR_").toLong
       }.foldLeft(Long.MinValue)(math.max)
-    val idBounds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (idBounds.isNullAt(0)) { // empty batch: advance the replay gate only
+    require(batchId > priorArr,
+      s"maintainPipeline: arrival-sequence violation (batchId $batchId ≤ " +
+        s"journaled $priorArr) — a rewound checkpoint over live state would " +
+        "corrupt the (arr, doc_id) arrival key")
+    def journalArr(): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(root, s"_ARR_$batchId"), true)
+        .close()
+    if (batch.isEmpty) { // empty batch: advance the replay gate only
       val prevHits = readVersioned(sp, hitsPath, HitsSchema).localCheckpoint(true)
+      journalArr()
       commitVersioned(sp, hitsPath, nextVersion(committed, batchId), prevHits,
         committed, batchId)
       return
     }
-    require(idBounds.getLong(0) > priorMax,
-      s"maintainPipeline: out-of-order ingest (batch min doc_id " +
-        s"${idBounds.getLong(0)} ≤ applied max $priorMax) — the id-ordered " +
-        "dedup/near-dup rules do not fold out-of-order batches")
 
-    // ---- per-doc signals, ONCE (the shared projection)
-    val sig = graft.pipelines.Corpus.signalFrame(batch.toDF())
+    // ---- per-doc signals, ONCE (the shared projection), stamped with
+    // this batch's arrival sequence — the order every rule keys on
+    val sig = graft.pipelines.Corpus.signalFrame(
+        batch.toDF().withColumn("__arr", lit(batchId)))
       .localCheckpoint(true)
     val s1 = sig.filter(col("keep_gopher"))
 
-    // ---- stage 3: first occurrence per kept_hash (prior index + batch).
-    // Every prior-state read EXCLUDES this batch's own dirs (crash-retry
-    // orphans must not feed back into the retry).
+    // ---- stage 3: first occurrence per kept_hash in ARRIVAL order.
+    // Prior admits have strictly smaller arr, so "prior index wins" IS
+    // the (arr, doc_id) rule; within the batch arr is constant and
+    // doc_id breaks the tie. Every prior-state read EXCLUDES this
+    // batch's own dirs (crash-retry orphans must not feed back).
     val priorRows = readAppendState(sp, statePath, "rows", RowsSchema, batchId)
     val priorHash = priorRows.filter(col("s3")).select("kept_hash").distinct()
     val wHash = Window.partitionBy("kept_hash").orderBy("doc_id")
@@ -919,26 +947,31 @@ object StreamOps {
       .filter(col("__rk") === 1).drop("__rk")
       .localCheckpoint(true)
 
-    // ---- stage-3 postings appended, then the windowed near-dup probe
-    val sig3New = s3.select(col("doc_id").as("doc"),
+    // ---- stage-3 postings appended (arr travels with each posting so
+    // cross-batch pairs order by arrival), then the near-dup probe
+    val sig3New = s3.select(col("doc_id").as("doc"), col("__arr").as("arr"),
         (col("doc_id") % 10).as("bkey"), size(col("shs3")).as("sz"),
         explode_outer(col("shs3")).as("sh"))
       .filter(col("sh").isNotNull)
     sig3New.write.mode("overwrite").parquet(s"$statePath/sig3/b=$batchId")
-    val sig3Schema = "doc BIGINT, bkey BIGINT, sz INT, sh BIGINT"
+    val sig3Schema = "doc BIGINT, arr BIGINT, bkey BIGINT, sz INT, sh BIGINT"
     val index3 = readAppendState(sp, statePath, "sig3", sig3Schema)
     val probe3 = sp.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(sig3Schema))
       .parquet(s"$statePath/sig3/b=$batchId")
-    val dropped4 = probe3.toDF("pa", "ba", "sza", "s")
-      .join(index3.toDF("pb", "bb", "szb", "s"), Seq("s"))
+    // the LATER side of each pair — lexicographic (arr, doc_id) — drops;
+    // cross-batch pairs always drop the probe side (its arr is maximal),
+    // within-batch pairs fall back to the doc_id tiebreak
+    val aLater = struct(col("aa"), col("pa")) > struct(col("ab"), col("pb"))
+    val dropped4 = probe3.toDF("pa", "aa", "ba", "sza", "s")
+      .join(index3.toDF("pb", "ab", "bb", "szb", "s"), Seq("s"))
       .filter(col("pa") =!= col("pb") &&
         abs(col("ba") - col("bb")) <= 1) // the {b, b+1} window, both sides
       .select(
-        when(col("pa") < col("pb"), col("pa")).otherwise(col("pb")).as("doc_a"),
-        when(col("pa") < col("pb"), col("sza")).otherwise(col("szb")).as("sz_a"),
-        when(col("pa") < col("pb"), col("pb")).otherwise(col("pa")).as("doc_b"),
-        when(col("pa") < col("pb"), col("szb")).otherwise(col("sza")).as("sz_b"),
+        when(aLater, col("pb")).otherwise(col("pa")).as("doc_a"),
+        when(aLater, col("szb")).otherwise(col("sza")).as("sz_a"),
+        when(aLater, col("pa")).otherwise(col("pb")).as("doc_b"),
+        when(aLater, col("sza")).otherwise(col("szb")).as("sz_b"),
         col("s"))
       .distinct() // batch-batch pairs arrive in both orientations
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
@@ -988,12 +1021,9 @@ object StreamOps {
         coalesce(col("s4"), lit(false)).as("s4"))
     rowsOut.write.mode("overwrite").parquet(s"$statePath/rows/b=$batchId")
 
-    // ---- journal the id high-water mark, then commit (the marker is
-    // the replay gate; everything above is idempotent mode-overwrite)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(root, s"_MAXID_$batchId"), true)
-    out.write(idBounds.getLong(1).toString.getBytes("UTF-8"))
-    out.close()
+    // ---- journal the arrival sequence, then commit (the version marker
+    // is the replay gate; everything above is idempotent mode-overwrite)
+    journalArr()
     commitVersioned(sp, hitsPath, nextVersion(committed, batchId), nextHits,
       committed, batchId)
   }

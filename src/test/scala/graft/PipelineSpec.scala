@@ -62,10 +62,13 @@ class PipelineSpec extends SparkSpec {
     // at-least-once replay of an applied batch is a no-op
     StreamOps.applyPipelineBatch(batches(1), dir, 1L)
     assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
-    // out-of-order ingest fails LOUDLY (id-ordered dedup rules)
+    // arrival-SEQUENCE corruption fails LOUDLY: a journaled later batch
+    // (a crashed batch 20, say) makes a smaller fresh batchId a rewind
+    new java.io.File(s"$dir/_ARR_20").createNewFile()
     val e = intercept[IllegalArgumentException](
-      StreamOps.applyPipelineBatch(batches.head, dir, 9L))
-    assert(e.getMessage.contains("out-of-order"))
+      StreamOps.applyPipelineBatch(batches.head, dir, 15L))
+    assert(e.getMessage.contains("arrival-sequence"))
+    new java.io.File(s"$dir/_ARR_20").delete()
     // per-trigger boundedness: a batch's signal-row dir holds exactly
     // that batch's docs — prior text is never re-read or re-signalled.
     // Batches 0-1 were compacted into rows/c=1 (their b= dirs are
@@ -76,6 +79,37 @@ class PipelineSpec extends SparkSpec {
     assert(got.head._3 == docs.count(), "stage-0 audit must cover every doc")
     // an empty batch just advances the replay gate
     StreamOps.applyPipelineBatch(docs.filter(lit(false)), dir, 10L)
+    assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
+  }
+
+  test("maintainPipeline: PERMUTED batches ≡ pipelineAudit on the same arrival stamps") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("mpipe_perm").toString
+    // interleaved ids: batch k holds doc_id % 3 == k, so arrival order
+    // is NOT id order — the real crawl contract the retired _MAXID
+    // guard used to reject
+    val batches = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.applyPipelineBatch(b, dir, i.toLong) }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val stamped = batches.zipWithIndex
+      .map { case (b, i) => b.withColumn("__arr", lit(i.toLong)) }
+      .reduce(_ unionByName _)
+    val want = rows(pipelines.Corpus.pipelineAudit(stamped))
+    val got = rows(StreamOps.pipelineStateAudit(spark, dir))
+    assert(got == want,
+      s"permuted incremental fold diverged from the stamped batch twin:\n" +
+        s" got=$got\nwant=$want")
+    // the permutation BITES on this fixture: arrival-keyed folding must
+    // differ from the declared id-keyed query, or this proves nothing
+    val idKeyed = rows(pipelines.Corpus.pipelineE2e(spark, sf))
+    assert(want != idKeyed,
+      "fixture too weak: arrival order coincides with id order everywhere")
+    // replay idempotence holds under permuted arrival too
+    StreamOps.applyPipelineBatch(batches(1), dir, 1L)
     assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
   }
 }

@@ -91,31 +91,40 @@ class StreamingSpec extends SparkSpec {
       "maintained rollup diverges from the oracled batch aggregate")
   }
 
-  test("maintainPipeline: live stream of doc_id-ordered batches ≡ the batch pipeline") {
+  test("maintainPipeline: live stream of PERMUTED batches + auto-compaction ≡ the stamped batch twin") {
     // the writeStream wiring itself (foreachBatch hookup, batchId
-    // sequencing, state commit under a REAL StreamingQuery) — the
-    // apply-function semantics are pinned in PipelineSpec
+    // sequencing, state commit, compactEvery cadence under a REAL
+    // StreamingQuery) — apply-function semantics are pinned in
+    // PipelineSpec. Batches are id-interleaved (doc_id % 3): arrival
+    // order ≠ id order, the realistic crawl contract.
     implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
     val d = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, d).select("doc_id", "lang", "text")
-      .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     val statePath = java.nio.file.Files
       .createTempDirectory("mpipe_stream").toString + "/state"
     val input = MemoryStream[(Long, String, String)]
     val q = graft.streaming.StreamOps.maintainPipeline(
-      input.toDF().toDF("doc_id", "lang", "text"), statePath)
+      input.toDF().toDF("doc_id", "lang", "text"), statePath, compactEvery = 2)
     try {
-      // doc_id-ordered micro-batches (the maintainer's loud contract)
-      val parts = Seq(docs.take(180), docs.slice(180, 390), docs.drop(390))
+      val parts = (0 until 3).map(k => docs.filter(_._1 % 3 == k))
       parts.foreach { p => input.addData(p: _*); q.processAllAvailable() }
     } finally q.stop()
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     val got = rows(graft.streaming.StreamOps.pipelineStateAudit(spark, statePath))
-    val want = rows(pipelines.Corpus.pipelineE2e(spark, d))
+    val stamped = (0 until 3)
+      .map(k => Tables.documents(spark, d).select("doc_id", "lang", "text")
+        .filter(col("doc_id") % 3 === k).withColumn("__arr", lit(k.toLong)))
+      .reduce(_ unionByName _)
+    val want = rows(pipelines.Corpus.pipelineAudit(stamped))
     assert(got == want,
-      s"streamed pipeline state diverges from batch recompute:\n got=$got\nwant=$want")
+      s"streamed pipeline state diverges from stamped batch twin:\n got=$got\nwant=$want")
+    // the mid-stream compaction really ran: batches 0-1 folded under a
+    // committed _AIDX marker after the second trigger
+    assert(new java.io.File(s"$statePath/rows").list()
+      .exists(_.startsWith("_AIDX_")), "auto-compaction never committed")
   }
 
   test("stream-stream interval join equals the batch pair join") {
