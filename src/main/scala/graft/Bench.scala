@@ -15,12 +15,22 @@ package graft
   *     the artifact under "load";
   *   - each query's median is compared against the previous round's
   *     artifact (the repo's BENCH_LAST.json, read BEFORE this run
-  *     overwrites it); any query >2x slower (and >0.3s absolute) is
+  *     overwrites it); any query >2x slower (and >0.3s absolute) —
+  *     or >1.5x if its window was flagged uncontrolled — is
   *     automatically re-measured at the END of the sweep, and the
   *     artifact records both measurements with their load context
   *     under "reruns" — a reader (or the judge) can tell a real
   *     regression (rerun confirms) from a load spike (rerun refutes)
   *     from the artifact alone;
+  *   - the all-core spin probes every 16-query BLOCK of the sweep
+  *     (not just the endpoints), each query's window is bracketed by
+  *     two probes, and queries whose bracket sits above the
+  *     uncontended band ship in "uncontrolled_queries" — a contended
+  *     TAIL can no longer inflate the sub-2x delta band silently. The
+  *     uncontended reference is the running min of every probe,
+  *     seeded from the PRIOR artifact's spin_par_ms_best so even a
+  *     session contended from its first probe knows what idle looks
+  *     like;
   *   - the published per-query number is the min of the two medians:
   *     the controlled measurement, not the contended one.
   */
@@ -77,6 +87,37 @@ object Bench {
       band: Double = 1.3): Boolean =
     spinPar <= spinParBest * band
 
+  /** Per-query uncontrolled-window flags from the per-block sentinel
+    * trace (pure, unit-tested): the sweep probes the all-core spin
+    * every `k` queries plus once at the very end, so block `i / k` is
+    * BRACKETED by probes `i/k` and `i/k + 1` — a query is flagged when
+    * either bracket sits above the uncontended reference band. This
+    * closes the round-10 residual: a contended TAIL inflated sub-2×
+    * deltas silently because only the sweep's endpoints were probed. */
+  private[graft] def uncontrolledFlags(n: Int, k: Int,
+      probes: IndexedSeq[Double], best: Double,
+      band: Double = 1.3): IndexedSeq[Boolean] =
+    (0 until n).map { i =>
+      val b = i / k
+      val hi = math.max(probes(math.min(b, probes.length - 1)),
+        probes(math.min(b + 1, probes.length - 1)))
+      !rerunControlled(hi, best, band)
+    }
+
+  /** Previous round's all-core spin best out of the prior artifact —
+    * the CROSS-ROUND uncontended anchor (round-10 advice): a session
+    * contended from its first probe otherwise baselines "controlled"
+    * on contended spins and can still mark a phantom rerun_ok. Absent
+    * or unparsable → no anchor (MaxValue). */
+  private def prevSpinBest(path: String): Double =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val l = root.get("load")
+      val b = if (l == null) null else l.get("spin_par_ms_best")
+      if (b == null) Double.MaxValue else b.asDouble()
+    } catch { case _: Throwable => Double.MaxValue }
+
   /** Previous round's per-query medians out of BENCH_LAST.json (or
     * SPARK_GRAFT_BENCH_PREV), for the >2x auto-re-run gate. Jackson is
     * on the Spark classpath; absence or parse failure of the file just
@@ -125,6 +166,11 @@ object Bench {
     spinParMs(nThreads) // JIT warm-up: a cold first probe reads ~1.6×
     // high and would inflate the controlled-rerun reference
     val spinParStart = spinParMs(nThreads)
+    // the uncontended reference = running min of every spin observed,
+    // seeded from the PRIOR round's artifact so a session contended
+    // from its very first probe still knows what idle looks like
+    var spinParBest = math.min(spinParStart,
+      prevSpinBest(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)))
     val spark = GraftSession.build(cpus)
     // Warm the session outside the timings by running the WHOLE query
     // set once at the tiny scale factor: whole-stage-codegen compiles
@@ -175,15 +221,47 @@ object Bench {
       (sortedT(sortedT.length / 2), times.forall(_._2), loadAvg())
     }
 
-    val first = selected.map { case (name, fn) =>
+    // Per-BLOCK sentinel probes (off the clock, between queries): the
+    // all-core spin every `blockK` queries plus one closing probe, so
+    // every query's measurement window is bracketed by two probes —
+    // a contended tail can no longer inflate the sub-2× band silently.
+    val blockK = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SPIN_BLOCK", "16").toInt)
+    // each block sentinel is the MIN of 4 probes spread over ~400 ms:
+    // a single probe right after a query reads 1.5-2.5× high from the
+    // JVM's own tail work (GC of the finished query, JIT) — measured
+    // [56.5, 25.9, 25.0, 35.1, 44.0, ...] on an idle box — and those
+    // tails last ~100-200 ms, while a real co-tenant holds the cores
+    // across the whole window
+    def blockProbe(): Double =
+      (1 to 4).map { _ =>
+        val p = spinParMs(nThreads); Thread.sleep(50); p
+      }.min
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val first = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % blockK == 0) {
+        val p = blockProbe()
+        probes += p
+        spinParBest = math.min(spinParBest, p)
+      }
       val (med, ok, ld) = measure(fn)
       (name, med, ok, ld)
     }
+    val closing = blockProbe()
+    probes += closing
+    spinParBest = math.min(spinParBest, closing)
+    val flags = uncontrolledFlags(selected.length, blockK,
+      probes.toIndexedSeq, spinParBest)
+    val uncontrolled = selected.map(_._1).zip(flags)
+      .collect { case (n, true) => n }.toSet
     // Auto re-run of suspicious deltas, AFTER the full sweep (by then
     // any transient co-tenant load has had the sweep's length to
     // subside; if it hasn't, the recorded load/spin context says so).
+    // A query measured in an UNCONTROLLED window reruns at the tighter
+    // >1.5× trigger: its first measure is already suspect.
     val suspects = first.filter { case (name, med, ok, _) =>
-      ok && prev.get(name).exists(p => med > 2 * p && med - p > 0.3)
+      val trig = if (uncontrolled(name)) 1.5 else 2.0
+      ok && prev.get(name).exists(p => med > trig * p && med - p > 0.3)
     }
     // Each rerun first waits for a CONTROLLED window: probe the
     // all-core spin up to `maxProbes` times (sleeping between tries);
@@ -192,7 +270,6 @@ object Bench {
     // window still runs (the driver's budget is bounded) but ships
     // rerun_uncontrolled:true — the artifact can no longer present a
     // contended re-measure as confirmation.
-    var spinParBest = spinParStart
     val maxProbes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_RERUN_PROBES", "4").toInt)
     val reruns = suspects.map { case (name, med, _, ldFirst) =>
@@ -239,12 +316,17 @@ object Bench {
         s""""spin_par_pre":$sp,"probes":$att,""" +
         s""""load_first":$l1,"load_rerun":$l2}"""
     }.mkString("{", ",", "}")
+    val probesJson = probes.map(p => (math.rint(p * 10) / 10).toString)
+      .mkString("[", ",", "]")
+    val uncontrolledJson = uncontrolled.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson =
       s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""spin_ms_start":$spinStart,"spin_ms_end":$spinEnd,""" +
-        s""""spin_par_ms_start":$spinParStart,"spin_par_ms_best":$spinParBest}"""
+        s""""spin_par_ms_start":$spinParStart,"spin_par_ms_best":$spinParBest,""" +
+        s""""spin_par_probes":$probesJson}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"load":$loadJson,"reruns":$rr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"load":$loadJson,"uncontrolled_queries":$uncontrolledJson,"reruns":$rr}"""
     println(json)
     // Also persist the artifact to a file: a stdout-captured artifact
     // can be truncated or interleaved by the harness; the file is the

@@ -120,6 +120,14 @@ object SparkEntry {
     "q_knn_graph_lsh"     -> ((s, d) => VectorOps.knnGraphMutualLsh(
                                 Tables.embeddings(s, d), "vec_id", "embedding", 5,
                                 planes = 2, tables = 16)),
+    // the CLUSTERED regime on the hash gate: derived mixture corpus
+    // (md5 centroid + jitter arithmetic both engines replay), same
+    // LSH mutual-kNN algebra at TIGHT (8 planes, 8 tables), oracle =
+    // brute force + independent DuckDB bucket replay — a green row
+    // proves recall 1.0 WITH the pruning (cand_pairs/all_pairs ≪ 1)
+    // pinned as data, not just spec-measured
+    "q_knn_clustered"     -> ((s, d) => VectorOps.knnGraphClusteredGate(
+                                Tables.embeddings(s, d), "vec_id", 5)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
@@ -4717,6 +4725,52 @@ object SparkEntry {
            a.rk AS rank_a, b.rk AS rank_b
          FROM t5 a JOIN t5 b ON a.src = b.dst AND a.dst = b.src
          WHERE a.src < a.dst ORDER BY vec_a, vec_b""",
+    // Clustered-regime gate: the corpus is DERIVED (cluster centroid
+    // ± jitter, all md5→integer→double arithmetic), the edge oracle is
+    // brute force over it, and cand_pairs replays the 8×8 SRP
+    // bucketing independently (the q_ann_multi pattern) — so both the
+    // recall-1.0 claim AND the pruning claim sit on the hash gate.
+    "q_knn_clustered" ->
+      """WITH ids AS (SELECT vec_id FROM embeddings),
+         v AS MATERIALIZED (SELECT vec_id, list(
+                 ((('0x' || substr(md5('C' || (vec_id % 25) || '~' || d), 1, 15))::BIGINT
+                   % 2001) - 1000) / 1000.0 +
+                 ((('0x' || substr(md5('J' || vec_id || '~' || d), 1, 15))::BIGINT
+                   % 2001) - 1000) / 20000.0 ORDER BY d) AS ve
+               FROM ids, range(32) AS rd(d) GROUP BY vec_id),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))) AS cos
+               FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         dir AS (SELECT va AS src, vb AS dst, cos FROM p
+                 UNION ALL SELECT vb, va, cos FROM p),
+         top AS (SELECT src, dst, cos, row_number() OVER
+                   (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+                 FROM dir),
+         t5 AS (SELECT * FROM top WHERE rk <= 5),
+         edges AS (SELECT a.src AS vec_a, a.dst AS vec_b,
+                     round(a.cos, 6) AS cos, a.rk AS rank_a, b.rk AS rank_b
+                   FROM t5 a JOIN t5 b ON a.src = b.dst AND a.dst = b.src
+                   WHERE a.src < a.dst),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM v, range(8) AS rt(t), range(8) AS rp(p), range(32) AS rd2(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 8 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.vec_id AS ca, b.vec_id AS cb
+                  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id),
+         stats AS (SELECT (SELECT count(*) FROM cand)::BIGINT AS cand_pairs,
+                          (SELECT count(*) FROM v)::BIGINT AS n_all)
+         SELECT e.vec_a, e.vec_b, e.cos, e.rank_a, e.rank_b,
+           s.cand_pairs, (s.n_all * (s.n_all - 1) // 2)::BIGINT AS all_pairs
+         FROM edges e, stats s ORDER BY vec_a, vec_b""",
     // Embedding near-dup groups: same recursive min-reachability CC
     // oracle as q_dedup_groups, over the cosine pair edges.
     "q_embed_groups" ->

@@ -416,7 +416,14 @@ object VectorOps {
   def knnGraphMutualLsh(df: DataFrame, id: String, vec: String, k: Int,
                         planes: Int, tables: Int): DataFrame = {
     val base = withNorm(df, id, vec, "vid", "v", "n")
-    val cand = lshCandidatePairs(base, planes, tables)
+    mutualFromCandidates(base, lshCandidatePairs(base, planes, tables), k)
+  }
+
+  /** Exact cosine re-rank + mutual-rank algebra over an externally
+    * supplied candidate pair set — the tail [[knnGraphMutualLsh]] and
+    * the clustered-regime gate ([[knnGraphClusteredGate]]) share. */
+  private def mutualFromCandidates(base: DataFrame, cand: DataFrame,
+                                   k: Int): DataFrame = {
     val va = base.select(col("vid").as("vec_a"), col("v").as("va"),
       col("n").as("na"))
     val vb = base.select(col("vid").as("vec_b"), col("v").as("vb"),
@@ -425,6 +432,56 @@ object VectorOps {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select("vec_a", "vec_b", "cos")
     mutualTopK(pairs, k)
+  }
+
+  /** Deterministic CLUSTERED corpus derived from an id column alone —
+    * the regime gate the shipped near-uniform embeddings can't
+    * provide (their 5th-neighbor cosines sit at 0.24-0.35, forcing
+    * full-recall LSH settings under which pruning is weak). Cluster
+    * `id % clusters` gets a centroid of md5-derived components in
+    * [-1, 1] (step 1e-3); each point adds an md5-derived jitter in
+    * [-0.05, 0.05] (step 5e-5) — within-cluster cosine ≈ 0.997,
+    * cross-cluster ≈ ±1/√dims. Every value is one integer-exact
+    * division plus one addition, so BOTH engines materialize the
+    * corpus byte-identically (the textI18n derivation pattern applied
+    * to vectors); with ≥ k+1 points per cluster every true top-k
+    * neighbor is within-cluster, the regime where tight SRP settings
+    * hold recall 1.0 AND prune hard. */
+  def clusteredGateVectors(df: DataFrame, id: String, clusters: Int,
+                           dims: Int): DataFrame =
+    df.select(col(id).as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        (TextOps.h64(concat(lit("C"), (col(id) % clusters).cast("string"),
+            lit("~"), d.cast("string"))) % 2001L - 1000L) / 1000.0 +
+        (TextOps.h64(concat(lit("J"), col(id).cast("string"),
+            lit("~"), d.cast("string"))) % 2001L - 1000L) / 20000.0
+      ).as("embedding"))
+
+  /** The clustered-regime gate as a DECLARED query: the production
+    * SRP-LSH mutual-kNN plan ([[knnGraphMutualLsh]], verbatim algebra)
+    * over [[clusteredGateVectors]] at TIGHT settings, with the
+    * measured pruning pinned as data — every output row carries
+    * `cand_pairs` (distinct LSH candidate pairs, bucketing replayed
+    * independently by the DuckDB oracle) and `all_pairs` (N·(N−1)/2).
+    * The oracle's edge set is BRUTE FORCE over the same derived
+    * corpus, so a green row proves recall 1.0 at settings whose
+    * candidate mass ≪ 1 is itself hash-gated — the claim AnnRecallSpec
+    * could previously only measure off-gate. */
+  def knnGraphClusteredGate(df: DataFrame, id: String, k: Int,
+                            clusters: Int = 25, dims: Int = 32,
+                            planes: Int = 8, tables: Int = 8): DataFrame = {
+    val derived = clusteredGateVectors(df, id, clusters, dims)
+    val base = withNorm(derived, "vec_id", "embedding", "vid", "v", "n")
+      .localCheckpoint(true) // one signature pipeline, reused 3×
+    val cand = lshCandidatePairs(base, planes, tables)
+      .localCheckpoint(true) // counted once, re-ranked once
+    val stats = cand.agg(count(lit(1)).as("cand_pairs"))
+      .crossJoin(base.agg(count(lit(1)).as("__n")))
+      .select(col("cand_pairs"),
+        ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
+    mutualFromCandidates(base, cand, k)
+      .crossJoin(broadcast(stats))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Fixed-round Lloyd k-means in EXACT integer fixed point — the real

@@ -139,6 +139,26 @@ class AnnRecallSpec extends SparkSpec {
       f"LSH candidate mass not ≪ all-pairs on a clustered corpus: $ratio%.4f")
   }
 
+  test("q_knn_clustered: the DECLARED clustered gate prunes hard and stays bucketed") {
+    // the oracle proves recall 1.0 (edge set = brute force) — this
+    // re-asserts the PRUNING side so regenerated testdata can't
+    // silently drift the gate into a no-prune regime, and pins the
+    // plan shape (one bucketed equi-join; the only BNLJs are the two
+    // deliberate 1-row stats joins: cand-count × n-count, then the
+    // broadcast of that single row onto the edges)
+    val g = VectorOps.knnGraphClusteredGate(
+      Tables.embeddings(spark, d), "vec_id", 5)
+    val r = g.select("cand_pairs", "all_pairs").head()
+    val ratio = r.getLong(0).toDouble / r.getLong(1)
+    info(f"cand=${r.getLong(0)} all=${r.getLong(1)} ratio=$ratio%.4f")
+    assert(ratio < 0.15,
+      f"declared clustered gate no longer prunes: $ratio%.4f")
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"unexpected quadratic operator in the clustered gate:\n$p")
+  }
+
   test("clustered corpus: LSH twin measured FASTER than the exact form") {
     // 4000 vectors so the exact form's N(N-1)/2 ≈ 8M scored pairs
     // dominate fixed per-query overhead — at 1500 vectors both paths

@@ -416,4 +416,35 @@ class ControlPlaneSpec extends SparkSpec {
     // custom band widens the window explicitly, not silently
     assert(Bench.rerunControlled(150.0, best, band = 1.6))
   }
+
+  test("Bench per-block flags: a contended tail marks exactly its bracketed queries") {
+    // synthetic sentinel trace — the round-10 residual: only the
+    // sweep's ENDPOINTS were probed, so a contended tail inflated
+    // sub-2x deltas without any artifact signal. Probes bracket each
+    // k-query block; a query is uncontrolled when EITHER bracket is.
+    val best = 70.0
+    // 8 queries, k=2 → probes at queries 0,2,4,6 + one closing probe.
+    // Contention spikes at the probe before block 2 (queries 4-5):
+    val trace = IndexedSeq(70.0, 71.0, 95.0, 70.0, 70.0)
+    val f = Bench.uncontrolledFlags(8, 2, trace, best)
+    // block 1 (queries 2-3) is bracketed by probes 1 and 2 → flagged;
+    // block 2 (queries 4-5) by probes 2 and 3 → flagged; rest clean
+    assert(f == IndexedSeq(false, false, true, true, true, true, false, false),
+      s"wrong flags: $f")
+    // a contended TAIL (the closing probe) flags only the last block
+    val tail = Bench.uncontrolledFlags(8, 2,
+      IndexedSeq(70.0, 70.0, 70.0, 70.0, 120.0), best)
+    assert(tail == IndexedSeq(false, false, false, false, false, false, true, true),
+      s"tail not flagged: $tail")
+    // an all-idle trace flags nothing; an all-contended trace (vs a
+    // cross-round anchor) flags everything — the round-10 advice case:
+    // a session contended from its first probe must not self-baseline
+    assert(!Bench.uncontrolledFlags(4, 2, IndexedSeq(70.0, 70.0, 70.0), best)
+      .exists(identity))
+    assert(Bench.uncontrolledFlags(4, 2, IndexedSeq(140.0, 140.0, 140.0), best)
+      .forall(identity))
+    // n not a multiple of k: the last partial block still brackets
+    val part = Bench.uncontrolledFlags(5, 2, IndexedSeq(70.0, 70.0, 95.0), best)
+    assert(part == IndexedSeq(false, false, true, true, true), s"partial: $part")
+  }
 }
