@@ -36,9 +36,19 @@ object Hashing {
       u.toString, java.text.Normalizer.Form.NFC))
 
   /** Unicode codepoint → its single-character string (surrogate pair
-    * for supplementary planes); called from generated code. */
-  def uchr(cp: Long): UTF8String =
+    * for supplementary planes); called from generated code. The long is
+    * range-checked BEFORE the int narrowing — without it a value like
+    * 4294967393 (= 2³² + 97) silently truncates to 'a' — and invalid
+    * codepoints (surrogate halves, > U+10FFFF, negatives) raise a
+    * descriptive error, matching DuckDB chr's explicit out-of-range
+    * failure rather than a bare IllegalArgumentException. */
+  def uchr(cp: Long): UTF8String = {
+    if (cp < 0L || cp > 0x10FFFFL || (cp >= 0xD800L && cp <= 0xDFFFL))
+      throw new IllegalArgumentException(
+        s"uchr: $cp is not a valid Unicode codepoint (expected 0..1114111, " +
+          "excluding the surrogate range D800..DFFF)")
     UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+  }
 
   def h64(bytes: Array[Byte]): Long = {
     val d = md.get()

@@ -30,12 +30,27 @@ import org.apache.spark.sql.functions._
   * exactly — this is exact rank, not an approximation, and the oracles
   * of every caller are unchanged.
   *
-  * Residual skew caveat (documented, not hidden): a stratum whose score
-  * distribution is one atom (every row identical score) collapses into
-  * one bucket and degenerates to the naive shape. Quality/TTR scores
-  * are continuous composites, so buckets split smoothly; a pathological
-  * atom would need a secondary bucket key (e.g. hash of the tie column
-  * + offset refinement), which no current caller needs.
+  * Score ATOMS no longer degenerate: a (stratum, bucket) cell holding
+  * more than `atomBound` rows of ONE exact score (think deduped
+  * boilerplate at crawl scale — millions of identical quality scores)
+  * is split a second level by an ORDER-PRESERVING quantization of the
+  * tie column over the cell's [min, max] tie range (both already in
+  * the pass-1 aggregate). Within a score atom the global ordering IS
+  * tie order, so per-(stratum, bucket, sub) offsets extend the rank /
+  * cum algebra exactly one level and the answer stays exact — a HASH
+  * of the tie would spread the rows but lose the offset
+  * decomposition. Cells containing a null or more than one distinct
+  * score never split (tie order ≠ global order there). The split adds
+  * one extra consumer of the input (the sub-bucket counts), cheap
+  * against the checkpointed narrow frames every caller feeds; with no
+  * oversized atom the sub table is empty and the extra pass is a
+  * broadcast-join filter that drops everything map-side.
+  *
+  * Residual caveat (documented, not hidden): an oversized bucket with
+  * MULTIPLE distinct scores still lands on one task — splitting it
+  * needs a finer score quantization, not a tie split; with 1024
+  * primary buckets that means >atomBound rows inside one 1/1024 score
+  * sliver that is not an atom, which no real score composite shows.
   *
   * Reference behavior context: the reference pipeline ranks and budgets
   * per-group in pandas after collect (see the analytics dataframes fed
@@ -76,8 +91,12 @@ object RankKernel {
       mass: Option[String] = None,
       buckets: Int = 1024,
       prune: Option[Column] = None,
+      atomBound: Int = 1 << 20,
+      subBuckets: Int = 1024,
       cols: Cols = Cols()): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(atomBound > 0 && subBuckets > 0,
+      "atomBound and subBuckets must be positive")
     require(prune.isEmpty || mass.isDefined,
       "prune predicates reference the mass offsets (__moff/__m); pass mass")
     // order-preserving quantizer: higher score → higher bucket id
@@ -85,10 +104,15 @@ object RankKernel {
       lit((buckets - 1).toDouble)).cast("int")
     val withBkt = df.withColumn("__bkt", bkt)
 
-    // pass 1: tiny per-(stratum, bucket) aggregate (map-combined)
+    // pass 1: tiny per-(stratum, bucket) aggregate (map-combined);
+    // tie range + score spread feed the oversized-atom split decision
     val massAggs = mass.toSeq.map(mc => sum(col(mc)).as("__bm"))
     val tbl = withBkt.groupBy(col(stratum), col("__bkt"))
-      .agg(count(lit(1)).as("__bn"), massAggs: _*)
+      .agg(count(lit(1)).as("__bn"),
+        (Seq(count(col(score)).as("__bsn"),
+          min(col(score)).as("__smin"), max(col(score)).as("__smax"),
+          min(col(tie)).as("__tmin"), max(col(tie)).as("__tmax")) ++
+          massAggs): _*)
 
     // pass 2: running offsets over the SMALL table — the only window
     // partitioned by the bare stratum, over ≤ `buckets` rows/stratum.
@@ -102,24 +126,77 @@ object RankKernel {
     if (mass.isDefined) off = off
       .withColumn("__moff", sum("__bm").over(wRun) - col("__bm"))
       .withColumn(cols.m, sum("__bm").over(wAll))
+    // split only an OVERSIZED SINGLE-ATOM cell with no null scores:
+    // there (and only there) the in-cell order is pure tie order, so a
+    // tie-range split decomposes rank offsets exactly
+    off = off
+      .withColumn("__split", coalesce(
+        col("__bn") > atomBound && col("__bsn") === col("__bn") &&
+          col("__smin") === col("__smax"), lit(false)))
+      .withColumn("__w", greatest(lit(1.0),
+        (col("__tmax").cast("double") - col("__tmin").cast("double") + 1.0) /
+          subBuckets))
     val offKept = prune.fold(off)(off.filter)
-    val offCols = Seq(col(stratum), col("__bkt"), col("__noff"), col(cols.n)) ++
+    val offCols = Seq(col(stratum), col("__bkt"), col("__noff"), col(cols.n),
+      col("__split"), col("__tmin"), col("__w")) ++
       (if (mass.isDefined) Seq(col("__moff"), col(cols.m)) else Nil)
+    val offB = broadcast(offKept.select(offCols: _*))
+
+    // monotone tie → sub-bucket map over the cell's tie range: longs
+    // go through double (monotone, collisions only merge neighbors)
+    // and the clamp preserves order, so sub order ≡ tie order
+    def subOf(tieCol: Column): Column =
+      when(col("__split"),
+        least(greatest(floor((tieCol.cast("double") -
+            col("__tmin").cast("double")) / col("__w")), lit(0.0)),
+          lit((subBuckets - 1).toDouble)).cast("int"))
+        .otherwise(lit(0))
+
+    // pass 2b: per-(stratum, bucket, sub) offsets for SPLIT cells only
+    // — empty (a map-side-filtered broadcast join) unless an oversized
+    // atom exists; the window runs over ≤ subBuckets rows per cell and
+    // partitions by (stratum, bucket), never the bare stratum
+    val splitInfo = offKept.filter(col("__split"))
+      .select(col(stratum), col("__bkt"), col("__split"), col("__tmin"),
+        col("__w"))
+    val subMassAggs = mass.toSeq.map(mc => sum(col(mc)).as("__sbm"))
+    val subTbl = withBkt.join(broadcast(splitInfo), Seq(stratum, "__bkt"))
+      .withColumn("__sub", subOf(col(tie)))
+      .groupBy(col(stratum), col("__bkt"), col("__sub"))
+      .agg(count(lit(1)).as("__sbn"), subMassAggs: _*)
+    val wSubRun = Window.partitionBy(col(stratum), col("__bkt"))
+      .orderBy(col("__sub").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var subOff = subTbl
+      .withColumn("__snoff", sum("__sbn").over(wSubRun) - col("__sbn"))
+    if (mass.isDefined) subOff = subOff
+      .withColumn("__smoff", sum("__sbm").over(wSubRun) - col("__sbm"))
+    val subOffCols = Seq(col(stratum), col("__bkt"), col("__sub"),
+      col("__snoff")) ++
+      (if (mass.isDefined) Seq(col("__smoff")) else Nil)
 
     // pass 3: fan the broadcast offsets back; all corpus-sized windows
-    // below partition by (stratum, bucket) — the distributed sort.
-    val wIn = Window.partitionBy(col(stratum), col("__bkt"))
+    // below partition by (stratum, bucket, sub) — the distributed sort.
+    // Non-split rows ride sub 0 with zero sub-offsets, reproducing the
+    // original (stratum, bucket) partitioning exactly.
+    val wIn = Window.partitionBy(col(stratum), col("__bkt"), col("__sub"))
       .orderBy(col(score).desc, col(tie).asc)
     var out = withBkt
-      .join(broadcast(offKept.select(offCols: _*)), Seq(stratum, "__bkt"))
-      .withColumn(cols.rank, col("__noff") + row_number().over(wIn))
+      .join(offB, Seq(stratum, "__bkt"))
+      .withColumn("__sub", subOf(col(tie)))
+      .join(broadcast(subOff.select(subOffCols: _*)),
+        Seq(stratum, "__bkt", "__sub"), "left")
+      .withColumn(cols.rank,
+        col("__noff") + coalesce(col("__snoff"), lit(0L)) +
+          row_number().over(wIn))
     mass.foreach { mc =>
       out = out.withColumn(cols.cumBefore,
-        col("__moff") +
+        col("__moff") + coalesce(col("__smoff"), lit(0L)) +
           sum(col(mc)).over(wIn.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)) - col(mc))
     }
-    out.drop("__bkt", "__noff", "__moff")
+    out.drop("__bkt", "__sub", "__noff", "__moff", "__snoff", "__smoff",
+      "__split", "__tmin", "__w")
   }
 
   /** SQL-standard `ntile(k)` derived arithmetically from an exact rank:

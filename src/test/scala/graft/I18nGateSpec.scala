@@ -27,6 +27,24 @@ class I18nGateSpec extends SparkSpec {
     assert(r.getString(4) == "a")
   }
 
+  test("uchr: out-of-range longs fail loudly, never truncate (round-10 advice)") {
+    // 2^32 + 97 used to silently narrow to 'a'; surrogate halves and
+    // beyond-U+10FFFF values surfaced a bare toChars exception
+    def boom(cp: Long): String = intercept[Exception] {
+      spark.range(1).select(call_function("uchr", lit(cp))).head()
+    }.getMessage
+    assert(boom(4294967393L).contains("not a valid Unicode codepoint"))
+    assert(boom(-1L).contains("not a valid Unicode codepoint"))
+    assert(boom(0x110000L).contains("not a valid Unicode codepoint"))
+    assert(boom(0xD800L).contains("not a valid Unicode codepoint"))
+    // boundary values still work
+    val ok = spark.range(1).select(
+      call_function("uchr", lit(0x10FFFFL)).as("mx"),
+      call_function("uchr", lit(0L)).as("nul")).head()
+    assert(ok.getString(0) == new String(Character.toChars(0x10FFFF)))
+    assert(ok.getString(1) == "\u0000")
+  }
+
   test("textI18n: JVM replay of the shift/mod arithmetic is byte-exact") {
     // independent scalar replay of the derivation (same 60-bit hash)
     def replay(text: String, docId: Long): String = {

@@ -73,19 +73,24 @@ class NewOpsPlanSpec extends SparkSpec {
   // old single-window plan (one task per stratum at scale) for a few
   // bounded exchanges: the bucket aggregate, the tiny offset window,
   // the (stratum, bucket) corpus window, and the output sort.
+  // Round 11 adds the oversized-ATOM sub-split level: one aggregate
+  // over split-bucket rows only (EMPTY unless a >atomBound score atom
+  // exists), the ≤subBuckets-row sub-offset window, and two broadcast
+  // exchanges of those tiny tables — every added exchange carries
+  // bounded or split-only data, never a second full corpus shuffle.
   // RankKernelSpec pins the load-bearing property (no corpus window
   // partitioned by the bare stratum); here we keep a cap so the
   // exchange count can't silently grow past the kernel's budget.
   test("token budget: only the kernel's bounded exchanges appear") {
     val df = DataQueries.tokenBudget(spark, sf)
     val n = "Exchange".r.findAllIn(plan(df)).size
-    assert(n <= 5, s"token budget grew extra shuffles beyond the kernel plan:\n${plan(df)}")
+    assert(n <= 11, s"token budget grew extra shuffles beyond the kernel plan:\n${plan(df)}")
   }
 
   test("quality deciles: only the kernel's bounded exchanges appear") {
     val df = DataQueries.qualityDeciles(spark, sf)
     val n = "Exchange".r.findAllIn(plan(df)).size
-    assert(n <= 5, s"decile ranking grew extra shuffles beyond the kernel plan:\n${plan(df)}")
+    assert(n <= 10, s"decile ranking grew extra shuffles beyond the kernel plan:\n${plan(df)}")
   }
 
   test("centroid similarity: label-pair join is an equi-join on the dim") {

