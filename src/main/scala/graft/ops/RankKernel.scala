@@ -40,11 +40,14 @@ import org.apache.spark.sql.functions._
   * cum algebra exactly one level and the answer stays exact — a HASH
   * of the tie would spread the rows but lose the offset
   * decomposition. Cells containing a null or more than one distinct
-  * score never split (tie order ≠ global order there). The split adds
-  * one extra consumer of the input (the sub-bucket counts), cheap
-  * against the checkpointed narrow frames every caller feeds; with no
-  * oversized atom the sub table is empty and the extra pass is a
-  * broadcast-join filter that drops everything map-side.
+  * score never split (tie order ≠ global order there). The split is
+  * DATA-DEPENDENT planning done cheaply: the tiny offset table is
+  * eagerly checkpointed (pass 1 + 2 run exactly once either way) and
+  * the split flags are peeked on the driver — with no oversized atom
+  * the emitted plan is exactly the pre-split two-pass, zero extra
+  * corpus passes; with one, the sub-bucket counts add one extra
+  * consumer of the input, cheap against the checkpointed narrow
+  * frames every caller feeds.
   *
   * Residual caveat (documented, not hidden): an oversized bucket with
   * MULTIPLE distinct scores still lands on one task — splitting it
@@ -136,11 +139,16 @@ object RankKernel {
       .withColumn("__w", greatest(lit(1.0),
         (col("__tmax").cast("double") - col("__tmin").cast("double") + 1.0) /
           subBuckets))
-    val offKept = prune.fold(off)(off.filter)
+    // the offset table is TINY (≤ #strata × buckets rows) and feeds
+    // everything below — checkpoint it eagerly so pass 1 + pass 2 run
+    // exactly once, and the split decision can be read on the driver
+    // for pennies instead of shaping the plan pessimistically
     val offCols = Seq(col(stratum), col("__bkt"), col("__noff"), col(cols.n),
       col("__split"), col("__tmin"), col("__w")) ++
       (if (mass.isDefined) Seq(col("__moff"), col(cols.m)) else Nil)
-    val offB = broadcast(offKept.select(offCols: _*))
+    val offKept = prune.fold(off)(off.filter).select(offCols: _*)
+      .localCheckpoint(true)
+    val offB = broadcast(offKept)
 
     // monotone tie → sub-bucket map over the cell's tie range: longs
     // go through double (monotone, collisions only merge neighbors)
@@ -152,13 +160,34 @@ object RankKernel {
           lit((subBuckets - 1).toDouble)).cast("int"))
         .otherwise(lit(0))
 
-    // pass 2b: per-(stratum, bucket, sub) offsets for SPLIT cells only
-    // — empty (a map-side-filtered broadcast join) unless an oversized
-    // atom exists; the window runs over ≤ subBuckets rows per cell and
-    // partitions by (stratum, bucket), never the bare stratum
     val splitInfo = offKept.filter(col("__split"))
       .select(col(stratum), col("__bkt"), col("__split"), col("__tmin"),
         col("__w"))
+    val hasSplit = !splitInfo.isEmpty // a driver peek on the tiny checkpoint
+
+    // the COMMON shape: no oversized atom anywhere → exactly the
+    // pre-split plan (one fan-back join, (stratum, bucket) windows),
+    // zero extra passes over the corpus
+    if (!hasSplit) {
+      val wIn = Window.partitionBy(col(stratum), col("__bkt"))
+        .orderBy(col(score).desc, col(tie).asc)
+      var out = withBkt
+        .join(offB, Seq(stratum, "__bkt"))
+        .withColumn(cols.rank, col("__noff") + row_number().over(wIn))
+      mass.foreach { mc =>
+        out = out.withColumn(cols.cumBefore,
+          col("__moff") +
+            sum(col(mc)).over(wIn.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)) - col(mc))
+      }
+      return out.drop("__bkt", "__noff", "__moff", "__split", "__tmin", "__w")
+    }
+
+    // pass 2b (split cells exist): per-(stratum, bucket, sub) offsets
+    // for SPLIT cells only — the aggregate input is a map-side
+    // broadcast-join filter keeping split-bucket rows; the window runs
+    // over ≤ subBuckets rows per cell and partitions by
+    // (stratum, bucket), never the bare stratum
     val subMassAggs = mass.toSeq.map(mc => sum(col(mc)).as("__sbm"))
     val subTbl = withBkt.join(broadcast(splitInfo), Seq(stratum, "__bkt"))
       .withColumn("__sub", subOf(col(tie)))

@@ -86,8 +86,16 @@ object Corpus {
     * token total (a tiny broadcast aggregate), not a second bucketed
     * rank. Same oracle algebra, one kernel instead of two. */
   private[graft] def rankStages(s5: DataFrame): (DataFrame, DataFrame) = {
+    // bucket-level prune: a score bucket whose FIRST rank already falls
+    // past decile 7 contains only stage-6 rejects (the arithmetic ntile
+    // is monotone in rank), so it never reaches the intra-bucket sort
+    // or the checkpoint — the kernel ranks only the surviving ~70%.
+    // b7 = last rank inside decile 7, the exact ntileOfRank boundary.
+    val rem = pmod(col("__n"), lit(10L))
+    val b7 = lit(7L) * ((col("__n").cast("double") - rem.cast("double")) / 10)
+      .cast("long") + least(lit(7L), rem)
     val ranked = RankKernel.withStratumRank(s5, "lang", "q", "doc_id",
-        mass = Some("n_kept"))
+        mass = Some("n_kept"), prune = Some(col("__noff") < b7))
       .localCheckpoint(true)
     val s6 = ranked
       .filter(RankKernel.ntileOfRank(col("__rank"), col("__n"), 10) <= 7)
