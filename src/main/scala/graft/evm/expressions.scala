@@ -298,6 +298,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[graft.ops.RepStatsExpr].getName, "rep_stats"),
       (args: Seq[Expression]) => graft.ops.RepStatsExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("lang_scores"),
+      new ExpressionInfo(classOf[graft.ops.LangScoresExpr].getName, "lang_scores"),
+      (args: Seq[Expression]) => graft.ops.LangScoresExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[graft.ops.KmvDistinctAgg].getName, "kmv_distinct"),
       (args: Seq[Expression]) =>

@@ -661,3 +661,81 @@ case class UchrExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): UchrExpr =
     copy(child = newChild)
 }
+
+/** lang_scores(tokens array<string>) → struct<de,en,es,fr: double,
+  * pred: string>: the whole language-ID heuristic in ONE pass over the
+  * token array. The column formulation inlined every per-profile
+  * stopword filter into the argmax tree (~13 references to `tokens()`
+  * per row before subexpression elimination); here each token does one
+  * hash probe into the profile bitmask table and the argmax (first
+  * profile in [[TextOps.LangProfiles]] order whose score is ≥ every
+  * other — the fold's exact tie-break) runs on four ints. Scores are
+  * hits/numElements (null elements count in the denominator but never
+  * hit, matching `filter`'s null-drop), 0.0 on an empty array. */
+case class LangScoresExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import LangScoresExpr._
+  override def prettyName: String = "lang_scores"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+  override def dataType: DataType = StructType(
+    Langs.map(l => StructField(l, DoubleType, nullable = false)) :+
+      StructField("pred", StringType, nullable = false))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val hits = new Array[Int](Langs.length)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val bits = WordBits.get(arr.getUTF8String(i))
+        if (bits != null) {
+          var b = bits.intValue()
+          while (b != 0) {
+            val p = java.lang.Integer.numberOfTrailingZeros(b)
+            hits(p) += 1
+            b &= b - 1
+          }
+        }
+      }
+      i += 1
+    }
+    // first-wins argmax in profile order: score_i ≥ every score_j ⟺
+    // hits_i ≥ hits_j (shared positive denominator); all-zero → first
+    var best = 0
+    i = 1
+    while (i < hits.length) {
+      if (hits(i) > hits(best)) best = i
+      i += 1
+    }
+    val out = new Array[Any](Langs.length + 1)
+    i = 0
+    while (i < hits.length) {
+      out(i) = if (m > 0) hits(i).toDouble / m else 0.0
+      i += 1
+    }
+    out(Langs.length) = PredStrs(best)
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object LangScoresExpr {
+  private[ops] val Langs: Array[String] = TextOps.LangProfiles.map(_._1).toArray
+  private val PredStrs: Array[UTF8String] = Langs.map(UTF8String.fromString)
+  /** token → bitmask of profiles containing it (a word can belong to
+    * several languages, e.g. "la" in es and fr, "de" in es). */
+  private val WordBits: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    TextOps.LangProfiles.zipWithIndex.foreach { case ((_, words), p) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.merge(k, Integer.valueOf(1 << p), (a, b) => Integer.valueOf(a | b))
+      }
+    }
+    m
+  }
+}

@@ -210,27 +210,29 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
   /** Language ID: per-language stopword hit ratio, argmax with a
-    * deterministic first-wins tie-break in profile order.
+    * deterministic first-wins tie-break in profile order — all from
+    * the ONE-PASS `lang_scores` expression (each token does one hash
+    * probe into the profile bitmask table). The previous column
+    * formulation inlined a stopword array-filter per profile into the
+    * argmax tree (~13 structural references before CSE); the scores
+    * and the argmax are unchanged value-for-value — hits/size(tk) with
+    * null elements counted in the denominator but never hitting, 0.0
+    * on an empty or null array, and the null-array pred falls back to
+    * the first profile exactly as the old all-0.0 fold did.
     *
     * The `FromTokens` forms take an already-materialized token array:
-    * the column form re-tokenizes per profile per reference (~12
-    * regexp splits of the full text per row once scores AND argmax are
-    * selected together) — tokenize once, then every score is a cheap
-    * array filter. */
-  def langScoresFromTokens(tk: Column): Seq[(String, Column)] =
-    LangProfiles.map { case (lang, words) =>
-      val hits = size(filter(tk, t => words.map(t === _).reduce(_ || _)))
-      lang -> coalesce(
-        when(size(tk) > 0, hits.cast("double") / size(tk)), lit(0.0))
-    }
-
-  def langIdFromTokens(tk: Column): Column = {
-    val scores = langScoresFromTokens(tk)
-    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
-      val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
-      when(isMax, lit(lang)).otherwise(rest)
+    * inlining `tokens(text)` would re-run the regexp split wherever
+    * the optimizer fails to CSE it. */
+  def langScoresFromTokens(tk: Column): Seq[(String, Column)] = {
+    val s = call_function("lang_scores", tk)
+    LangProfiles.map { case (lang, _) =>
+      lang -> coalesce(s.getField(lang), lit(0.0))
     }
   }
+
+  def langIdFromTokens(tk: Column): Column =
+    coalesce(call_function("lang_scores", tk).getField("pred"),
+      lit(LangProfiles.head._1))
 
   def langScores(text: Column): Seq[(String, Column)] =
     langScoresFromTokens(tokens(text))
