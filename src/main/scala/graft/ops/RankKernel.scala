@@ -47,7 +47,12 @@ import org.apache.spark.sql.functions._
   * the emitted plan is exactly the pre-split two-pass, zero extra
   * corpus passes; with one, the sub-bucket counts add one extra
   * consumer of the input, cheap against the checkpointed narrow
-  * frames every caller feeds.
+  * frames every caller feeds. Measured cost of the eager checkpoint
+  * at local bench scale: ~0.2 s fixed per call (three driver jobs
+  * where round 10 ran one) — accepted, because the alternatives both
+  * run pass 1 (a full-corpus aggregate) TWICE, which is the wrong
+  * trade at 100 TB where the corpus pass dominates and the job
+  * boundary is noise.
   *
   * Residual caveat (documented, not hidden): an oversized bucket with
   * MULTIPLE distinct scores still lands on one task — splitting it

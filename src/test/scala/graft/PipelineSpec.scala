@@ -91,8 +91,35 @@ class PipelineSpec extends SparkSpec {
     // is NOT id order — the real crawl contract the retired _MAXID
     // guard used to reject
     val batches = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      StreamOps.applyPipelineBatch(b, dir, i.toLong) }
+    StreamOps.applyPipelineBatch(batches(0), dir, 0L)
+    // crash-retry under permuted arrival: a crashed batch-1 attempt left
+    // POISONED orphan dirs (wrong rows under this batch's own b=1 paths)
+    // plus its _ARR_1 journal (the crash window between journal and
+    // commit). The retry must carve its own dirs out of every
+    // prior-state read (batchDirs' `except`) and overwrite them — if
+    // any orphan leaks into the retry as "prior state", the planted
+    // kept_hash collision wrongly dedups a real doc, the planted five/
+    // bench5 rows corrupt the decontam counts, and the final audit
+    // diverges from the batch twin below.
+    locally {
+      val sig1 = pipelines.Corpus.signalFrame(
+        batches(1).withColumn("__arr", lit(1L)))
+      val realHash = sig1.select("kept_hash").head().getLong(0)
+      val realSh5 = sig1.select(explode(col("shs5")).as("sh"))
+        .head().getLong(0)
+      import spark.implicits._
+      Seq((999999L, "xx", 1L, true, 0.5, 1L, realHash, false, true, true))
+        .toDF("doc_id", "lang", "n_words", "keep_gopher", "q", "n_kept",
+          "kept_hash", "is_bench", "s3", "s4")
+        .write.mode("overwrite").parquet(s"$dir/rows/b=1")
+      Seq((999999L, realSh5)).toDF("doc", "sh")
+        .write.mode("overwrite").parquet(s"$dir/five/b=1")
+      Seq(Tuple1(realSh5)).toDF("sh")
+        .write.mode("overwrite").parquet(s"$dir/bench5/b=1")
+      new java.io.File(s"$dir/_ARR_1").createNewFile()
+    }
+    StreamOps.applyPipelineBatch(batches(1), dir, 1L)
+    StreamOps.applyPipelineBatch(batches(2), dir, 2L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     val stamped = batches.zipWithIndex
