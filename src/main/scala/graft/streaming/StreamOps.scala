@@ -873,12 +873,14 @@ object StreamOps {
     * arrival stamps, replay idempotence, the sequence guard, and
     * per-dir batch-boundedness.
     *
-    * `compactEvery > 0` folds the append state ([[compactPipelineIndex]])
+    * `compactEvery` folds the append state ([[compactPipelineIndex]])
     * after every Nth batch, between triggers (foreachBatch is the
     * single writer) — without it a year of hourly ingests plans 8,760
-    * `b=` dirs per kind; with it the planner sees ≤ N + 1. */
+    * `b=` dirs per kind; with it the planner sees ≤ N + 1. ON by
+    * default (64): unbounded small-files growth should require opting
+    * OUT (0 disables), not reading the docs. */
   def maintainPipeline(stream: DataFrame, statePath: String,
-                       compactEvery: Int = 0)
+                       compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
