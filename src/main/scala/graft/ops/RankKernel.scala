@@ -30,23 +30,25 @@ import org.apache.spark.sql.functions._
   * exactly — this is exact rank, not an approximation, and the oracles
   * of every caller are unchanged.
   *
-  * Score ATOMS no longer degenerate: a (stratum, bucket) cell holding
-  * more than `atomBound` rows of ONE exact score (think deduped
-  * boilerplate at crawl scale — millions of identical quality scores)
-  * is split a second level by an ORDER-PRESERVING quantization of the
-  * tie column over the cell's [min, max] tie range (both already in
-  * the pass-1 aggregate). Within a score atom the global ordering IS
-  * tie order, so per-(stratum, bucket, sub) offsets extend the rank /
-  * cum algebra exactly one level and the answer stays exact — a HASH
-  * of the tie would spread the rows but lose the offset
-  * decomposition. Cells containing a null or more than one distinct
-  * score never split (tie order ≠ global order there). The split is
-  * DATA-DEPENDENT planning done cheaply: the tiny offset table is
-  * eagerly checkpointed (pass 1 + 2 run exactly once either way) and
-  * the split flags are peeked on the driver — with no oversized atom
-  * the emitted plan is exactly the pre-split two-pass, zero extra
-  * corpus passes; with one, the sub-bucket counts add one extra
-  * consumer of the input, cheap against the checkpointed narrow
+  * OVERSIZED cells no longer degenerate: a (stratum, bucket) cell
+  * holding more than `atomBound` rows is split a second level by an
+  * ORDER-PRESERVING quantization over the cell's own range (bounds
+  * already in the pass-1 aggregate) — of the TIE column when the cell
+  * is a single score atom (think deduped boilerplate at crawl scale:
+  * millions of identical quality scores; in-cell order is pure tie
+  * order there), of the SCORE when the cell holds multiple distinct
+  * scores inside one primary sliver (descending quantization; equal
+  * scores share a sub by construction). Either way
+  * per-(stratum, bucket, sub) offsets extend the rank / cum algebra
+  * exactly one level and the answer stays exact — a HASH of the tie
+  * would spread the rows but lose the offset decomposition. Cells
+  * containing nulls, or mixing NaN with numbers, never split. The
+  * split is DATA-DEPENDENT planning done cheaply: the tiny offset
+  * table is eagerly checkpointed (pass 1 + 2 run exactly once either
+  * way) and the split flags are peeked on the driver — with no
+  * oversized cell the emitted plan is exactly the pre-split two-pass,
+  * zero extra corpus passes; with one, the sub-bucket counts add one
+  * extra consumer of the input, cheap against the checkpointed narrow
   * frames every caller feeds. Measured cost of the eager checkpoint
   * at local bench scale: ~0.2 s fixed per call (three driver jobs
   * where round 10 ran one) — accepted, because the alternatives both
@@ -54,11 +56,12 @@ import org.apache.spark.sql.functions._
   * trade at 100 TB where the corpus pass dominates and the job
   * boundary is noise.
   *
-  * Residual caveat (documented, not hidden): an oversized bucket with
-  * MULTIPLE distinct scores still lands on one task — splitting it
-  * needs a finer score quantization, not a tie split; with 1024
-  * primary buckets that means >atomBound rows inside one 1/1024 score
-  * sliver that is not an atom, which no real score composite shows.
+  * Residual caveat (documented, not hidden): the split is one level
+  * deep — a dominant single-score atom hiding INSIDE an oversized
+  * multi-score cell still lands its sub on one task (isolating it
+  * needs a second recursion: score-split, then tie-split the atom
+  * sub). No caller's score composite shows that shape; raise
+  * `buckets` if one ever does.
   *
   * Reference behavior context: the reference pipeline ranks and budgets
   * per-group in pandas after collect (see the analytics dataframes fed
@@ -107,18 +110,26 @@ object RankKernel {
       "atomBound and subBuckets must be positive")
     require(prune.isEmpty || mass.isDefined,
       "prune predicates reference the mass offsets (__moff/__m); pass mass")
-    // order-preserving quantizer: higher score → higher bucket id
-    val bkt = least(greatest(floor(col(score) * buckets), lit(0.0)),
-      lit((buckets - 1).toDouble)).cast("int")
+    // order-preserving quantizer: higher score → higher bucket id.
+    // NaN routes to the TOP bucket explicitly: Spark orders NaN above
+    // every double, but floor(NaN) narrows to long 0 — without the
+    // guard a NaN score lands in the BOTTOM bucket and the kernel
+    // ranks it last while the naive window ranks it first.
+    val bkt = when(isnan(col(score).cast("double")), lit(buckets - 1))
+      .otherwise(least(greatest(floor(col(score) * buckets), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("int"))
     val withBkt = df.withColumn("__bkt", bkt)
 
     // pass 1: tiny per-(stratum, bucket) aggregate (map-combined);
-    // tie range + score spread feed the oversized-atom split decision
+    // tie range, score spread and NaN presence feed the oversized-cell
+    // split decision
     val massAggs = mass.toSeq.map(mc => sum(col(mc)).as("__bm"))
     val tbl = withBkt.groupBy(col(stratum), col("__bkt"))
       .agg(count(lit(1)).as("__bn"),
         (Seq(count(col(score)).as("__bsn"),
           min(col(score)).as("__smin"), max(col(score)).as("__smax"),
+          max(when(isnan(col(score).cast("double")), 1).otherwise(0))
+            .as("__bnan"),
           min(col(tie)).as("__tmin"), max(col(tie)).as("__tmax")) ++
           massAggs): _*)
 
@@ -134,40 +145,62 @@ object RankKernel {
     if (mass.isDefined) off = off
       .withColumn("__moff", sum("__bm").over(wRun) - col("__bm"))
       .withColumn(cols.m, sum("__bm").over(wAll))
-    // split only an OVERSIZED SINGLE-ATOM cell with no null scores:
-    // there (and only there) the in-cell order is pure tie order, so a
-    // tie-range split decomposes rank offsets exactly
+    // OVERSIZED-cell split modes (rows > atomBound, no null scores):
+    //   1 — a single score ATOM: in-cell order is pure tie order, so a
+    //       tie-range quantization decomposes rank offsets exactly;
+    //   2 — multiple distinct scores (no NaN mixing): in-cell order is
+    //       score DESC first, so a DESCENDING score quantization over
+    //       the cell's [smin, smax] decomposes the same way (equal
+    //       scores share a sub by construction; tie order resolves
+    //       inside the sub's window).
+    // A cell mixing NaN with numbers never splits (NaN sorts above
+    // every number, the quantizer arithmetic can't place it); an
+    // all-NaN cell IS an atom (NaN = NaN in Spark SQL) → mode 1.
     off = off
-      .withColumn("__split", coalesce(
-        col("__bn") > atomBound && col("__bsn") === col("__bn") &&
-          col("__smin") === col("__smax"), lit(false)))
+      .withColumn("__smode", coalesce(
+        when(col("__bn") > atomBound && col("__bsn") === col("__bn"),
+          when(col("__smin") === col("__smax"), lit(1))
+            .when(col("__bnan") === 0, lit(2))
+            .otherwise(lit(0)))
+          .otherwise(lit(0)), lit(0)))
       .withColumn("__w", greatest(lit(1.0),
         (col("__tmax").cast("double") - col("__tmin").cast("double") + 1.0) /
           subBuckets))
+      .withColumn("__smaxd", col("__smax").cast("double"))
+      .withColumn("__ws",
+        (col("__smax").cast("double") - col("__smin").cast("double")) /
+          subBuckets)
     // the offset table is TINY (≤ #strata × buckets rows) and feeds
     // everything below — checkpoint it eagerly so pass 1 + pass 2 run
     // exactly once, and the split decision can be read on the driver
     // for pennies instead of shaping the plan pessimistically
     val offCols = Seq(col(stratum), col("__bkt"), col("__noff"), col(cols.n),
-      col("__split"), col("__tmin"), col("__w")) ++
+      col("__smode"), col("__tmin"), col("__w"), col("__smaxd"),
+      col("__ws")) ++
       (if (mass.isDefined) Seq(col("__moff"), col(cols.m)) else Nil)
     val offKept = prune.fold(off)(off.filter).select(offCols: _*)
       .localCheckpoint(true)
     val offB = broadcast(offKept)
 
-    // monotone tie → sub-bucket map over the cell's tie range: longs
-    // go through double (monotone, collisions only merge neighbors)
-    // and the clamp preserves order, so sub order ≡ tie order
+    // monotone sub-bucket maps. Mode 1: tie through double (monotone;
+    // collisions only merge neighbors), clamp preserves order → sub
+    // ASC ≡ tie ASC at sub granularity. Mode 2: (smax − score)/ws is
+    // monotone DECREASING in score, so sub ASC ≡ score DESC at sub
+    // granularity, and equal scores always share a sub.
+    def clampSub(c: Column): Column =
+      least(greatest(floor(c), lit(0.0)),
+        lit((subBuckets - 1).toDouble)).cast("int")
     def subOf(tieCol: Column): Column =
-      when(col("__split"),
-        least(greatest(floor((tieCol.cast("double") -
-            col("__tmin").cast("double")) / col("__w")), lit(0.0)),
-          lit((subBuckets - 1).toDouble)).cast("int"))
+      when(col("__smode") === 1,
+        clampSub((tieCol.cast("double") - col("__tmin").cast("double")) /
+          col("__w")))
+        .when(col("__smode") === 2,
+          clampSub((col("__smaxd") - col(score).cast("double")) / col("__ws")))
         .otherwise(lit(0))
 
-    val splitInfo = offKept.filter(col("__split"))
-      .select(col(stratum), col("__bkt"), col("__split"), col("__tmin"),
-        col("__w"))
+    val splitInfo = offKept.filter(col("__smode") =!= 0)
+      .select(col(stratum), col("__bkt"), col("__smode"), col("__tmin"),
+        col("__w"), col("__smaxd"), col("__ws"))
     val hasSplit = !splitInfo.isEmpty // a driver peek on the tiny checkpoint
 
     // the COMMON shape: no oversized atom anywhere → exactly the
@@ -185,7 +218,8 @@ object RankKernel {
             sum(col(mc)).over(wIn.rowsBetween(Window.unboundedPreceding,
               Window.currentRow)) - col(mc))
       }
-      return out.drop("__bkt", "__noff", "__moff", "__split", "__tmin", "__w")
+      return out.drop("__bkt", "__noff", "__moff", "__smode", "__tmin",
+        "__w", "__smaxd", "__ws")
     }
 
     // pass 2b (split cells exist): per-(stratum, bucket, sub) offsets
@@ -230,7 +264,7 @@ object RankKernel {
             Window.currentRow)) - col(mc))
     }
     out.drop("__bkt", "__sub", "__noff", "__moff", "__snoff", "__smoff",
-      "__split", "__tmin", "__w")
+      "__smode", "__tmin", "__w", "__smaxd", "__ws")
   }
 
   /** SQL-standard `ntile(k)` derived arithmetically from an exact rank:

@@ -72,8 +72,11 @@ class RankKernelSpec extends SparkSpec {
     // the kernel must split it by tie range and STILL equal the naive
     // window — including (a) a bucket that is an atom PLUS null scores
     // (must NOT split: nulls sort after the atom, a tie split would
-    // interleave them) and (b) a same-score atom in a second stratum
-    // whose tie ids are far apart (quantizer range robustness).
+    // interleave them), (b) a same-score atom in a second stratum
+    // whose tie ids are far apart (quantizer range robustness),
+    // (c) a MULTI-SCORE oversized sliver (mode-2 descending score
+    // split: many distinct scores inside one primary bucket), and
+    // (d) an oversized NaN-mixed sliver that must NOT split.
     val rows = (1 to 4000).map(i =>
         Row(i.toLong, "en", 0.25, (i % 7).toLong)) ++      // the atom
       (4001 to 4300).map(i =>
@@ -83,7 +86,21 @@ class RankKernelSpec extends SparkSpec {
       // scores floor to 0 — covered by the fr stratum below instead:
       (1 to 2000).map(i =>
         Row(100000L + i * 1000L, "fr", 0.0, 1L)) ++ // atom at bucket 0...
-      (1 to 30).map(i => Row(200000L + i, "fr", null, 1L)) // ...plus nulls
+      (1 to 30).map(i => Row(200000L + i, "fr", null, 1L)) ++ // ...plus nulls
+      // (c) 3000 rows, 150 distinct scores, ALL inside bucket
+      // floor(0.9*16)=14's sliver [0.875, 0.9375) — mode-2 territory;
+      // repeated scores across different ties exercise the equal-
+      // scores-share-a-sub invariant
+      (1 to 3000).map(i => // ids clear of fr's 1000-stride range
+        Row(10000000L + i, "de", 0.9 + (i % 150) / 10000.0, (i % 5).toLong)) ++
+      // (d) NaN-poisoned oversized sliver: NaN quantizes to the TOP
+      // bucket (Spark orders NaN above every double), so mixing needs
+      // numeric scores ≥ 15/16 — 0.95 lands them in bucket 15 WITH the
+      // NaNs; the 620-row cell must stay unsplit and still match the
+      // window's NaN-first descending order
+      (1 to 600).map(i =>
+        Row(20000000L + i, "zz", 0.95 + (i % 37) / 10000.0, 1L)) ++
+      (1 to 20).map(i => Row(21000000L + i, "zz", Double.NaN, 1L))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("q", DoubleType), StructField("n_tok", LongType)))
