@@ -184,6 +184,18 @@ class RankKernelSpec extends SparkSpec {
     }
   }
 
+  test("no oversized cell → the emitted plan has NO sub-split level at all") {
+    // the data-dependent planning promise: with every cell under
+    // atomBound the kernel must emit the pre-split two-pass plan —
+    // no __sub column, no left-outer sub-offset join, no three-key
+    // window — so the common path pays zero for the split machinery
+    val df = fixture
+    val p = RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+      mass = Some("n_tok")).queryExecution.executedPlan.toString
+    assert(!p.contains("__sub") && !p.contains("__snoff"),
+      s"sub-split level leaked into the no-split plan:\n$p")
+  }
+
   test("ntileOfRank matches ntile for every (N, rank) up to 40, k in {1,3,10}") {
     import spark.implicits._
     val pairs = for { n <- 1 to 40; r <- 1 to n } yield (n.toLong, r.toLong)
