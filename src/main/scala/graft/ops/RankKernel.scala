@@ -44,24 +44,32 @@ import org.apache.spark.sql.functions._
   * would spread the rows but lose the offset decomposition. Cells
   * containing nulls, or mixing NaN with numbers, never split. The
   * split is DATA-DEPENDENT planning done cheaply: the tiny offset
-  * table is eagerly checkpointed (pass 1 + 2 run exactly once either
-  * way) and the split flags are peeked on the driver — with no
-  * oversized cell the emitted plan is exactly the pre-split two-pass,
-  * zero extra corpus passes; with one, the sub-bucket counts add one
+  * table is persisted and materialized by ONE driver action — the
+  * collect of its (usually zero) split-flag rows, which fills the
+  * cache as a side effect — so pass 1 + 2 run exactly once either
+  * way and the split decision costs no second job. With no oversized
+  * cell the emitted plan is exactly the pre-split two-pass, zero
+  * extra corpus passes; with one, the sub-bucket counts add one
   * extra consumer of the input, cheap against the checkpointed narrow
-  * frames every caller feeds. Measured cost of the eager checkpoint
-  * at local bench scale: ~0.2 s fixed per call (three driver jobs
-  * where round 10 ran one) — accepted, because the alternatives both
-  * run pass 1 (a full-corpus aggregate) TWICE, which is the wrong
-  * trade at 100 TB where the corpus pass dominates and the job
-  * boundary is noise.
+  * frames every caller feeds. persist beats an eager localCheckpoint
+  * here twice over: one driver job instead of two-three, and lineage
+  * survives executor loss (a non-replicated checkpoint block lost
+  * mid-job fails the query — the wrong failure mode at 1000
+  * executors). The alternatives to the driver peek both run pass 1
+  * (a full-corpus aggregate) TWICE, the wrong trade at 100 TB where
+  * the corpus pass dominates and a driver job boundary is noise.
   *
-  * Residual caveat (documented, not hidden): the split is one level
-  * deep — a dominant single-score atom hiding INSIDE an oversized
-  * multi-score cell still lands its sub on one task (isolating it
-  * needs a second recursion: score-split, then tie-split the atom
-  * sub). No caller's score composite shows that shape; raise
-  * `buckets` if one ever does.
+  * The split RECURSES one extra level (round-11 residual, closed): a
+  * sub still holding more than `atomBound` rows tie-splits again when
+  * it is a single-score ATOM — the dominant-score-inside-an-oversized-
+  * multi-score-cell shape. That is exactly the set of subs where a
+  * second split is both needed and valid: a mode-1 sub is an atom by
+  * construction, and a mode-2 sub's in-sub order is pure tie order
+  * only when it holds one score. Remaining residual (documented, not
+  * hidden): an oversized mode-2 sub holding SEVERAL distinct scores —
+  * >atomBound rows whose scores span less than 1/subBuckets of their
+  * cell's score range — still lands on one task; raise `subBuckets`
+  * if a caller ever shows that shape.
   *
   * Reference behavior context: the reference pipeline ranks and budgets
   * per-group in pandas after collect (see the analytics dataframes fed
@@ -171,15 +179,21 @@ object RankKernel {
         (col("__smax").cast("double") - col("__smin").cast("double")) /
           subBuckets)
     // the offset table is TINY (≤ #strata × buckets rows) and feeds
-    // everything below — checkpoint it eagerly so pass 1 + pass 2 run
-    // exactly once, and the split decision can be read on the driver
-    // for pennies instead of shaping the plan pessimistically
+    // everything below — persist it and run ONE driver action that
+    // doubles as the split-decision read: collecting the (rare)
+    // split-flag rows consumes every partition, filling the cache as a
+    // side effect, so pass 1 + pass 2 run exactly once and the plan is
+    // shaped from data without a second job. persist (not an eager
+    // localCheckpoint) keeps the lineage: an executor lost mid-job
+    // rebuilds its partitions instead of failing the query on a
+    // missing non-replicated checkpoint block.
     val offCols = Seq(col(stratum), col("__bkt"), col("__noff"), col(cols.n),
       col("__smode"), col("__tmin"), col("__w"), col("__smaxd"),
       col("__ws")) ++
       (if (mass.isDefined) Seq(col("__moff"), col(cols.m)) else Nil)
-    val offKept = prune.fold(off)(off.filter).select(offCols: _*)
-      .localCheckpoint(true)
+    val offKept = prune.fold(off)(off.filter).select(offCols: _*).persist()
+    val hasSplit = offKept.filter(col("__smode") =!= 0)
+      .select(col(stratum), col("__bkt")).collect().nonEmpty
     val offB = broadcast(offKept)
 
     // monotone sub-bucket maps. Mode 1: tie through double (monotone;
@@ -197,11 +211,6 @@ object RankKernel {
         .when(col("__smode") === 2,
           clampSub((col("__smaxd") - col(score).cast("double")) / col("__ws")))
         .otherwise(lit(0))
-
-    val splitInfo = offKept.filter(col("__smode") =!= 0)
-      .select(col(stratum), col("__bkt"), col("__smode"), col("__tmin"),
-        col("__w"), col("__smaxd"), col("__ws"))
-    val hasSplit = !splitInfo.isEmpty // a driver peek on the tiny checkpoint
 
     // the COMMON shape: no oversized atom anywhere → exactly the
     // pre-split plan (one fan-back join, (stratum, bucket) windows),
@@ -226,12 +235,21 @@ object RankKernel {
     // for SPLIT cells only — the aggregate input is a map-side
     // broadcast-join filter keeping split-bucket rows; the window runs
     // over ≤ subBuckets rows per cell and partitions by
-    // (stratum, bucket), never the bare stratum
+    // (stratum, bucket), never the bare stratum. The aggregate also
+    // carries each sub's score/tie bounds: they feed the SECOND-level
+    // recursion below.
+    val splitInfo = offKept.filter(col("__smode") =!= 0)
+      .select(col(stratum), col("__bkt"), col("__smode"), col("__tmin"),
+        col("__w"), col("__smaxd"), col("__ws"))
     val subMassAggs = mass.toSeq.map(mc => sum(col(mc)).as("__sbm"))
     val subTbl = withBkt.join(broadcast(splitInfo), Seq(stratum, "__bkt"))
       .withColumn("__sub", subOf(col(tie)))
       .groupBy(col(stratum), col("__bkt"), col("__sub"))
-      .agg(count(lit(1)).as("__sbn"), subMassAggs: _*)
+      .agg(count(lit(1)).as("__sbn"),
+        (Seq(count(col(score)).as("__sbsn"),
+          min(col(score)).as("__ssmin"), max(col(score)).as("__ssmax"),
+          min(col(tie)).as("__stmin"), max(col(tie)).as("__stmax")) ++
+          subMassAggs): _*)
     val wSubRun = Window.partitionBy(col(stratum), col("__bkt"))
       .orderBy(col("__sub").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -239,32 +257,118 @@ object RankKernel {
       .withColumn("__snoff", sum("__sbn").over(wSubRun) - col("__sbn"))
     if (mass.isDefined) subOff = subOff
       .withColumn("__smoff", sum("__sbm").over(wSubRun) - col("__sbm"))
+    // SECOND-level recursion (the round-11 residual, now closed): a sub
+    // STILL holding more than atomBound rows tie-splits once more —
+    // valid exactly when the sub is a single-score ATOM, because only
+    // then is in-sub order pure tie order. A mode-1 sub always is (the
+    // whole cell shares one score); a mode-2 sub is when one score
+    // dominates its sliver — the shape that previously landed on one
+    // task. All-NaN subs are atoms too (NaN = NaN in Spark SQL);
+    // null-score rows never reach here (their cells never split).
+    subOff = subOff
+      .withColumn("__s2mode", coalesce(
+        when(col("__sbn") > atomBound && col("__sbsn") === col("__sbn") &&
+          col("__ssmin") === col("__ssmax"), lit(1)).otherwise(lit(0)),
+        lit(0)))
+      .withColumn("__w2", greatest(lit(1.0),
+        (col("__stmax").cast("double") - col("__stmin").cast("double") + 1.0) /
+          subBuckets))
     val subOffCols = Seq(col(stratum), col("__bkt"), col("__sub"),
+      col("__snoff"), col("__s2mode"), col("__stmin"), col("__w2")) ++
+      (if (mass.isDefined) Seq(col("__smoff")) else Nil)
+    // same persist + one-collect pattern as level 1 (the table is ≤
+    // subBuckets rows per split cell); the extra driver action exists
+    // only on the already-rare split path
+    val subKept = subOff.select(subOffCols: _*).persist()
+    val hasS2 = subKept.filter(col("__s2mode") =!= 0)
+      .select(col(stratum), col("__bkt")).collect().nonEmpty
+    val lvl1Cols = Seq(col(stratum), col("__bkt"), col("__sub"),
       col("__snoff")) ++
       (if (mass.isDefined) Seq(col("__smoff")) else Nil)
 
-    // pass 3: fan the broadcast offsets back; all corpus-sized windows
-    // below partition by (stratum, bucket, sub) — the distributed sort.
-    // Non-split rows ride sub 0 with zero sub-offsets, reproducing the
-    // original (stratum, bucket) partitioning exactly.
-    val wIn = Window.partitionBy(col(stratum), col("__bkt"), col("__sub"))
+    // pass 3 (one split level — the common split shape): fan the
+    // broadcast offsets back; all corpus-sized windows below partition
+    // by (stratum, bucket, sub) — the distributed sort. Non-split rows
+    // ride sub 0 with zero sub-offsets, reproducing the original
+    // (stratum, bucket) partitioning exactly.
+    if (!hasS2) {
+      val wIn = Window.partitionBy(col(stratum), col("__bkt"), col("__sub"))
+        .orderBy(col(score).desc, col(tie).asc)
+      var out = withBkt
+        .join(offB, Seq(stratum, "__bkt"))
+        .withColumn("__sub", subOf(col(tie)))
+        .join(broadcast(subKept.select(lvl1Cols: _*)),
+          Seq(stratum, "__bkt", "__sub"), "left")
+        .withColumn(cols.rank,
+          col("__noff") + coalesce(col("__snoff"), lit(0L)) +
+            row_number().over(wIn))
+      mass.foreach { mc =>
+        out = out.withColumn(cols.cumBefore,
+          col("__moff") + coalesce(col("__smoff"), lit(0L)) +
+            sum(col(mc)).over(wIn.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)) - col(mc))
+      }
+      return out.drop("__bkt", "__sub", "__noff", "__moff", "__snoff",
+        "__smoff", "__smode", "__tmin", "__w", "__smaxd", "__ws")
+    }
+
+    // pass 2c (an atom sub survived level 1): per-(stratum, bucket,
+    // sub, sub2) offsets for s2 subs only; the window runs over ≤
+    // subBuckets rows per sub and partitions by (stratum, bucket, sub)
+    val s2Info = subKept.filter(col("__s2mode") =!= 0)
+      .select(col(stratum), col("__bkt"), col("__sub"), col("__stmin"),
+        col("__w2"))
+    val s2MassAggs = mass.toSeq.map(mc => sum(col(mc)).as("__s2bm"))
+    val s2Tbl = withBkt.join(broadcast(splitInfo), Seq(stratum, "__bkt"))
+      .withColumn("__sub", subOf(col(tie)))
+      .join(broadcast(s2Info), Seq(stratum, "__bkt", "__sub"))
+      .withColumn("__sub2",
+        clampSub((col(tie).cast("double") - col("__stmin").cast("double")) /
+          col("__w2")))
+      .groupBy(col(stratum), col("__bkt"), col("__sub"), col("__sub2"))
+      .agg(count(lit(1)).as("__s2bn"), s2MassAggs: _*)
+    val wS2Run = Window.partitionBy(col(stratum), col("__bkt"), col("__sub"))
+      .orderBy(col("__sub2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var s2Off = s2Tbl
+      .withColumn("__s2noff", sum("__s2bn").over(wS2Run) - col("__s2bn"))
+    if (mass.isDefined) s2Off = s2Off
+      .withColumn("__s2moff", sum("__s2bm").over(wS2Run) - col("__s2bm"))
+    val s2OffCols = Seq(col(stratum), col("__bkt"), col("__sub"),
+      col("__sub2"), col("__s2noff")) ++
+      (if (mass.isDefined) Seq(col("__s2moff")) else Nil)
+
+    // pass 3 (two split levels): the corpus windows partition by
+    // (stratum, bucket, sub, sub2); non-s2 rows ride sub2 0 with zero
+    // offsets, so the one-level decomposition is reproduced exactly
+    // and the s2 atom spreads over its tie-range quantiles
+    val sub2 = when(col("__s2mode") === 1,
+      clampSub((col(tie).cast("double") - col("__stmin").cast("double")) /
+        col("__w2"))).otherwise(lit(0))
+    val wIn = Window.partitionBy(col(stratum), col("__bkt"), col("__sub"),
+        col("__sub2"))
       .orderBy(col(score).desc, col(tie).asc)
     var out = withBkt
       .join(offB, Seq(stratum, "__bkt"))
       .withColumn("__sub", subOf(col(tie)))
-      .join(broadcast(subOff.select(subOffCols: _*)),
-        Seq(stratum, "__bkt", "__sub"), "left")
+      .join(broadcast(subKept), Seq(stratum, "__bkt", "__sub"), "left")
+      .withColumn("__sub2", sub2)
+      .join(broadcast(s2Off.select(s2OffCols: _*)),
+        Seq(stratum, "__bkt", "__sub", "__sub2"), "left")
       .withColumn(cols.rank,
         col("__noff") + coalesce(col("__snoff"), lit(0L)) +
+          coalesce(col("__s2noff"), lit(0L)) +
           row_number().over(wIn))
     mass.foreach { mc =>
       out = out.withColumn(cols.cumBefore,
         col("__moff") + coalesce(col("__smoff"), lit(0L)) +
+          coalesce(col("__s2moff"), lit(0L)) +
           sum(col(mc)).over(wIn.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)) - col(mc))
     }
-    out.drop("__bkt", "__sub", "__noff", "__moff", "__snoff", "__smoff",
-      "__smode", "__tmin", "__w", "__smaxd", "__ws")
+    out.drop("__bkt", "__sub", "__sub2", "__noff", "__moff", "__snoff",
+      "__smoff", "__s2noff", "__s2moff", "__smode", "__tmin", "__w",
+      "__smaxd", "__ws", "__s2mode", "__stmin", "__w2")
   }
 
   /** SQL-standard `ntile(k)` derived arithmetically from an exact rank:

@@ -123,6 +123,119 @@ class RankKernelSpec extends SparkSpec {
     assert(kern.count() == df.count(), "kernel dropped or duplicated rows")
   }
 
+  test("second-level split: an atom INSIDE an oversized multi-score sliver stays exact") {
+    // the round-11 documented residual: a mode-2 (multi-score) cell
+    // splits by descending score quantization, but a score that
+    // DOMINATES the sliver puts > atomBound rows into one sub. The
+    // recursion must tie-split that sub and still equal the naive
+    // window — including the repeated-score spread rows sharing the
+    // atom's exact score, and the mass running sum.
+    // the atom's score is spelled with the SPREAD's exact arithmetic
+    // (0.9 + 3/10000.0, NOT the literal 0.9003 — those differ in the
+    // last IEEE bit and a one-ulp neighbor inside the same sub would
+    // make it multi-score, silently disarming the fixture)
+    val rows = (1 to 4000).map(i =>       // the in-sliver atom: one exact score
+        Row(i.toLong, "en", 0.9 + 3 / 10000.0, (i % 7 + 1).toLong)) ++
+      (1 to 1000).map(i =>                // sliver spread: 150 distinct scores
+        Row(100000L + i, "en", 0.9 + (i % 150) / 10000.0, (i % 5).toLong)) ++
+      (1 to 200).map(i =>                 // out-of-sliver ballast (≤ 0.79:
+        // bucket ≤ 12, so it can't widen the sliver cell's score range)
+        Row(200000L + i, "en", (i % 80) / 100.0, 1L)) ++
+      Seq(Row(300001L, "zz", 1.0, 7L))    // singleton stratum
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("q", DoubleType), StructField("n_tok", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5), schema)
+    val naiveW = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id").asc)
+    val naive = df
+      .withColumn("nv_rank", row_number().over(naiveW).cast("long"))
+      .withColumn("nv_cum", sum("n_tok").over(
+        naiveW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("nv_rank"),
+        (col("nv_cum") - col("n_tok")).as("nv_cum_before"))
+    // subBuckets = 256 keeps the atom's mode-2 sub single-score (sub
+    // width ≈ 0.0000582 < the 0.0001 spread step), so the s2 condition
+    // engages on exactly one sub
+    val kern = RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+        mass = Some("n_tok"), buckets = 16, atomBound = 500, subBuckets = 256)
+      .select(col("doc_id"), col("__rank"), col("__cum_before"))
+    val diff = naive.join(kern, Seq("doc_id"))
+      .filter(col("nv_rank") =!= col("__rank") ||
+        col("nv_cum_before") =!= col("__cum_before"))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+    assert(kern.count() == df.count(), "kernel dropped or duplicated rows")
+    // the recursion really engaged: the emitted plan carries the sub2
+    // level (otherwise this fixture silently regressed to one level)
+    val p = RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+      mass = Some("n_tok"), buckets = 16, atomBound = 500, subBuckets = 256)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__sub2"), s"second-level split did not engage:\n$p")
+  }
+
+  test("measured: the s2 split spreads an in-sliver atom across tasks") {
+    // the residual shape as a MEASUREMENT: 95% of a 200k-row stratum
+    // carries ONE exact score inside a bucket sliver that also holds
+    // 100 distinct neighbor scores — mode 2 engages, and before the
+    // recursion the atom's sub was one task
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 200000L
+    val df = spark.range(n).select(
+        col("id").as("doc_id"), lit("en").as("lang"),
+        when(col("id") % 20 === 0,
+          lit(0.5) + (pmod(col("id"), lit(100)).cast("double") + 1.0) / 1e6)
+          .otherwise(lit(0.5)).as("q"),
+        lit(1L).as("n_tok"))
+      .localCheckpoint(true)
+    @volatile var maxRecords = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) maxRecords = math.max(maxRecords,
+          m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    def measure(f: => Unit): Long = {
+      maxRecords = 0L
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        var last = -1L; var spins = 0
+        while (last != maxRecords && spins < 20) {
+          last = maxRecords; Thread.sleep(250); spins += 1
+        }
+        maxRecords
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(coalesceKey, "true")
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(partKey, "32")
+      val unsplitMax = measure {
+        RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+          mass = Some("n_tok"), atomBound = Int.MaxValue)
+          .filter(col("__rank") > 0).count()
+      }
+      val splitMax = measure {
+        RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+          mass = Some("n_tok"), atomBound = 10000)
+          .filter(col("__rank") > 0).count()
+      }
+      info(s"max records on one task: unsplit=$unsplitMax split=$splitMax")
+      assert(unsplitMax >= n * 9 / 10,
+        s"fixture sanity: the unsplit sliver should funnel ~all $n rows " +
+          s"through one task, saw $unsplitMax")
+      assert(splitMax * 5 <= unsplitMax,
+        s"s2 split did not spread the in-sliver atom: $splitMax vs $unsplitMax")
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(partKey, prevParts)
+    }
+  }
+
   test("measured: an oversized single-atom stratum spreads across tasks after the split") {
     // the verdict's Missing #3 as a MEASUREMENT: every row of the giant
     // stratum carries ONE exact score (deduped-boilerplate shape), so
