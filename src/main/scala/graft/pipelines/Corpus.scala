@@ -84,7 +84,15 @@ object Corpus {
     * the stage-6 running mass on the surviving rows — stage 7 reuses
     * `__cum_before` verbatim and only needs stage 6's per-language
     * token total (a tiny broadcast aggregate), not a second bucketed
-    * rank. Same oracle algebra, one kernel instead of two. */
+    * rank. Same oracle algebra, one kernel instead of two.
+    *
+    * The kernel input is PROJECTED to the four columns the ranking and
+    * the downstream audits read (doc_id, lang, q, n_kept) — the
+    * stage-5 frame still carries per-doc shingle-hash ARRAYS at this
+    * point, and without the projection they ride the fan-back join,
+    * the intra-bucket sort, the ranked checkpoint, and every audit
+    * re-read (measured ~35% of the whole pipeline's time at sf0.1;
+    * at 100 TB they're the bulk of the stage's shuffle bytes). */
   private[graft] def rankStages(s5: DataFrame): (DataFrame, DataFrame) = {
     // bucket-level prune: a score bucket whose FIRST rank already falls
     // past decile 7 contains only stage-6 rejects (the arithmetic ntile
@@ -94,7 +102,8 @@ object Corpus {
     val rem = pmod(col("__n"), lit(10L))
     val b7 = lit(7L) * ((col("__n").cast("double") - rem.cast("double")) / 10)
       .cast("long") + least(lit(7L), rem)
-    val ranked = RankKernel.withStratumRank(s5, "lang", "q", "doc_id",
+    val ranked = RankKernel.withStratumRank(
+        s5.select("doc_id", "lang", "q", "n_kept"), "lang", "q", "doc_id",
         mass = Some("n_kept"), prune = Some(col("__noff") < b7))
       .localCheckpoint(true)
     val s6 = ranked
@@ -142,25 +151,35 @@ object Corpus {
       .localCheckpoint(true)
 
     // windowed near-dup among stage-3 survivors: (shingle, bucket)
-    // keys with {b, b+1} replication — the bounded-state candidate
-    // shape — then exact Jaccard; the later doc of each pair drops
+    // keys with {b, b+1} replication on ONE side only — the probe side
+    // joins at its own bucket, so a pair with |batch diff| ≤ 1 meets
+    // in at least one orientation (replicating BOTH sides would shuffle
+    // the same pairs at ~1.3× the exploded volume). Orientation is then
+    // NORMALIZED by arrival order instead of filtered: a |diff|=1 pair
+    // may meet only in its "wrong" orientation. Exact Jaccard; the
+    // later-arriving doc of each pair drops.
     val ex = s3.select(col("doc_id"),
         struct(col("__arr"), col("doc_id")).as("ord"),
         (col("doc_id") % 10).as("batch"),
         size(col("shs3")).as("sz"), explode_outer(col("shs3")).as("sh"))
       .filter(col("sh").isNotNull)
-    val rep = ex.select(col("doc_id"), col("ord"), col("batch"), col("sz"),
-      col("sh"), explode(array(col("batch"), col("batch") + 1)).as("bk"))
-    val aSide = rep.select(col("doc_id").as("doc_a"), col("ord").as("ord_a"),
-      col("sz").as("sz_a"), col("sh"), col("bk"))
-    val bSide = rep.select(col("doc_id").as("doc_b"), col("ord").as("ord_b"),
-      col("sz").as("sz_b"), col("sh"), col("bk"))
+    val aSide = ex.select(col("doc_id").as("doc_a"), col("ord").as("ord_a"),
+      col("sz").as("sz_a"), col("sh"), col("batch").as("bk"))
+    val bSide = ex.select(col("doc_id").as("doc_b"), col("ord").as("ord_b"),
+      col("sz").as("sz_b"), col("sh"),
+      explode(array(col("batch"), col("batch") + 1)).as("bk"))
     // the LATER-arriving side of each pair drops: lexicographic
     // (arr, doc_id) — plain doc_id order when every __arr is 0
+    val later = col("ord_a") > col("ord_b")
     val dropB = aSide.join(bSide, Seq("sh", "bk"))
-      .filter(col("ord_a") < col("ord_b"))
-      .select("doc_a", "doc_b", "sz_a", "sz_b", "sh")
-      .distinct() // same-bucket pairs meet at both replicas
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(
+        when(later, col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
+        when(later, col("sz_b")).otherwise(col("sz_a")).as("sz_a"),
+        when(later, col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
+        when(later, col("sz_a")).otherwise(col("sz_b")).as("sz_b"),
+        col("sh"))
+      .distinct() // same-batch pairs meet in both orientations
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double")
@@ -168,8 +187,12 @@ object Corpus {
       .select(col("doc_b").as("doc_id")).distinct()
     // the one mid-pipeline materialization: everything upstream of the
     // shingle pair join is cheap to recompute from the base checkpoint,
-    // but the join itself must run once, not once per stage aggregate
+    // but the join itself must run once, not once per stage aggregate.
+    // shs3 is DONE after the pair join — dropping it here (and shs5
+    // after the decontam probe below) keeps the per-doc hash arrays
+    // out of every later checkpoint and audit re-read
     val s4 = s3.join(dropB, Seq("doc_id"), "left_anti")
+      .drop("shs3")
       .localCheckpoint(true)
 
     // decontamination: the benchmark shingle set derives from the SAME
@@ -186,6 +209,7 @@ object Corpus {
       .select("doc_id")
     val s5 = s4.filter(!col("is_bench"))
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .drop("shs5")
       .localCheckpoint(true)
 
     // stages 6-7 use the skew-safe RankKernel two-pass (bucketed exact
