@@ -77,176 +77,78 @@ object Hashing {
     * recomputed an md5 per (plane, dim) per ROW — a 512-entry constant). */
   def planeWeights(plane: Int, dims: Int): Array[Long] =
     Array.tabulate(dims)(d => planeWeight(plane, d))
-}
 
-/** shingle_h64s(tokens array<string>, n) → array<long>: h64 hashes of
-  * the DISTINCT word n-gram shingles (space-joined), in first-occurrence
-  * order. One tight JVM pass — the column form (`transform(sequence, i →
-  * concat_ws(slice))` + `array_distinct` + md5) walks interpreted
-  * higher-order-function trees per element, and Catalyst's collapsed
-  * projections re-evaluate it per consumer; at 260k shingles that was
-  * seconds, this is milliseconds. Distinctness is by shingle STRING
-  * (then hashed), bit-exact with the oracle's order of operations. */
-case class ShingleH64sExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def prettyName: String = "shingle_h64s"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<string>, foldable int)")
-    }
-  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // -------------------------------------------------------------------
+  // Static eval twins of the fingerprint expressions below, called from
+  // BOTH interpreted eval and generated code (the NfcNormalizeExpr
+  // pattern). Living here keeps each expression's doGenCode a one-line
+  // defineCodeGen — and that, not the per-row boxing, is the real prize:
+  // ONE CodegenFallback expression evicts its whole Project (every
+  // sibling signal in the projection) from whole-stage codegen.
+  // -------------------------------------------------------------------
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
+  private def toStrings(arr: ArrayData): Array[String] = {
     val m = arr.numElements()
-    if (m < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[String](m)
     var i = 0
     while (i < m) {
       toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
       i += 1
     }
+    toks
+  }
+
+  private def joinGram(toks: Array[String], i: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(i))
+    var j = 1
+    while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+    sb.toString
+  }
+
+  /** [[ShingleH64sExpr]]: h64 of the DISTINCT n-gram shingles. */
+  def shingleH64s(arr: ArrayData, n: Int): ArrayData = {
+    val toks = toStrings(arr)
+    val m = toks.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
-    i = 0
-    while (i <= m - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
-    }
+    var i = 0
+    while (i <= m - n) { seen.add(joinGram(toks, i, n)); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     i = 0
-    while (it.hasNext) { out(i) = Hashing.h64(it.next()); i += 1 }
+    while (it.hasNext) { out(i) = h64(it.next()); i += 1 }
     new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
 
-/** shingle_h64s_all(tokens array<string>, n) → array<long>: h64 hashes
-  * of ALL positional word n-gram shingles — duplicates kept, one entry
-  * per window position ([[ShingleH64sExpr]] without the distinct).
-  * Occurrence-counting consumers (n-gram diversity/TTR) need
-  * multiplicity; at scale this also means 8-byte hashes ride the
-  * distinct-count shuffle instead of shingle strings. */
-case class ShingleH64sAllExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def prettyName: String = "shingle_h64s_all"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<string>, foldable int)")
-    }
-  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
-    val m = arr.numElements()
+  /** [[ShingleH64sAllExpr]]: h64 of ALL positional n-grams. */
+  def shingleH64sAll(arr: ArrayData, n: Int): ArrayData = {
+    val toks = toStrings(arr)
+    val m = toks.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[String](m)
-    var i = 0
-    while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      i += 1
-    }
     val out = new Array[Any](m - n + 1)
-    i = 0
-    while (i <= m - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      out(i) = Hashing.h64(sb.toString)
-      i += 1
-    }
+    var i = 0
+    while (i <= m - n) { out(i) = h64(joinGram(toks, i, n)); i += 1 }
     new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
 
-/** shingle_pairs(tokens array<string>, n) → array<struct<h:long,
-  * s:string>>: every positional n-gram with its h64, one JVM pass —
-  * for consumers that aggregate on the hash but need the text of a
-  * FILTERED subset afterwards (top-ngram rehydration). The interpreted
-  * `transform(sequence…, concat_ws(slice…))` + column-md5 spelling of
-  * the same thing measured ~7× slower on the rehydration branch. */
-case class ShinglePairsExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def prettyName: String = "shingle_pairs"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<string>, foldable int)")
-    }
-  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("h", LongType, nullable = false),
-      StructField("s", StringType, nullable = false))),
-    containsNull = false)
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
-    val m = arr.numElements()
+  /** [[ShinglePairsExpr]]: (h64, text) of ALL positional n-grams. */
+  def shinglePairs(arr: ArrayData, n: Int): ArrayData = {
+    val toks = toStrings(arr)
+    val m = toks.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[String](m)
-    var i = 0
-    while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      i += 1
-    }
     val out = new Array[Any](m - n + 1)
-    i = 0
+    var i = 0
     while (i <= m - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      val s = sb.toString
+      val s = joinGram(toks, i, n)
       out(i) = org.apache.spark.sql.catalyst.InternalRow(
-        Hashing.h64(s),
-        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        h64(s), UTF8String.fromString(s))
       i += 1
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
 
-/** cdc_chunk_h64s(tokens array<string>, m) → array<long>: h64 hashes
-  * of CONTENT-DEFINED chunks — a chunk closes after every token whose
-  * h64 is ≡ 0 (mod m), so expected chunk length is m tokens and chunk
-  * boundaries are decided by content, not position. This is the
-  * rsync/FastCDC idea at token granularity: inserting one token near
-  * the head of a document shifts every FIXED window (passage dedup
-  * finds nothing) but only perturbs the single chunk containing the
-  * edit — every later boundary re-synchronizes. The trailing partial
-  * chunk (after the last boundary) is kept. */
-case class CdcChunkH64sExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def prettyName: String = "cdc_chunk_h64s"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<string>, foldable int)")
-    }
-  private lazy val m: Int = right.eval(null).asInstanceOf[Int]
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
+  /** [[CdcChunkH64sExpr]]: content-defined chunk hashes. */
+  def cdcChunkH64s(arr: ArrayData, m: Int): ArrayData = {
     val n = arr.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val sb = new java.lang.StringBuilder
@@ -255,62 +157,25 @@ case class CdcChunkH64sExpr(left: Expression, right: Expression)
       val tok = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
       if (sb.length > 0) sb.append(' ')
       sb.append(tok)
-      if (Hashing.h64(tok) % m == 0) {
-        out += Hashing.h64(sb.toString)
+      if (h64(tok) % m == 0) {
+        out += h64(sb.toString)
         sb.setLength(0)
       }
       i += 1
     }
-    if (sb.length > 0) out += Hashing.h64(sb.toString)
+    if (sb.length > 0) out += h64(sb.toString)
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
 
-/** winnow_fps(tokens array<string>, n, w) → array<long>: winnowing
-  * fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) in one
-  * pass: positional word n-gram shingles → h64 → min hash of every
-  * w-length sliding window (monotone deque, O(len)) → distinct,
-  * ascending. Guarantees a shared fingerprint for any common run of
-  * ≥ w+n−1 tokens while keeping ~2/(w+1) of the hashes — the document
-  * fingerprint that is robust to partial overlap, unlike the
-  * whole-content hash. Fewer than n tokens → empty. */
-case class WinnowFpsExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
-  override def prettyName: String = "winnow_fps"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (ArrayType(StringType, _), IntegerType, IntegerType)
-          if second.foldable && third.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<string>, foldable int, foldable int)")
-    }
-  private lazy val n: Int = second.eval(null).asInstanceOf[Int]
-  private lazy val w: Int = third.eval(null).asInstanceOf[Int]
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(t: Any, nv: Any, wv: Any): Any = {
-    val arr = t.asInstanceOf[ArrayData]
-    val m = arr.numElements()
+  /** [[WinnowFpsExpr]]: winnowing fingerprints (min per w-window). */
+  def winnowFps(arr: ArrayData, n: Int, w: Int): ArrayData = {
+    val toks = toStrings(arr)
+    val m = toks.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[String](m)
-    var i = 0
-    while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      i += 1
-    }
     val len = m - n + 1
     val hs = new Array[Long](len)
-    i = 0
-    while (i < len) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      hs(i) = Hashing.h64(sb.toString)
-      i += 1
-    }
+    var i = 0
+    while (i < len) { hs(i) = h64(joinGram(toks, i, n)); i += 1 }
     val win = math.min(w, len)
     val fps = new java.util.TreeSet[java.lang.Long]()
     val deque = new java.util.ArrayDeque[Int]() // monotone min-deque
@@ -328,35 +193,18 @@ case class WinnowFpsExpr(first: Expression, second: Expression, third: Expressio
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(f: Expression, s: Expression,
-                                                 t: Expression) =
-    copy(first = f, second = s, third = t)
-}
 
-/** minhash_sig(shingle_hashes array<long>, k) → array<long>: the full
-  * k-wide MinHash signature in one pass over the pre-hashed shingle set
-  * (see [[ShingleH64sExpr]]). Bit-exact with the exploded column
-  * pipeline (h = h64(s) mod M; sig_i = min (a_i·h + b_i) mod M) but
-  * map-only: no explode, no (doc, i) shuffle — the signature a 100 TB
-  * dedup run computes per document during the scan. An empty set yields
-  * an all-null signature (callers filter empties first). */
-case class MinhashSigExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def prettyName: String = "minhash_sig"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<long>, foldable int)")
-    }
-  private lazy val k: Int = right.eval(null).asInstanceOf[Int]
-  private lazy val paramA: Array[Long] = DedupOps.minhashParams(k).map(_._1).toArray
-  private lazy val paramB: Array[Long] = DedupOps.minhashParams(k).map(_._2).toArray
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  private val minhashCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def minhashAB(k: Int): (Array[Long], Array[Long]) =
+    minhashCache.computeIfAbsent(k, kk => {
+      val ps = DedupOps.minhashParams(kk)
+      (ps.map(_._1).toArray, ps.map(_._2).toArray)
+    })
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
+  /** [[MinhashSigExpr]]: the k-wide MinHash signature. */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val (paramA, paramB) = minhashAB(k)
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var any = false
@@ -377,37 +225,15 @@ case class MinhashSigExpr(left: Expression, right: Expression)
     if (!any) new GenericArrayData(Array.fill[Any](k)(null))
     else new GenericArrayData(sig.map(Long.box(_): Any))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
 
-/** simhash64(tokens array<string>, bits) → long: SimHash fingerprint in
-  * one pass (tokens with multiplicity; bit j set when Σ ±1 over token
-  * hashes' bit j is positive). Bit-exact with the explode(tokens × bits)
-  * aggregate pipeline but map-only. Empty token set → 0 sums → all bits
-  * off → 0, matching the aggregate form's empty-group absence semantics
-  * only when the caller filters empties — callers keep their guards. */
-case class Simhash64Expr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def prettyName: String = "simhash64"
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (array<string>, foldable int)")
-    }
-  private lazy val bits: Int = right.eval(null).asInstanceOf[Int]
-  override def dataType: DataType = LongType
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
+  /** [[Simhash64Expr]]: the SimHash fingerprint. */
+  def simhash64(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Hashing.h64(arr.getUTF8String(i).getBytes)
+        val h = h64(arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < bits) {
           counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
@@ -421,60 +247,19 @@ case class Simhash64Expr(left: Expression, right: Expression)
     while (j < bits) { if (counts(j) > 0) out |= 1L << j; j += 1 }
     out
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
 
-/** rep_stats(tokens array<string>) → struct: per-document repetition
-  * statistics in one pass — the Gopher-style repetition quality signals
-  * (duplicate-token fraction, most-frequent-2-gram mass, duplicated-
-  * 3-gram mass) computed map-side with zero shuffles. The equivalent
-  * relational form explodes every n-gram and re-groups by document —
-  * two shuffles whose width is the token count; per-document stats
-  * never need to leave the row.
-  *
-  * Fields (document with m tokens):
-  *   - n_distinct: distinct token count
-  *   - top_bigram: most frequent positional 2-gram (space-joined);
-  *     ties pick the lexicographically smallest; null when m < 2
-  *   - top_bigram_n: its occurrence count (0 when m < 2)
-  *   - dup3_chars: Σ count·len(g) over positional 3-grams with count ≥ 2
-  *     (the character mass inside duplicated 3-grams, overlaps counted
-  *     as the Gopher rule does)
-  */
-case class RepStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def prettyName: String = "rep_stats"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
-  }
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_distinct", IntegerType, nullable = false),
-    StructField("top_bigram", StringType, nullable = true),
-    StructField("top_bigram_n", IntegerType, nullable = false),
-    StructField("dup3_chars", LongType, nullable = false)))
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val toks = new Array[String](m)
-    var i = 0
-    while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      i += 1
-    }
+  /** [[RepStatsExpr]]: per-document repetition statistics. */
+  def repStats(arr: ArrayData): InternalRow = {
+    val toks = toStrings(arr)
+    val m = toks.length
     val distinct = new java.util.HashSet[String]()
-    i = 0
+    var i = 0
     while (i < m) { distinct.add(toks(i)); i += 1 }
     def gramCounts(n: Int): java.util.HashMap[String, Int] = {
       val cnt = new java.util.HashMap[String, Int]()
       var j = 0
       while (j <= m - n) {
-        val sb = new java.lang.StringBuilder(toks(j))
-        var k = 1
-        while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
-        cnt.merge(sb.toString, 1, Integer.sum(_, _))
+        cnt.merge(joinGram(toks, j, n), 1, Integer.sum(_, _))
         j += 1
       }
       cnt
@@ -501,6 +286,297 @@ case class RepStatsExpr(child: Expression)
       if (topBigram == null) null else UTF8String.fromString(topBigram),
       topN, dup3)
   }
+
+  /** [[DropRepWindowsExpr]]: within-document repeated-window removal. */
+  def dropRepWindows(arr: ArrayData, n: Int): ArrayData = {
+    val toks = toStrings(arr)
+    val m = toks.length
+    val covered = new Array[Boolean](m)
+    if (m >= n) {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i <= m - n) {
+        if (!seen.add(h64(joinGram(toks, i, n)))) {
+          var p = i
+          while (p < i + n) { covered(p) = true; p += 1 }
+        }
+        i += 1
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+    var i = 0
+    while (i < m) {
+      if (!covered(i)) out += UTF8String.fromString(toks(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[AlphaTokensExpr]]: tokens containing an ASCII letter — the
+    * byte-scan twin of `rlike("[A-Za-z]")` (UTF-8 continuation bytes
+    * are ≥ 0x80, so a letter byte can never be part of a multi-byte
+    * char and the scan is encoding-safe). */
+  def alphaTokens(arr: ArrayData): Int = {
+    val m = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val u = arr.getUTF8String(i)
+        val nb = u.numBytes()
+        var j = 0
+        var found = false
+        while (j < nb && !found) {
+          val b = u.getByte(j)
+          found = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+          j += 1
+        }
+        if (found) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+}
+
+/** shingle_h64s(tokens array<string>, n) → array<long>: h64 hashes of
+  * the DISTINCT word n-gram shingles (space-joined), in first-occurrence
+  * order. One tight JVM pass — the column form (`transform(sequence, i →
+  * concat_ws(slice))` + `array_distinct` + md5) walks interpreted
+  * higher-order-function trees per element, and Catalyst's collapsed
+  * projections re-evaluate it per consumer; at 260k shingles that was
+  * seconds, this is milliseconds. Distinctness is by shingle STRING
+  * (then hashed), bit-exact with the oracle's order of operations. */
+case class ShingleH64sExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "shingle_h64s"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.shingleH64s(l.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.shingleH64s($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** shingle_h64s_all(tokens array<string>, n) → array<long>: h64 hashes
+  * of ALL positional word n-gram shingles — duplicates kept, one entry
+  * per window position ([[ShingleH64sExpr]] without the distinct).
+  * Occurrence-counting consumers (n-gram diversity/TTR) need
+  * multiplicity; at scale this also means 8-byte hashes ride the
+  * distinct-count shuffle instead of shingle strings. */
+case class ShingleH64sAllExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "shingle_h64s_all"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.shingleH64sAll(l.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.shingleH64sAll($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** shingle_pairs(tokens array<string>, n) → array<struct<h:long,
+  * s:string>>: every positional n-gram with its h64, one JVM pass —
+  * for consumers that aggregate on the hash but need the text of a
+  * FILTERED subset afterwards (top-ngram rehydration). The interpreted
+  * `transform(sequence…, concat_ws(slice…))` + column-md5 spelling of
+  * the same thing measured ~7× slower on the rehydration branch. */
+case class ShinglePairsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "shingle_pairs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("s", StringType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.shinglePairs(l.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.shinglePairs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** cdc_chunk_h64s(tokens array<string>, m) → array<long>: h64 hashes
+  * of CONTENT-DEFINED chunks — a chunk closes after every token whose
+  * h64 is ≡ 0 (mod m), so expected chunk length is m tokens and chunk
+  * boundaries are decided by content, not position. This is the
+  * rsync/FastCDC idea at token granularity: inserting one token near
+  * the head of a document shifts every FIXED window (passage dedup
+  * finds nothing) but only perturbs the single chunk containing the
+  * edit — every later boundary re-synchronizes. The trailing partial
+  * chunk (after the last boundary) is kept. */
+case class CdcChunkH64sExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "cdc_chunk_h64s"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val m: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.cdcChunkH64s(l.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.cdcChunkH64s($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** winnow_fps(tokens array<string>, n, w) → array<long>: winnowing
+  * fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) in one
+  * pass: positional word n-gram shingles → h64 → min hash of every
+  * w-length sliding window (monotone deque, O(len)) → distinct,
+  * ascending. Guarantees a shared fingerprint for any common run of
+  * ≥ w+n−1 tokens while keeping ~2/(w+1) of the hashes — the document
+  * fingerprint that is robust to partial overlap, unlike the
+  * whole-content hash. Fewer than n tokens → empty. */
+case class WinnowFpsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "winnow_fps"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int, foldable int)")
+    }
+  private lazy val n: Int = second.eval(null).asInstanceOf[Int]
+  private lazy val w: Int = third.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any, nv: Any, wv: Any): Any =
+    Hashing.winnowFps(t.asInstanceOf[ArrayData], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.ops.Hashing.winnowFps($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** minhash_sig(shingle_hashes array<long>, k) → array<long>: the full
+  * k-wide MinHash signature in one pass over the pre-hashed shingle set
+  * (see [[ShingleH64sExpr]]). Bit-exact with the exploded column
+  * pipeline (h = h64(s) mod M; sig_i = min (a_i·h + b_i) mod M) but
+  * map-only: no explode, no (doc, i) shuffle — the signature a 100 TB
+  * dedup run computes per document during the scan. An empty set yields
+  * an all-null signature (callers filter empties first). */
+case class MinhashSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<long>, foldable int)")
+    }
+  private lazy val k: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.minhashSig(l.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.minhashSig($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** simhash64(tokens array<string>, bits) → long: SimHash fingerprint in
+  * one pass (tokens with multiplicity; bit j set when Σ ±1 over token
+  * hashes' bit j is positive). Bit-exact with the explode(tokens × bits)
+  * aggregate pipeline but map-only. Empty token set → 0 sums → all bits
+  * off → 0, matching the aggregate form's empty-group absence semantics
+  * only when the caller filters empties — callers keep their guards. */
+case class Simhash64Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, foldable int)")
+    }
+  private lazy val bits: Int = right.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.simhash64(l.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.simhash64($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** rep_stats(tokens array<string>) → struct: per-document repetition
+  * statistics in one pass — the Gopher-style repetition quality signals
+  * (duplicate-token fraction, most-frequent-2-gram mass, duplicated-
+  * 3-gram mass) computed map-side with zero shuffles. The equivalent
+  * relational form explodes every n-gram and re-groups by document —
+  * two shuffles whose width is the token count; per-document stats
+  * never need to leave the row.
+  *
+  * Fields (document with m tokens):
+  *   - n_distinct: distinct token count
+  *   - top_bigram: most frequent positional 2-gram (space-joined);
+  *     ties pick the lexicographically smallest; null when m < 2
+  *   - top_bigram_n: its occurrence count (0 when m < 2)
+  *   - dup3_chars: Σ count·len(g) over positional 3-grams with count ≥ 2
+  *     (the character mass inside duplicated 3-grams, overlaps counted
+  *     as the Gopher rule does)
+  */
+case class RepStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "rep_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", StringType, nullable = true),
+    StructField("top_bigram_n", IntegerType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.repStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.repStats($c)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -564,7 +640,7 @@ case class VecDotLongExpr(left: Expression, right: Expression)
   * oracle computes, so hash collisions (astronomically rare) are
   * REPRODUCED identically on both engines rather than diverging. */
 case class DropRepWindowsExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "drop_repeated_windows"
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -576,39 +652,10 @@ case class DropRepWindowsExpr(left: Expression, right: Expression)
   private lazy val n: Int = right.eval(null).asInstanceOf[Int]
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val arr = l.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val toks = new Array[String](m)
-    var i = 0
-    while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      i += 1
-    }
-    val covered = new Array[Boolean](m)
-    if (m >= n) {
-      val seen = new java.util.HashSet[java.lang.Long]()
-      i = 0
-      while (i <= m - n) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-        if (!seen.add(Hashing.h64(sb.toString))) {
-          var p = i
-          while (p < i + n) { covered(p) = true; p += 1 }
-        }
-        i += 1
-      }
-    }
-    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
-    i = 0
-    while (i < m) {
-      if (!covered(i))
-        out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.dropRepWindows(l.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.dropRepWindows($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -662,6 +709,27 @@ case class UchrExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** alpha_tokens(tokens array<string>) → int: how many tokens contain
+  * an ASCII letter — the Gopher alphabetic-word signal. Value-identical
+  * to `size(filter(tk, t => t.rlike("[A-Za-z]")))`, but that spelling
+  * is a higher-order function: one lambda in the signal projection
+  * evicts the WHOLE Project from whole-stage codegen. Byte-scan is
+  * encoding-safe (UTF-8 continuation bytes are ≥ 0x80). */
+case class AlphaTokensExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "alpha_tokens"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.alphaTokens(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.alphaTokens($c)")
+  override protected def withNewChildInternal(c: Expression): AlphaTokensExpr =
+    copy(child = c)
+}
+
 /** lang_scores(tokens array<string>) → struct<de,en,es,fr: double,
   * pred: string>: the whole language-ID heuristic in ONE pass over the
   * token array. The column formulation inlined every per-profile
@@ -671,9 +739,14 @@ case class UchrExpr(child: Expression) extends UnaryExpression {
   * profile in [[TextOps.LangProfiles]] order whose score is ≥ every
   * other — the fold's exact tie-break) runs on four ints. Scores are
   * hits/numElements (null elements count in the denominator but never
-  * hit, matching `filter`'s null-drop), 0.0 on an empty array. */
+  * hit, matching `filter`'s null-drop), 0.0 on an empty array.
+  * Codegen'd via a static call into the companion's tight loop — the
+  * same pattern as [[NfcNormalizeExpr]] — so the expression stays
+  * inside whole-stage codegen and its five GetStructField consumers
+  * CSE to ONE array pass (it was the family's only CodegenFallback;
+  * interpreted, each projected field could re-run the token loop). */
 case class LangScoresExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import LangScoresExpr._
   override def prettyName: String = "lang_scores"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -684,8 +757,20 @@ case class LangScoresExpr(child: Expression)
     Langs.map(l => StructField(l, DoubleType, nullable = false)) :+
       StructField("pred", StringType, nullable = false))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    scores(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.LangScoresExpr.scores($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object LangScoresExpr {
+  private[ops] val Langs: Array[String] = TextOps.LangProfiles.map(_._1).toArray
+  private val PredStrs: Array[UTF8String] = Langs.map(UTF8String.fromString)
+
+  /** The whole language-ID pass over one token array; called from both
+    * the interpreted eval and generated code (static forwarder). */
+  def scores(arr: ArrayData): InternalRow = {
     val m = arr.numElements()
     val hits = new Array[Int](Langs.length)
     var i = 0
@@ -720,12 +805,6 @@ case class LangScoresExpr(child: Expression)
     out(Langs.length) = PredStrs(best)
     InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
   }
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
-}
-
-object LangScoresExpr {
-  private[ops] val Langs: Array[String] = TextOps.LangProfiles.map(_._1).toArray
-  private val PredStrs: Array[UTF8String] = Langs.map(UTF8String.fromString)
   /** token → bitmask of profiles containing it (a word can belong to
     * several languages, e.g. "la" in es and fr, "de" in es). */
   private val WordBits: java.util.HashMap[UTF8String, Integer] = {

@@ -45,7 +45,13 @@ object TextOps {
   def tokens(text: Column): Column = {
     val padded = when(length(text) === octet_length(text), text)
       .otherwise(regexp_replace(text, NonSpacedScriptChar, " $1 "))
-    filter(split(padded, "\\s+"), t => length(t) > 0)
+    // drop empty fragments with array_remove, NOT a filter() lambda:
+    // split never emits nulls, so the two are value-identical — but
+    // higher-order functions are CodegenFallback, and one lambda in a
+    // projection evicts the WHOLE Project (every signal computed
+    // alongside the tokens) from whole-stage codegen on every text
+    // path in the library
+    array_remove(split(padded, "\\s+"), "")
   }
 
   /** Distinct word n-gram shingles. Empty array when the document has
@@ -134,20 +140,32 @@ object TextOps {
   def bpeTokenCount(textCol: String): Column =
     size(expr(s"regexp_extract_all($textCol, \"$BpePattern\", 0)"))
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters. Total token chars = the length
+    * of the separator-less join (exact: integer sums are IEEE-exact to
+    * 2^53) — NOT an `aggregate()` lambda, which as a higher-order
+    * function would evict every projection computing this signal from
+    * whole-stage codegen. */
   def meanTokenLen(text: Column): Column = {
     val tk = tokens(text)
     when(size(tk) > 0,
-      aggregate(tk, lit(0.0), (acc, t) => acc + length(t)) / size(tk))
+      length(array_join(tk, "")).cast("double") / size(tk))
   }
 
-  /** Fraction of tokens that are in `words` (e.g. stopword ratio —
-    * a classic quality / language signal). */
+  /** Fraction of tokens that are in `words` (e.g. stopword ratio — a
+    * classic quality / language signal). Hit counting is per-word
+    * `size(tk) - size(array_remove(tk, w))` summed — value-identical
+    * to the filter-lambda spelling for distinct `words` (a token
+    * matches at most one), and codegen-friendly where the lambda is a
+    * CodegenFallback higher-order function. */
   def wordRatio(text: Column, words: Seq[String]): Column = {
     val tk = tokens(text)
-    val hits = size(filter(tk, t => words.map(t === _).reduce(_ || _)))
+    val hits = wordHits(tk, words)
     when(size(tk) > 0, hits.cast("double") / size(tk))
   }
+
+  /** Occurrences of any of `words` (distinct) in the token array. */
+  private def wordHits(tk: Column, words: Seq[String]): Column =
+    words.map(w => size(tk) - size(array_remove(tk, w))).reduce(_ + _)
 
   /** Fraction of characters that are not [a-zA-Z0-9 ] (punctuation /
     * symbol density). */
@@ -164,8 +182,7 @@ object TextOps {
     * materialized token array (see langScoresFromTokens for why). */
   def qualityScoreFromTokens(text: Column, tk: Column): Column = {
     val stopR = when(size(tk) > 0,
-      size(filter(tk, t => EnStop.map(t === _).reduce(_ || _))).cast("double")
-        / size(tk))
+      wordHits(tk, EnStop).cast("double") / size(tk))
     lit(0.4) * least(size(tk).cast("double") / 100.0, lit(1.0)) +
     lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(0.0))) +
     lit(0.3) * least(coalesce(stopR, lit(0.0)) * 5.0, lit(1.0))
@@ -186,7 +203,7 @@ object TextOps {
     val nWords = size(tk)
     val meanLen = meanTokenLen(text)
     val alphaFrac = when(nWords > 0,
-      size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("double") / nWords)
+      call_function("alpha_tokens", tk).cast("double") / nWords)
     val stopHits = EnStop.map(s => when(array_contains(tk, s), 1).otherwise(0))
       .reduce(_ + _)
     (nWords, meanLen, alphaFrac, stopHits)
