@@ -27,10 +27,19 @@ package graft
   *     two probes, and queries whose bracket sits above the
   *     uncontended band ship in "uncontrolled_queries" — a contended
   *     TAIL can no longer inflate the sub-2x delta band silently. The
-  *     uncontended reference is the running min of every probe,
-  *     seeded from the PRIOR artifact's spin_par_ms_best so even a
-  *     session contended from its first probe knows what idle looks
-  *     like;
+  *     uncontended reference is the running min of every probe THIS
+  *     session, floored by the prior artifact's SESSION-measured min
+  *     (spin_par_ms_best_session; discarded on a thread-count or host
+  *     change) so even a session contended from its first probe knows
+  *     what idle looks like — while a legitimately slower environment
+  *     stops dragging an unreachable anchor along after one round;
+  *   - a query flagged uncontrolled with NO prior median (a new or
+  *     renamed query) re-measures unconditionally at the end of the
+  *     sweep: its first-ever number must not ship from a contended
+  *     window unchallenged;
+  *   - every first-measure's raw per-rep times ship under "reps_ms":
+  *     the spread separates a real plan change (all reps moved) from
+  *     session variance (one outlier rep);
   *   - the published per-query number is the min of the two medians:
   *     the controlled measurement, not the contended one.
   */
@@ -107,16 +116,62 @@ object Bench {
   /** Previous round's all-core spin best out of the prior artifact —
     * the CROSS-ROUND uncontended anchor (round-10 advice): a session
     * contended from its first probe otherwise baselines "controlled"
-    * on contended spins and can still mark a phantom rerun_ok. Absent
-    * or unparsable → no anchor (MaxValue). */
-  private def prevSpinBest(path: String): Double =
+    * on contended spins and can still mark a phantom rerun_ok.
+    *
+    * The anchor is the prior round's SESSION-measured min
+    * (`spin_par_ms_best_session`), NOT the prior effective best: the
+    * effective best is itself min(session, anchor), so inheriting it
+    * would ratchet monotonically downward forever — after a legitimate
+    * environment slowdown (slower host backing the same vCPUs) every
+    * window would read uncontrolled for the rest of time and no rerun
+    * could ever be marked controlled (round-11 advice). One session of
+    * lag is the price of an anchor that reflects a machine that still
+    * exists. The anchor is also DISCARDED when the probe geometry
+    * changed: a different thread count (or hostname) measures
+    * different work. Absent / unparsable / mismatched → no anchor
+    * (MaxValue). */
+  private[graft] def prevSpinBest(path: String, nThreads: Int,
+      host: String): Double =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
       val l = root.get("load")
-      val b = if (l == null) null else l.get("spin_par_ms_best")
+      if (l == null) return Double.MaxValue
+      val thr = l.get("spin_threads")
+      val h = l.get("host")
+      // legacy artifacts (pre round 12) recorded neither; treat their
+      // context as unknown-compatible rather than discarding the anchor
+      if (thr != null && thr.asInt() != nThreads) return Double.MaxValue
+      if (h != null && h.asText() != host) return Double.MaxValue
+      val b = l.get("spin_par_ms_best_session") match {
+        case null => l.get("spin_par_ms_best") // legacy fallback, one round
+        case s => s
+      }
       if (b == null) Double.MaxValue else b.asDouble()
     } catch { case _: Throwable => Double.MaxValue }
+
+  private def hostName(): String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown" }
+
+  /** Which queries get an end-of-sweep controlled re-measure (pure,
+    * unit-tested). Two triggers:
+    *   - a regression vs the prior round's median — >2× (>1.5× if the
+    *     first measure's window was flagged uncontrolled) and >0.3 s
+    *     absolute;
+    *   - NO prior median AND an uncontrolled window: a brand-new (or
+    *     renamed) query's first-ever published number would otherwise
+    *     ship from a contended window unchallenged — nothing exists to
+    *     compare it against, so the flag alone must force the
+    *     re-measure (round-11 Missing #3). */
+  private[graft] def isRerunSuspect(name: String, med: Double, ok: Boolean,
+      prev: Map[String, Double], uncontrolled: Set[String]): Boolean =
+    ok && (prev.get(name) match {
+      case Some(p) =>
+        val trig = if (uncontrolled(name)) 1.5 else 2.0
+        med > trig * p && med - p > 0.3
+      case None => uncontrolled(name)
+    })
 
   /** Previous round's per-query medians out of BENCH_LAST.json (or
     * SPARK_GRAFT_BENCH_PREV), for the >2x auto-re-run gate. Jackson is
@@ -166,11 +221,17 @@ object Bench {
     spinParMs(nThreads) // JIT warm-up: a cold first probe reads ~1.6×
     // high and would inflate the controlled-rerun reference
     val spinParStart = spinParMs(nThreads)
-    // the uncontended reference = running min of every spin observed,
-    // seeded from the PRIOR round's artifact so a session contended
-    // from its very first probe still knows what idle looks like
-    var spinParBest = math.min(spinParStart,
-      prevSpinBest(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)))
+    // the uncontended reference = running min of every spin observed
+    // THIS session, floored by the prior round's session-measured
+    // anchor (so a session contended from its very first probe still
+    // knows what idle looks like). The two are tracked separately:
+    // the session min is what the NEXT round inherits — inheriting the
+    // effective min would ratchet downward across rounds forever.
+    val host = hostName()
+    val spinAnchor = prevSpinBest(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath), nThreads, host)
+    var spinParBestSession = spinParStart
+    def spinParBest: Double = math.min(spinParBestSession, spinAnchor)
     val spark = GraftSession.build(cpus)
     // Warm the session outside the timings by running the WHOLE query
     // set once at the tiny scale factor: whole-stage-codegen compiles
@@ -209,7 +270,7 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
 
     def measure(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (Double, Boolean, Double) = {
+        org.apache.spark.sql.DataFrame): (Double, Boolean, Double, Seq[Double]) = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -218,7 +279,11 @@ object Bench {
         (dt, ok)
       }
       val sortedT = times.map(_._1).sorted
-      (sortedT(sortedT.length / 2), times.forall(_._2), loadAvg())
+      // the raw per-rep times travel into the artifact (round-11 ask:
+      // a reader separating plan drift from GC/JIT session variance
+      // needs the SPREAD, not just the median)
+      (sortedT(sortedT.length / 2), times.forall(_._2), loadAvg(),
+        times.map(_._1))
     }
 
     // Per-BLOCK sentinel probes (off the clock, between queries): the
@@ -242,14 +307,14 @@ object Bench {
       if (i % blockK == 0) {
         val p = blockProbe()
         probes += p
-        spinParBest = math.min(spinParBest, p)
+        spinParBestSession = math.min(spinParBestSession, p)
       }
-      val (med, ok, ld) = measure(fn)
-      (name, med, ok, ld)
+      val (med, ok, ld, ts) = measure(fn)
+      (name, med, ok, ld, ts)
     }
     val closing = blockProbe()
     probes += closing
-    spinParBest = math.min(spinParBest, closing)
+    spinParBestSession = math.min(spinParBestSession, closing)
     val flags = uncontrolledFlags(selected.length, blockK,
       probes.toIndexedSeq, spinParBest)
     val uncontrolled = selected.map(_._1).zip(flags)
@@ -258,10 +323,10 @@ object Bench {
     // any transient co-tenant load has had the sweep's length to
     // subside; if it hasn't, the recorded load/spin context says so).
     // A query measured in an UNCONTROLLED window reruns at the tighter
-    // >1.5× trigger: its first measure is already suspect.
-    val suspects = first.filter { case (name, med, ok, _) =>
-      val trig = if (uncontrolled(name)) 1.5 else 2.0
-      ok && prev.get(name).exists(p => med > trig * p && med - p > 0.3)
+    // >1.5× trigger — or unconditionally when it has no prior median
+    // at all (see [[isRerunSuspect]]).
+    val suspects = first.filter { case (name, med, ok, _, _) =>
+      isRerunSuspect(name, med, ok, prev, uncontrolled)
     }
     // Each rerun first waits for a CONTROLLED window: probe the
     // all-core spin up to `maxProbes` times (sleeping between tries);
@@ -272,29 +337,29 @@ object Bench {
     // contended re-measure as confirmation.
     val maxProbes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_RERUN_PROBES", "4").toInt)
-    val reruns = suspects.map { case (name, med, _, ldFirst) =>
+    val reruns = suspects.map { case (name, med, _, ldFirst, _) =>
       val fn = SparkEntry.queries(name)
       var attempt = 0
       var spinPre = 0.0
       var controlled = false
       while (!controlled && attempt < maxProbes) {
         spinPre = spinParMs(nThreads)
-        spinParBest = math.min(spinParBest, spinPre)
+        spinParBestSession = math.min(spinParBestSession, spinPre)
         controlled = rerunControlled(spinPre, spinParBest)
         attempt += 1
         if (!controlled && attempt < maxProbes) Thread.sleep(10000)
       }
-      val (med2, ok2, ldRerun) = measure(fn)
-      (name, med, med2, ok2, ldFirst, ldRerun, spinPre, controlled, attempt)
+      val (med2, ok2, ldRerun, ts2) = measure(fn)
+      (name, med, med2, ok2, ldFirst, ldRerun, spinPre, controlled, attempt, ts2)
     }.toList
     val rerunByName = reruns.map(r => r._1 -> r).toMap
 
-    val results = first.map { case (name, med, ok, _) =>
+    val results = first.map { case (name, med, ok, _, _) =>
       // publish the min of the two medians whenever the rerun RAN —
       // min is monotone toward the uncontended truth even if the
       // window never went controlled
       val finalMed = rerunByName.get(name) match {
-        case Some((_, m1, m2, ok2, _, _, _, _, _)) if ok2 => math.min(m1, m2)
+        case Some(r) if r._4 => math.min(r._2, r._3)
         case _ => med
       }
       (name, finalMed, ok)
@@ -310,11 +375,18 @@ object Bench {
     // rerun_ok now means "ran AND its context was controlled": a
     // contended re-measure is recorded (first/rerun/min all present)
     // but flagged rerun_uncontrolled — it cannot confirm a regression
-    val rr = reruns.map { case (n, m1, m2, ok2, l1, l2, sp, ctl, att) =>
+    def msArr(ts: Seq[Double]): String =
+      ts.map(t => math.rint(t * 10000) / 10).mkString("[", ",", "]")
+    val rr = reruns.map { case (n, m1, m2, ok2, l1, l2, sp, ctl, att, ts2) =>
       s""""$n":{"prev":${prev.getOrElse(n, -1.0)},"first":$m1,"rerun":$m2,""" +
         s""""rerun_ok":${ok2 && ctl},"rerun_uncontrolled":${!ctl},""" +
         s""""spin_par_pre":$sp,"probes":$att,""" +
-        s""""load_first":$l1,"load_rerun":$l2}"""
+        s""""load_first":$l1,"load_rerun":$l2,"reps_ms":${msArr(ts2)}}"""
+    }.mkString("{", ",", "}")
+    // every first-measure rep, in ms — the spread separates plan drift
+    // (all reps moved) from session variance (one outlier rep)
+    val repsJson = first.map { case (n, _, _, _, ts) =>
+      s""""$n":${msArr(ts)}"""
     }.mkString("{", ",", "}")
     val probesJson = probes.map(p => (math.rint(p * 10) / 10).toString)
       .mkString("[", ",", "]")
@@ -324,9 +396,12 @@ object Bench {
       s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""spin_ms_start":$spinStart,"spin_ms_end":$spinEnd,""" +
         s""""spin_par_ms_start":$spinParStart,"spin_par_ms_best":$spinParBest,""" +
+        s""""spin_par_ms_best_session":$spinParBestSession,""" +
+        s""""spin_par_ms_anchor":${if (spinAnchor == Double.MaxValue) -1.0 else spinAnchor},""" +
+        s""""spin_threads":$nThreads,"host":"$host",""" +
         s""""spin_par_probes":$probesJson}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"load":$loadJson,"uncontrolled_queries":$uncontrolledJson,"reruns":$rr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"reps_ms":$repsJson,"load":$loadJson,"uncontrolled_queries":$uncontrolledJson,"reruns":$rr}"""
     println(json)
     // Also persist the artifact to a file: a stdout-captured artifact
     // can be truncated or interleaved by the harness; the file is the

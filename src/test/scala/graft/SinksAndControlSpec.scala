@@ -447,4 +447,49 @@ class ControlPlaneSpec extends SparkSpec {
     val part = Bench.uncontrolledFlags(5, 2, IndexedSeq(70.0, 70.0, 95.0), best)
     assert(part == IndexedSeq(false, false, true, true, true), s"partial: $part")
   }
+
+  test("Bench rerun suspects: a prior-less uncontrolled first-measure re-runs unconditionally") {
+    // the round-11 latent hole: a NEW query measured in a contended
+    // window had no prior median, so nothing triggered its re-measure
+    // and its first-ever number shipped unchallenged
+    val prev = Map("q_old" -> 1.0)
+    assert(Bench.isRerunSuspect("q_new", 0.4, ok = true, prev, Set("q_new")),
+      "prior-less + uncontrolled must re-run")
+    assert(!Bench.isRerunSuspect("q_new", 0.4, ok = true, prev, Set.empty),
+      "prior-less in a CONTROLLED window is a clean first measure")
+    assert(!Bench.isRerunSuspect("q_new", 0.4, ok = false, prev, Set("q_new")),
+      "a failed query never re-runs")
+    // the pre-existing regression triggers are unchanged
+    assert(Bench.isRerunSuspect("q_old", 2.5, ok = true, prev, Set.empty))
+    assert(!Bench.isRerunSuspect("q_old", 1.9, ok = true, prev, Set.empty),
+      "sub-2x controlled delta is not a suspect")
+    assert(Bench.isRerunSuspect("q_old", 1.6, ok = true, prev, Set("q_old")),
+      "uncontrolled windows keep the tighter 1.5x trigger")
+    assert(!Bench.isRerunSuspect("q_old", 1.2, ok = true, prev, Set.empty),
+      "the 0.3s absolute floor still applies")
+  }
+
+  test("Bench spin anchor: session min inherited, ratchet and context mismatch discarded") {
+    def art(load: String): String = {
+      val f = java.nio.file.Files.createTempFile("bench_anchor", ".json")
+      f.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(f, s"""{"queries":{},"load":$load}""")
+      f.toString
+    }
+    val host = "boxA"
+    // the SESSION-measured min is the anchor — NOT the effective best,
+    // which is itself min(session, prior anchor) and would ratchet
+    // monotonically downward across rounds forever (round-11 advice)
+    val p1 = art(s"""{"spin_par_ms_best":10.0,"spin_par_ms_best_session":25.0,""" +
+      s""""spin_threads":32,"host":"$host"}""")
+    assert(Bench.prevSpinBest(p1, 32, host) == 25.0)
+    // a different thread count or host measures different work: discard
+    assert(Bench.prevSpinBest(p1, 16, host) == Double.MaxValue)
+    assert(Bench.prevSpinBest(p1, 32, "boxB") == Double.MaxValue)
+    // legacy artifact (no session/context fields): one-round fallback
+    val p2 = art("""{"spin_par_ms_best":21.8}""")
+    assert(Bench.prevSpinBest(p2, 32, host) == 21.8)
+    // absent or unparsable file: no anchor
+    assert(Bench.prevSpinBest("/nonexistent.json", 32, host) == Double.MaxValue)
+  }
 }
