@@ -772,8 +772,75 @@ object StreamOps {
     * Run between triggers (single-writer). Returns dirs folded. */
   def compactPipelineIndex(sp: SparkSession, statePath: String): Long = {
     val applied = lastAppliedStream(sp, s"$statePath/hits")
-    Seq("rows", "sig3", "five", "bench5")
+    val folded = Seq("rows", "sig3", "five", "bench5")
       .map(k => compactAppendKind(sp, s"$statePath/$k", applied)).sum
+    // sweep the arrival journal: only the MAX `_ARR_` marker feeds the
+    // rewind guard, so markers below it are dead weight that would
+    // otherwise accumulate one file per batch forever — and keep the
+    // guard's per-trigger listing O(#batches) instead of O(compactEvery).
+    // Keeping the max alone preserves every guard outcome: a rewind
+    // below it still rejects, and a crash-retry of the max itself is
+    // excluded as the batch's own marker exactly as before. Superseded
+    // `_ARRBASE_` markers sweep the same way (only the max is read).
+    val (fs, root) = rollupFs(sp, statePath)
+    if (fs.exists(root)) {
+      val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      for (prefix <- Seq("_ARR_", "_ARRBASE_")) {
+        val ids = names.collect {
+          case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong
+        }
+        if (ids.nonEmpty) ids.filter(_ < ids.max).foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$id"), false)
+        }
+      }
+    }
+    folded
+  }
+
+  /** RECOVERY entry point for [[maintainPipeline]] after a LOST or
+    * REWOUND checkpoint: a fresh streaming query restarts batchIds at
+    * 0, and the arrival guard (correctly) refuses to fold a batch
+    * whose arrival stamp rewinds the journaled sequence — without
+    * this, the operator's only options after losing a checkpoint dir
+    * were rebuilding the whole state or having the fresh query's first
+    * batches silently swallowed by the replay gate.
+    *
+    * Call it ONCE, between queries (foreachBatch is single-writer),
+    * with the state restored to the point you trust; then start a
+    * fresh maintainPipeline query on the SAME statePath with a NEW
+    * checkpoint dir. It journals an `_ARRBASE_` marker so every
+    * subsequent batch folds at arrival stamp `base + batchId` —
+    * strictly after everything journaled — keeping the (arr, doc_id)
+    * arrival order monotone across the recovery, the same operational
+    * story the indexer's `.progress.json` resume gives block ranges
+    * (reference contract: /root/reference/README.md:60).
+    *
+    * `fromArr` defaults to journaled-max + 1; pass a later value to
+    * leave a deliberate gap (e.g. aligning with an external ingest
+    * ledger). A value at or below the journaled max is refused — it
+    * would re-corrupt the very order the guard protects. Returns the
+    * base that was journaled. */
+  def resumePipelineAt(sp: SparkSession, statePath: String,
+                       fromArr: Long = -1L): Long = {
+    val (fs, root) = rollupFs(sp, statePath)
+    val names: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val journaled = names.collect {
+      case n if n.startsWith("_ARR_") => n.stripPrefix("_ARR_").toLong
+    }.foldLeft(-1L)(math.max)
+    val base = if (fromArr >= 0) fromArr else journaled + 1
+    require(base > journaled,
+      s"resumePipelineAt: base $base would rewind the journaled arrival " +
+        s"sequence (max journaled $journaled)")
+    fs.mkdirs(root)
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_ARRBASE_$base"), true)
+      .close()
+    names.collect {
+      case n if n.startsWith("_ARRBASE_") &&
+          n.stripPrefix("_ARRBASE_").toLong < base => n
+    }.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
+    base
   }
 
   private def compactAppendKind(sp: SparkSession, kindRoot: String,
@@ -857,10 +924,14 @@ object StreamOps {
     * admit always precedes a new doc, so the prior index wins by
     * construction and only new docs ever drop. The one LOUD guard
     * left is the batch SEQUENCE itself: each apply journals an
-    * `_ARR_<batchId>` marker (no data scan), and a batchId at or
-    * below an already-journaled one (a foreachBatch contract
-    * violation, e.g. a fresh checkpoint pointed at old state) is
-    * rejected instead of silently corrupting the arrival key.
+    * `_ARR_<arr>` marker (no data scan; markers below the max are
+    * swept at compaction), and an arrival at or below an
+    * already-journaled one (a foreachBatch contract violation, e.g. a
+    * fresh checkpoint pointed at old state) is rejected instead of
+    * silently corrupting the arrival key. The sanctioned way back
+    * after a LOST checkpoint is [[resumePipelineAt]], which journals
+    * an `_ARRBASE_` so a fresh query's batchIds map past everything
+    * journaled.
     *
     * Per-trigger cost: |batch| signal projection + index probes keyed
     * on the batch side (shuffles carry batch-sized and posting-hit
@@ -896,43 +967,65 @@ object StreamOps {
     import org.apache.spark.sql.expressions.Window
     val sp = batch.sparkSession
     val hitsPath = s"$statePath/hits"
+    val (fs, root) = rollupFs(sp, statePath)
+    val rootNames: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+    // a state dir from the retired doc-id-order layout journals
+    // `_MAXID_` markers this maintainer neither reads nor can translate
+    // (they recorded a max DOC id, not an arrival sequence) — folding
+    // on top of one silently voids the rewind guard; reject LOUDLY
+    require(!rootNames.exists(_.startsWith("_MAXID_")),
+      s"maintainPipeline: $statePath carries _MAXID_ journals from the " +
+        "retired doc-id-order layout; that guard state cannot be migrated " +
+        "to the (arr, doc_id) arrival key — rebuild the state or start a " +
+        "fresh statePath")
+    // arrival base, journaled by [[resumePipelineAt]] after a lost or
+    // rewound CHECKPOINT: a fresh query restarts batchIds at 0, and
+    // the base maps them past everything already journaled so the
+    // arrival sequence stays monotone across the recovery
+    val arrBase = rootNames.collect {
+      case n if n.startsWith("_ARRBASE_") => n.stripPrefix("_ARRBASE_").toLong
+    }.foldLeft(0L)(math.max)
+    val arr = arrBase + batchId
     val committed = committedVersions(sp, hitsPath)
-    if (batchId <= lastAppliedStream(sp, hitsPath))
+    if (arr <= lastAppliedStream(sp, hitsPath))
       return // at-least-once replay: already applied (b= dirs included)
 
-    // ---- sequence journal: one empty `_ARR_<batchId>` file per batch.
-    // The arrival stamp IS the batchId; the only guard left is that the
-    // batch SEQUENCE is fresh — a batchId at or below one already
-    // journaled (excluding this batch's own crash-retry marker) means a
-    // restarted query with a rewound checkpoint is about to corrupt the
-    // arrival key, and that fails LOUDLY instead of folding.
-    val (fs, root) = rollupFs(sp, statePath)
-    val priorArr: Long =
-      if (!fs.exists(root)) Long.MinValue
-      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
-        case n if n.startsWith("_ARR_") &&
-            n.stripPrefix("_ARR_").toLong != batchId =>
-          n.stripPrefix("_ARR_").toLong
-      }.foldLeft(Long.MinValue)(math.max)
-    require(batchId > priorArr,
-      s"maintainPipeline: arrival-sequence violation (batchId $batchId ≤ " +
+    // ---- sequence journal: one empty `_ARR_<arr>` file per batch
+    // (markers below the max are swept by [[compactPipelineIndex]];
+    // only the max feeds this guard). The arrival stamp IS the base-
+    // offset batchId; the only guard left is that the batch SEQUENCE
+    // is fresh — an arrival at or below one already journaled
+    // (excluding this batch's own crash-retry marker) means a
+    // restarted query with a rewound checkpoint is about to corrupt
+    // the arrival key, and that fails LOUDLY instead of folding.
+    // Recovery path: [[resumePipelineAt]].
+    val priorArr: Long = rootNames.collect {
+      case n if n.startsWith("_ARR_") &&
+          n.stripPrefix("_ARR_").toLong != arr =>
+        n.stripPrefix("_ARR_").toLong
+    }.foldLeft(Long.MinValue)(math.max)
+    require(arr > priorArr,
+      s"maintainPipeline: arrival-sequence violation (arrival $arr ≤ " +
         s"journaled $priorArr) — a rewound checkpoint over live state would " +
-        "corrupt the (arr, doc_id) arrival key")
+        "corrupt the (arr, doc_id) arrival key; after restoring state from " +
+        "a backup, call resumePipelineAt(statePath) before restarting")
     def journalArr(): Unit =
-      fs.create(new org.apache.hadoop.fs.Path(root, s"_ARR_$batchId"), true)
+      fs.create(new org.apache.hadoop.fs.Path(root, s"_ARR_$arr"), true)
         .close()
     if (batch.isEmpty) { // empty batch: advance the replay gate only
       val prevHits = readVersioned(sp, hitsPath, HitsSchema).localCheckpoint(true)
       journalArr()
-      commitVersioned(sp, hitsPath, nextVersion(committed, batchId), prevHits,
-        committed, batchId)
+      commitVersioned(sp, hitsPath, nextVersion(committed, arr), prevHits,
+        committed, arr)
       return
     }
 
     // ---- per-doc signals, ONCE (the shared projection), stamped with
     // this batch's arrival sequence — the order every rule keys on
     val sig = graft.pipelines.Corpus.signalFrame(
-        batch.toDF().withColumn("__arr", lit(batchId)))
+        batch.toDF().withColumn("__arr", lit(arr)))
       .localCheckpoint(true)
     val s1 = sig.filter(col("keep_gopher"))
 
@@ -941,7 +1034,7 @@ object StreamOps {
     // the (arr, doc_id) rule; within the batch arr is constant and
     // doc_id breaks the tie. Every prior-state read EXCLUDES this
     // batch's own dirs (crash-retry orphans must not feed back).
-    val priorRows = readAppendState(sp, statePath, "rows", RowsSchema, batchId)
+    val priorRows = readAppendState(sp, statePath, "rows", RowsSchema, arr)
     val priorHash = priorRows.filter(col("s3")).select("kept_hash").distinct()
     val wHash = Window.partitionBy("kept_hash").orderBy("doc_id")
     val s3 = s1.join(priorHash, Seq("kept_hash"), "left_anti")
@@ -955,12 +1048,12 @@ object StreamOps {
         (col("doc_id") % 10).as("bkey"), size(col("shs3")).as("sz"),
         explode_outer(col("shs3")).as("sh"))
       .filter(col("sh").isNotNull)
-    sig3New.write.mode("overwrite").parquet(s"$statePath/sig3/b=$batchId")
+    sig3New.write.mode("overwrite").parquet(s"$statePath/sig3/b=$arr")
     val sig3Schema = "doc BIGINT, arr BIGINT, bkey BIGINT, sz INT, sh BIGINT"
     val index3 = readAppendState(sp, statePath, "sig3", sig3Schema)
     val probe3 = sp.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(sig3Schema))
-      .parquet(s"$statePath/sig3/b=$batchId")
+      .parquet(s"$statePath/sig3/b=$arr")
     // the LATER side of each pair — lexicographic (arr, doc_id) — drops;
     // cross-batch pairs always drop the probe side (its arr is maximal),
     // within-batch pairs fall back to the doc_id tiebreak
@@ -986,19 +1079,19 @@ object StreamOps {
 
     // ---- decontamination state: bench-shingle delta + five postings
     val benchSchema = "sh BIGINT"
-    val priorBench = readAppendState(sp, statePath, "bench5", benchSchema, batchId)
+    val priorBench = readAppendState(sp, statePath, "bench5", benchSchema, arr)
     val benchDelta = sig.filter(col("is_bench"))
       .select(explode_outer(col("shs5")).as("sh"))
       .filter(col("sh").isNotNull).distinct()
       .join(priorBench, Seq("sh"), "left_anti")
       .localCheckpoint(true)
-    benchDelta.write.mode("overwrite").parquet(s"$statePath/bench5/b=$batchId")
+    benchDelta.write.mode("overwrite").parquet(s"$statePath/bench5/b=$arr")
     val fiveNew = s4.filter(!col("is_bench"))
       .select(col("doc_id").as("doc"), explode_outer(col("shs5")).as("sh"))
       .filter(col("sh").isNotNull).distinct()
-    fiveNew.write.mode("overwrite").parquet(s"$statePath/five/b=$batchId")
+    fiveNew.write.mode("overwrite").parquet(s"$statePath/five/b=$arr")
     val fiveSchema = "doc BIGINT, sh BIGINT"
-    val fivePrior = readAppendState(sp, statePath, "five", fiveSchema, batchId)
+    val fivePrior = readAppendState(sp, statePath, "five", fiveSchema, arr)
 
     // new docs score against the FULL bench set (prior ∪ this delta);
     // prior docs score against the DELTA only (their prior hits are in
@@ -1021,13 +1114,13 @@ object StreamOps {
         col("q"), col("n_kept"), col("kept_hash"), col("is_bench"),
         coalesce(col("s3"), lit(false)).as("s3"),
         coalesce(col("s4"), lit(false)).as("s4"))
-    rowsOut.write.mode("overwrite").parquet(s"$statePath/rows/b=$batchId")
+    rowsOut.write.mode("overwrite").parquet(s"$statePath/rows/b=$arr")
 
     // ---- journal the arrival sequence, then commit (the version marker
     // is the replay gate; everything above is idempotent mode-overwrite)
     journalArr()
-    commitVersioned(sp, hitsPath, nextVersion(committed, batchId), nextHits,
-      committed, batchId)
+    commitVersioned(sp, hitsPath, nextVersion(committed, arr), nextHits,
+      committed, arr)
   }
 
   /** Read face of [[maintainPipeline]]: the SAME 8 audit rows as the

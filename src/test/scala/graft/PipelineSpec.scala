@@ -139,4 +139,66 @@ class PipelineSpec extends SparkSpec {
     StreamOps.applyPipelineBatch(batches(1), dir, 1L)
     assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == want)
   }
+
+  test("maintainPipeline: lost-checkpoint recovery via resumePipelineAt; journal sweep; legacy rejection") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("mpipe_res").toString + "/state"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // phase 1: a first query folds id-interleaved batches 0-1
+    val batches = (0 until 4).map(k => docs.filter(col("doc_id") % 4 === k))
+    StreamOps.applyPipelineBatch(batches(0), dir, 0L)
+    StreamOps.applyPipelineBatch(batches(1), dir, 1L)
+    // compaction sweeps the arrival journal down to the max marker —
+    // without the sweep a year of hourly batches leaves 8,760 marker
+    // files the guard re-lists every trigger (round-11 advice)
+    StreamOps.compactPipelineIndex(spark, dir)
+    val markers = new java.io.File(dir).list().filter(_.startsWith("_ARR_")).toSeq
+    assert(markers == Seq("_ARR_1"), s"journal not swept to the max: $markers")
+    // the checkpoint is LOST; state is intact. A fresh query restarts
+    // batchIds at 0 — WITHOUT recovery its first batches are silently
+    // swallowed by the replay gate (arr 0 ≤ applied 1): new data lost
+    val before = rows(StreamOps.pipelineStateAudit(spark, dir))
+    StreamOps.applyPipelineBatch(batches(2), dir, 0L)
+    assert(rows(StreamOps.pipelineStateAudit(spark, dir)) == before,
+      "un-resumed fresh batch should have been (wrongly but by contract) skipped")
+    // the sanctioned path: journal the arrival base, then run a FRESH
+    // MemoryStream query on the same state — its batchIds 0,1 fold at
+    // arrival stamps 2,3 and the result equals the stamped batch twin
+    assert(StreamOps.resumePipelineAt(spark, dir) == 2L)
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.maintainPipeline(
+      input.toDF().toDF("doc_id", "lang", "text"), dir, compactEvery = 0)
+    try {
+      for (b <- Seq(batches(2), batches(3))) {
+        val part = b.select("doc_id", "lang", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        input.addData(part: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stamped = batches.zipWithIndex
+      .map { case (b, i) => b.withColumn("__arr", lit(i.toLong)) }
+      .reduce(_ unionByName _)
+    val got = rows(StreamOps.pipelineStateAudit(spark, dir))
+    val want = rows(pipelines.Corpus.pipelineAudit(stamped))
+    assert(got == want,
+      s"post-recovery fold diverged from the stamped twin:\n got=$got\nwant=$want")
+    // a base at or below the journaled max is refused: it would rewind
+    // the very order the guard protects
+    val e = intercept[IllegalArgumentException](
+      StreamOps.resumePipelineAt(spark, dir, fromArr = 2L))
+    assert(e.getMessage.contains("rewind"))
+    // a state dir from the retired doc-id-order layout is rejected
+    // LOUDLY — its _MAXID_ journal recorded id order, not arrival, so
+    // folding on top of it would silently void the rewind guard
+    new java.io.File(s"$dir/_MAXID_7").createNewFile()
+    val e2 = intercept[IllegalArgumentException](
+      StreamOps.applyPipelineBatch(batches(0), dir, 99L))
+    assert(e2.getMessage.contains("_MAXID_"))
+  }
 }
