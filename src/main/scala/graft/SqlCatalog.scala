@@ -61,7 +61,11 @@ object SqlCatalog {
     "uchr" -> ("uchr(codepoint) -> string",
       "Unicode codepoint to its one-char string (builtin chr is byte-bound mod 256)"),
     "lang_scores" -> ("lang_scores(tokens) -> struct",
-      "Per-language stopword-hit scores + first-wins argmax pred, one array pass"))
+      "Per-language stopword-hit scores + first-wins argmax pred, one array pass"),
+    "alpha_tokens" -> ("alpha_tokens(tokens) -> int",
+      "Tokens containing an ASCII letter (codegen twin of rlike [A-Za-z] filter)"),
+    "sig_agree" -> ("sig_agree(sig_a, sig_b) -> int",
+      "Equal non-null positions of two MinHash signatures (est_jaccard numerator)"))
 
   /** All graft-implemented functions in the session registry. */
   def registered(spark: SparkSession): Seq[(String, String)] =

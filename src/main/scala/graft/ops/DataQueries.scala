@@ -363,8 +363,8 @@ object DataQueries {
         joined.queryExecution.executedPlan.toString.take(2000))
     joined
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
-          m => m)).cast("double") / k.toDouble)
+        call_function("sig_agree", col("sig_n"), col("sig_o"))
+          .cast("double") / k.toDouble)
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_doc"), col("old_doc"),
         round(col("est_jaccard"), 6).as("est_jaccard"))

@@ -530,8 +530,8 @@ object DedupOps {
       .join(sigByDoc.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sigByDoc.toDF("doc_b", "sig_b"), Seq("doc_b"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / k.toDouble)
+        call_function("sig_agree", col("sig_a"), col("sig_b"))
+          .cast("double") / k.toDouble)
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
@@ -608,8 +608,8 @@ object DedupOps {
       .join(bs.select(col("doc").as("new_doc"), col("sig").as("sig_n")), Seq("new_doc"))
       .join(cs.select(col("doc").as("old_doc"), col("sig").as("sig_o")), Seq("old_doc"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
-          m => m)).cast("double") / k.toDouble)
+        call_function("sig_agree", col("sig_n"), col("sig_o"))
+          .cast("double") / k.toDouble)
       .filter(col("est_jaccard") >= threshold)
       .select("new_doc", "old_doc", "est_jaccard")
   }

@@ -312,6 +312,21 @@ object Hashing {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[SigAgreeExpr]]: equal non-null positions of two signatures
+    * (zip_with semantics: positions past the shorter array are null
+    * matches, never counted). */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** [[AlphaTokensExpr]]: tokens containing an ASCII letter — the
     * byte-scan twin of `rlike("[A-Za-z]")` (UTF-8 continuation bytes
     * are ≥ 0x80, so a letter byte can never be part of a multi-byte
@@ -707,6 +722,32 @@ case class UchrExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.uchr((long) $c)")
   override protected def withNewChildInternal(newChild: Expression): UchrExpr =
     copy(child = newChild)
+}
+
+/** sig_agree(array<long>, array<long>) → int: positions where both
+  * signatures are non-null and equal — the MinHash agreement count
+  * behind every est_jaccard. Value-identical to
+  * `size(filter(zip_with(a, b, _ === _), m => m))` (a null on either
+  * side yields a null match that filter drops), but that spelling is
+  * two nested higher-order functions: one occurrence evicts the whole
+  * estimation Project from whole-stage codegen. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sig_agree"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<long> inputs")
+    }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hashing.sigAgree(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** alpha_tokens(tokens array<string>) → int: how many tokens contain

@@ -1183,8 +1183,8 @@ object StreamOps {
         col("sig_n"))
       .join(corpusIndex, Seq("band", "bh"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
-          m => m)).cast("double") / k.toDouble)
+        call_function("sig_agree", col("sig_n"), col("sig_o"))
+          .cast("double") / k.toDouble)
       .filter(col("est_jaccard") >= threshold)
       .withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark("new_doc", "old_doc")

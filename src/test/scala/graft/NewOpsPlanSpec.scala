@@ -81,16 +81,25 @@ class NewOpsPlanSpec extends SparkSpec {
   // RankKernelSpec pins the load-bearing property (no corpus window
   // partitioned by the bare stratum); here we keep a cap so the
   // exchange count can't silently grow past the kernel's budget.
+  // Round 12 re-tightens the caps the round-11 split machinery loosened
+  // (11/10): with the offset table persist()ed and the split decision
+  // read in its materializing action, the no-split plan counts exactly 7
+  // Exchange occurrences in the plan STRING — the corpus-sized pair
+  // (bucket aggregate + (stratum, bucket) window) appearing both live
+  // and inside the InMemoryRelation's printed subtree, the tiny offset
+  // window, the broadcast fan-back, and the output range sort. A cap at
+  // that exact count means ANY new exchange — tiny or corpus-sized —
+  // trips the guard and has to justify itself here.
   test("token budget: only the kernel's bounded exchanges appear") {
     val df = DataQueries.tokenBudget(spark, sf)
     val n = "Exchange".r.findAllIn(plan(df)).size
-    assert(n <= 11, s"token budget grew extra shuffles beyond the kernel plan:\n${plan(df)}")
+    assert(n <= 7, s"token budget grew extra shuffles beyond the kernel plan:\n${plan(df)}")
   }
 
   test("quality deciles: only the kernel's bounded exchanges appear") {
     val df = DataQueries.qualityDeciles(spark, sf)
     val n = "Exchange".r.findAllIn(plan(df)).size
-    assert(n <= 10, s"decile ranking grew extra shuffles beyond the kernel plan:\n${plan(df)}")
+    assert(n <= 7, s"decile ranking grew extra shuffles beyond the kernel plan:\n${plan(df)}")
   }
 
   test("centroid similarity: label-pair join is an equi-join on the dim") {
