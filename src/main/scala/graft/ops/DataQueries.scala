@@ -1270,14 +1270,26 @@ object DataQueries {
     val sh = arr.select(col("doc"), col("batch"),
         explode_outer(col("arr")).as("s"))
       .filter(col("s").isNotNull)
-    val rep = sh.select(col("doc"), col("batch"), col("s"),
-      explode(array(col("batch"), col("batch") + 1)).as("bk"))
-    val a = rep.toDF("doc_a", "batch_a", "s", "bk")
-    val b = rep.toDF("doc_b", "batch_b", "s", "bk")
+    // {b, b+1} replication on ONE side only, probe at its own bucket —
+    // and each (pair, shingle) row is then unique by construction: a
+    // same-batch pair meets in both orientations (keep doc_a < doc_b),
+    // a |batch diff| = 1 pair in exactly one (normalize below). Both
+    // the two-sided replication and the pre-aggregation distinct()
+    // this replaces shuffled the largest intermediate a second time.
+    val a = sh.select(col("doc").as("doc_a"), col("batch").as("batch_a"),
+      col("s"), col("batch").as("bk"))
+    val b = sh.select(col("doc").as("doc_b"), col("batch").as("batch_b"),
+      col("s"), explode(array(col("batch"), col("batch") + 1)).as("bk"))
+    val aHi = col("doc_a") > col("doc_b")
     val cand = a.join(b, Seq("s", "bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "batch_a", "doc_b", "batch_b", "s")
-      .distinct() // same-bucket pairs meet at both replicas
+      .filter(col("doc_a") =!= col("doc_b") &&
+        (col("batch_a") =!= col("batch_b") || col("doc_a") < col("doc_b")))
+      .select(
+        when(aHi, col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
+        when(aHi, col("batch_b")).otherwise(col("batch_a")).as("batch_a"),
+        when(aHi, col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
+        when(aHi, col("batch_a")).otherwise(col("batch_b")).as("batch_b"),
+        col("s"))
       .groupBy("doc_a", "doc_b", "batch_a", "batch_b")
       .agg(count(lit(1)).as("inter"))
     cand

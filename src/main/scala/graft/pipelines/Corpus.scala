@@ -164,22 +164,31 @@ object Corpus {
         size(col("shs3")).as("sz"), explode_outer(col("shs3")).as("sh"))
       .filter(col("sh").isNotNull)
     val aSide = ex.select(col("doc_id").as("doc_a"), col("ord").as("ord_a"),
-      col("sz").as("sz_a"), col("sh"), col("batch").as("bk"))
+      col("sz").as("sz_a"), col("sh"), col("batch").as("ba"),
+      col("batch").as("bk"))
     val bSide = ex.select(col("doc_id").as("doc_b"), col("ord").as("ord_b"),
-      col("sz").as("sz_b"), col("sh"),
+      col("sz").as("sz_b"), col("sh"), col("batch").as("bb"),
       explode(array(col("batch"), col("batch") + 1)).as("bk"))
     // the LATER-arriving side of each pair drops: lexicographic
     // (arr, doc_id) — plain doc_id order when every __arr is 0
     val later = col("ord_a") > col("ord_b")
+    // each (pair, shingle) row is UNIQUE by construction, so the
+    // pre-aggregation distinct() is gone (it was a full shuffle of the
+    // largest intermediate): a same-batch pair meets in both
+    // orientations (probe at its own bucket hits the build replica at
+    // bb in each direction) — the ord_a < ord_b filter keeps exactly
+    // one — while a |batch diff| = 1 pair meets in exactly one
+    // orientation (only one side's bucket equals the other's replica),
+    // which the ord normalization below flips when needed
     val dropB = aSide.join(bSide, Seq("sh", "bk"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        (col("ba") =!= col("bb") || col("ord_a") < col("ord_b")))
       .select(
         when(later, col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
         when(later, col("sz_b")).otherwise(col("sz_a")).as("sz_a"),
         when(later, col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
         when(later, col("sz_a")).otherwise(col("sz_b")).as("sz_b"),
         col("sh"))
-      .distinct() // same-batch pairs meet in both orientations
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double")

@@ -1056,19 +1056,25 @@ object StreamOps {
       .parquet(s"$statePath/sig3/b=$arr")
     // the LATER side of each pair — lexicographic (arr, doc_id) — drops;
     // cross-batch pairs always drop the probe side (its arr is maximal),
-    // within-batch pairs fall back to the doc_id tiebreak
+    // within-batch pairs fall back to the doc_id tiebreak. Each
+    // (pair, shingle) row is unique by construction — the index
+    // contains this batch's own postings, so a WITHIN-batch pair meets
+    // in both orientations and the pa < pb filter keeps exactly one,
+    // while a probe-vs-prior pair can only meet probe-side-first; the
+    // pre-aggregation distinct() this replaces was a full shuffle of
+    // the candidate rows
     val aLater = struct(col("aa"), col("pa")) > struct(col("ab"), col("pb"))
     val dropped4 = probe3.toDF("pa", "aa", "ba", "sza", "s")
       .join(index3.toDF("pb", "ab", "bb", "szb", "s"), Seq("s"))
       .filter(col("pa") =!= col("pb") &&
-        abs(col("ba") - col("bb")) <= 1) // the {b, b+1} window, both sides
+        abs(col("ba") - col("bb")) <= 1 && // the {b, b+1} window, both sides
+        (col("aa") =!= col("ab") || col("pa") < col("pb")))
       .select(
         when(aLater, col("pb")).otherwise(col("pa")).as("doc_a"),
         when(aLater, col("szb")).otherwise(col("sza")).as("sz_a"),
         when(aLater, col("pa")).otherwise(col("pb")).as("doc_b"),
         when(aLater, col("sza")).otherwise(col("szb")).as("sz_b"),
         col("s"))
-      .distinct() // batch-batch pairs arrive in both orientations
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double")
