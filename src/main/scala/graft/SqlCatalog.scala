@@ -64,6 +64,8 @@ object SqlCatalog {
       "Per-language stopword-hit scores + first-wins argmax pred, one array pass"),
     "alpha_tokens" -> ("alpha_tokens(tokens) -> int",
       "Tokens containing an ASCII letter (codegen twin of rlike [A-Za-z] filter)"),
+    "vec_fixp" -> ("vec_fixp(array<double>) -> array<bigint>",
+      "Fixed-point micro-unit vector: round(x*1e6) HALF_UP per element"),
     "sig_agree" -> ("sig_agree(sig_a, sig_b) -> int",
       "Equal non-null positions of two MinHash signatures (est_jaccard numerator)"))
 

@@ -301,6 +301,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lang_scores"),
       new ExpressionInfo(classOf[graft.ops.LangScoresExpr].getName, "lang_scores"),
       (args: Seq[Expression]) => graft.ops.LangScoresExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("vec_fixp"),
+      new ExpressionInfo(classOf[graft.ops.VecFixpExpr].getName, "vec_fixp"),
+      (args: Seq[Expression]) => graft.ops.VecFixpExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("sig_agree"),
       new ExpressionInfo(classOf[graft.ops.SigAgreeExpr].getName, "sig_agree"),
       (args: Seq[Expression]) => graft.ops.SigAgreeExpr(args(0), args(1))))

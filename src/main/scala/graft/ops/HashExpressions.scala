@@ -312,6 +312,33 @@ object Hashing {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[VecFixpExpr]]: fixed-point micro-unit quantization — per
+    * element, Spark `round(x * 1e6)` HALF_UP semantics followed by the
+    * long cast, replicated exactly: finite values go through
+    * BigDecimal(v).setScale(0, HALF_UP) like Spark's Round of a
+    * double. NaN/Infinity collapse via the pre-ANSI long-cast rule
+    * (NaN → 0, ±Inf → Long.Min/MaxValue — scala Double.toLong): the
+    * builtin spelling THROWS under ANSI there, but a poisoned element
+    * must not kill a 100 TB scan, so vec_fixp is deliberately total
+    * (pinned by PlanQualitySpec). */
+  def vecFixp(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getDouble(i) * 1000000.0
+        out(i) =
+          if (v.isNaN || v.isInfinite) v.toLong
+          else scala.math.BigDecimal(v)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble.toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[SigAgreeExpr]]: equal non-null positions of two signatures
     * (zip_with semantics: positions past the shorter array are null
     * matches, never counted). */
@@ -748,6 +775,30 @@ case class SigAgreeExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.ops.Hashing.sigAgree($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** vec_fixp(array<double>) → array<long>: the fixed-point micro-unit
+  * vector round(x·1e6) HALF_UP — the quantization every integer-exact
+  * LSH/PQ/gram path starts from. Value-identical to
+  * `transform(v, x => round(x * 1e6).cast("long"))`, but transform is
+  * a higher-order function whose one lambda evicts the whole bucket
+  * projection (16 LSH tables × dot products) from whole-stage codegen. */
+case class VecFixpExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_fixp"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<double>")
+  }
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.vecFixp(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Hashing.vecFixp($c)")
+  override protected def withNewChildInternal(c: Expression): VecFixpExpr =
+    copy(child = c)
 }
 
 /** alpha_tokens(tokens array<string>) → int: how many tokens contain

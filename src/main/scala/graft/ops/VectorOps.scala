@@ -197,8 +197,7 @@ object VectorOps {
   private def fixedPoint(df: DataFrame, id: String, vec: String): DataFrame =
     df.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("vid"),
-        transform(asDouble(col(vec)),
-          x => round(x * 1e6).cast("long")).as("vf"))
+        call_function("vec_fixp", asDouble(col(vec))).as("vf"))
 
   /** Deterministic PQ codebook: the fixed-point subvectors of the
     * `ksub` lowest-id vectors, split into `m` contiguous subspaces —
@@ -689,7 +688,7 @@ object VectorOps {
     * Spark `round` (HALF_UP) semantics — the exact form the oracle SQL
     * computes. */
   private def quantized(v: Column): Column =
-    transform(v, x => round(x * 1000000.0).cast("long"))
+    call_function("vec_fixp", v.cast("array<double>"))
 
   /** Bucket id column: bit p = (vq · w_p > 0), hyperplane weights
     * baked in as array literals, dot via the codegen'd vec_dot_long —
@@ -1173,8 +1172,8 @@ object VectorOps {
     // d² (i, j, sij) rows; materialized once — each of the 3 matvecs
     // (and the derived start vector) reuses it
     val gram = emb
-      .select(transform(col("embedding").cast("array<double>"),
-        x => round(x * lit(1e6), 0).cast("long")).as("vfx"))
+      .select(call_function("vec_fixp",
+        col("embedding").cast("array<double>")).as("vfx"))
       .agg(call_function("gram_fx", col("vfx")).as("g"))
       .select(col("g"), sqrt(size(col("g")).cast("double")).cast("int").as("d"))
     val cov = gram

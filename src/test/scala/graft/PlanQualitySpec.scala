@@ -143,6 +143,44 @@ class PlanQualitySpec extends SparkSpec {
       (3L, 0.0, 0.0, 0.0, "de")))
   }
 
+  test("vec_fixp equals the transform+round spelling on adversarial doubles") {
+    // the quantizer must replicate Spark round(x*1e6) HALF_UP plus the
+    // long cast EXACTLY — ties (x*1e6 landing on .5), negatives (HALF_UP
+    // is away-from-zero, unlike math.round's floor(x+0.5)), NaN (long
+    // cast → 0) and ±Infinity (→ Long.Min/MaxValue) are the traps
+    import spark.implicits._
+    val vals: Seq[Double] = Seq(
+      0.0, -0.0, 1.0, -1.0, 0.1234567, -0.1234567,
+      0.0000005, -0.0000005, 0.0000015, -0.0000015, // exact micro-ties
+      1.5e-6, -1.5e-6, 0.9999995, -0.9999995,
+      Double.MinPositiveValue, 1e12, -1e12) ++
+      (1 to 200).map(i => math.sin(i.toDouble) * math.pow(10, i % 9 - 4))
+    val df = Seq((1L, vals.toArray)).toDF("id", "v")
+      .select(col("id"),
+        call_function("vec_fixp", col("v")).as("fx"),
+        transform(col("v"), x => round(x * 1e6).cast("long")).as("ref"))
+    val r = df.select(col("fx") === col("ref")).head().getBoolean(0)
+    assert(r, df.select("fx", "ref").head().toString)
+    // NaN/±Inf: the builtin spelling THROWS under ANSI (CAST_OVERFLOW);
+    // vec_fixp is deliberately total — a poisoned element must not kill
+    // a 100 TB scan — with the pre-ANSI long-cast collapse values
+    val weird = Seq((1L, Array(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity))).toDF("id", "v")
+    assert(weird.select(call_function("vec_fixp", col("v"))).head()
+      .getSeq[Long](0) == Seq(0L, Long.MaxValue, Long.MinValue))
+    val thrown = intercept[Exception] {
+      weird.select(transform(col("v"), x => round(x * 1e6).cast("long")))
+        .head()
+    }
+    assert(thrown.getMessage.contains("CAST_OVERFLOW"), thrown.getMessage)
+    // and the expression itself rides whole-stage codegen
+    val p = plan(Tables.embeddings(spark, sf).select(
+      call_function("vec_fixp", col("embedding").cast("array<double>"))))
+    val line = p.linesIterator.find(_.contains("vec_fixp"))
+    assert(line.exists(_.replaceFirst("^[\\s+:*-]*", "").startsWith("(")),
+      s"vec_fixp not codegen'd:\n$p")
+  }
+
   test("ANN candidate generation joins on buckets, never cross-joins") {
     val p = plan(DataQueries.annTopK(spark, sf))
     assert(!p.contains("CartesianProduct"), s"quadratic candidate join:\n$p")
