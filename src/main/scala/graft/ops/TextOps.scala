@@ -181,8 +181,12 @@ object TextOps {
     * heuristic filter, fully columnar. The `FromTokens` form takes a
     * materialized token array (see langScoresFromTokens for why). */
   def qualityScoreFromTokens(text: Column, tk: Column): Column = {
-    val stopR = when(size(tk) > 0,
-      wordHits(tk, EnStop).cast("double") / size(tk))
+    // EnStop IS the en language profile, so the one-pass lang_scores
+    // expression already computes hits(EnStop)/size(tk) as its `en`
+    // field (0.0 on an empty array, null on a null array — both equal
+    // the old spelling after the coalesce below): one bitmask probe
+    // per token instead of one array_remove copy per stopword
+    val stopR = call_function("lang_scores", tk).getField("en")
     lit(0.4) * least(size(tk).cast("double") / 100.0, lit(1.0)) +
     lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(0.0))) +
     lit(0.3) * least(coalesce(stopR, lit(0.0)) * 5.0, lit(1.0))
