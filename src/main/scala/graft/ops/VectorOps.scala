@@ -197,7 +197,16 @@ object VectorOps {
   private def fixedPoint(df: DataFrame, id: String, vec: String): DataFrame =
     df.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("vid"),
-        call_function("vec_fixp", asDouble(col(vec))).as("vf"))
+        // deliberately the HOF transform, NOT the codegen'd vec_fixp:
+        // the lambda keeps this projection OUT of the downstream
+        // whole-stage span, and that is a measured 4x WIN here — the
+        // PQ `codes` consumer is an m*ksub literal-array expression
+        // whose generated method is already near the JIT compile
+        // ceiling; folding the quantizer into the same span pushed
+        // q_pq_encode 1.0 -> 4.2 s at sf0.1 (vec_fixp appeared ONCE
+        // in that plan, so it was span growth, not re-evaluation)
+        transform(asDouble(col(vec)),
+          x => round(x * 1e6).cast("long")).as("vf"))
 
   /** Deterministic PQ codebook: the fixed-point subvectors of the
     * `ksub` lowest-id vectors, split into `m` contiguous subspaces —
