@@ -44,20 +44,25 @@ import org.apache.spark.sql.functions._
   * would spread the rows but lose the offset decomposition. Cells
   * containing nulls, or mixing NaN with numbers, never split. The
   * split is DATA-DEPENDENT planning done cheaply: the tiny offset
-  * table is persisted and materialized by ONE driver action — the
-  * collect of its (usually zero) split-flag rows, which fills the
-  * cache as a side effect — so pass 1 + 2 run exactly once either
-  * way and the split decision costs no second job. With no oversized
-  * cell the emitted plan is exactly the pre-split two-pass, zero
-  * extra corpus passes; with one, the sub-bucket counts add one
-  * extra consumer of the input, cheap against the checkpointed narrow
-  * frames every caller feeds. persist beats an eager localCheckpoint
-  * here twice over: one driver job instead of two-three, and lineage
-  * survives executor loss (a non-replicated checkpoint block lost
-  * mid-job fails the query — the wrong failure mode at 1000
-  * executors). The alternatives to the driver peek both run pass 1
-  * (a full-corpus aggregate) TWICE, the wrong trade at 100 TB where
-  * the corpus pass dominates and a driver job boundary is noise.
+  * table is COLLECTED by ONE driver action and re-emitted as a
+  * driver-local relation — the split decision reads the in-memory
+  * rows for free, pass 1 + 2 run exactly once, and the fan-back
+  * broadcast ships driver memory instead of re-running the aggregate.
+  * With no oversized cell the emitted plan is exactly the pre-split
+  * two-pass, zero extra corpus passes (and the broadcast carries only
+  * the four offset columns, none of the split machinery); with one,
+  * the sub-bucket counts add one extra consumer of the input, cheap
+  * against the checkpointed narrow frames every caller feeds.
+  * Collect-local beats both a persist and an eager localCheckpoint
+  * here: one driver job, NO CacheManager entry to leak in a
+  * long-lived session (persist registers a strong reference until
+  * explicit unpersist — a kernel called per pipeline run accumulated
+  * them), and lineage is trivially safe — the rows live on the
+  * driver, so an executor lost mid-job can't lose them (a
+  * non-replicated checkpoint block lost mid-job fails the query — the
+  * wrong failure mode at 1000 executors). The table is already
+  * broadcast-bound by construction (≤ #strata × buckets rows), so
+  * collecting it moves no more data than the broadcast did.
   *
   * The split RECURSES one extra level (round-11 residual, closed): a
   * sub still holding more than `atomBound` rows tie-splits again when
@@ -178,23 +183,24 @@ object RankKernel {
       .withColumn("__ws",
         (col("__smax").cast("double") - col("__smin").cast("double")) /
           subBuckets)
-    // the offset table is TINY (≤ #strata × buckets rows) and feeds
-    // everything below — persist it and run ONE driver action that
-    // doubles as the split-decision read: collecting the (rare)
-    // split-flag rows consumes every partition, filling the cache as a
-    // side effect, so pass 1 + pass 2 run exactly once and the plan is
-    // shaped from data without a second job. persist (not an eager
-    // localCheckpoint) keeps the lineage: an executor lost mid-job
-    // rebuilds its partitions instead of failing the query on a
-    // missing non-replicated checkpoint block.
+    // the offset table is TINY (≤ #strata × buckets rows — already
+    // broadcast-bound by construction) and feeds everything below —
+    // collect it in ONE driver action and rebuild it as a DRIVER-LOCAL
+    // relation: the split decision reads the in-memory rows for free,
+    // pass 1 + pass 2 run exactly once, the fan-back broadcast ships
+    // driver memory instead of re-scanning anything, no CacheManager
+    // entry leaks into a long-lived session, and executor loss can't
+    // touch rows that live on the driver.
     val offCols = Seq(col(stratum), col("__bkt"), col("__noff"), col(cols.n),
       col("__smode"), col("__tmin"), col("__w"), col("__smaxd"),
       col("__ws")) ++
       (if (mass.isDefined) Seq(col("__moff"), col(cols.m)) else Nil)
-    val offKept = prune.fold(off)(off.filter).select(offCols: _*).persist()
-    val hasSplit = offKept.filter(col("__smode") =!= 0)
-      .select(col(stratum), col("__bkt")).collect().nonEmpty
-    val offB = broadcast(offKept)
+    val offLocal = prune.fold(off)(off.filter).select(offCols: _*)
+    val offRows = offLocal.collect()
+    val spark = df.sparkSession
+    val offKept = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offLocal.schema)
+    val hasSplit = offRows.exists(_.getAs[Int]("__smode") != 0)
 
     // monotone sub-bucket maps. Mode 1: tie through double (monotone;
     // collisions only merge neighbors), clamp preserves order → sub
@@ -214,12 +220,17 @@ object RankKernel {
 
     // the COMMON shape: no oversized atom anywhere → exactly the
     // pre-split plan (one fan-back join, (stratum, bucket) windows),
-    // zero extra passes over the corpus
+    // zero extra passes over the corpus — and the broadcast carries
+    // ONLY the offset columns (the split machinery is known-unused
+    // from the collected rows, so it never ships)
     if (!hasSplit) {
+      val slimCols = Seq(col(stratum), col("__bkt"), col("__noff"),
+        col(cols.n)) ++
+        (if (mass.isDefined) Seq(col("__moff"), col(cols.m)) else Nil)
       val wIn = Window.partitionBy(col(stratum), col("__bkt"))
         .orderBy(col(score).desc, col(tie).asc)
       var out = withBkt
-        .join(offB, Seq(stratum, "__bkt"))
+        .join(broadcast(offKept.select(slimCols: _*)), Seq(stratum, "__bkt"))
         .withColumn(cols.rank, col("__noff") + row_number().over(wIn))
       mass.foreach { mc =>
         out = out.withColumn(cols.cumBefore,
@@ -227,9 +238,9 @@ object RankKernel {
             sum(col(mc)).over(wIn.rowsBetween(Window.unboundedPreceding,
               Window.currentRow)) - col(mc))
       }
-      return out.drop("__bkt", "__noff", "__moff", "__smode", "__tmin",
-        "__w", "__smaxd", "__ws")
+      return out.drop("__bkt", "__noff", "__moff")
     }
+    val offB = broadcast(offKept)
 
     // pass 2b (split cells exist): per-(stratum, bucket, sub) offsets
     // for SPLIT cells only — the aggregate input is a map-side
@@ -276,12 +287,14 @@ object RankKernel {
     val subOffCols = Seq(col(stratum), col("__bkt"), col("__sub"),
       col("__snoff"), col("__s2mode"), col("__stmin"), col("__w2")) ++
       (if (mass.isDefined) Seq(col("__smoff")) else Nil)
-    // same persist + one-collect pattern as level 1 (the table is ≤
-    // subBuckets rows per split cell); the extra driver action exists
-    // only on the already-rare split path
-    val subKept = subOff.select(subOffCols: _*).persist()
-    val hasS2 = subKept.filter(col("__s2mode") =!= 0)
-      .select(col(stratum), col("__bkt")).collect().nonEmpty
+    // same collect-local pattern as level 1 (the table is ≤ subBuckets
+    // rows per split cell); the extra driver action exists only on the
+    // already-rare split path
+    val subLocal = subOff.select(subOffCols: _*)
+    val subRows = subLocal.collect()
+    val subKept = spark.createDataFrame(
+      java.util.Arrays.asList(subRows: _*), subLocal.schema)
+    val hasS2 = subRows.exists(_.getAs[Int]("__s2mode") != 0)
     val lvl1Cols = Seq(col(stratum), col("__bkt"), col("__sub"),
       col("__snoff")) ++
       (if (mass.isDefined) Seq(col("__smoff")) else Nil)

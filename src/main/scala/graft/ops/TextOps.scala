@@ -163,9 +163,12 @@ object TextOps {
     when(size(tk) > 0, hits.cast("double") / size(tk))
   }
 
-  /** Occurrences of any of `words` (distinct) in the token array. */
+  /** Occurrences of any of `words` in the token array. Deduplicates
+    * `words` first: each per-word array_remove delta counts EVERY
+    * occurrence of that word, so a repeated word would double-count
+    * where the old OR-of-equalities filter was idempotent. */
   private def wordHits(tk: Column, words: Seq[String]): Column =
-    words.map(w => size(tk) - size(array_remove(tk, w))).reduce(_ + _)
+    words.distinct.map(w => size(tk) - size(array_remove(tk, w))).reduce(_ + _)
 
   /** Fraction of characters that are not [a-zA-Z0-9 ] (punctuation /
     * symbol density). */
@@ -223,10 +226,14 @@ object TextOps {
       coalesce(alphaFrac >= minAlphaFrac, lit(false)) &&
       stopHits >= minStopHits
 
-  /** Language profiles for the n-gram/stopword language-ID heuristic. */
+  /** Language profiles for the n-gram/stopword language-ID heuristic.
+    * The `en` profile IS [[EnStop]] (one binding, not two equal
+    * lists): qualityScoreFromTokens reads its stopword ratio from
+    * `lang_scores.en`, so the two drifting apart would silently shift
+    * quality scores — referencing the same val makes that impossible. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
-    "en" -> Seq("the", "a", "of", "and", "is"),
+    "en" -> EnStop,
     "es" -> Seq("el", "la", "de", "que", "y"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 

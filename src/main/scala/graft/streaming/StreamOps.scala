@@ -786,9 +786,11 @@ object StreamOps {
     if (fs.exists(root)) {
       val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
       for (prefix <- Seq("_ARR_", "_ARRBASE_")) {
-        val ids = names.collect {
-          case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong
-        }
+        // toLongOption: a stray non-numeric suffix (a copy tool's
+        // `_ARR_5.tmp`, an inspection artifact) must not fail the
+        // whole compaction pass — non-conforming names are ignored
+        val ids = names.filter(_.startsWith(prefix))
+          .flatMap(n => n.stripPrefix(prefix).toLongOption)
         if (ids.nonEmpty) ids.filter(_ < ids.max).foreach { id =>
           fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$id"), false)
         }
@@ -826,9 +828,12 @@ object StreamOps {
     val names: Seq[String] =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.map(_.getPath.getName)
-    val journaled = names.collect {
-      case n if n.startsWith("_ARR_") => n.stripPrefix("_ARR_").toLong
-    }.foldLeft(-1L)(math.max)
+    // toLongOption everywhere these markers parse: a stray
+    // non-numeric sibling (`_ARR_5.tmp`) is inspection debris, not a
+    // reason to fail recovery
+    val journaled = names.filter(_.startsWith("_ARR_"))
+      .flatMap(n => n.stripPrefix("_ARR_").toLongOption)
+      .foldLeft(-1L)(math.max)
     val base = if (fromArr >= 0) fromArr else journaled + 1
     require(base > journaled,
       s"resumePipelineAt: base $base would rewind the journaled arrival " +
@@ -836,10 +841,9 @@ object StreamOps {
     fs.mkdirs(root)
     fs.create(new org.apache.hadoop.fs.Path(root, s"_ARRBASE_$base"), true)
       .close()
-    names.collect {
-      case n if n.startsWith("_ARRBASE_") &&
-          n.stripPrefix("_ARRBASE_").toLong < base => n
-    }.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
+    names.filter(n => n.startsWith("_ARRBASE_") &&
+        n.stripPrefix("_ARRBASE_").toLongOption.exists(_ < base))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
     base
   }
 
@@ -984,9 +988,9 @@ object StreamOps {
     // rewound CHECKPOINT: a fresh query restarts batchIds at 0, and
     // the base maps them past everything already journaled so the
     // arrival sequence stays monotone across the recovery
-    val arrBase = rootNames.collect {
-      case n if n.startsWith("_ARRBASE_") => n.stripPrefix("_ARRBASE_").toLong
-    }.foldLeft(0L)(math.max)
+    val arrBase = rootNames.filter(_.startsWith("_ARRBASE_"))
+      .flatMap(n => n.stripPrefix("_ARRBASE_").toLongOption)
+      .foldLeft(0L)(math.max)
     val arr = arrBase + batchId
     val committed = committedVersions(sp, hitsPath)
     if (arr <= lastAppliedStream(sp, hitsPath))
@@ -1001,11 +1005,10 @@ object StreamOps {
     // restarted query with a rewound checkpoint is about to corrupt
     // the arrival key, and that fails LOUDLY instead of folding.
     // Recovery path: [[resumePipelineAt]].
-    val priorArr: Long = rootNames.collect {
-      case n if n.startsWith("_ARR_") &&
-          n.stripPrefix("_ARR_").toLong != arr =>
-        n.stripPrefix("_ARR_").toLong
-    }.foldLeft(Long.MinValue)(math.max)
+    val priorArr: Long = rootNames.filter(_.startsWith("_ARR_"))
+      .flatMap(n => n.stripPrefix("_ARR_").toLongOption)
+      .filter(_ != arr)
+      .foldLeft(Long.MinValue)(math.max)
     require(arr > priorArr,
       s"maintainPipeline: arrival-sequence violation (arrival $arr ≤ " +
         s"journaled $priorArr) — a rewound checkpoint over live state would " +

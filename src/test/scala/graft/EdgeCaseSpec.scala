@@ -258,6 +258,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.isNullAt(2))  // no shingles → null fingerprint
   }
 
+  test("wordRatio is idempotent in its word list: duplicates don't inflate") {
+    // the per-word array_remove delta counts every occurrence, so a
+    // repeated word in the caller's list would double-count where the
+    // old OR-of-equalities filter was idempotent — wordHits dedups
+    val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    def ratio(words: Seq[String]): Double =
+      df.select(TextOps.wordRatio(col("text"), words).as("r"))
+        .head().getDouble(0)
+    val base = ratio(Seq("the", "and"))
+    assert(base == 3.0 / 5.0)
+    assert(ratio(Seq("the", "and", "the", "the")) == base,
+      "duplicated word list inflated the ratio")
+  }
+
   test("mixed-script tokenization: CJK/Thai fall back to char tokens, Latin untouched") {
     def toks(s: String): Seq[String] =
       Seq((1L, s)).toDF("doc_id", "text")

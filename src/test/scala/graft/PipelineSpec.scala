@@ -50,7 +50,11 @@ class PipelineSpec extends SparkSpec {
     StreamOps.applyPipelineBatch(batches(0), dir, 0L)
     StreamOps.applyPipelineBatch(batches(1), dir, 1L)
     // compaction mid-stream: folds committed b= dirs into one c= run
-    // per kind and the fold keeps going on top of it transparently
+    // per kind and the fold keeps going on top of it transparently.
+    // Stray non-numeric marker siblings (a copy tool's .tmp debris)
+    // must be ignored, not crash the sweep.
+    new java.io.File(s"$dir/_ARR_1.tmp").createNewFile()
+    new java.io.File(s"$dir/_ARRBASE_x").createNewFile()
     assert(StreamOps.compactPipelineIndex(spark, dir) > 0)
     assert(StreamOps.compactPipelineIndex(spark, dir) == 0, "second compact must no-op")
     StreamOps.applyPipelineBatch(batches(2), dir, 2L)

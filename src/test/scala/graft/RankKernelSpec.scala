@@ -453,6 +453,27 @@ class RankKernelSpec extends SparkSpec {
       requireWindows = false)
   }
 
+  test("kernel leaves NOTHING cached: CacheManager empty after the caller's action") {
+    // the round-12 offset tables were persist()ed and never released —
+    // every withStratumRank call leaked a CacheManager entry for the
+    // session. The collect-local rework removes the persist entirely;
+    // this pins that a full call (non-split AND split shapes, both
+    // driver actions included) registers zero cached plans.
+    spark.sharedState.cacheManager.clearCache()
+    val df = fixture
+    // non-split shape
+    RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+      mass = Some("n_tok"), buckets = 16).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "non-split kernel call left a CacheManager entry")
+    // forced split shape (tiny atomBound drives the level-1 split path)
+    RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+      mass = Some("n_tok"), buckets = 4, atomBound = 8,
+      subBuckets = 4).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "split-path kernel call left a CacheManager entry")
+  }
+
   test("plan: rankStages' kernel pass itself has no bare-lang corpus window") {
     // pin the kernel plan BEFORE checkpoint materialization hides it:
     // same projection shape pipelineE2e feeds rankStages
