@@ -2,12 +2,68 @@ package graft.evm
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Static eval twins of the ABI-decode expressions, called from BOTH
+  * interpreted eval and generated code (the HashExpressions pattern —
+  * `HashExpressions.scala` documents the eviction rule: ONE
+  * CodegenFallback expression evicts its whole Project from
+  * whole-stage codegen, and the EVM decode projection is the hot path
+  * of the 100 TB indexer use-case). One body per twin means codegen
+  * and interpreted eval cannot diverge. */
+object AbiRt {
+  /** [[AbiDecodeWordExpr]]: decode one 32-byte word as `abiType`,
+    * converted to the Catalyst-internal value; null on failure. */
+  def decodeWordConv(w: Array[Byte], abiType: String): AnyRef =
+    AbiCodec.decodeWord(w, abiType) match {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+      case d: java.math.BigDecimal => Decimal(d, 38, 0)
+      case o => o.asInstanceOf[AnyRef]
+    }
+
+  // type-directed: a decoded Array[Any] is a Catalyst array for
+  // T[]/T[k] but an InternalRow for tuples
+  private def convert(v: Any, t: String): Any = v match {
+    case null => null
+    case arr: Array[Any] => AbiCodec.arrayOf(t) match {
+      case Some((elem, _)) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          arr.map(convert(_, elem)))
+      case None => AbiCodec.tupleOf(t) match {
+        case Some(cs) => InternalRow.fromSeq(
+          arr.toIndexedSeq.zip(cs).map { case (x, c) => convert(x, c) })
+        case None => null
+      }
+    }
+    case s: String => UTF8String.fromString(s)
+    case bd: java.math.BigDecimal => Decimal(bd, 38, 0)
+    case o => o
+  }
+
+  /** [[AbiDecodeDataExpr]]: decode the data blob against the
+    * pre-split type list into one InternalRow (malformed fields
+    * decode to null instead of failing the row, P7). */
+  def decodeDataRow(d: Array[Byte], types: Seq[String]): InternalRow =
+    InternalRow.fromSeq(AbiCodec.decodeData(d, types)
+      .toIndexedSeq.zip(types).map { case (v, t) => convert(v, t) })
+
+  /** [[EcRecoverExpr]]: best-effort address recovery — any invalid
+    * input (bad point, bad recId, out-of-range scalars) yields null,
+    * never an exception (parser.go:152-159's tolerance). */
+  def ecrecover(h: Array[Byte], r: Array[Byte], s: Array[Byte],
+                recId: Int): UTF8String =
+    try {
+      val addr = Secp256k1.recoverAddress(h,
+        new java.math.BigInteger(1, r), new java.math.BigInteger(1, s), recId)
+      if (addr == null) null else UTF8String.fromString(addr)
+    } catch { case _: Exception => null }
+}
 
 /** Custom Catalyst expressions for the EVM surface (SURVEY.md §4:
   * `keccak256`, `abi_decode_*`, `event_signature_hash`). Registered
@@ -63,7 +119,7 @@ case class EventTopic0Expr(child: Expression) extends UnaryExpression {
   * or overflow → null (compose `coalesce(abi_decode_word(t, …), hex(t))`
   * for the reference's raw-hex fallback, parser.go:100-102). */
 case class AbiDecodeWordExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == StringType && right.foldable)
       TypeCheckResult.TypeCheckSuccess
@@ -86,16 +142,21 @@ case class AbiDecodeWordExpr(left: Expression, right: Expression)
       case _ => StringType
     }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val w = left.eval(input)
-    if (w == null) null
-    else AbiCodec.decodeWord(w.asInstanceOf[Array[Byte]], abiType) match {
-      case null => null
-      case s: String => UTF8String.fromString(s)
-      case d: java.math.BigDecimal => Decimal(d, 38, 0)
-      case b: java.lang.Boolean => b
-      case o => o
-    }
+  // decode failure → null even for a non-null word, so the generated
+  // code carries an explicit result-null check (nullSafeCodeGen, not
+  // defineCodeGen); the static twin is shared with interpreted eval
+  override protected def nullSafeEval(w: Any, t: Any): Any =
+    AbiRt.decodeWordConv(w.asInstanceOf[Array[Byte]], abiType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val typeRef = ctx.addReferenceObj("abiType", abiType, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (w, _) => {
+      val tmp = ctx.freshName("dec")
+      s"""
+         Object $tmp = graft.evm.AbiRt.decodeWordConv($w, $typeRef);
+         if ($tmp == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $tmp; }
+       """
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -105,7 +166,7 @@ case class AbiDecodeWordExpr(left: Expression, right: Expression)
   * Static types are word-indexed; string/bytes follow head offsets.
   * Malformed fields decode to null instead of failing the row (P7). */
 case class AbiDecodeDataExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == StringType && right.foldable)
       TypeCheckResult.TypeCheckSuccess
@@ -134,31 +195,16 @@ case class AbiDecodeDataExpr(left: Expression, right: Expression)
   override lazy val dataType: DataType = StructType(
     types.zipWithIndex.map { case (t, i) => StructField(s"arg$i", fieldType(t)) })
 
-  // type-directed: a decoded Array[Any] is a Catalyst array for T[]/T[k]
-  // but an InternalRow for tuples
-  private def convert(v: Any, t: String): Any = v match {
-    case null => null
-    case arr: Array[Any] => AbiCodec.arrayOf(t) match {
-      case Some((elem, _)) =>
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          arr.map(convert(_, elem)))
-      case None => AbiCodec.tupleOf(t) match {
-        case Some(cs) => org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-          arr.toIndexedSeq.zip(cs).map { case (x, c) => convert(x, c) })
-        case None => null
-      }
-    }
-    case s: String => UTF8String.fromString(s)
-    case bd: java.math.BigDecimal => Decimal(bd, 38, 0)
-    case o => o
-  }
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val d = left.eval(input)
-    if (d == null) return null
-    val vals = AbiCodec.decodeData(d.asInstanceOf[Array[Byte]], types)
-      .toIndexedSeq.zip(types).map { case (v, t) => convert(v, t) }
-    org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+  // a non-null blob always decodes to a row (malformed FIELDS go null,
+  // the row survives — P7), so plain defineCodeGen suffices; the
+  // pre-split type list rides the codegen references array
+  override protected def nullSafeEval(d: Any, t: Any): Any =
+    AbiRt.decodeDataRow(d.asInstanceOf[Array[Byte]], types)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val typesRef = ctx.addReferenceObj("types", types,
+      "scala.collection.immutable.Seq")
+    defineCodeGen(ctx, ev, (d, _) =>
+      s"graft.evm.AbiRt.decodeDataRow($d, $typesRef)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -166,37 +212,40 @@ case class AbiDecodeDataExpr(left: Expression, right: Expression)
 
 /** ecrecover_sender(msg_hash binary, r binary, s binary, rec_id int) →
   * "0x…" signer address string, null on any invalid input (J2: the
-  * best-effort tx_from enrichment, parser.go:152-159). CodegenFallback
-  * is fine — the scalable usage recovers once per DISTINCT transaction
-  * and broadcast-joins the result, keeping this off the per-log hot
-  * path (the same restructuring as the block-timestamp cache, J1). */
-case class EcRecoverExpr(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+  * best-effort tx_from enrichment, parser.go:152-159). The scalable
+  * usage still recovers once per DISTINCT transaction and
+  * broadcast-joins the result (the block-timestamp-cache
+  * restructuring, J1) — but the expression codegens anyway so its
+  * PRESENCE in a projection never evicts sibling decode columns from
+  * whole-stage codegen. */
+case class EcRecoverExpr(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = StringType
   override def prettyName: String = "ecrecover_sender"
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.length == 4 &&
-        children.take(3).forall(_.dataType == BinaryType) &&
-        children(3).dataType == IntegerType)
+    if (Seq(first, second, third).forall(_.dataType == BinaryType) &&
+        fourth.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs (binary, binary, binary, int)")
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.exists(_ == null)) return null
-    try {
-      val addr = Secp256k1.recoverAddress(
-        vs(0).asInstanceOf[Array[Byte]],
-        new java.math.BigInteger(1, vs(1).asInstanceOf[Array[Byte]]),
-        new java.math.BigInteger(1, vs(2).asInstanceOf[Array[Byte]]),
-        vs(3).asInstanceOf[Int])
-      if (addr == null) null else UTF8String.fromString(addr)
-    } catch { case _: Exception => null }
-  }
+  override def nullSafeEval(h: Any, r: Any, s: Any, v: Any): Any =
+    AbiRt.ecrecover(h.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Array[Byte]], v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, r, s, v) => {
+      val tmp = ctx.freshName("addr")
+      s"""
+         org.apache.spark.unsafe.types.UTF8String $tmp =
+           graft.evm.AbiRt.ecrecover($h, $r, $s, $v);
+         if ($tmp == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $tmp; }
+       """
+    })
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): EcRecoverExpr =
-    copy(children = newChildren)
+      f: Expression, s2: Expression, t: Expression, fo: Expression): EcRecoverExpr =
+    copy(first = f, second = s2, third = t, fourth = fo)
 }
 
 /** vec_dot(array<double>, array<double>) → double. The built-in route
@@ -270,7 +319,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VecDotExpr(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("ecrecover_sender"),
       new ExpressionInfo(classOf[EcRecoverExpr].getName, "ecrecover_sender"),
-      (args: Seq[Expression]) => EcRecoverExpr(args)))
+      (args: Seq[Expression]) =>
+        EcRecoverExpr(args(0), args(1), args(2), args(3))))
     ext.injectFunction((FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[graft.ops.VecDotLongExpr].getName, "vec_dot_long"),
       (args: Seq[Expression]) => graft.ops.VecDotLongExpr(args(0), args(1))))
