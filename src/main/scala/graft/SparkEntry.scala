@@ -70,6 +70,8 @@ object SparkEntry {
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_incr_cc"           -> ((s, d) => DataQueries.incrCc(s, d)),
     "q_windowed_dedup"    -> ((s, d) => DataQueries.windowedDedup(s, d)),
+    "q_windowed_dedup_capped" -> ((s, d) =>
+      DataQueries.windowedDedupCapped(s, d)),
     "q_heavy_hitters"     -> ((s, d) => DataQueries.heavyHitters(s, d)),
     "q_footer_stats"      -> ((s, d) =>
       graft.sources.FooterStats.eventsFooterStats(s, d)),
@@ -127,6 +129,14 @@ object SparkEntry {
     // proves recall 1.0 WITH the pruning (cand_pairs/all_pairs ≪ 1)
     // pinned as data, not just spec-measured
     "q_knn_clustered"     -> ((s, d) => VectorOps.knnGraphClusteredGate(
+                                Tables.embeddings(s, d), "vec_id", 5)),
+    // the BOUNDED graph build: multi-pass sorted-neighborhood inside
+    // the LSH buckets (per-table 1-D projection sort + window-40
+    // lead links — O(m·window) pairs per bucket where the self-join
+    // was O(m²); ScaleProbe measured that self-join ×99 at a 10×
+    // corpus). cand_pairs/all_pairs AND recall vs the exact top-5 of
+    // a fixed 100-node panel ride the hash gate as data.
+    "q_knn_graph_capped"  -> ((s, d) => VectorOps.knnGraphCappedGate(
                                 Tables.embeddings(s, d), "vec_id", 5)),
     "q_ann_topk"          -> ((s, d) => DataQueries.annTopK(s, d)),
     "q_ann_multi"         -> ((s, d) => DataQueries.annMulti(s, d)),
@@ -1701,6 +1711,33 @@ object SparkEntry {
                    WHERE abs(a.batch - b.batch) <= 1
                    GROUP BY 1, 2, 3, 4)
          SELECT doc_a, doc_b, batch_a, batch_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
+         ORDER BY doc_a, doc_b""",
+    // The BOUNDED windowed form: (shingle, batch) keys above the
+    // in-window doc-frequency cap (5) drop before pairing and sizes
+    // re-count over the kept set — q_jaccard_capped's rule applied
+    // inside the window, replayed relationally. Per candidate key the
+    // fan-out is ≤ 2·cap² regardless of duplication factor; the
+    // uncapped twin above stays the small-sf exactness check.
+    "q_windowed_dedup_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         ex AS (SELECT doc_id, doc_id % 10 AS batch, unnest(shs) AS s
+                FROM shing),
+         keep AS (SELECT s, batch FROM ex GROUP BY s, batch
+                  HAVING count(*) <= 5),
+         fx AS (SELECT doc_id, batch, s FROM ex JOIN keep USING (s, batch)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, a.batch AS batch_a,
+                     b.doc_id AS doc_b, b.batch AS batch_b,
+                     count(*) AS inter
+                   FROM fx a JOIN fx b ON a.s = b.s AND a.doc_id < b.doc_id
+                   WHERE abs(a.batch - b.batch) <= 1
+                   GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, batch_a, batch_b, inter,
            round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
          FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
                     JOIN sizes sb ON doc_b = sb.doc_id
@@ -4770,6 +4807,79 @@ object SparkEntry {
                           (SELECT count(*) FROM v)::BIGINT AS n_all)
          SELECT e.vec_a, e.vec_b, e.cos, e.rank_a, e.rank_b,
            s.cand_pairs, (s.n_all * (s.n_all - 1) // 2)::BIGINT AS all_pairs
+         FROM edges e, stats s ORDER BY vec_a, vec_b""",
+    // Capped graph build: the oracle replays EVERYTHING relationally —
+    // 8×8 SRP bucketing, the per-table fine projection (plane ids
+    // 64+t), the row_number window-40 sorted-neighborhood link, the
+    // exact cosine re-rank + mutual top-5, and the fixed-panel recall
+    // legs — so boundedness, pruning mass AND recall-vs-exact are all
+    // hash-gated, not argued.
+    "q_knn_graph_capped" ->
+      """WITH ids AS (SELECT vec_id FROM embeddings),
+         v AS MATERIALIZED (SELECT vec_id, list(
+                 ((('0x' || substr(md5('C' || (vec_id % 25) || '~' || d), 1, 15))::BIGINT
+                   % 2001) - 1000) / 1000.0 +
+                 ((('0x' || substr(md5('J' || vec_id || '~' || d), 1, 15))::BIGINT
+                   % 2001) - 1000) / 20000.0 ORDER BY d) AS ve
+               FROM ids, range(32) AS rd(d) GROUP BY vec_id),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM v, range(8) AS rt(t), range(8) AS rp(p), range(32) AS rd2(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 8 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         fex AS (SELECT vec_id, t, d, ve[d + 1] AS x
+                 FROM v, range(8) AS rt(t), range(32) AS rd3(d)),
+         fp AS (SELECT vec_id, t,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((64 + t) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS fpv
+                FROM fex GROUP BY 1, 2),
+         rn AS (SELECT b.vec_id, b.t, b.bucket, f.fpv,
+                  row_number() OVER (PARTITION BY b.t, b.bucket
+                                     ORDER BY f.fpv, b.vec_id) AS rn
+                FROM bk b JOIN fp f ON b.vec_id = f.vec_id AND b.t = f.t),
+         cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS ca,
+                    greatest(a.vec_id, b.vec_id) AS cb
+                  FROM rn a JOIN rn b ON a.t = b.t AND a.bucket = b.bucket
+                    AND b.rn > a.rn AND b.rn <= a.rn + 40),
+         p AS (SELECT ca AS va, cb AS vb,
+                 list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))) AS cos
+               FROM cand JOIN v a ON ca = a.vec_id JOIN v b ON cb = b.vec_id),
+         dir AS (SELECT va AS src, vb AS dst, cos FROM p
+                 UNION ALL SELECT vb, va, cos FROM p),
+         top AS (SELECT src, dst, cos, row_number() OVER
+                   (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+                 FROM dir),
+         t5 AS (SELECT * FROM top WHERE rk <= 5),
+         edges AS (SELECT a.src AS vec_a, a.dst AS vec_b,
+                     round(a.cos, 6) AS cos, a.rk AS rank_a, b.rk AS rank_b
+                   FROM t5 a JOIN t5 b ON a.src = b.dst AND a.dst = b.src
+                   WHERE a.src < a.dst),
+         pt AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                  list_dot_product(a.ve, b.ve) /
+                    (sqrt(list_dot_product(a.ve, a.ve)) *
+                     sqrt(list_dot_product(b.ve, b.ve))) AS cos
+                FROM v a JOIN v b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 100),
+         ptr AS (SELECT qa, qb, row_number() OVER
+                   (PARTITION BY qa ORDER BY cos DESC, qb) AS rk FROM pt),
+         tk AS (SELECT DISTINCT least(qa, qb) AS ca, greatest(qa, qb) AS cb
+                FROM ptr WHERE rk <= 5),
+         stats AS (SELECT (SELECT count(*) FROM cand)::BIGINT AS cand_pairs,
+                          (SELECT count(*) FROM v)::BIGINT AS n_all,
+                          (SELECT count(*) FROM tk JOIN cand USING (ca, cb))::BIGINT
+                            AS recall_num,
+                          (SELECT count(*) FROM tk)::BIGINT AS recall_den)
+         SELECT e.vec_a, e.vec_b, e.cos, e.rank_a, e.rank_b,
+           s.cand_pairs, (s.n_all * (s.n_all - 1) // 2)::BIGINT AS all_pairs,
+           s.recall_num, s.recall_den
          FROM edges e, stats s ORDER BY vec_a, vec_b""",
     // Embedding near-dup groups: same recursive min-reachability CC
     // oracle as q_dedup_groups, over the cosine pair edges.

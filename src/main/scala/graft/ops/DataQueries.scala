@@ -1261,15 +1261,67 @@ object DataQueries {
     * frequency, not its all-time one. The oracle is the UNWINDOWED
     * pair join filtered to the window, so the bucket-replication
     * trick is hash-proven lossless within the window. */
-  def windowedDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("batch", col("doc_id") % 10)
+  def windowedDedup(s: SparkSession, d: String): DataFrame =
+    windowedPairs(s, d, maxDocFreq = None)
+      .select(col("doc_a"), col("doc_b"), col("batch_a"), col("batch_b"),
+        round(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The BOUNDED-candidate windowed near-dup — the 100 TB gate form.
+    * ScaleProbe measured the uncapped twin's (shingle, bucket) key
+    * funneling ~1M shuffle records through ONE task under a
+    * 10×-duplicated corpus (max-task growth ×99: candidate pairs per
+    * key grow as the key's windowed doc-frequency SQUARED, exactly the
+    * regime a crawl re-visit produces). The fix is the
+    * [[DedupOps.jaccardPairs]] `maxDocFreq` rule applied INSIDE the
+    * window: drop (shingle, batch) keys whose in-batch doc count
+    * exceeds `maxDocFreq`, and re-count doc sizes over the kept
+    * shingle set — so per candidate join key the a-side holds ≤ cap
+    * rows and the replicated b-side ≤ 2·cap, bounding per-key fan-out
+    * at 2·cap² CONSTANT in duplication while keys grow linearly with
+    * the corpus. Like the global capped form, stop-shingles leaving
+    * the size denominator is a semantic choice (boilerplate stops
+    * counting toward similarity), pinned by its own oracle which
+    * replays the cap relationally. The uncapped exact form stays the
+    * small-sf oracle check (the q_jaccard_pairs pattern). */
+  def windowedDedupCapped(s: SparkSession, d: String,
+                          maxDocFreq: Long = 5): DataFrame =
+    windowedPairs(s, d, maxDocFreq = Some(maxDocFreq))
+      .select(col("doc_a"), col("doc_b"), col("batch_a"), col("batch_b"),
+        col("inter"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared windowed-pair algebra: Jaccard over kept shingles for
+    * pairs with |batch_a − batch_b| ≤ 1, candidates via one-sided
+    * {b, b+1} bucket replication; `maxDocFreq` optionally drops
+    * (shingle, batch) keys above the in-window frequency cap first. */
+  private def windowedPairs(s: SparkSession, d: String,
+                            maxDocFreq: Option[Long]): DataFrame =
+    windowedPairsOf(Tables.documents(s, d), maxDocFreq)
+
+  private[graft] def windowedPairsOf(docsIn: DataFrame,
+                                     maxDocFreq: Option[Long]): DataFrame = {
+    val docs = docsIn.withColumn("batch", col("doc_id") % 10)
     val arr = docs.select(col("doc_id").as("doc"), col("batch"),
       TextOps.shingleHashes(col("text"), 3).as("arr"))
-    val sizes = arr.select(col("doc"), size(col("arr")).as("sz"))
-    val sh = arr.select(col("doc"), col("batch"),
+    val shAll = arr.select(col("doc"), col("batch"),
         explode_outer(col("arr")).as("s"))
       .filter(col("s").isNotNull)
+    // in-window frequency cap: the per-(shingle, batch) doc count is a
+    // map-combined aggregate; the kept-key join re-partitions both
+    // sides on the same (s, batch) key, so no key ever exceeds the cap
+    // downstream of here
+    val (sh, sizes) = maxDocFreq match {
+      case Some(cap) =>
+        val keep = shAll.groupBy("s", "batch")
+          .agg(count(lit(1)).as("__wdf"))
+          .filter(col("__wdf") <= cap)
+          .select("s", "batch")
+        val fx = shAll.join(keep, Seq("s", "batch"))
+        (fx, fx.groupBy("doc").agg(count(lit(1)).as("sz")))
+      case None =>
+        (shAll, arr.select(col("doc"), size(col("arr")).as("sz")))
+    }
     // {b, b+1} replication on ONE side only, probe at its own bucket —
     // and each (pair, shingle) row is then unique by construction: a
     // same-batch pair meets in both orientations (keep doc_a < doc_b),
@@ -1298,9 +1350,6 @@ object DataQueries {
       .withColumn("jac", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= 0.1)
-      .select(col("doc_a"), col("doc_b"), col("batch_a"), col("batch_b"),
-        round(col("jac"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Shared pairs→groups tail: connected components, component sizes,

@@ -35,6 +35,12 @@ object VectorOps {
       .withColumn(nOut, norm(col(vecOut)))
       .filter(col(nOut) > 0)
 
+  /** Test face of [[withNorm]] (the (vid, v, n) shape candidate
+    * generators consume). */
+  private[graft] def normalizedForTest(df: DataFrame, id: String,
+                                       vec: String): DataFrame =
+    withNorm(df, id, vec, "vid", "v", "n")
+
   /** Hard-negative mining for contrastive/embedding training: per
     * query vector, the k most-cosine-similar candidates with a
     * DIFFERENT label — the "confusable but wrong" examples a triplet
@@ -489,6 +495,96 @@ object VectorOps {
         ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
     mutualFromCandidates(base, cand, k)
       .crossJoin(broadcast(stats))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** BOUNDED candidate pairs via multi-pass sorted-neighborhood inside
+    * LSH buckets — the capped generator behind [[knnGraphCappedGate]].
+    * ScaleProbe measured the plain bucket self-join
+    * ([[lshCandidatePairs]]) growing its max-task shuffle records ×99
+    * under a 10×-duplicated corpus: candidate pairs per bucket grow as
+    * bucket size SQUARED, and duplication inflates exactly the buckets
+    * near-dups share. Here each (table, bucket) sorts its members by a
+    * PER-TABLE 1-D fixed-point projection (plane id `planes·tables+t`,
+    * disjoint from every bucketing plane — the Hernández–Stolfo
+    * multi-pass sorted-neighborhood method with a random-projection
+    * sort key) and links every member to its `window` successors via
+    * `lead` — per bucket of m members that is one O(m log m) sort and
+    * ≤ m·window pairs, LINEAR in m where the self-join was quadratic.
+    * Near-identical vectors share all sort keys, so they stay adjacent
+    * in every pass and their edges survive any cap; `tables`
+    * independent sort orders give interior-and-edge positions
+    * different neighborhoods, which is what buys recall back. All
+    * arithmetic is the engine-exact integer kind the oracle replays. */
+  private[graft] def sortedWindowCandidates(base: DataFrame, planes: Int,
+                                            tables: Int,
+                                            window: Int): DataFrame =
+    vecDims(base, "v") match {
+      case None =>
+        base.select(col("vid").as("vec_a"), col("vid").as("vec_b")).limit(0)
+      case Some(dims) =>
+        val perTable = (0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            bucketCol(col("vq"), dims, planes, p => t * planes + p)
+              .as("bucket"),
+            call_function("vec_dot_long", col("vq"),
+                typedLit(Hashing.planeWeights(planes * tables + t, dims).toSeq))
+              .as("fp"))
+        }
+        val bk = base.select(col("vid"), quantized(col("v")).as("vq"))
+          .select(col("vid"), explode(array(perTable: _*)).as("tb"))
+          .select(col("vid"), col("tb.tbl").as("tbl"),
+            col("tb.bucket").as("bucket"), col("tb.fp").as("fp"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("tbl", "bucket")
+          .orderBy(col("fp").asc, col("vid").asc)
+        val succ = (1 to window).map(j => lead(col("vid"), j).over(w))
+        bk.select(col("vid"), array(succ: _*).as("nbrs"))
+          .select(col("vid").as("va"), explode(col("nbrs")).as("vb"))
+          .filter(col("vb").isNotNull)
+          .select(least(col("va"), col("vb")).as("vec_a"),
+            greatest(col("va"), col("vb")).as("vec_b"))
+          .distinct() // tables overlap; the lex order varies per pass
+    }
+
+  /** The CAPPED kNN-graph gate: [[knnGraphMutualLsh]]'s algebra with
+    * [[sortedWindowCandidates]] as the candidate generator, over the
+    * [[clusteredGateVectors]] derived corpus (the regime where tight
+    * LSH settings hold and where ScaleProbe's 10× duplication inflates
+    * every cluster — the uncapped twin's measured ×99 shape). Every
+    * output row carries four pinned diagnostics the DuckDB oracle
+    * replays independently: `cand_pairs` / `all_pairs` (the pruning
+    * claim) and `recall_num` / `recall_den` — candidate recall of the
+    * exact cosine top-k over a FIXED 100-node panel (`vec_id < 100`,
+    * a constant so the exact leg stays O(100·N) at any corpus size),
+    * so the recall-vs-exact-graph claim is hash-gated DATA, not a
+    * spec-time measurement. The exact twins `q_knn_graph` /
+    * `q_knn_graph_lsh` remain the small-sf full-recall checks. */
+  def knnGraphCappedGate(df: DataFrame, id: String, k: Int,
+                         clusters: Int = 25, dims: Int = 32,
+                         planes: Int = 8, tables: Int = 8,
+                         window: Int = 40, panelN: Int = 100): DataFrame = {
+    val derived = clusteredGateVectors(df, id, clusters, dims)
+    val base = withNorm(derived, "vec_id", "embedding", "vid", "v", "n")
+      .localCheckpoint(true) // one signature pipeline, reused 4×
+    val cand = sortedWindowCandidates(base, planes, tables, window)
+      .localCheckpoint(true) // counted once, re-ranked once, recalled once
+    val stats = cand.agg(count(lit(1)).as("cand_pairs"))
+      .crossJoin(base.agg(count(lit(1)).as("__n")))
+      .select(col("cand_pairs"),
+        ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
+    val panelPairs = cosineTopK(derived.filter(col("vec_id") < panelN),
+        derived, "vec_id", "embedding", k)
+      .select(least(col("query_id"), col("cand_id")).as("vec_a"),
+        greatest(col("query_id"), col("cand_id")).as("vec_b"))
+      .distinct() // both endpoints in-panel → one normalized pair
+      .localCheckpoint(true)
+    val rec = panelPairs.join(cand, Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("recall_num"))
+      .crossJoin(panelPairs.agg(count(lit(1)).as("recall_den")))
+    mutualFromCandidates(base, cand, k)
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(rec))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -159,6 +159,55 @@ class AnnRecallSpec extends SparkSpec {
       s"unexpected quadratic operator in the clustered gate:\n$p")
   }
 
+  test("sorted-window candidates: a duplication storm stays LINEAR and connected") {
+    // the capped generator's contract under the ScaleProbe ×99 regime:
+    // m identical vectors in one bucket must yield ≤ m·window pairs
+    // per (table) pass — not m²/2 — while every duplicate stays
+    // reachable from every other (identical sort keys → adjacent in
+    // EVERY pass → the lead-chain spans the block)
+    import spark.implicits._
+    val m = 200; val window = 8; val tables = 4
+    val dup = (0 until m).map(i => (i.toLong,
+      Array.fill(16)(0.25f))) // one exact-duplicate block
+      .toDF("vec_id", "embedding")
+    val cand = VectorOps.sortedWindowCandidates(
+      VectorOps.normalizedForTest(dup, "vec_id", "embedding"),
+      planes = 4, tables = tables, window = window)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical vectors share every bucket AND every sort key, so all
+    // passes produce the SAME vid-ordered chain: exactly m·window - Σ
+    // tail shortfall pairs, far under m²/2 = 19,900
+    assert(cand.length <= m * window,
+      s"storm pair count not linear: ${cand.length} > ${m * window}")
+    assert(cand.length >= m - 1, s"storm lost connectivity: ${cand.length}")
+    // chain connectivity: union-find over the pairs spans the block
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    cand.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    assert((0 until m).map(find).distinct.size == 1,
+      "duplicates not all connected by the window chain")
+  }
+
+  test("q_knn_graph_capped: recall and pruning ride the gate; plan stays bounded") {
+    // the oracle hash-proves the edge set, candidate mass AND the
+    // fixed-panel recall columns; this re-asserts the values so a
+    // testdata regeneration can't silently drift the gate regime, and
+    // pins the plan (no quadratic operator beyond the deliberate
+    // 1-row stats broadcasts and the bounded 100-node panel scan)
+    val g = VectorOps.knnGraphCappedGate(
+      Tables.embeddings(spark, d), "vec_id", 5)
+    val r = g.select("cand_pairs", "all_pairs", "recall_num", "recall_den")
+      .head()
+    val ratio = r.getLong(0).toDouble / r.getLong(1)
+    info(f"cand=${r.getLong(0)} all=${r.getLong(1)} ratio=$ratio%.4f " +
+      f"recall=${r.getLong(2)}/${r.getLong(3)}")
+    assert(ratio < 0.15, f"capped gate no longer prunes: $ratio%.4f")
+    assert(r.getLong(2) == r.getLong(3),
+      s"fixed-panel recall below 1.0: ${r.getLong(2)}/${r.getLong(3)}")
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in capped gate:\n$p")
+  }
+
   test("clustered corpus: LSH twin measured FASTER than the exact form") {
     // 4000 vectors so the exact form's N(N-1)/2 ≈ 8M scored pairs
     // dominate fixed per-query overhead — at 1500 vectors both paths

@@ -28,6 +28,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, 0.0)), s"unique: ${out(3L)}")
   }
 
+  test("windowed dedup cap: a duplication storm drops its stop-shingles, the rest survive") {
+    // the crawl re-visit regime ScaleProbe measured at 10×: many
+    // copies of one page land in one batch. Uncapped, their shared
+    // (shingle, batch) keys fan out quadratically; capped (docFreq > 4
+    // in-window), every storm shingle drops so the storm contributes
+    // ZERO candidate pairs — while an unrelated small near-dup pair in
+    // the same window is untouched (its keys sit under the cap).
+    val storm = (0 until 20).map(i =>
+      (i * 10L, "alpha beta gamma delta epsilon zeta")) // all batch 0
+    val pair = Seq(
+      (1L, "one two three four five six"),   // batch 1
+      (2L, "one two three four five seven")) // batch 2, adjacent window
+    val docs = (storm ++ pair).toDF("doc_id", "text")
+    val un = DataQueries.windowedPairsOf(docs, None)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cap = DataQueries.windowedPairsOf(docs, Some(4L))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(un.length == 20 * 19 / 2 + 1, s"uncapped: ${un.length}")
+    assert(cap.toSeq == Seq((1L, 2L)),
+      s"capped kept the storm or lost the honest pair: ${cap.toSeq}")
+  }
+
   test("CDC chunks survive a head insertion that blinds fixed windows") {
     import graft.ops.Hashing
     // pick boundary/non-boundary words by their actual h64 (mod 8)
