@@ -16,21 +16,39 @@ import org.apache.spark.sql.functions._
   * that argument as data (sub-linear is fine too — more parallelism).
   * A super-linear jump is a hotspot the plan reading missed.
   *
-  * Probed families (the verdict's heavy list):
-  *   - q_pipeline_e2e        the 8-stage funnel (RankKernel, pair join)
-  *   - q_windowed_dedup      the bounded-window pair join
-  *   - q_dedup_groups_capped CC over de-skewed candidates (the scale
-  *                           path; the uncapped twin is deliberately
-  *                           quadratic in dup-cluster size and stays a
-  *                           small-sf exactness check)
-  *   - q_knn_graph_lsh       banded LSH mutual-kNN over embeddings
+  * Probed families (round 13: the round-12 list plus its verdict's
+  * asks — the two new CAPPED gate twins, the graph family, and the
+  * BPE trainer):
+  *   - q_pipeline_e2e            the 8-stage funnel (flat ×1.0 at r12)
+  *   - q_windowed_dedup          the UNCAPPED window join — kept as the
+  *                               contrast row (measured ×99 at r12)
+  *   - q_windowed_dedup_capped   the in-window docFreq cap (NEW)
+  *   - q_dedup_groups_capped     CC over de-skewed candidates (×20 r12)
+  *   - q_knn_graph_capped        sorted-window bounded graph build (NEW;
+  *                               replaces q_knn_graph_lsh, measured
+  *                               450 s / ×99 at r12 — re-measuring the
+  *                               known-quadratic exact-pair path buys
+  *                               nothing for 7.5 min of wall-clock)
+  *   - q_harmonic / q_incr_cc / q_modularity   the graph family, argued
+  *                               linear but unmeasured until now
+  *   - q_bpe_train64             the 17-round batched trainer
+  *
+  * Each 10×-scale measurement runs under a cancellable job group with
+  * a hard timeout: a probe that degenerates (the exact regime this
+  * tool exists to catch) reports {"timeout": true} instead of hanging
+  * the sweep — the timeout IS the measurement then.
   *
   * Writes one JSON line to SPARK_GRAFT_SCALE_OUT (BENCH_SCALE.json).
   * The 10× corpus is written under java.io.tmpdir and removed on exit.
   */
 object ScaleProbe {
   private val Probed = Seq("q_pipeline_e2e", "q_windowed_dedup",
-    "q_dedup_groups_capped", "q_knn_graph_lsh")
+    "q_windowed_dedup_capped", "q_dedup_groups_capped",
+    "q_knn_graph_capped", "q_harmonic", "q_harmonic_capped",
+    "q_incr_cc", "q_incr_cc_capped", "q_modularity",
+    "q_modularity_capped", "q_bpe_train64")
+  private val TimeoutSec =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT", "600").toInt
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -65,18 +83,45 @@ object ScaleProbe {
           tm.shuffleReadMetrics.recordsRead)
       }
     }
-    def measure(f: => Unit): (Double, Long) = {
+    /** Run `f` with the listener attached; Some((sec, maxTaskRecords))
+      * or None when the hard timeout cancels the job group — the probe
+      * exists to catch degenerate scaling, so a blown budget is a
+      * RESULT, not an error. */
+    def measure(name: String)(f: => Unit): Option[(Double, Long)] = {
       maxRecords = 0L
       spark.sparkContext.addSparkListener(listener)
+      val group = s"probe-$name"
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var failed: Throwable = null
       val t0 = System.nanoTime()
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          f
+        } catch { case e: Throwable => failed = e }
+        finally { spark.sparkContext.clearJobGroup(); done.countDown() }
+      }, group)
+      worker.setDaemon(true)
+      worker.start()
+      val finished = done.await(TimeoutSec.toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
       try {
-        f
-        val sec = (System.nanoTime() - t0) / 1e9
-        var last = -1L; var spins = 0
-        while (last != maxRecords && spins < 20) { // listener drain
-          last = maxRecords; Thread.sleep(250); spins += 1
+        if (!finished) {
+          spark.sparkContext.cancelJobGroup(group)
+          done.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          None
+        } else if (failed != null) {
+          // a cancelled/failed probe reports like a timeout
+          System.err.println(s"[probe] $name failed: ${failed.getMessage}")
+          None
+        } else {
+          val sec = (System.nanoTime() - t0) / 1e9
+          var last = -1L; var spins = 0
+          while (last != maxRecords && spins < 20) { // listener drain
+            last = maxRecords; Thread.sleep(250); spins += 1
+          }
+          Some((sec, maxRecords))
         }
-        (sec, maxRecords)
       } finally spark.sparkContext.removeSparkListener(listener)
     }
     def sweep(): Unit = {
@@ -90,24 +135,29 @@ object ScaleProbe {
     // data never sees (same rationale as the spec's measured tests)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
+    def fmt(r: Option[(Double, Long)]): String = r match {
+      case Some((sec, recs)) => s"""{"sec":$sec,"max_task_records":$recs}"""
+      case None => s"""{"timeout":true,"budget_sec":$TimeoutSec}"""
+    }
     val results = Probed.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.001").count() // JIT/codegen warm-up
       sweep()
-      val (s0, r0) = measure { fn(spark, sf01).count() }
+      val r0 = measure(name) { fn(spark, sf01).count() }
       sweep()
-      val (s1, r1) = measure { fn(spark, big).count() }
+      val r1 = measure(name) { fn(spark, big).count() }
       sweep()
-      val growth = if (r0 > 0) r1.toDouble / r0 else -1.0
-      (name, s0, r0, s1, r1, growth)
+      val growth = (r0, r1) match {
+        case (Some((_, a)), Some((_, b))) if a > 0 =>
+          (math.rint(b.toDouble / a * 100) / 100).toString
+        case _ => "null"
+      }
+      System.err.println(s"[probe] $name sf0.1=${fmt(r0)} 10x=${fmt(r1)}")
+      s""""$name":{"sf0.1":${fmt(r0)},"sf1x10":${fmt(r1)},""" +
+        s""""max_task_growth":$growth}"""
     }
-    val qs = results.map { case (name, s0, r0, s1, r1, g) =>
-      s""""$name":{"sf0.1":{"sec":$s0,"max_task_records":$r0},""" +
-        s""""sf1x10":{"sec":$s1,"max_task_records":$r1},""" +
-        s""""max_task_growth":${math.rint(g * 100) / 100}}"""
-    }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_probe","scale_ratio":10,""" +
-      s""""base_sf":"$sf01","queries":$qs}"""
+      s""""base_sf":"$sf01","queries":${results.mkString("{", ",", "}")}}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get(outPath)

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_jaccard_capped"    -> ((s, d) => DataQueries.jaccardCapped(s, d)),
     "q_dedup_groups"      -> ((s, d) => DataQueries.dedupGroups(s, d)),
     "q_incr_cc"           -> ((s, d) => DataQueries.incrCc(s, d)),
+    "q_incr_cc_capped"    -> ((s, d) => DataQueries.incrCcCapped(s, d)),
     "q_windowed_dedup"    -> ((s, d) => DataQueries.windowedDedup(s, d)),
     "q_windowed_dedup_capped" -> ((s, d) =>
       DataQueries.windowedDedupCapped(s, d)),
@@ -264,6 +265,16 @@ object SparkEntry {
     "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d)),
     "q_modularity"        -> ((s, d) => GraphOps.modularity(s, d)),
     "q_harmonic"          -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
+    // the 100 TB graph-family entries: same machinery over the
+    // docFreq-capped near-dup graph (round-13 ScaleProbe measured the
+    // uncapped edge set ×103 max-task at a 10×-duplicated corpus — a
+    // dup clique's edges grow quadratically, so every downstream graph
+    // pass inherits the blow-up; the q_dedup_groups_capped rule de-skews
+    // it at the source). Uncapped twins above stay the small-sf checks.
+    "q_modularity_capped" -> ((s, d) =>
+      GraphOps.modularity(s, d, maxDocFreq = Some(5))),
+    "q_harmonic_capped"   -> ((s, d) =>
+      GraphOps.harmonicCentrality(s, d, maxDocFreq = Some(5))),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     "q_bpe_apply"         -> ((s, d) => DataQueries.bpeApply(s, d)),
     // vocabulary-depth demonstration: 64 merges via the BATCHED trainer
@@ -415,6 +426,27 @@ object SparkEntry {
                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
            ELSE [] END AS shs
        FROM toks)"""
+  /** Near-dup edges over the docFreq-CAPPED shingle set (the
+    * q_dedup_groups_capped rule: stop-shingles with doc count > 5
+    * dropped, sizes re-counted over the kept set, then the Jaccard
+    * pair join + symmetrized edges) — the preamble every capped
+    * graph-family oracle shares. Expects toks/shing CTEs upstream. */
+  private lazy val CAPPED_EDGES_CTES =
+    """exc AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+       keepc AS (SELECT s FROM exc GROUP BY s HAVING count(*) <= 5),
+       fxc AS (SELECT doc_id, s FROM exc JOIN keepc USING (s)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM fxc GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS inter
+                 FROM fxc a JOIN fxc b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       jp AS (SELECT doc_a, doc_b
+              FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                         JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                 UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp)"""
+
   /** BPE training rounds (word table, two unrolled merges, final
     * symbol table s2, per-round winners/sizes t1,t2,b0,b1,b2) -
     * shared by q_bpe_merges and q_bpe_apply. */
@@ -819,6 +851,37 @@ object SparkEntry {
        sizes AS (SELECT doc_id, len(shs) AS sz FROM shing),
        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       near AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+                 UNION SELECT doc_b, doc_a FROM near),
+       cc(node, label) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+       comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+       sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+       SELECT node AS doc, comp, comp_size
+       FROM comps JOIN sz USING (comp) ORDER BY doc"""
+
+  /** The docFreq-CAPPED twin of [[DEDUP_GROUPS_SQL]] — stop-shingles
+    * (doc count > 5) out, sizes re-counted over the kept set, same
+    * recursive-CC tail. Shared VERBATIM by q_dedup_groups_capped
+    * (batch form) and q_incr_cc_capped (fold form): the capped
+    * incremental fold must be indistinguishable from re-clustering the
+    * capped corpus — one oracle, two physical plans. */
+  private lazy val DEDUP_GROUPS_CAPPED_SQL =
+    s"""WITH RECURSIVE $TOKS_CTE,
+       $SHING_CTE,
+       ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+       keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+       fx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM fx a JOIN fx b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
        near AS (SELECT doc_a, doc_b FROM pairs
                 JOIN sizes sa ON doc_a = sa.doc_id
@@ -1753,30 +1816,11 @@ object SparkEntry {
     // dropped and sizes re-counted before pairing, then the same
     // recursive-CC tail. Differs from q_dedup_groups exactly where the
     // cap changes near-dup semantics — both are pinned.
-    "q_dedup_groups_capped" ->
-      s"""WITH RECURSIVE $TOKS_CTE,
-         $SHING_CTE,
-         ex AS (SELECT doc_id, unnest(shs) AS s FROM shing),
-         keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
-         fx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                   FROM fx a JOIN fx b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         near AS (SELECT doc_a, doc_b FROM pairs
-                  JOIN sizes sa ON doc_a = sa.doc_id
-                  JOIN sizes sb ON doc_b = sb.doc_id
-                  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
-                   UNION SELECT doc_b, doc_a FROM near),
-         cc(node, label) AS (
-           SELECT DISTINCT src, src FROM edges
-           UNION
-           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
-         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
-         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
-         SELECT node AS doc, comp, comp_size
-         FROM comps JOIN sz USING (comp) ORDER BY doc""",
+    "q_dedup_groups_capped" -> DEDUP_GROUPS_CAPPED_SQL,
+    // the capped FOLD shares the capped recompute's oracle VERBATIM —
+    // same equivalence gate as q_incr_cc/q_dedup_groups: both legs
+    // read the one corpus keep-set, so incremental ≡ re-clustering
+    "q_incr_cc_capped" -> DEDUP_GROUPS_CAPPED_SQL,
     "q_clean_docs" ->
       s"""WITH $TOKS_CTE,
          st AS (SELECT doc_id, text, tk, len(tk) AS n_tokens,
@@ -2290,6 +2334,46 @@ object SparkEntry {
            greatest(b1 - 1, 0) * 1000000
              + (greatest(b2 - b1, 0) * 1000000) // 2 AS harmonic_micro
          FROM bb ORDER BY harmonic_micro DESC, doc_id""",
+    // harmonic centrality over the docFreq-CAPPED near-dup graph —
+    // identical HyperBall tail, capped edge preamble (round-13
+    // ScaleProbe: the uncapped edge set grows max-task ×103 under a
+    // 10×-duplicated corpus; this is the de-skewed 100 TB entry)
+    "q_harmonic_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $CAPPED_EDGES_CTES,
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         r0 AS (SELECT v, h & 511 AS b,
+                  CASE WHEN (h >> 9) = 0 THEN 52
+                    ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS r
+                FROM (SELECT v, ${H64.format("CAST(v AS VARCHAR)")} AS h
+                      FROM nodes)),
+         m1 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r0 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r0),
+         r1 AS (SELECT v, b, max(r) AS r FROM m1 GROUP BY 1, 2),
+         m2 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r1 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r1),
+         r2 AS (SELECT v, b, max(r) AS r FROM m2 GROUP BY 1, 2),
+         sk1 AS (SELECT v, count(*) AS n1,
+                   CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s1
+                 FROM r1 GROUP BY 1),
+         sk2 AS (SELECT v, count(*) AS n2,
+                   CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s2
+                 FROM r2 GROUP BY 1),
+         bb AS (SELECT sk1.v,
+                  CAST(round((719783e0 * 262144 * 4503599627370496e0)
+                    / (CAST(s1 + (512 - n1) * (1::BIGINT << 52)
+                       AS DOUBLE) * 1e6)) AS BIGINT) AS b1,
+                  CAST(round((719783e0 * 262144 * 4503599627370496e0)
+                    / (CAST(s2 + (512 - n2) * (1::BIGINT << 52)
+                       AS DOUBLE) * 1e6)) AS BIGINT) AS b2
+                FROM sk1 JOIN sk2 USING (v))
+         SELECT v AS doc_id, b1, b2,
+           greatest(b1 - 1, 0) * 1000000
+             + (greatest(b2 - b1, 0) * 1000000) // 2 AS harmonic_micro
+         FROM bb ORDER BY harmonic_micro DESC, doc_id""",
     // synchronous label propagation, 3 unrolled rounds; plurality
     // label with smallest-label tie-break makes every round total
     "q_label_prop" ->
@@ -2344,6 +2428,55 @@ object SparkEntry {
                 WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
                    UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         und AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
+         mt AS (SELECT count(*) AS m FROM und),
+         deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node AS id, min(label) AS community
+                   FROM cc GROUP BY 1),
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+         n1 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+         l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n1)
+                WHERE rk = 1),
+         n2 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+         l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n2)
+                WHERE rk = 1),
+         n3 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l2 l ON e.dst = l.v GROUP BY 1, 2),
+         l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n3)
+                WHERE rk = 1),
+         part AS (SELECT 'cc' AS scheme, id, community FROM comps
+                  UNION ALL SELECT 'lp', v, lbl FROM l3),
+         dsum AS (SELECT scheme, community, count(*) AS n_nodes,
+                    CAST(sum(deg) AS BIGINT) AS d_sum
+                  FROM part JOIN deg USING (id) GROUP BY 1, 2),
+         ein AS (SELECT pa.scheme, pa.community, count(*) AS e_in
+                 FROM und u
+                   JOIN part pa ON pa.id = u.src
+                   JOIN part pb ON pb.id = u.dst AND pb.scheme = pa.scheme
+                 WHERE pa.community = pb.community GROUP BY 1, 2)
+         SELECT d.scheme, d.community, d.n_nodes,
+           CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, d.d_sum,
+           CAST(4 * mt.m * coalesce(e.e_in, 0) - d.d_sum * d.d_sum
+             AS BIGINT) AS q_num,
+           CAST(4 * mt.m * mt.m AS BIGINT) AS q_den
+         FROM dsum d LEFT JOIN ein e USING (scheme, community), mt
+         ORDER BY d.scheme, d.community""",
+    // Newman modularity over the docFreq-CAPPED near-dup graph —
+    // identical CC/label-prop/term tail, capped edge preamble (the
+    // de-skewed 100 TB entry; see q_harmonic_capped)
+    "q_modularity_capped" ->
+      s"""WITH RECURSIVE $TOKS_CTE,
+         $SHING_CTE,
+         $CAPPED_EDGES_CTES,
          und AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
          mt AS (SELECT count(*) AS m FROM und),
          deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),

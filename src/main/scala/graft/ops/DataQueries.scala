@@ -1197,25 +1197,81 @@ object DataQueries {
   def incrCc(s: SparkSession, d: String): DataFrame =
     incrCcOf(Tables.documents(s, d), id => id % 5 === 4)
 
+  /** The de-skewed incremental fold: identical algebra over the
+    * docFreq-CAPPED shingle incidence (stop-shingles with corpus doc
+    * count > `maxDocFreq` dropped, sizes re-counted over the kept
+    * set). The cap is applied from the SHARED corpus keep-set on both
+    * legs, so the fold provably equals the capped FULL recompute and
+    * the oracle is q_dedup_groups_capped's SQL verbatim — the same
+    * one-oracle-two-plans gate as the uncapped pair. (The keep-set
+    * itself is a mergeable per-shingle count, so a production fold
+    * maintains it incrementally; what is NOT incremental is edge
+    * REMOVAL when a shingle later crosses the cap — history already
+    * folded under an old keep-set stays folded. Round-13 ScaleProbe:
+    * the uncapped probe join grew max-task ×104 under a 10×-duplicated
+    * corpus — batch×index fan-out per shingle is freq², the crawl
+    * re-visit regime; capped it is ≤ cap².) */
+  def incrCcCapped(s: SparkSession, d: String): DataFrame =
+    incrCcOf(Tables.documents(s, d), id => id % 5 === 4,
+      maxDocFreq = Some(5))
+
   /** [[incrCc]] over an arbitrary (doc_id, text) frame; `isBatch` maps
     * the id column to the new-ingest predicate (IncrCcProps drives
-    * random splits through it). */
+    * random splits through it). `maxDocFreq` switches both legs onto
+    * the corpus-kept shingle incidence (see [[incrCcCapped]]). */
   private[graft] def incrCcOf(
       docs: DataFrame,
-      isBatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      isBatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxDocFreq: Option[Long] = None)
       : DataFrame = {
-    // --- yesterday's state: components over the base corpus only
-    val baseComps = DedupOps.connectedComponents(
-      DedupOps.jaccardPairs(docs.filter(!isBatch(col("doc_id"))),
-        "doc_id", "text", n = 3, threshold = 0.1).select("doc_a", "doc_b"))
-    // --- new edges: batch docs probe the full shingle index
     val arr = docs.select(col("doc_id").as("doc"),
       TextOps.shingleHashes(col("text"), 3).as("arr"))
-    val sizes = arr.select(col("doc"), size(col("arr")).as("sz"))
-    val sh = arr.select(col("doc"), explode_outer(col("arr")).as("s"))
+    val shAll = arr.select(col("doc"), explode_outer(col("arr")).as("s"))
       .filter(col("s").isNotNull)
+    // (sh, sizes): the shingle incidence and per-doc sizes BOTH legs
+    // below consume — the whole-corpus kept set when capped, so base
+    // pairs and probe pairs see one consistent universe and the fold
+    // stays ≡ the (capped) full recompute
+    val (sh, sizes) = maxDocFreq match {
+      case Some(cap) =>
+        val keep = shAll.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("s")
+        val fx = shAll.join(keep, Seq("s"))
+        (fx, fx.groupBy("doc").agg(count(lit(1)).as("sz")))
+      case None =>
+        (shAll, arr.select(col("doc"), size(col("arr")).as("sz")))
+    }
+    // --- yesterday's state: components over the base corpus only.
+    // Uncapped, the standalone jaccardPairs over base docs is the same
+    // edge set (pairwise Jaccard is local to the pair); capped, base
+    // pairs must come from the SHARED kept incidence (a base-only
+    // keep-set would cap by yesterday's frequencies and break the
+    // recompute equivalence this query gates).
+    val baseComps = maxDocFreq match {
+      case None =>
+        DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(docs.filter(!isBatch(col("doc_id"))),
+            "doc_id", "text", n = 3, threshold = 0.1)
+            .select("doc_a", "doc_b"))
+      case Some(_) =>
+        val bfx = sh.filter(!isBatch(col("doc")))
+        val bp = bfx.select(col("doc").as("doc_a"), col("s"))
+          .join(bfx.select(col("doc").as("doc_b"), col("s")), Seq("s"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")),
+            Seq("doc_a"))
+          .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")),
+            Seq("doc_b"))
+          .filter(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+          .select("doc_a", "doc_b")
+        DedupOps.connectedComponents(bp)
+    }
+    // --- new edges: batch docs probe the full (kept) shingle index
     val probe = sh.filter(isBatch(col("doc")))
-    val newPairs = probe.toDF("pa", "s").join(sh.toDF("pb", "s"), Seq("s"))
+    val newPairs = probe.select(col("doc").as("pa"), col("s"))
+      .join(sh.select(col("doc").as("pb"), col("s")), Seq("s"))
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("doc_a"),
         greatest(col("pa"), col("pb")).as("doc_b"), col("s"))

@@ -752,6 +752,33 @@ object IncrCcProps extends SparkProps("IncrCC") {
         .sorted
       Prop(got == want) :| s"texts=$texts mask=$mask got=$got want=$want"
     }
+
+  property("CAPPED incremental fold equals the capped full recompute for any split") =
+    forAll(caseGen) { case (texts, mask) =>
+      // cap 3 on the 10-token vocab binds constantly — exactly the
+      // regime where a leg reading a different keep-set would diverge
+      val cap = 3L
+      val sp = spark
+      import sp.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batchIds = mask.zipWithIndex.collect { case (true, i) => i.toLong }
+      val got = DataQueries
+        .incrCcOf(docs, id => id.isInCollection(
+          if (batchIds.isEmpty) Seq(-1L) else batchIds),
+          maxDocFreq = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sorted
+      val full = DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1,
+          maxDocFreq = Some(cap)).select("doc_a", "doc_b"))
+      val szs = full.groupBy("comp").agg(count(lit(1)).as("cs"))
+      val want = full.join(szs, Seq("comp"))
+        .select(col("node"), col("comp"), col("cs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sorted
+      Prop(got == want) :| s"texts=$texts mask=$mask got=$got want=$want"
+    }
 }
 
 object SketchProps extends SparkProps("Sketches") {
