@@ -438,11 +438,17 @@ object VectorOps {
     * the clustered-regime gate ([[knnGraphClusteredGate]]) share. */
   private def mutualFromCandidates(base: DataFrame, cand: DataFrame,
                                    k: Int): DataFrame = {
-    val va = base.select(col("vid").as("vec_a"), col("v").as("va"),
+    val va = base.select(col("vid").as("ida"), col("v").as("va"),
       col("n").as("na"))
-    val vb = base.select(col("vid").as("vec_b"), col("v").as("vb"),
+    val vb = base.select(col("vid").as("idb"), col("v").as("vb"),
       col("n").as("nb"))
-    val pairs = cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+    // `<=>` join keys: `===` lets InferFiltersFromConstraints push the
+    // norm-positivity constraint onto the candidate side WITH the whole
+    // vector derivation substituted in — on the clustered gate corpus
+    // that is 128 interpreted md5 calls per candidate row (measured
+    // 15 s of a 20 s gate; the same IVF/LSH trap lshNearDup documents)
+    val pairs = cand.join(va, col("vec_a") <=> col("ida"))
+      .join(vb, col("vec_b") <=> col("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select("vec_a", "vec_b", "cos")
     mutualTopK(pairs, k)
