@@ -42,11 +42,34 @@ import org.apache.spark.sql.functions._
   * The 10× corpus is written under java.io.tmpdir and removed on exit.
   */
 object ScaleProbe {
-  private val Probed = Seq("q_pipeline_e2e", "q_windowed_dedup",
-    "q_windowed_dedup_capped", "q_dedup_groups_capped",
-    "q_knn_graph_capped", "q_harmonic", "q_harmonic_capped",
-    "q_incr_cc", "q_incr_cc_capped", "q_modularity",
-    "q_modularity_capped", "q_bpe_train64")
+  /** Default list; override with SPARK_GRAFT_PROBE_QUERIES (comma-
+    * separated SparkEntry names) for ad-hoc waves without touching the
+    * published artifact's composition. */
+  private val Probed: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq(
+        // the funnel + the trainer (both measured flat)
+        "q_pipeline_e2e", "q_bpe_train64",
+        // text dedup: uncapped contrast + the bounded twins
+        "q_windowed_dedup", "q_windowed_dedup_capped",
+        "q_dedup_groups_capped",
+        // graph family: uncapped contrasts + capped twins
+        "q_harmonic", "q_harmonic_capped",
+        "q_incr_cc", "q_incr_cc_capped",
+        "q_modularity", "q_modularity_capped",
+        "q_triangles", "q_triangles_capped",
+        "q_label_prop", "q_label_prop_capped",
+        "q_hyperball_sketch", "q_hyperball_sketch_capped",
+        // vector family: bounded graph build, bounded mining, and the
+        // wave-2 context rows (semdedup is the linear cell structure;
+        // the two ×80 sign-LSH rows are small in ABSOLUTE max-task —
+        // ~25k records — and their bounded counterparts are the
+        // clustered/windowed/cell regimes)
+        "q_knn_graph_capped",
+        "q_hard_negatives_lsh", "q_hard_negatives_capped",
+        "q_lsh_pairs", "q_ann_neardup", "q_embed_groups_lsh",
+        "q_semdedup"))
   private val TimeoutSec =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT", "600").toInt
 

@@ -201,6 +201,8 @@ object SparkEntry {
     "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
     "q_hard_negatives"    -> ((s, d) => DataQueries.hardNegatives(s, d)),
     "q_hard_negatives_lsh" -> ((s, d) => DataQueries.hardNegativesLsh(s, d)),
+    "q_hard_negatives_capped" -> ((s, d) =>
+      DataQueries.hardNegativesLshCapped(s, d)),
     "q_cdc_dedup"         -> ((s, d) => DataQueries.cdcDedup(s, d)),
     "q_ivf_state_probe"   -> ((s, d) => DataQueries.ivfStateProbe(s, d)),
     "q_epoch_manifest"    -> ((s, d) => DataQueries.epochManifest(s, d)),
@@ -275,6 +277,12 @@ object SparkEntry {
       GraphOps.modularity(s, d, maxDocFreq = Some(5))),
     "q_harmonic_capped"   -> ((s, d) =>
       GraphOps.harmonicCentrality(s, d, maxDocFreq = Some(5))),
+    "q_triangles_capped"  -> ((s, d) =>
+      graft.ops.GraphOps.triangles(s, d, maxDocFreq = Some(5))),
+    "q_label_prop_capped" -> ((s, d) =>
+      GraphOps.labelProp(s, d, maxDocFreq = Some(5))),
+    "q_hyperball_sketch_capped" -> ((s, d) =>
+      GraphOps.hyperBallSketch(s, d, maxDocFreq = Some(5))),
     "q_bpe_merges"        -> ((s, d) => DataQueries.bpeMerges(s, d)),
     "q_bpe_apply"         -> ((s, d) => DataQueries.bpeApply(s, d)),
     // vocabulary-depth demonstration: 64 merges via the BATCHED trainer
@@ -2285,6 +2293,83 @@ object SparkEntry {
              / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
                 AS DOUBLE) * 1e6)) AS BIGINT) AS hll_raw
          FROM sk ORDER BY doc_id""",
+    // the capped graph-family twins (round-13 wave 2: triangles /
+    // label-prop / hyperball-sketch all measured max-task ×103 under
+    // 10× duplication — the SAME near-dup edge blow-up as harmonic;
+    // same fix: identical tails over the capped edge preamble)
+    "q_hyperball_sketch_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $CAPPED_EDGES_CTES,
+         nodes AS (SELECT DISTINCT src AS v FROM edges),
+         r0 AS (SELECT v, h & 511 AS b,
+                  CASE WHEN (h >> 9) = 0 THEN 52
+                    ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS r
+                FROM (SELECT v, ${H64.format("CAST(v AS VARCHAR)")} AS h
+                      FROM nodes)),
+         m1 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r0 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r0),
+         r1 AS (SELECT v, b, max(r) AS r FROM m1 GROUP BY 1, 2),
+         m2 AS (SELECT e.src AS v, r.b, r.r FROM edges e
+                JOIN r1 r ON e.dst = r.v
+                UNION ALL SELECT v, b, r FROM r1),
+         r2 AS (SELECT v, b, max(r) AS r FROM m2 GROUP BY 1, 2),
+         sk AS (SELECT v, count(*) AS n_regs_hit,
+                  CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS s_hit
+                FROM r2 GROUP BY 1)
+         SELECT v AS doc_id, n_regs_hit,
+           CAST(round((719783e0 * 262144 * 4503599627370496e0)
+             / (CAST(s_hit + (512 - n_regs_hit) * (1::BIGINT << 52)
+                AS DOUBLE) * 1e6)) AS BIGINT) AS hll_raw
+         FROM sk ORDER BY doc_id""",
+    "q_label_prop_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $CAPPED_EDGES_CTES,
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+         n1 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+         l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n1)
+                WHERE rk = 1),
+         n2 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+         l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n2)
+                WHERE rk = 1),
+         n3 AS (SELECT e.src AS v, l.lbl, count(*) AS c
+                FROM edges e JOIN l2 l ON e.dst = l.v GROUP BY 1, 2),
+         l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n3)
+                WHERE rk = 1),
+         alln AS (SELECT d.doc_id, coalesce(l3.lbl, d.doc_id) AS community
+                  FROM documents d LEFT JOIN l3 ON d.doc_id = l3.v),
+         sz AS (SELECT community, count(*) AS comm_size FROM alln GROUP BY 1)
+         SELECT a.doc_id, a.community, sz.comm_size
+         FROM alln a JOIN sz USING (community) ORDER BY a.doc_id""",
+    "q_triangles_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $CAPPED_EDGES_CTES,
+         tpairs AS (SELECT doc_a AS a, doc_b AS b FROM jp),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM tpairs e1 JOIN tpairs e2 ON e1.b = e2.a
+                 JOIN tpairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_triangles FROM
+                  (SELECT a AS doc FROM tri UNION ALL
+                   SELECT b FROM tri UNION ALL SELECT c FROM tri)
+                GROUP BY 1),
+         dg AS (SELECT doc, CAST(count(*) AS BIGINT) AS deg FROM
+                  (SELECT a AS doc FROM tpairs UNION ALL
+                   SELECT b FROM tpairs)
+                GROUP BY 1)
+         SELECT d.doc, d.deg,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           (2 * coalesce(pn.n_triangles, 0) * 1000000)
+             // (d.deg * (d.deg - 1)) AS clust_micro
+         FROM dg d LEFT JOIN pn USING (doc)
+         WHERE d.deg >= 2 ORDER BY d.doc""",
     // harmonic centrality via HyperBall shells: ball estimates at
     // radius 1 and 2 from the same register merges, Σ (b_r−b_{r−1})/r
     // in exact micro-unit integer arithmetic
@@ -4789,6 +4874,45 @@ object SparkEntry {
                 FROM pw GROUP BY 1, 2),
          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
                   FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+                    AND q.vec_id % 5 = 0),
+         sc AS (SELECT cand.query_id, q.label AS q_label,
+                  cand.cand_id, c.label AS c_label,
+                  list_dot_product(q.ve, c.ve) /
+                    (sqrt(list_dot_product(q.ve, q.ve)) *
+                     sqrt(list_dot_product(c.ve, c.ve))) AS cos
+                FROM cand JOIN v q ON q.vec_id = cand.query_id
+                          JOIN v c ON c.vec_id = cand.cand_id
+                WHERE q.label <> c.label),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+         SELECT query_id, q_label, cand_id, c_label,
+           round(cos, 6) AS cos, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
+    // bounded mining twin: the oracle replays the per-(table, bucket)
+    // 64-member deterministic sample (h64 order) before the candidate
+    // join — the q×c bucket fan-out is linear in duplication where the
+    // uncapped twin measured ×97
+    "q_hard_negatives_capped" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+           FROM embeddings WHERE embedding IS NOT NULL),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM v, range(16) AS rt(t), range(6) AS rp(p), range(64) AS rd(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 6 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         hsh AS (SELECT vec_id, t, bucket,
+                   row_number() OVER (PARTITION BY t, bucket
+                     ORDER BY ${H64.format("CAST(vec_id AS VARCHAR)")},
+                       vec_id) AS rn
+                 FROM bk),
+         ckeep AS (SELECT vec_id, t, bucket FROM hsh WHERE rn <= 64),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+                  FROM bk q JOIN ckeep c ON q.t = c.t AND q.bucket = c.bucket
                     AND q.vec_id % 5 = 0),
          sc AS (SELECT cand.query_id, q.label AS q_label,
                   cand.cand_id, c.label AS c_label,

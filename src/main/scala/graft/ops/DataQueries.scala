@@ -1528,6 +1528,20 @@ object DataQueries {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** The BOUNDED mining form: candidate buckets sampled to 64 members
+    * (deterministic h64 order, replayed by the oracle) so each query
+    * scores ≤ tables·64 candidates and per-bucket fan-out stays linear
+    * in duplication — the uncapped twin above measured max-task ×97
+    * under a 10×-duplicated corpus. */
+  def hardNegativesLshCapped(s: SparkSession, d: String): DataFrame =
+    VectorOps.hardNegativesLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", planes = 6, tables = 16, k = 3, col("vec_id") % 5 === 0,
+        maxBucket = Some(64))
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+
   /** Embedding near-dup pairs, cosine ≥ 0.4 — exact, via the blocked
     * distributed all-pairs plan (equi-join fan-out, no nested-loop
     * join; τ=0.4 is below where LSH can prune, see

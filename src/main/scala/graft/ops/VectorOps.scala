@@ -86,7 +86,8 @@ object VectorOps {
     * exactness oracle twin. */
   def hardNegativesLsh(df: DataFrame, id: String, vec: String, label: String,
                        planes: Int, tables: Int, k: Int,
-                       queryPred: Column): DataFrame =
+                       queryPred: Column,
+                       maxBucket: Option[Int] = None): DataFrame =
     vecDims(df, vec) match {
       case None =>
         df.select(col(id).as("query_id"), col(label).as("q_label"),
@@ -112,8 +113,28 @@ object VectorOps {
         val q = frame.filter(col("__isq"))
           .select(col("vid").as("query_id"), col("lab").as("q_label"),
             col("tbl"), col("bucket"))
-        val c = frame.select(col("vid").as("cand_id"), col("lab").as("c_label"),
-          col("tbl"), col("bucket"))
+        val cAll = frame.select(col("vid").as("cand_id"),
+          col("lab").as("c_label"), col("tbl"), col("bucket"))
+        // `maxBucket`: keep a DETERMINISTIC h64-ordered sample of the
+        // candidate side per (table, bucket) — round-13 ScaleProbe
+        // measured the uncapped bucket join's max-task ×97 under a
+        // 10×-duplicated corpus (q×c fan-out per bucket is quadratic
+        // in duplication). Capped, each query scores ≤ tables·cap
+        // candidates and the per-bucket fan-out is linear. A dup blob
+        // is represented by its sample — mining hundreds of copies of
+        // the SAME hard negative is redundant by definition; the
+        // recall trade is the usual LSH dial, pinned by the capped
+        // twin's own oracle (which replays this sample relationally).
+        // Queries are never dropped — every query keeps its k.
+        val c = maxBucket match {
+          case Some(cap) =>
+            val wS = Window.partitionBy("tbl", "bucket")
+              .orderBy(TextOps.h64(col("cand_id").cast("string")).asc,
+                col("cand_id").asc)
+            cAll.withColumn("__rn", row_number().over(wS))
+              .filter(col("__rn") <= cap).drop("__rn")
+          case None => cAll
+        }
         // dedup multi-table collisions on 16-byte id pairs
         val cand = c.join(q, Seq("tbl", "bucket"))
           .filter(col("q_label") =!= col("c_label")) // post-filter, not a join pred
