@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Scale probe (NOT part of the driver gate): replays the heaviest
@@ -62,13 +62,13 @@ object ScaleProbe {
         "q_label_prop", "q_label_prop_capped",
         "q_hyperball_sketch", "q_hyperball_sketch_capped",
         // vector family: bounded graph build, bounded mining, and the
-        // wave-2 context rows (semdedup is the linear cell structure;
-        // the two ×80 sign-LSH rows are small in ABSOLUTE max-task —
-        // ~25k records — and their bounded counterparts are the
-        // clustered/windowed/cell regimes)
+        // sign-LSH/banded trio — uncapped contrasts beside their
+        // round-14 capped twins
         "q_knn_graph_capped",
         "q_hard_negatives_lsh", "q_hard_negatives_capped",
-        "q_lsh_pairs", "q_ann_neardup", "q_embed_groups_lsh",
+        "q_lsh_pairs", "q_lsh_pairs_capped",
+        "q_ann_neardup", "q_ann_neardup_capped",
+        "q_embed_groups_lsh", "q_embed_groups_capped",
         "q_semdedup"))
   private val TimeoutSec =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT", "600").toInt
@@ -97,23 +97,44 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
     // ---- max-task shuffle-read tracker (same listener methodology as
-    // RankKernelSpec's measured skew tests)
+    // RankKernelSpec's measured skew tests). Task ends are filtered to
+    // stages submitted under THIS measurement's job group: a cancelled
+    // probe's straggler tasks keep ending for a while, and unfiltered
+    // they would inflate the NEXT measurement's max (round-13 ADVICE).
     @volatile var maxRecords = 0L
+    @volatile var currentGroup: String = null
+    val probedStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g == currentGroup)
+          j.stageIds.foreach(id => probedStages.add(id))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val tm = t.taskMetrics
-        if (tm != null) maxRecords = math.max(maxRecords,
-          tm.shuffleReadMetrics.recordsRead)
+        if (tm != null && probedStages.contains(t.stageId))
+          maxRecords = math.max(maxRecords, tm.shuffleReadMetrics.recordsRead)
       }
     }
+    /** The previous measurement's worker, if it timed out: joined (with
+      * a hard grace) before the next measurement starts so an abandoned
+      * probe can't contend for CPU during the next timing window. */
+    var lastWorker: Thread = null
     /** Run `f` with the listener attached; Some((sec, maxTaskRecords))
       * or None when the hard timeout cancels the job group — the probe
       * exists to catch degenerate scaling, so a blown budget is a
       * RESULT, not an error. */
     def measure(name: String)(f: => Unit): Option[(Double, Long)] = {
+      if (lastWorker != null && lastWorker.isAlive) {
+        System.err.println(s"[probe] draining ${lastWorker.getName} before $name")
+        lastWorker.join(120000)
+      }
       maxRecords = 0L
-      spark.sparkContext.addSparkListener(listener)
+      probedStages.clear()
       val group = s"probe-$name"
+      currentGroup = group
+      spark.sparkContext.addSparkListener(listener)
       val done = new java.util.concurrent.CountDownLatch(1)
       @volatile var failed: Throwable = null
       val t0 = System.nanoTime()
@@ -126,6 +147,7 @@ object ScaleProbe {
       }, group)
       worker.setDaemon(true)
       worker.start()
+      lastWorker = worker
       val finished = done.await(TimeoutSec.toLong,
         java.util.concurrent.TimeUnit.SECONDS)
       try {
@@ -164,11 +186,18 @@ object ScaleProbe {
     }
     val results = Probed.map { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, "/root/testdata/sf0.001").count() // JIT/codegen warm-up
+      // JIT/codegen warm-up runs through the SAME timeout harness: a
+      // query that degenerates even at sf0.001 reports {timeout:true}
+      // instead of hanging the sweep (round-13 ADVICE)
+      val warm = measure(s"$name-warmup") {
+        fn(spark, "/root/testdata/sf0.001").count()
+      }
       sweep()
-      val r0 = measure(name) { fn(spark, sf01).count() }
+      val r0 = if (warm.isEmpty) None
+        else measure(name) { fn(spark, sf01).count() }
       sweep()
-      val r1 = measure(name) { fn(spark, big).count() }
+      val r1 = if (warm.isEmpty) None
+        else measure(name) { fn(spark, big).count() }
       sweep()
       val growth = (r0, r1) match {
         case (Some((_, a)), Some((_, b))) if a > 0 =>

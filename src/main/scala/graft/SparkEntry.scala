@@ -104,6 +104,11 @@ object SparkEntry {
     "q_split_assign"      -> ((s, d) => DataQueries.splitAssign(s, d)),
     "q_minhash_sig"       -> ((s, d) => DataQueries.minhashSig(s, d)),
     "q_lsh_pairs"         -> ((s, d) => DataQueries.lshPairs(s, d)),
+    // the BOUNDED banded form: every (band, band-hash) bucket capped
+    // at 8 members via the rank-free bottomk aggregate; candidate
+    // mass + fixed-panel recall vs the UNCAPPED candidates ride the
+    // hash gate as data (uncapped twin measured ×41 max-task at 10×)
+    "q_lsh_pairs_capped"  -> ((s, d) => DataQueries.lshPairsCapped(s, d)),
     "q_edit_neardup"      -> ((s, d) => DataQueries.editNearDup(s, d)),
     "q_chunk_docs"        -> ((s, d) => DataQueries.chunkDocs(s, d)),
     "q_simhash"           -> ((s, d) => DataQueries.simhash(s, d)),
@@ -144,6 +149,10 @@ object SparkEntry {
     "q_embed_groups"      -> ((s, d) => DataQueries.embedGroups(s, d)),
     "q_dbscan"            -> ((s, d) => DataQueries.dbscanClusters(s, d)),
     "q_ann_neardup"       -> ((s, d) => DataQueries.annNearDup(s, d)),
+    // the BOUNDED scale path: per-(table, bucket) cap 16 via the
+    // rank-free bottomk aggregate; candidate mass + brute-force panel
+    // recall ride the gate (uncapped twin measured ×80 max-task at 10×)
+    "q_ann_neardup_capped" -> ((s, d) => DataQueries.annNearDupCapped(s, d)),
     // fixed-round integer Lloyd k-means (the IVF/SemDeDup cell trainer);
     // oracle = generated unrolled rounds, MATERIALIZED (the BPE64 pattern)
     "q_kmeans"            -> ((s, d) => graft.ops.VectorOps.kmeansAssign(
@@ -158,6 +167,9 @@ object SparkEntry {
         col("rank").as("rnk"))
       .orderBy("query_id", "rnk")),
     "q_embed_groups_lsh"  -> ((s, d) => DataQueries.embedGroupsLsh(s, d)),
+    // groups over the BOUNDED candidate pairs — q_embed_groups_lsh's
+    // capped twin (same CC tail, cap-bounded pair stage)
+    "q_embed_groups_capped" -> ((s, d) => DataQueries.embedGroupsCapped(s, d)),
     "q_semdedup"          -> ((s, d) => DataQueries.semDedup(s, d)),
     "q_ivf_topk"          -> ((s, d) => DataQueries.ivfTopK(s, d)),
     "q_asof_join"         -> ((s, d) => DataQueries.asofPurchase(s, d)),
@@ -4615,6 +4627,42 @@ object SparkEntry {
          FROM cand JOIN sig x ON x.doc = doc_a
                    JOIN sig y ON y.doc = doc_b AND x.i = y.i
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Capped banded candidates: the oracle replays the per-bucket cap
+    // with the row_number spelling of the (h64(doc), doc)-least set —
+    // the Spark side computes the SAME set through the rank-free
+    // bottomk aggregate — plus candidate-mass and fixed-panel-recall
+    // legs, so boundedness AND coverage are hash-gated data.
+    "q_lsh_pairs_capped" ->
+      s"""WITH $TOKS_CTE,
+         $SHING_CTE,
+         $SIG_CTE,
+         bands AS (SELECT doc, i // 2 AS band,
+                     ('0x' || substr(md5(string_agg(sigv, ',' ORDER BY i)), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY 1, 2),
+         rnc AS (SELECT doc, band, bh,
+                   row_number() OVER (PARTITION BY band, bh
+                     ORDER BY ${H64.format("CAST(doc AS VARCHAR)")}, doc) AS rn
+                 FROM bands),
+         kept AS (SELECT doc, band, bh FROM rnc WHERE rn <= 8),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                  FROM kept a JOIN kept b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         pcand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+                   WHERE a.doc < 500 AND b.doc < 500),
+         stats AS (SELECT (SELECT count(*) FROM cand)::BIGINT AS cand_pairs,
+                     (SELECT count(DISTINCT doc) FROM sig)::BIGINT AS n_all,
+                     (SELECT count(*) FROM pcand JOIN cand USING (doc_a, doc_b))::BIGINT AS recall_num,
+                     (SELECT count(*) FROM pcand)::BIGINT AS recall_den)
+         SELECT c.doc_a, c.doc_b,
+           round(count(*) FILTER (x.sigv = y.sigv) / 32.0, 6) AS est_jaccard,
+           s.cand_pairs, (s.n_all * (s.n_all - 1) // 2)::BIGINT AS all_pairs,
+           s.recall_num, s.recall_den
+         FROM cand c JOIN sig x ON x.doc = c.doc_a
+                     JOIN sig y ON y.doc = c.doc_b AND x.i = y.i, stats s
+         GROUP BY 1, 2, s.cand_pairs, s.n_all, s.recall_num, s.recall_den
+         ORDER BY 1, 2""",
     // Estimator calibration: q_lsh_pairs' candidates + estimate, next
     // to the exact shingle-set Jaccard (left join keeps pure band-hash
     // collisions at jaccard 0)
@@ -5204,7 +5252,7 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
          aug AS (SELECT vec_id,
                    list(ve[d + 1] +
-                     (((('0x' || substr(md5(vec_id || '~' || d), 1, 15))::BIGINT)
+                     (((('0x' || substr(md5((vec_id + 1000000) || '~' || d), 1, 15))::BIGINT)
                        % 2001) - 1000) / 10000000.0 ORDER BY d) AS ve
                  FROM v, range(64) AS rd(d)
                  WHERE vec_id % 10 = 0 GROUP BY vec_id),
@@ -5217,11 +5265,117 @@ object SparkEntry {
                FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(cos, 6) AS cos
          FROM p WHERE cos >= 0.9 ORDER BY vec_a, vec_b""",
+    // Capped scale-path near-dup: the oracle replays the 12×4 SRP
+    // bucketing, the per-(table, bucket) row_number cap (≡ the Spark
+    // side's rank-free bottomk kept set), the exact cosine re-check,
+    // and the candidate-mass + brute-force-panel recall legs.
+    "q_ann_neardup_capped" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         aug AS (SELECT vec_id,
+                   list(ve[d + 1] +
+                     (((('0x' || substr(md5((vec_id + 1000000) || '~' || d), 1, 15))::BIGINT)
+                       % 2001) - 1000) / 10000000.0 ORDER BY d) AS ve
+                 FROM v, range(64) AS rd(d)
+                 WHERE vec_id % 10 = 0 GROUP BY vec_id),
+         allv AS (SELECT vec_id, ve FROM v
+                  UNION ALL SELECT vec_id + 1000000, ve FROM aug),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM allv, range(4) AS rt(t), range(12) AS rp(p),
+                  range(64) AS rd2(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 12 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         rnc AS (SELECT vec_id, t, bucket,
+                   row_number() OVER (PARTITION BY t, bucket
+                     ORDER BY ${H64.format("CAST(vec_id AS VARCHAR)")},
+                       vec_id) AS rn
+                 FROM bk),
+         kept AS (SELECT vec_id, t, bucket FROM rnc WHERE rn <= 16),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM kept a JOIN kept b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id),
+         outp AS (SELECT c.vec_a, c.vec_b,
+                    list_dot_product(a.ve, b.ve) /
+                      (sqrt(list_dot_product(a.ve, a.ve)) *
+                       sqrt(list_dot_product(b.ve, b.ve))) AS cos
+                  FROM cand c JOIN allv a ON c.vec_a = a.vec_id
+                              JOIN allv b ON c.vec_b = b.vec_id
+                  WHERE list_dot_product(a.ve, b.ve) /
+                      (sqrt(list_dot_product(a.ve, a.ve)) *
+                       sqrt(list_dot_product(b.ve, b.ve))) >= 0.9),
+         pv AS (SELECT vec_id, ve FROM allv WHERE vec_id % 1000000 < 100),
+         truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+                   WHERE list_dot_product(a.ve, b.ve) /
+                     (sqrt(list_dot_product(a.ve, a.ve)) *
+                      sqrt(list_dot_product(b.ve, b.ve))) >= 0.9),
+         stats AS (SELECT (SELECT count(*) FROM cand)::BIGINT AS cand_pairs,
+                     (SELECT count(*) FROM allv)::BIGINT AS n_all,
+                     (SELECT count(*) FROM truth t JOIN outp o
+                        ON t.vec_a = o.vec_a AND t.vec_b = o.vec_b)::BIGINT AS recall_num,
+                     (SELECT count(*) FROM truth)::BIGINT AS recall_den)
+         SELECT o.vec_a, o.vec_b, round(o.cos, 6) AS cos, s.cand_pairs,
+           (s.n_all * (s.n_all - 1) // 2)::BIGINT AS all_pairs,
+           s.recall_num, s.recall_den
+         FROM outp o, stats s ORDER BY vec_a, vec_b""",
+    // Groups over the capped pairs: the capped candidate + re-check
+    // CTEs verbatim, then the standard recursive min-reachability CC.
+    "q_embed_groups_capped" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         aug AS (SELECT vec_id,
+                   list(ve[d + 1] +
+                     (((('0x' || substr(md5((vec_id + 1000000) || '~' || d), 1, 15))::BIGINT)
+                       % 2001) - 1000) / 10000000.0 ORDER BY d) AS ve
+                 FROM v, range(64) AS rd(d)
+                 WHERE vec_id % 10 = 0 GROUP BY vec_id),
+         allv AS (SELECT vec_id, ve FROM v
+                  UNION ALL SELECT vec_id + 1000000, ve FROM aug),
+         ex AS (SELECT vec_id, t, p, d, ve[d + 1] AS x
+                FROM allv, range(4) AS rt(t), range(12) AS rp(p),
+                  range(64) AS rd2(d)),
+         pw AS (SELECT vec_id, t, p,
+                  sum(CAST(round(x * 1000000) AS BIGINT) *
+                      ((('0x' || substr(md5((t * 12 + p) || ',' || d), 1, 15))::BIGINT
+                        % 2000001) - 1000000)) AS proj
+                FROM ex GROUP BY 1, 2, 3),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p
+                                           ELSE 0 END) AS bucket
+                FROM pw GROUP BY 1, 2),
+         rnc AS (SELECT vec_id, t, bucket,
+                   row_number() OVER (PARTITION BY t, bucket
+                     ORDER BY ${H64.format("CAST(vec_id AS VARCHAR)")},
+                       vec_id) AS rn
+                 FROM bk),
+         kept AS (SELECT vec_id, t, bucket FROM rnc WHERE rn <= 16),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM kept a JOIN kept b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id),
+         near AS (SELECT c.vec_a AS va, c.vec_b AS vb
+                  FROM cand c JOIN allv a ON c.vec_a = a.vec_id
+                              JOIN allv b ON c.vec_b = b.vec_id
+                  WHERE list_dot_product(a.ve, b.ve) /
+                      (sqrt(list_dot_product(a.ve, a.ve)) *
+                       sqrt(list_dot_product(b.ve, b.ve))) >= 0.9),
+         edges AS (SELECT va AS src, vb AS dst FROM near
+                   UNION SELECT vb, va FROM near),
+         cc(node, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+         comps AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         sz AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY comp)
+         SELECT node AS vec, comp, comp_size
+         FROM comps JOIN sz USING (comp) ORDER BY vec""",
     "q_embed_groups_lsh" ->
       """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
          aug AS (SELECT vec_id,
                    list(ve[d + 1] +
-                     (((('0x' || substr(md5(vec_id || '~' || d), 1, 15))::BIGINT)
+                     (((('0x' || substr(md5((vec_id + 1000000) || '~' || d), 1, 15))::BIGINT)
                        % 2001) - 1000) / 10000000.0 ORDER BY d) AS ve
                  FROM v, range(64) AS rd(d)
                  WHERE vec_id % 10 = 0 GROUP BY vec_id),

@@ -319,8 +319,16 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VecDotExpr(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("ecrecover_sender"),
       new ExpressionInfo(classOf[EcRecoverExpr].getName, "ecrecover_sender"),
-      (args: Seq[Expression]) =>
-        EcRecoverExpr(args(0), args(1), args(2), args(3))))
+      (args: Seq[Expression]) => {
+        // arity-guard the builder: unconditional args(3) would throw a
+        // bare IndexOutOfBounds at resolution; users should get the
+        // signature message instead (round-13 ADVICE)
+        if (args.length != 4)
+          throw new IllegalArgumentException(
+            "ecrecover_sender expects 4 arguments: " +
+              "(msg_hash binary, r binary, s binary, v int)")
+        EcRecoverExpr(args(0), args(1), args(2), args(3))
+      }))
     ext.injectFunction((FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[graft.ops.VecDotLongExpr].getName, "vec_dot_long"),
       (args: Seq[Expression]) => graft.ops.VecDotLongExpr(args(0), args(1))))

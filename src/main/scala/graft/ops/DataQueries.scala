@@ -1432,6 +1432,21 @@ object DataQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The BOUNDED banded-candidate form of [[lshPairs]]: each (band,
+    * band-hash) bucket capped at 8 members (rank-free deterministic
+    * sample) before the pair join, with candidate mass and fixed-panel
+    * recall (docs < 500, vs the UNCAPPED candidates) riding every row
+    * as oracled columns. The uncapped twin measured max-task ×41 under
+    * a 10×-duplicated corpus; this is its gate form. */
+  def lshPairsCapped(s: SparkSession, d: String): DataFrame =
+    DedupOps.lshCandidatesCappedGate(Tables.documents(s, d), "doc_id",
+        "text", k = 32, r = 2, maxBucket = 8, panelMaxId = 500L)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        col("cand_pairs"), col("all_pairs"),
+        col("recall_num"), col("recall_den"))
+      .orderBy("doc_a", "doc_b")
+
   /** Edit-distance-confirmed near-dups: LSH candidates (b=16, r=2)
     * re-ranked by Levenshtein on a 256-char prefix, kept at sim ≥ 0.8. */
   def editNearDup(s: SparkSession, d: String): DataFrame =
@@ -1620,8 +1635,15 @@ object DataQueries {
   private def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    // δ is keyed by the COPY id (vec_id + 1000000), made explicit by
+    // the two-step select: round 14's capped-twin oracle replays the
+    // bucketing over these exact values, which is what surfaced that
+    // the single-select spelling bound the lambda's vec_id to the
+    // ALIASED output (copy id), not the input — the uncapped oracles
+    // never noticed because cos at 6 decimals is δ-insensitive
     val copies = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("ve"))
+      .select(col("vec_id"),
         transform(col("ve"), (x, i) =>
           x + (TextOps.h64(concat(col("vec_id"), lit("~"), i)) % 2001L
             - 1000L) / 1e7).as("ve"))
@@ -1644,6 +1666,30 @@ object DataQueries {
   def embedGroupsLsh(s: SparkSession, d: String): DataFrame =
     groupsOf(VectorOps.lshNearDup(augmentedEmbeddings(s, d), "vec_id", "ve",
         threshold = 0.9, planes = 12, tables = 4)
+      .select("vec_a", "vec_b"), nodeOut = "vec")
+
+  /** The BOUNDED scale-path near-dup: [[annNearDup]]'s exact settings
+    * with every (table, bucket) capped at 16 members (rank-free
+    * deterministic sample), plus the four oracled gate columns —
+    * candidate mass and recall of the brute-force ≥ 0.9 pairs over the
+    * fixed panel (base ids < 100 and their planted copies). The
+    * uncapped twin measured max-task ×80 under a 10×-duplicated
+    * corpus; this is its gate form. */
+  def annNearDupCapped(s: SparkSession, d: String): DataFrame =
+    VectorOps.lshNearDupCappedGate(augmentedEmbeddings(s, d), "vec_id", "ve",
+        threshold = 0.9, planes = 12, tables = 4, maxBucket = 16,
+        panelPred = col("vec_id") % 1000000L < 100)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"),
+        col("cand_pairs"), col("all_pairs"),
+        col("recall_num"), col("recall_den"))
+      .orderBy("vec_a", "vec_b")
+
+  /** Near-dup GROUPS over the bounded candidate pairs — the capped
+    * twin of [[embedGroupsLsh]] (candidates → exact check → connected
+    * components, with the bucket cap bounding the pair stage). */
+  def embedGroupsCapped(s: SparkSession, d: String): DataFrame =
+    groupsOf(VectorOps.lshNearDupCapped(augmentedEmbeddings(s, d), "vec_id",
+        "ve", threshold = 0.9, planes = 12, tables = 4, maxBucket = 16)
       .select("vec_a", "vec_b"), nodeOut = "vec")
 
   /** SemDeDup over embeddings: 16 coarse lists (lowest-id centroids,

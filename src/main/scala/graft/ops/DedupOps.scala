@@ -535,6 +535,55 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** BOUNDED banded LSH candidates + Jaccard estimate, with the gate
+    * diagnostics riding every row — the 100 TB form of
+    * [[lshCandidates]]. ScaleProbe measured the uncapped band
+    * self-join's max-task ×41 under a 10×-duplicated corpus: candidate
+    * pairs per (band, band-hash) bucket grow as membership SQUARED, and
+    * duplication inflates exactly the buckets near-dups share. Here
+    * each bucket keeps at most `maxBucket` members in deterministic
+    * (h64(doc), doc) order through the RANK-FREE
+    * [[Scale.boundedMembers]] aggregate (≤ cap entries per partial
+    * buffer — the hot bucket never funnels its membership through one
+    * task, not even to be ranked), so per-bucket fan-out is ≤ cap²
+    * CONSTANT in duplication. A dup blob is represented by its sample —
+    * for CANDIDATE GENERATION that is the point (every copy pairs the
+    * same), and the recall trade is pinned as DATA, not argued: every
+    * output row carries `cand_pairs`/`all_pairs` (pruning mass) and
+    * `recall_num`/`recall_den` — coverage of the UNCAPPED candidate
+    * pairs over the fixed doc panel `doc < panelMaxId` (a constant, so
+    * the exact leg stays O(panel²) at any corpus size) — all replayed
+    * independently by the DuckDB oracle. The uncapped [[lshCandidates]]
+    * stays the small-sf exactness check (the q_jaccard_pairs pattern). */
+  def lshCandidatesCappedGate(docs: DataFrame, id: String, text: String,
+                              k: Int, r: Int, maxBucket: Int,
+                              panelMaxId: Long): DataFrame = {
+    val sigByDoc = minhashSigWide(docs, id, text, k).repartition(col("doc"))
+    // NO (band, bh) repartition before the cap: the bounded aggregate
+    // must partial-combine on scan-partitioned data — a pre-shuffle on
+    // the bucket key would re-create the very funnel the cap removes
+    val bands = lshBands(sigByDoc, k, r)
+    val kept = Scale.boundedMembers(bands.select("doc", "band", "bh"),
+      Seq("band", "bh"), "doc", maxBucket)
+    val cand = lshCandidatePairsFrom(kept.select("doc", "band", "bh"))
+    val est = cand
+      .join(sigByDoc.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sigByDoc.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .withColumn("est_jaccard",
+        call_function("sig_agree", col("sig_a"), col("sig_b"))
+          .cast("double") / k.toDouble)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val stats = cand.agg(count(lit(1)).as("cand_pairs"))
+      .crossJoin(sigByDoc.agg(count(lit(1)).as("__n")))
+      .select(col("cand_pairs"),
+        ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
+    val pcand = lshCandidatePairsFrom(bands.filter(col("doc") < panelMaxId))
+    val rec = pcand.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("recall_num"))
+      .crossJoin(pcand.agg(count(lit(1)).as("recall_den")))
+    est.crossJoin(broadcast(stats)).crossJoin(broadcast(rec))
+  }
+
   /** Edit-distance verification stage over LSH candidates — the exact
     * re-rank a fuzzy-dedup pipeline runs after candidate generation:
     * MinHash/LSH proposes pairs cheaply, Levenshtein on a bounded text

@@ -12,6 +12,44 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Library-default shingle docFreq cap for the near-dup/graph family:
+    * a shingle shared by more than this many documents is boilerplate
+    * (its pair fan-out is docFreq², the measured ×99–104 storm killer),
+    * so the DEFAULT plans drop it from candidate generation and from
+    * the Jaccard denominator. Callers wanting the exact uncapped
+    * algebra (small-sf oracle twins) pass `maxDocFreq = None`
+    * explicitly. */
+  val DocFreqCap: Option[Long] = Some(256L)
+
+  /** Library-default LSH bucket cap for the ANN/mining family: a
+    * (table, bucket) with more than this many members is a duplication
+    * blob (bucket pair fan-out is membership²); the DEFAULT plans keep
+    * a deterministic [[boundedMembers]] sample. Exact forms pass
+    * `maxBucket = None` explicitly. */
+  val BucketCap: Option[Int] = Some(256)
+
+  /** RANK-FREE bounded cap: keep at most `cap` members per key group,
+    * chosen in deterministic (h64(id), id) order — equivalent to
+    * `row_number() OVER (PARTITION BY keys ORDER BY h64(id), id) <= cap`
+    * but WITHOUT the full-group window sort. The window form funnels a
+    * hot group's entire membership through one task to be ranked before
+    * the cap drops it (measured ×17.7 max-task on a 10×-duplicated
+    * corpus); this form goes through the mergeable `bottomk_sample`
+    * aggregate, whose partial buffers are ≤ cap entries per group per
+    * map partition — the hot group ships O(partitions·cap) sketch
+    * entries instead of its membership, and nothing sorts.
+    *
+    * `id` must be a unique numeric id within its group (it is compared
+    * as long; the hash is of its canonical string form, so the DuckDB
+    * oracle replays the kept set with the row_number spelling). */
+  def boundedMembers(df: DataFrame, keyCols: Seq[String], idCol: String,
+                     cap: Int): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(call_function("bottomk_sample",
+        TextOps.h64(col(idCol).cast("string")),
+        col(idCol).cast("long"), lit(cap)).as("__keep"))
+      .select(keyCols.map(col) :+ explode(col("__keep")).as(idCol): _*)
+
   /** Two-phase aggregation with salting: partial-aggregate on
     * (key, salt) — spreading a hot key over `saltBuckets` reducers —
     * then final-aggregate on the key. Correct for any algebraic

@@ -126,13 +126,18 @@ object VectorOps {
         // recall trade is the usual LSH dial, pinned by the capped
         // twin's own oracle (which replays this sample relationally).
         // Queries are never dropped — every query keeps its k.
+        // The cap is RANK-FREE ([[Scale.boundedMembers]]): round 13's
+        // row_number spelling still sorted the storm bucket's full
+        // membership in one task (measured ×17.7 max-task at 10×);
+        // the mergeable bottomk aggregate keeps the identical
+        // (h64, id)-least set with ≤ cap entries per partial buffer,
+        // and the kept ids re-attach their label via a kept-side-small
+        // equi-join AQE broadcasts.
         val c = maxBucket match {
           case Some(cap) =>
-            val wS = Window.partitionBy("tbl", "bucket")
-              .orderBy(TextOps.h64(col("cand_id").cast("string")).asc,
-                col("cand_id").asc)
-            cAll.withColumn("__rn", row_number().over(wS))
-              .filter(col("__rn") <= cap).drop("__rn")
+            Scale.boundedMembers(cAll.select("tbl", "bucket", "cand_id"),
+                Seq("tbl", "bucket"), "cand_id", cap)
+              .join(cAll, Seq("tbl", "bucket", "cand_id"))
           case None => cAll
         }
         // dedup multi-table collisions on 16-byte id pairs
@@ -802,6 +807,82 @@ object VectorOps {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
+  }
+
+  /** [[lshNearDup]] with a per-(table, bucket) membership cap — the
+    * 100 TB form. ScaleProbe measured the uncapped bucket self-join's
+    * max-task ×80 under a 10×-duplicated corpus (pairs per bucket grow
+    * as membership², and duplication inflates exactly the buckets
+    * near-copies share). Each bucket keeps at most `maxBucket` members
+    * in deterministic (h64(id), id) order through the RANK-FREE
+    * [[Scale.boundedMembers]] aggregate — partial buffers are ≤ cap
+    * entries, so the storm bucket never funnels its membership through
+    * one task even to be ranked — bounding per-bucket fan-out at cap²
+    * CONSTANT in duplication. Recall trade: near-copies sampled apart
+    * in an overflowing bucket lose their pair in THAT table; `tables`
+    * independent samples are the usual dial, and the gate twin
+    * ([[lshNearDupCappedGate]]) pins candidate mass and fixed-panel
+    * recall as oracled data. */
+  def lshNearDupCapped(df: DataFrame, id: String, vec: String,
+                       threshold: Double, planes: Int, tables: Int,
+                       maxBucket: Int): DataFrame =
+    cappedNearDupParts(df, id, vec, threshold, planes, tables, maxBucket)._2
+
+  /** (candidate pairs, thresholded scored pairs) for the capped
+    * near-dup — the pair so the gate can count candidates without a
+    * second derivation. */
+  private def cappedNearDupParts(df: DataFrame, id: String, vec: String,
+                                 threshold: Double, planes: Int, tables: Int,
+                                 maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = withNorm(df, id, vec, "vid", "v", "n")
+    // NO bucket-key repartition before the cap (the lshNearDup form's
+    // ReuseExchange trick would pre-shuffle the storm bucket into one
+    // partition — the exact funnel the bounded aggregate removes)
+    val kept = Scale.boundedMembers(
+      lshBucketsMulti(base, "vid", "v", planes, tables),
+      Seq("tbl", "bucket"), "vid", maxBucket)
+    val cand = kept.select(col("vid").as("id_a"), col("tbl"), col("bucket"))
+      .join(kept.select(col("vid").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .distinct() // a pair may collide in several tables
+    val va = base.select(col("vid").as("vec_a"), col("v").as("va"),
+      col("n").as("na"))
+    val vb = base.select(col("vid").as("vec_b"), col("v").as("vb"),
+      col("n").as("nb"))
+    val out = cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+    (cand, out, base)
+  }
+
+  /** The capped near-dup as a DECLARED gate: [[lshNearDupCapped]]'s
+    * pairs with four pinned diagnostics riding every row, all replayed
+    * independently by the DuckDB oracle — `cand_pairs`/`all_pairs`
+    * (the pruning-mass claim) and `recall_num`/`recall_den` (coverage
+    * of the BRUTE-FORCE ≥ threshold pairs over the fixed panel
+    * `panelPred`, a constant-size set so the exact leg stays O(panel²)
+    * at any corpus size). The uncapped [[lshNearDup]] twin stays the
+    * small-sf full-recall check against the brute-force oracle. */
+  def lshNearDupCappedGate(df: DataFrame, id: String, vec: String,
+                           threshold: Double, planes: Int, tables: Int,
+                           maxBucket: Int, panelPred: Column): DataFrame = {
+    val (cand, out, base) =
+      cappedNearDupParts(df, id, vec, threshold, planes, tables, maxBucket)
+    val stats = cand.agg(count(lit(1)).as("cand_pairs"))
+      .crossJoin(base.agg(count(lit(1)).as("__n")))
+      .select(col("cand_pairs"),
+        ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
+    val truth = cosineNearDup(df.filter(panelPred), id, vec, threshold)
+      .select("vec_a", "vec_b")
+    val rec = truth.join(out.select("vec_a", "vec_b"),
+        Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("recall_num"))
+      .crossJoin(truth.agg(count(lit(1)).as("recall_den")))
+    out.crossJoin(broadcast(stats)).crossJoin(broadcast(rec))
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):

@@ -231,6 +231,30 @@ class ScaleSpec extends SparkSpec {
     assert(stats.getLong(0) >= 150000L && stats.getLong(1) > 150000L)
   }
 
+  test("boundedMembers: rank-free cap keeps exactly the row_number set") {
+    import graft.ops.Scale
+    import org.apache.spark.sql.expressions.Window
+    // random-ish groups with heavy skew: group 0 holds 5000 members
+    val df = spark.range(6000).select(
+      when(col("id") < 5000, lit(0L)).otherwise(col("id") % 7).as("g"),
+      (col("id") * 31 + 17).as("m"))
+    val cap = 16
+    val got = Scale.boundedMembers(df, Seq("g"), "m", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("g")
+      .orderBy(graft.ops.TextOps.h64(col("m").cast("string")).asc, col("m").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).select("g", "m")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"kept sets differ: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // and the cap must be the AGGREGATE plan, not a window sort: the
+    // whole point is that no task ranks the hot group's membership
+    val p = Scale.boundedMembers(df, Seq("g"), "m", cap)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bottomk_sample"), s"expected bottomk aggregate:\n$p")
+    assert(!p.contains("Window"), s"cap regressed to a window sort:\n$p")
+  }
+
   test("IVF persisted-list probe equals the inline broadcast-join plan") {
     // one semantics, two physical paths: the bucketed state probe must
     // reproduce ivfTopK row-for-row (its construction already asserts
