@@ -127,7 +127,7 @@ object SparkEntry {
     // (the q_state_probe one-oracle-two-plans pattern)
     "q_knn_graph_lsh"     -> ((s, d) => VectorOps.knnGraphMutualLsh(
                                 Tables.embeddings(s, d), "vec_id", "embedding", 5,
-                                planes = 2, tables = 16)),
+                                planes = 2, tables = 16, maxBucket = None)),
     // the CLUSTERED regime on the hash gate: derived mixture corpus
     // (md5 centroid + jitter arithmetic both engines replay), same
     // LSH mutual-kNN algebra at TIGHT (8 planes, 8 tables), oracle =
@@ -207,7 +207,7 @@ object SparkEntry {
     "q_pq_topk"           -> ((s, d) => DataQueries.pqTopK(s, d)),
     "q_sample_docs"       -> ((s, d) => DataQueries.sampleDocs(s, d)),
     "q_bm25_topk"         -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
-    "q_pagerank"          -> ((s, d) => GraphOps.docPageRank(s, d)),
+    "q_pagerank"          -> ((s, d) => GraphOps.docPageRank(s, d, maxDocFreq = None)),
     "q_snapshot_diff"     -> ((s, d) => DataQueries.snapshotDiff(s, d)),
     "q_ngram_diversity"   -> ((s, d) => DataQueries.ngramDiversity(s, d)),
     "q_top_ngrams"        -> ((s, d) => DataQueries.topNgrams(s, d)),
@@ -254,7 +254,7 @@ object SparkEntry {
     "q_dup_size_hist"     -> ((s, d) => DataQueries.dupSizeHist(s, d)),
     "q_lsh_tuning"        -> ((s, d) => DataQueries.lshTuning(s, d)),
     "q_shard_rebalance"   -> ((s, d) => DataQueries.shardRebalance(s, d)),
-    "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
+    "q_triangles"         -> ((s, d) => graft.ops.GraphOps.triangles(s, d, maxDocFreq = None)),
     "q_table_stats"       -> ((s, d) => DataQueries.tableStats(s, d)),
     "q_scd2"              -> ((s, d) => DataQueries.scd2History(s, d)),
     "q_scd2_asof"         -> ((s, d) => DataQueries.scd2Asof(s, d)),
@@ -268,17 +268,17 @@ object SparkEntry {
     "q_domain_cap"        -> ((s, d) => DataQueries.domainCap(s, d)),
     "q_decay_agg"         -> ((s, d) => DataQueries.decayAgg(s, d)),
     "q_novelty"           -> ((s, d) => DataQueries.noveltyRate(s, d)),
-    "q_kcore"             -> ((s, d) => GraphOps.docKCore(s, d)),
+    "q_kcore"             -> ((s, d) => GraphOps.docKCore(s, d, maxDocFreq = None)),
     "q_collocations"      -> ((s, d) => DataQueries.collocations(s, d)),
     "q_vocab_growth"      -> ((s, d) => DataQueries.vocabGrowth(s, d)),
     "q_phrase_search"     -> ((s, d) => DataQueries.phraseSearch(s, d)),
     "q_entity_match"      -> ((s, d) => graft.ops.Relational.entityMatch(s, d)),
     "q_token_simpson"     -> ((s, d) => DataQueries.tokenSimpson(s, d)),
-    "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d)),
-    "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d)),
-    "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d)),
-    "q_modularity"        -> ((s, d) => GraphOps.modularity(s, d)),
-    "q_harmonic"          -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
+    "q_hyperball"         -> ((s, d) => GraphOps.hyperBall(s, d, maxDocFreq = None)),
+    "q_hyperball_sketch"  -> ((s, d) => GraphOps.hyperBallSketch(s, d, maxDocFreq = None)),
+    "q_label_prop"        -> ((s, d) => GraphOps.labelProp(s, d, maxDocFreq = None)),
+    "q_modularity"        -> ((s, d) => GraphOps.modularity(s, d, maxDocFreq = None)),
+    "q_harmonic"          -> ((s, d) => GraphOps.harmonicCentrality(s, d, maxDocFreq = None)),
     // the 100 TB graph-family entries: same machinery over the
     // docFreq-capped near-dup graph (round-13 ScaleProbe measured the
     // uncapped edge set ×103 max-task at a 10×-duplicated corpus — a
@@ -5120,7 +5120,7 @@ object SparkEntry {
     // legs — so boundedness, pruning mass AND recall-vs-exact are all
     // hash-gated, not argued.
     "q_knn_graph_capped" ->
-      """WITH ids AS (SELECT vec_id FROM embeddings),
+      s"""WITH ids AS (SELECT vec_id FROM embeddings),
          v AS MATERIALIZED (SELECT vec_id, list(
                  ((('0x' || substr(md5('C' || (vec_id % 25) || '~' || d), 1, 15))::BIGINT
                    % 2001) - 1000) / 1000.0 +
@@ -5144,14 +5144,33 @@ object SparkEntry {
                       ((('0x' || substr(md5((64 + t) || ',' || d), 1, 15))::BIGINT
                         % 2000001) - 1000000)) AS fpv
                 FROM fex GROUP BY 1, 2),
-         rn AS (SELECT b.vec_id, b.t, b.bucket, f.fpv,
-                  row_number() OVER (PARTITION BY b.t, b.bucket
-                                     ORDER BY f.fpv, b.vec_id) AS rn
-                FROM bk b JOIN fp f ON b.vec_id = f.vec_id AND b.t = f.t),
-         cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS ca,
-                    greatest(a.vec_id, b.vec_id) AS cb
-                  FROM rn a JOIN rn b ON a.t = b.t AND a.bucket = b.bucket
-                    AND b.rn > a.rn AND b.rn <= a.rn + 40),
+         bkf AS (SELECT b.vec_id, b.t, b.bucket, f.fpv
+                 FROM bk b JOIN fp f ON b.vec_id = f.vec_id AND b.t = f.t),
+         cnts AS (SELECT t, bucket, count(*) AS m FROM bkf GROUP BY 1, 2),
+         segd AS (SELECT k.vec_id, k.t, k.bucket, k.fpv,
+                    ${H64.format("CAST(k.vec_id AS VARCHAR)")}
+                      % ((c.m + 511) // 512) AS seg
+                  FROM bkf k JOIN cnts c
+                    ON k.t = c.t AND k.bucket = c.bucket),
+         rn AS (SELECT vec_id, t, bucket, seg, fpv,
+                  row_number() OVER (PARTITION BY t, bucket, seg
+                                     ORDER BY fpv, vec_id) AS rn
+                FROM segd),
+         chain AS (SELECT least(a.vec_id, b.vec_id) AS ca,
+                     greatest(a.vec_id, b.vec_id) AS cb
+                   FROM rn a JOIN rn b ON a.t = b.t AND a.bucket = b.bucket
+                     AND a.seg = b.seg
+                     AND b.rn > a.rn AND b.rn <= a.rn + 40),
+         repl AS (SELECT t, bucket, seg, vec_id,
+                    lead(vec_id) OVER (PARTITION BY t, bucket
+                                       ORDER BY seg) AS nxt
+                  FROM rn WHERE rn = 1),
+         stitch AS (SELECT least(vec_id, nxt) AS ca,
+                      greatest(vec_id, nxt) AS cb
+                    FROM repl WHERE nxt IS NOT NULL),
+         cand AS (SELECT DISTINCT ca, cb FROM
+                    (SELECT ca, cb FROM chain
+                     UNION ALL SELECT ca, cb FROM stitch)),
          p AS (SELECT ca AS va, cb AS vb,
                  list_dot_product(a.ve, b.ve) /
                    (sqrt(list_dot_product(a.ve, a.ve)) *

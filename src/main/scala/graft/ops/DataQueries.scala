@@ -401,7 +401,7 @@ object DataQueries {
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "source")
     DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.1)
+        n = 3, threshold = 0.1, maxDocFreq = None)
       .join(docs.toDF("doc_a", "source_a"), Seq("doc_a"))
       .join(docs.toDF("doc_b", "source_b"), Seq("doc_b"))
       .groupBy(least(col("source_a"), col("source_b")).as("src_x"),
@@ -767,7 +767,7 @@ object DataQueries {
   /** n-gram Jaccard near-dup pairs, 3-gram shingles, threshold 0.1. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.1)
+        n = 3, threshold = 0.1, maxDocFreq = None)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -1161,7 +1161,7 @@ object DataQueries {
     * group id (min doc) + size per clustered document. */
   def dedupGroups(s: SparkSession, d: String): DataFrame =
     groupsOf(DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.1)
+        n = 3, threshold = 0.1, maxDocFreq = None)
       .select("doc_a", "doc_b"), nodeOut = "doc")
 
   /** Near-dup clusters over DE-SKEWED candidates — the form the groups
@@ -1251,7 +1251,7 @@ object DataQueries {
       case None =>
         DedupOps.connectedComponents(
           DedupOps.jaccardPairs(docs.filter(!isBatch(col("doc_id"))),
-            "doc_id", "text", n = 3, threshold = 0.1)
+            "doc_id", "text", n = 3, threshold = 0.1, maxDocFreq = None)
             .select("doc_a", "doc_b"))
       case Some(_) =>
         val bfx = sh.filter(!isBatch(col("doc")))
@@ -1427,7 +1427,7 @@ object DataQueries {
   /** LSH candidate pairs (b=16, r=2) with estimated Jaccard. */
   def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = DedupOps.minhashSigWide(Tables.documents(s, d), "doc_id", "text", k = 32)
-    DedupOps.lshCandidates(sig, k = 32, r = 2)
+    DedupOps.lshCandidates(sig, k = 32, r = 2, maxBucket = None)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -1451,7 +1451,7 @@ object DataQueries {
     * re-ranked by Levenshtein on a 256-char prefix, kept at sim ≥ 0.8. */
   def editNearDup(s: SparkSession, d: String): DataFrame =
     DedupOps.editNearDup(Tables.documents(s, d), "doc_id", "text",
-        k = 32, r = 2, prefixLen = 256, minSim = 0.8)
+        k = 32, r = 2, prefixLen = 256, minSim = 0.8, maxBucket = None)
       .orderBy("doc_a", "doc_b")
 
   /** RAG/pretraining chunk table: 64-token windows, stride 48. */
@@ -1537,7 +1537,8 @@ object DataQueries {
     // explode before the bucket-keyed join; planes stays the
     // corpus-density dial
     VectorOps.hardNegativesLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", planes = 6, tables = 16, k = 3, col("vec_id") % 5 === 0)
+        "label", planes = 6, tables = 16, k = 3, col("vec_id") % 5 === 0,
+        maxBucket = None)
       .select(col("query_id"), col("q_label"), col("cand_id"),
         col("c_label"), round(col("cos"), 6).as("cos"),
         col("rank").as("rnk"))
@@ -1657,7 +1658,7 @@ object DataQueries {
     * oracle IS brute force — a recall regression hash-fails the gate. */
   def annNearDup(s: SparkSession, d: String): DataFrame =
     VectorOps.lshNearDup(augmentedEmbeddings(s, d), "vec_id", "ve",
-        threshold = 0.9, planes = 12, tables = 4)
+        threshold = 0.9, planes = 12, tables = 4, maxBucket = None)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
 
@@ -1665,7 +1666,7 @@ object DataQueries {
     * pipeline (candidates → exact check → connected components). */
   def embedGroupsLsh(s: SparkSession, d: String): DataFrame =
     groupsOf(VectorOps.lshNearDup(augmentedEmbeddings(s, d), "vec_id", "ve",
-        threshold = 0.9, planes = 12, tables = 4)
+        threshold = 0.9, planes = 12, tables = 4, maxBucket = None)
       .select("vec_a", "vec_b"), nodeOut = "vec")
 
   /** The BOUNDED scale-path near-dup: [[annNearDup]]'s exact settings
@@ -3878,7 +3879,7 @@ object DataQueries {
     // banding pipeline runs once, not per reference (same eager
     // checkpoint idiom as the CC/PageRank loops — the pair table is
     // tiny relative to the corpus)
-    val cand = DedupOps.lshCandidates(sig, k = 32, r = 2)
+    val cand = DedupOps.lshCandidates(sig, k = 32, r = 2, maxBucket = None)
       .localCheckpoint(true)
     val inCand = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
@@ -3989,7 +3990,8 @@ object DataQueries {
     val docs = Tables.documents(s, d)
     val sig = DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32)
       .localCheckpoint(true)
-    val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+    val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDocFreq = None)
       .select("doc_a", "doc_b").localCheckpoint(true)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     def one(r: Int): DataFrame = {

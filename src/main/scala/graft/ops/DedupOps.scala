@@ -389,8 +389,15 @@ object DedupOps {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** `maxDocFreq` DEFAULTS to [[Scale.DocFreqCap]] (round 14): a
+    * production caller gets the bounded plan — stop-shingles above the
+    * cap leave candidate generation AND the size denominator — unless
+    * they opt into the exact algebra with an explicit `None` (the
+    * small-sf oracle twins do). The uncapped pair join's per-shingle
+    * fan-out is docFreq², the measured ×99–104 storm killer. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-                   threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+                   threshold: Double,
+                   maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     // join on the 60-bit shingle hash, not the string — smaller shuffle
     // keys, cheaper equality; 60 bits ⇒ collisions are negligible
     val arr = df.select(col(id).as("doc"), TextOps.shingleHashes(col(text), n).as("arr"))
@@ -435,10 +442,17 @@ object DedupOps {
       // reach/exceed sz_a+sz_b — and ANSI mode turns the zero
       // denominator into a job-killing SparkArithmeticException.
       // Degenerate pairs get a null jaccard and fall out of the
-      // threshold filter instead of crashing the scan.
+      // threshold filter instead of crashing the scan. The
+      // inter ≤ min(sz) leg catches the same dup-id degeneracy on the
+      // CAPPED path, where kept-set sizes keep the denominator
+      // positive but cross-copy inter still exceeds the true set
+      // bound (jaccard would read > 1); exact unique-id sets always
+      // satisfy it, so honest corpora are unaffected.
       .withColumn("__uni", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard",
-        when(col("__uni") > 0, col("inter").cast("double") / col("__uni")))
+        when(col("__uni") > 0 &&
+            col("inter") <= least(col("sz_a"), col("sz_b")),
+          col("inter").cast("double") / col("__uni")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
@@ -512,20 +526,38 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-  /** Candidate pairs only (no signature re-join, no estimate column). */
-  def lshCandidatePairs(sigWide: DataFrame, k: Int, r: Int): DataFrame =
-    lshCandidatePairsFrom(
-      lshBands(sigWide, k, r).repartition(col("band"), col("bh")))
+  /** (band, bh)-bucketed band table ready for the pair join, by cap
+    * mode: capped → the bounded kept set (NO pre-shuffle on the bucket
+    * key — the rank-free aggregate must partial-combine on
+    * scan-partitioned data); uncapped → the (band, bh) repartition the
+    * ReuseExchange pattern wants. */
+  private def bandsForPairs(sigWide: DataFrame, k: Int, r: Int,
+                            maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case Some(cap) =>
+        Scale.boundedMembers(lshBands(sigWide, k, r).select("doc", "band", "bh"),
+          Seq("band", "bh"), "doc", cap).select("doc", "band", "bh")
+      case None =>
+        lshBands(sigWide, k, r).repartition(col("band"), col("bh"))
+    }
 
-  def lshCandidates(sigWide: DataFrame, k: Int, r: Int): DataFrame = {
+  /** Candidate pairs only (no signature re-join, no estimate column).
+    * `maxBucket` DEFAULTS to [[Scale.BucketCap]]: pair fan-out per
+    * (band, band-hash) bucket is membership² — bounded unless the
+    * caller opts into the exact candidate set with `None`. */
+  def lshCandidatePairs(sigWide: DataFrame, k: Int, r: Int,
+                        maxBucket: Option[Int] = Scale.BucketCap): DataFrame =
+    lshCandidatePairsFrom(bandsForPairs(sigWide, k, r, maxBucket))
+
+  def lshCandidates(sigWide: DataFrame, k: Int, r: Int,
+                    maxBucket: Option[Int] = Scale.BucketCap): DataFrame = {
     // ONE materialization of the signature pipeline, shared by all four
     // consumers via canonically-equal exchanges (ReuseExchange): the
     // doc-partitioned signatures feed both banding sides (through the
     // shared (band, bh) exchange) and both estimate-join lookups —
     // without this, each consumer re-runs scan→tokenize→minhash.
     val sigByDoc = sigWide.repartition(col("doc"))
-    val bands = lshBands(sigByDoc, k, r).repartition(col("band"), col("bh"))
-    val cand = lshCandidatePairsFrom(bands)
+    val cand = lshCandidatePairsFrom(bandsForPairs(sigByDoc, k, r, maxBucket))
     cand
       .join(sigByDoc.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sigByDoc.toDF("doc_b", "sig_b"), Seq("doc_b"))
@@ -599,8 +631,10 @@ object DedupOps {
     * cross-engine exact (unit edit costs, char-based), so the stage is
     * DuckDB-oracleable end to end. */
   def editNearDup(docs: DataFrame, id: String, text: String, k: Int, r: Int,
-                  prefixLen: Int, minSim: Double): DataFrame = {
-    val cand = lshCandidatePairs(minhashSigWide(docs, id, text, k), k, r)
+                  prefixLen: Int, minSim: Double,
+                  maxBucket: Option[Int] = Scale.BucketCap): DataFrame = {
+    val cand = lshCandidatePairs(minhashSigWide(docs, id, text, k), k, r,
+      maxBucket)
     val pfx = docs.select(col(id).as("doc"),
       substring(col(text), 1, prefixLen).as("__pfx"))
     cand

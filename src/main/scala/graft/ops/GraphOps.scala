@@ -87,7 +87,7 @@ object GraphOps {
     * (a<b<c) is found exactly once. The coefficient is exact integer
     * micro-units: (2·t·10⁶) div (deg·(deg−1)). */
   def triangles(s: SparkSession, d: String,
-                maxDocFreq: Option[Long] = None): DataFrame = {
+                maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val docs = Tables.documents(s, d)
     val e = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -171,7 +171,7 @@ object GraphOps {
     * [[docPageRank]]), k=2, 4 peeling rounds. `maxDocFreq` is the
     * usual duplication-skew lever on the pair generator. */
   def docKCore(s: SparkSession, d: String, k: Int = 2, rounds: Int = 4,
-               maxDocFreq: Option[Long] = None): DataFrame = {
+               maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     kCoreFixed(neardupEdges(s, d, maxDocFreq), k, rounds)
       .select(col("doc").as("doc_id"), col("deg"))
       .orderBy("doc_id")
@@ -200,7 +200,7 @@ object GraphOps {
     * so deliberately absent) linear-counting correction would remove.
     */
   def hyperBall(s: SparkSession, d: String, rounds: Int = 2,
-                maxDocFreq: Option[Long] = None): DataFrame =
+                maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame =
     hyperBallOf(neardupEdges(s, d, maxDocFreq), rounds)
 
   /** Register states after EACH of `rounds` merge rounds, rolled up
@@ -245,7 +245,7 @@ object GraphOps {
     * the sketch) is the small-sf calibration twin, same split as
     * `bandIndex`/`q_state_probe` vs the exact probes. */
   def hyperBallSketch(s: SparkSession, d: String, rounds: Int = 2,
-                      maxDocFreq: Option[Long] = None): DataFrame =
+                      maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame =
     hyperBallSketchOf(neardupEdges(s, d, maxDocFreq), rounds)
 
   /** [[hyperBallSketch]] over an arbitrary symmetrized edge list. */
@@ -274,7 +274,7 @@ object GraphOps {
     * else" in ONE register-merge pass per radius — the centrality
     * Common Crawl publishes for its host graph. */
   def harmonicCentrality(s: SparkSession, d: String,
-                         maxDocFreq: Option[Long] = None): DataFrame = {
+                         maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val rounds = hyperBallRegRounds(neardupEdges(s, d, maxDocFreq), 2)
     def ball(df: DataFrame, bn: String): DataFrame = df
       .withColumn("s_total",
@@ -332,7 +332,7 @@ object GraphOps {
     * PageRank/k-core. `maxDocFreq` is the same skew lever as every
     * consumer of [[neardupEdges]]. */
   def labelProp(s: SparkSession, d: String, rounds: Int = 3,
-                maxDocFreq: Option[Long] = None): DataFrame = {
+                maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val edges = neardupEdges(s, d, maxDocFreq)
     var labels = lpSeed(edges).localCheckpoint(true)
@@ -365,7 +365,7 @@ object GraphOps {
     * GraphRetrievalSpec on the corpus graph, is that the converged form
     * output ≡ the fixed-round form at the stop round it reports. */
   def labelPropConverged(s: SparkSession, d: String, maxRounds: Int = 20,
-                         maxDocFreq: Option[Long] = None): DataFrame = {
+                         maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
     val edges = neardupEdges(s, d, maxDocFreq).localCheckpoint(true)
     val (lab, _, _) = labelPropConvergedOf(docs, edges, maxRounds)
@@ -387,7 +387,7 @@ object GraphOps {
     * hash-join algebra on the shared checkpointed edge list; the only
     * driver value is the 1-row edge count. */
   def modularity(s: SparkSession, d: String, rounds: Int = 3,
-                 maxDocFreq: Option[Long] = None): DataFrame = {
+                 maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val edges = neardupEdges(s, d, maxDocFreq)
     val und = edges.filter(col("src") < col("dst")).localCheckpoint(true)
     val m = und.count()
@@ -524,7 +524,7 @@ object GraphOps {
     * the expected duplication factor), exactly as `q_jaccard_capped`
     * does for the dedup path. The iteration shape is unaffected. */
   def docPageRank(s: SparkSession, d: String, iters: Int = 3,
-                  maxDocFreq: Option[Long] = None): DataFrame = {
+                  maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val docs = Tables.documents(s, d)
     val edges = neardupEdges(s, d, maxDocFreq)
     val nodes = docs.select(col("doc_id").as("id"))

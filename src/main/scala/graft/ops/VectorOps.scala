@@ -87,7 +87,7 @@ object VectorOps {
   def hardNegativesLsh(df: DataFrame, id: String, vec: String, label: String,
                        planes: Int, tables: Int, k: Int,
                        queryPred: Column,
-                       maxBucket: Option[Int] = None): DataFrame =
+                       maxBucket: Option[Int] = Scale.BucketCap): DataFrame =
     vecDims(df, vec) match {
       case None =>
         df.select(col(id).as("query_id"), col(label).as("q_label"),
@@ -454,9 +454,11 @@ object VectorOps {
     * wall-clock FASTER than the exact form; the plan SHAPE (bucketed
     * equi-join, no quadratic operator) is what survives 100×. */
   def knnGraphMutualLsh(df: DataFrame, id: String, vec: String, k: Int,
-                        planes: Int, tables: Int): DataFrame = {
+                        planes: Int, tables: Int,
+                        maxBucket: Option[Int] = Scale.BucketCap): DataFrame = {
     val base = withNorm(df, id, vec, "vid", "v", "n")
-    mutualFromCandidates(base, lshCandidatePairs(base, planes, tables), k)
+    mutualFromCandidates(base,
+      lshCandidatePairs(base, planes, tables, maxBucket), k)
   }
 
   /** Exact cosine re-rank + mutual-rank algebra over an externally
@@ -549,8 +551,8 @@ object VectorOps {
     * different neighborhoods, which is what buys recall back. All
     * arithmetic is the engine-exact integer kind the oracle replays. */
   private[graft] def sortedWindowCandidates(base: DataFrame, planes: Int,
-                                            tables: Int,
-                                            window: Int): DataFrame =
+                                            tables: Int, window: Int,
+                                            segTarget: Int = 512): DataFrame =
     vecDims(base, "v") match {
       case None =>
         base.select(col("vid").as("vec_a"), col("vid").as("vec_b")).limit(0)
@@ -567,13 +569,41 @@ object VectorOps {
           .select(col("vid"), explode(array(perTable: _*)).as("tb"))
           .select(col("vid"), col("tb.tbl").as("tbl"),
             col("tb.bucket").as("bucket"), col("tb.fp").as("fp"))
+        // SEGMENT oversized buckets before the window sort: round 13
+        // measured a ×10 duplication storm growing this gate's wall
+        // ×3.1 because the per-(table, bucket) sort funnels the storm
+        // bucket's FULL membership through one task. Buckets split
+        // into ⌈m/segTarget⌉ deterministic h64 salt segments; the
+        // window chain runs per segment, and per-segment REPRESENTA-
+        // TIVES (the (fp, vid)-least member, i.e. rn=1) are chained in
+        // segment order so a split storm clique stays ONE connected
+        // block (AnnRecallSpec's union-find contract). Honest buckets
+        // (m ≤ segTarget) get nseg=1 — byte-identical to the unsplit
+        // form. The bucket-count join broadcasts (≤ tables·2^planes
+        // rows), so the only bucket-keyed exchange is the window's own
+        // (tbl, bucket, seg) — bounded by segTarget per task.
+        val cnts = bk.groupBy("tbl", "bucket").agg(count(lit(1)).as("__m"))
+        val bk2 = bk.join(broadcast(cnts), Seq("tbl", "bucket"))
+          .withColumn("__nseg",
+            expr(s"(__m + ${segTarget - 1}) div $segTarget"))
+          .withColumn("seg",
+            pmod(TextOps.h64(col("vid").cast("string")), col("__nseg")))
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("tbl", "bucket")
+        val w = Window.partitionBy("tbl", "bucket", "seg")
           .orderBy(col("fp").asc, col("vid").asc)
         val succ = (1 to window).map(j => lead(col("vid"), j).over(w))
-        bk.select(col("vid"), array(succ: _*).as("nbrs"))
+        val chain = bk2.select(col("vid"), array(succ: _*).as("nbrs"))
           .select(col("vid").as("va"), explode(col("nbrs")).as("vb"))
           .filter(col("vb").isNotNull)
+        val reps = bk2.groupBy("tbl", "bucket", "seg")
+          .agg(min(struct(col("fp"), col("vid"))).as("r"))
+          .select(col("tbl"), col("bucket"), col("seg"), col("r.vid").as("vid"))
+        val wr = Window.partitionBy("tbl", "bucket").orderBy(col("seg").asc)
+        val stitch = reps
+          .withColumn("nxt", lead(col("vid"), 1).over(wr))
+          .filter(col("nxt").isNotNull)
+          .select(col("vid").as("va"), col("nxt").as("vb"))
+        chain.unionByName(stitch)
           .select(least(col("va"), col("vb")).as("vec_a"),
             greatest(col("va"), col("vb")).as("vec_b"))
           .distinct() // tables overlap; the lex order varies per pass
@@ -747,9 +777,20 @@ object VectorOps {
 
   /** Distinct colliding id pairs from the multi-table SRP-LSH bucket
     * equi-join (narrow rows: ids and keys only). Factored out of
-    * [[knnGraphMutualLsh]] so its cost is profileable in isolation. */
+    * [[knnGraphMutualLsh]] so its cost is profileable in isolation.
+    * With `maxBucket` set, delegates to the bounded kept-set generator
+    * ([[cappedBucketPairs]] — the scale default at the public entry
+    * points); `None` is the exact candidate set. */
   private[graft] def lshCandidatePairs(base: DataFrame, planes: Int,
-                                       tables: Int): DataFrame = {
+                                       tables: Int,
+                                       maxBucket: Option[Int] = None): DataFrame =
+    maxBucket match {
+      case Some(cap) => cappedBucketPairs(base, planes, tables, cap)
+      case None => lshCandidatePairsExact(base, planes, tables)
+    }
+
+  private def lshCandidatePairsExact(base: DataFrame, planes: Int,
+                                     tables: Int): DataFrame = {
     val bk = lshBucketsMulti(base, "vid", "v", planes, tables)
       .repartition(col("tbl"), col("bucket"))
     val a = bk.select(col("vid").as("id_a"), col("tbl").as("tbl_a"),
@@ -782,7 +823,17 @@ object VectorOps {
     * this degenerates (see [[cosineNearDupBlocked]]): every full-recall
     * setting is ≈ brute force — use the blocked exact scan instead. */
   def lshNearDup(df: DataFrame, id: String, vec: String, threshold: Double,
-                 planes: Int, tables: Int): DataFrame = {
+                 planes: Int, tables: Int,
+                 maxBucket: Option[Int] = Scale.BucketCap): DataFrame =
+    maxBucket match {
+      case Some(cap) =>
+        lshNearDupCapped(df, id, vec, threshold, planes, tables, cap)
+      case None => lshNearDupExact(df, id, vec, threshold, planes, tables)
+    }
+
+  private def lshNearDupExact(df: DataFrame, id: String, vec: String,
+                              threshold: Double, planes: Int,
+                              tables: Int): DataFrame = {
     val base = withNorm(df, id, vec, "vid", "v", "n")
     val bk = lshBucketsMulti(base, "vid", "v", planes, tables)
       .repartition(col("tbl"), col("bucket"))
@@ -836,18 +887,7 @@ object VectorOps {
                                  maxBucket: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val base = withNorm(df, id, vec, "vid", "v", "n")
-    // NO bucket-key repartition before the cap (the lshNearDup form's
-    // ReuseExchange trick would pre-shuffle the storm bucket into one
-    // partition — the exact funnel the bounded aggregate removes)
-    val kept = Scale.boundedMembers(
-      lshBucketsMulti(base, "vid", "v", planes, tables),
-      Seq("tbl", "bucket"), "vid", maxBucket)
-    val cand = kept.select(col("vid").as("id_a"), col("tbl"), col("bucket"))
-      .join(kept.select(col("vid").as("id_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
-      .distinct() // a pair may collide in several tables
+    val cand = cappedBucketPairs(base, planes, tables, maxBucket)
     val va = base.select(col("vid").as("vec_a"), col("v").as("va"),
       col("n").as("na"))
     val vb = base.select(col("vid").as("vec_b"), col("v").as("vb"),
@@ -857,6 +897,26 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
     (cand, out, base)
+  }
+
+  /** Distinct colliding id pairs among the CAP-KEPT members of each
+    * (table, bucket): the bounded candidate generator shared by
+    * [[lshNearDupCapped]] and the capped [[lshCandidatePairs]] path.
+    * NO bucket-key repartition before the cap — the rank-free
+    * aggregate must partial-combine on scan-partitioned data (a
+    * pre-shuffle on the bucket key would re-create the very funnel the
+    * cap removes). */
+  private def cappedBucketPairs(base: DataFrame, planes: Int, tables: Int,
+                                maxBucket: Int): DataFrame = {
+    val kept = Scale.boundedMembers(
+      lshBucketsMulti(base, "vid", "v", planes, tables),
+      Seq("tbl", "bucket"), "vid", maxBucket)
+    kept.select(col("vid").as("id_a"), col("tbl"), col("bucket"))
+      .join(kept.select(col("vid").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .distinct() // a pair may collide in several tables
   }
 
   /** The capped near-dup as a DECLARED gate: [[lshNearDupCapped]]'s

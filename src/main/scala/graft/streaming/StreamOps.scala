@@ -603,16 +603,18 @@ object StreamOps {
     * Per-trigger cost: |batch| shingling + a batch-sized probe of the
     * index + CC on the touched subgraph — history is never
     * re-clustered. */
-  def maintainCc(stream: DataFrame, statePath: String)
+  def maintainCc(stream: DataFrame, statePath: String,
+                 maxDocFreq: Option[Long] = graft.ops.Scale.DocFreqCap)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        applyCcBatch(batch, statePath, batchId)
+        applyCcBatch(batch, statePath, batchId, maxDocFreq)
       }
       .start()
 
   private[graft] def applyCcBatch(batch: org.apache.spark.sql.Dataset[Row],
-                                  statePath: String, batchId: Long): Unit = {
+                                  statePath: String, batchId: Long,
+                                  maxDocFreq: Option[Long] = None): Unit = {
     import graft.ops.{DedupOps, TextOps}
     val sp = batch.sparkSession
     val compsPath = s"$statePath/comps"
@@ -630,21 +632,53 @@ object StreamOps {
     // 2. probe the FULL index (prior batches + this one) with the batch
     val index = sp.read.parquet(ccIndexDirs(sp, statePath): _*)
     val probe = sp.read.parquet(s"$statePath/index/b=$batchId")
-    val cand = probe.toDF("pa", "sza", "s")
-      .join(index.toDF("pb", "szb", "s"), Seq("s"))
-      .filter(col("pa") =!= col("pb"))
-      .select(
-        when(col("pa") < col("pb"), col("pa")).otherwise(col("pb")).as("doc_a"),
-        when(col("pa") < col("pb"), col("sza")).otherwise(col("szb")).as("sz_a"),
-        when(col("pa") < col("pb"), col("pb")).otherwise(col("pa")).as("doc_b"),
-        when(col("pa") < col("pb"), col("szb")).otherwise(col("sza")).as("sz_b"),
-        col("s"))
-      .distinct() // batch-batch pairs arrive in both orientations
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
-      .select("doc_a", "doc_b")
+    val cand = maxDocFreq match {
+      case None =>
+        probe.toDF("pa", "sza", "s")
+          .join(index.toDF("pb", "szb", "s"), Seq("s"))
+          .filter(col("pa") =!= col("pb"))
+          .select(
+            when(col("pa") < col("pb"), col("pa")).otherwise(col("pb")).as("doc_a"),
+            when(col("pa") < col("pb"), col("sza")).otherwise(col("szb")).as("sz_a"),
+            when(col("pa") < col("pb"), col("pb")).otherwise(col("pa")).as("doc_b"),
+            when(col("pa") < col("pb"), col("szb")).otherwise(col("sza")).as("sz_b"),
+            col("s"))
+          .distinct() // batch-batch pairs arrive in both orientations
+          .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+          .agg(count(lit(1)).as("inter"))
+          .filter(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+          .select("doc_a", "doc_b")
+      case Some(cap) =>
+        // capped fold: the LIVE keep-set (full-index docFreq ≤ cap,
+        // including this batch) gates the probe, and doc sizes are
+        // re-counted over the kept incidence — per-shingle fan-out is
+        // ≤ cap·|batch-postings| instead of freq². Stale history (a
+        // shingle crossing the cap AFTER its pairs folded) is retired
+        // by [[recapCc]], the cap-crossing compaction; the law fold +
+        // recap ≡ capped batch recompute is pinned by CcRecapProps.
+        val counts = index.groupBy("s").agg(count(lit(1)).as("__df"))
+        val keep = counts.filter(col("__df") <= cap).select("s")
+        val kept = index.select("doc", "s").join(keep, Seq("s"))
+          .select("doc", "s")
+        val sizes = kept.groupBy("doc").agg(count(lit(1)).as("kz"))
+          .select(col("doc"), col("kz"))
+        probe.select(col("doc").as("pa"), col("s"))
+          .join(keep, Seq("s"))
+          .join(kept.select(col("doc").as("pb"), col("s")), Seq("s"))
+          .filter(col("pa") =!= col("pb"))
+          .select(least(col("pa"), col("pb")).as("doc_a"),
+            greatest(col("pa"), col("pb")).as("doc_b"), col("s"))
+          .distinct() // batch-batch pairs arrive in both orientations
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc").as("doc_a"), col("kz").as("sz_a")),
+            Seq("doc_a"))
+          .join(sizes.select(col("doc").as("doc_b"), col("kz").as("sz_b")),
+            Seq("doc_b"))
+          .filter(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+          .select("doc_a", "doc_b")
+    }
     // 3. contract to existing reps, CC the touched subgraph, remap
     val baseComps = readCcState(sp, statePath)
     val repA = baseComps.select(col("node").as("doc_a"), col("comp").as("ca"))
@@ -680,6 +714,106 @@ object StreamOps {
       case n if n.startsWith("b=") && n.stripPrefix("b=").toLong > base =>
         s"$root/$n"
     }
+  }
+
+  /** Cap-crossing COMPACTION for the capped [[maintainCc]] fold: when
+    * a shingle's corpus doc-count crosses `maxDocFreq` mid-stream,
+    * edges folded while it was still under the cap are stale — history
+    * already clustered under an old keep-set stays clustered (the
+    * residual `incrCcCapped` documents). This maintenance pass retires
+    * exactly that staleness by TARGETED recompute:
+    *
+    *   1. crossing = shingles above the cap now that were not above it
+    *      at the last recap (the prior above-set is itself versioned
+    *      state under `capstate/` — bounded: one row per capped-out
+    *      shingle, the boilerplate tail);
+    *   2. touched = every component containing a doc incident to a
+    *      crossing shingle, plus incident docs with no component —
+    *      the ONLY docs whose kept-shingle sizes (and hence Jaccard
+    *      edges) can have changed, since counts only grow;
+    *   3. their members' pairs are recomputed from the CURRENT kept
+    *      incidence (M-side probe of the full kept index — covers
+    *      removals AND edges newly passing the threshold because a
+    *      denominator shrank), endpoints outside the touched set
+    *      contract to their component rep exactly as the fold does;
+    *   4. untouched components pass through (remapped if a new edge
+    *      merged them into a touched one).
+    *
+    * Run between triggers (single-writer, like every maintainer
+    * here). The law — any fold/recap interleaving followed by a final
+    * recap ≡ the capped BATCH recompute over the whole corpus — is
+    * pinned by CcRecapProps for arbitrary corpora, splits and recap
+    * positions. Returns the number of shingles that crossed. */
+  def recapCc(sp: SparkSession, statePath: String, maxDocFreq: Long): Long = {
+    import graft.ops.DedupOps
+    val dirs = ccIndexDirs(sp, statePath)
+    if (dirs.isEmpty) return 0L
+    val compsPath = s"$statePath/comps"
+    val capPath = s"$statePath/capstate"
+    val applied = lastAppliedStream(sp, compsPath)
+    if (applied < 0L) return 0L // nothing folded yet, nothing stale
+    val index = sp.read.parquet(dirs: _*).select("doc", "s")
+    val counts = index.groupBy("s").agg(count(lit(1)).as("__df"))
+    val above = counts.filter(col("__df") > maxDocFreq).select("s")
+    val prevAbove = readVersioned(sp, capPath, "s BIGINT")
+    val crossing = above.join(prevAbove, Seq("s"), "left_anti")
+      .localCheckpoint(true) // tiny: newly-capped shingles only
+    val nCross = crossing.count()
+    if (nCross == 0L) return 0L
+    val comps = readCcState(sp, statePath)
+    val t0 = index.join(crossing, Seq("s"), "left_semi")
+      .select(col("doc").as("node")).distinct()
+    val touchedComps = comps.join(t0, Seq("node"), "left_semi")
+      .select("comp").distinct()
+    val m = comps.join(touchedComps, Seq("comp"), "left_semi")
+      .select("node").unionByName(t0).distinct()
+    val keep = counts.filter(col("__df") <= maxDocFreq).select("s")
+    val kept = index.join(keep, Seq("s")).select("doc", "s")
+    val sizes = kept.groupBy("doc").agg(count(lit(1)).as("kz"))
+    val pm = kept.join(m.withColumnRenamed("node", "doc"), Seq("doc"),
+      "left_semi")
+    val pairs = pm.select(col("doc").as("pa"), col("s"))
+      .join(kept.select(col("doc").as("pb"), col("s")), Seq("s"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"), col("s"))
+      .distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("kz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("kz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")) >= 0.1)
+      .select("doc_a", "doc_b")
+    // endpoints OUTSIDE the touched set contract to their (valid,
+    // untouched) component rep; touched members stay raw doc ids so
+    // their membership is decided purely by the recomputed edges
+    val extRep = comps.join(m, Seq("node"), "left_anti")
+    val contracted = pairs
+      .join(extRep.select(col("node").as("doc_a"), col("comp").as("ca")),
+        Seq("doc_a"), "left")
+      .join(extRep.select(col("node").as("doc_b"), col("comp").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val merged = DedupOps.connectedComponents(contracted)
+    val remap = merged.select(col("node").as("comp"), col("comp").as("newc"))
+    val baseUntouched = comps.join(touchedComps, Seq("comp"), "left_anti")
+    val baseFinal = baseUntouched.join(remap, Seq("comp"), "left")
+      .select(col("node"), coalesce(col("newc"), col("comp")).as("comp"))
+    val freshFinal = merged
+      .join(baseUntouched.select("node"), Seq("node"), "left_anti")
+    val next = baseFinal.unionByName(freshFinal).localCheckpoint(true)
+    val committed = committedVersions(sp, compsPath)
+    commitVersioned(sp, compsPath, nextVersion(committed, applied), next,
+      committed, applied)
+    val capCommitted = committedVersions(sp, capPath)
+    commitVersioned(sp, capPath,
+      if (capCommitted.isEmpty) 0L else capCommitted.max + 1L,
+      above, capCommitted, applied)
+    nCross
   }
 
   /** COMPACT the maintainCc posting index: merge the consolidated run

@@ -69,7 +69,7 @@ class AnnRecallSpec extends SparkSpec {
     val exact = VectorOps.knnGraphMutual(e, "vec_id", "embedding", 5)
       .collect().map(_.toString).sorted
     val lsh = VectorOps.knnGraphMutualLsh(e, "vec_id", "embedding", 5,
-      planes = 2, tables = 16).collect().map(_.toString).sorted
+      planes = 2, tables = 16, maxBucket = None).collect().map(_.toString).sorted
     assert(exact.length > 0 && exact.sameElements(lsh),
       s"LSH twin diverged: ${exact.diff(lsh).take(3).toSeq} vs ${lsh.diff(exact).take(3).toSeq}")
   }
@@ -77,7 +77,7 @@ class AnnRecallSpec extends SparkSpec {
   test("knn graph LSH twin: bucketed equi-join plan, no quadratic operator") {
     val e = Tables.embeddings(spark, d)
     val p = VectorOps.knnGraphMutualLsh(e, "vec_id", "embedding", 5,
-      planes = 2, tables = 16).queryExecution.executedPlan.toString
+      planes = 2, tables = 16, maxBucket = None).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"quadratic candidate join in the LSH twin:\n$p")
     // and not the blocked all-pairs generator either: its signature is
@@ -126,7 +126,7 @@ class AnnRecallSpec extends SparkSpec {
     val exact = VectorOps.knnGraphMutual(emb, "vec_id", "embedding", 5)
       .collect().map(_.toString).sorted
     val lsh = VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5,
-      planes, tables).collect().map(_.toString).sorted
+      planes, tables, maxBucket = None).collect().map(_.toString).sorted
     assert(exact.length > 0 && exact.sameElements(lsh),
       s"clustered twin diverged: ${exact.diff(lsh).take(3).toSeq} vs ${lsh.diff(exact).take(3).toSeq}")
     // the measured pruning claim: candidates ≪ N(N-1)/2
@@ -220,12 +220,12 @@ class AnnRecallSpec extends SparkSpec {
       val t0 = System.nanoTime(); f(); System.nanoTime() - t0
     }.min
     // warm both paths once (codegen + broadcast warm-up off the clock)
-    VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5, 8, 8).count()
+    VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5, 8, 8, maxBucket = None).count()
     VectorOps.knnGraphMutual(emb, "vec_id", "embedding", 5).count()
     val tExact = timeMin(() =>
       VectorOps.knnGraphMutual(emb, "vec_id", "embedding", 5).count())
     val tLsh = timeMin(() =>
-      VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5, 8, 8).count())
+      VectorOps.knnGraphMutualLsh(emb, "vec_id", "embedding", 5, 8, 8, maxBucket = None).count())
     info(f"exact=${tExact / 1e9}%.2fs lsh=${tLsh / 1e9}%.2fs speedup=${tExact.toDouble / tLsh}%.1f×")
     assert(tLsh < tExact,
       f"LSH twin not faster on the clustered fixture: lsh=${tLsh / 1e9}%.2fs exact=${tExact / 1e9}%.2fs")

@@ -271,7 +271,8 @@ class GraphRetrievalSpec extends SparkSpec {
 
   test("para pairs: exactly the cross-source subset of the jaccard pairs") {
     val all = graft.ops.DedupOps
-      .jaccardPairs(graft.Tables.documents(spark, sf), "doc_id", "text", 3, 0.1)
+      .jaccardPairs(graft.Tables.documents(spark, sf), "doc_id", "text", 3, 0.1,
+        maxDocFreq = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     val srcOf = graft.Tables.documents(spark, sf)
       .select("doc_id", "source").collect()

@@ -154,7 +154,7 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val want = graft.ops.DedupOps.connectedComponents(
       graft.ops.DedupOps.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.1).select("doc_a", "doc_b"))
+        n = 3, threshold = 0.1, maxDocFreq = None).select("doc_a", "doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(got == want,
       s"maintained components diverge from batch recompute: got=${got.take(5)}… want=${want.take(5)}…")

@@ -307,4 +307,60 @@ class PlanQualitySpec extends SparkSpec {
       s"edit re-rank degraded to all-pairs:\n$p")
   }
 
+  test("scale-safe defaults: DEFAULT graph/dedup/ANN plans carry the cap") {
+    // round-14 contract: a caller who types nothing gets the BOUNDED
+    // plan — the docFreq keep-set join (jaccard/graph family) or the
+    // rank-free bottomk bucket cap (LSH/ANN family). The exact forms
+    // stay reachable only via an explicit None (the oracle twins pass
+    // it). Asserting on the optimized plan keeps this a compile-level
+    // guarantee: a default regression fails here before any benchmark.
+    import graft.ops.{DedupOps, GraphOps, VectorOps}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def opt(df: DataFrame): String = df.queryExecution.optimizedPlan.toString
+    val cap = graft.ops.Scale.DocFreqCap.get
+    // docFreq keep-set: the `count <= cap` filter must appear
+    assert(opt(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1))
+        .contains(s"<= $cap"),
+      "jaccardPairs DEFAULT plan lost the docFreq cap")
+    // graph entries checkpoint their edge set (lineage cut), so their
+    // default is pinned BEHAVIORALLY: a synthetic storm corpus whose
+    // one shingle sits in > cap documents must yield ZERO default
+    // edges/triangles (the keep-set drops it) while the explicit
+    // exact opt-out sees the full clique
+    locally {
+      import spark.implicits._
+      val stormDir = java.nio.file.Files
+        .createTempDirectory("graft_capdefault").toString
+      (0 until (cap + 4).toInt).map(i => (i.toLong, "a b c"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$stormDir/documents.parquet")
+      assert(GraphOps.triangles(spark, stormDir).count() == 0,
+        "triangles DEFAULT did not cap the storm shingle")
+      assert(GraphOps.triangles(spark, stormDir, maxDocFreq = None).count() > 0,
+        "triangles explicit None lost the exact path")
+      assert(GraphOps.docPageRank(spark, stormDir)
+          .agg(max("deg")).head().getLong(0) == 0L,
+        "docPageRank DEFAULT did not cap the storm shingle")
+    }
+    // bucket cap: the bottomk_sample aggregate must appear
+    for ((name, df) <- Seq(
+      "lshNearDup" -> VectorOps.lshNearDup(emb, "vec_id", "embedding",
+        0.9, planes = 12, tables = 4),
+      "knnGraphMutualLsh" -> VectorOps.knnGraphMutualLsh(emb, "vec_id",
+        "embedding", 5, planes = 2, tables = 16),
+      "hardNegativesLsh" -> VectorOps.hardNegativesLsh(emb, "vec_id",
+        "embedding", "label", 6, 16, 3, col("vec_id") % 5 === 0),
+      "lshCandidates" -> DedupOps.lshCandidates(
+        DedupOps.minhashSigWide(docs, "doc_id", "text", 32), 32, 2),
+      "editNearDup" -> DedupOps.editNearDup(docs, "doc_id", "text",
+        32, 2, 256, 0.8)))
+      assert(opt(df).contains("bottomk_sample"),
+        s"$name DEFAULT plan lost the bucket cap:\n${opt(df).take(2000)}")
+    // and the exact opt-out stays exact: no cap markers
+    val exact = opt(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDocFreq = None))
+    assert(!exact.contains(s"<= $cap"), "explicit None still capped")
+  }
+
 }

@@ -743,7 +743,8 @@ object IncrCcProps extends SparkProps("IncrCC") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         .sorted
       val full = DedupOps.connectedComponents(
-        DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+        DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.1, maxDocFreq = None)
           .select("doc_a", "doc_b"))
       val szs = full.groupBy("comp").agg(count(lit(1)).as("cs"))
       val want = full.join(szs, Seq("comp"))
@@ -778,6 +779,63 @@ object IncrCcProps extends SparkProps("IncrCC") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         .sorted
       Prop(got == want) :| s"texts=$texts mask=$mask got=$got want=$want"
+    }
+}
+
+/** The cap-crossing law for the CAPPED streaming CC maintainer: for
+  * ANY corpus, ANY batch split, ANY interleaving of mid-stream recaps,
+  * folding with the live keep-set and then running the cap-crossing
+  * compaction ([[graft.streaming.StreamOps.recapCc]]) equals the
+  * capped BATCH recompute — i.e. the recap retires exactly the stale
+  * edges of shingles that crossed the cap mid-stream. */
+object CcRecapProps extends SparkProps("CcRecap") {
+  import org.apache.spark.sql.functions._
+  import graft.ops.DedupOps
+  import graft.streaming.StreamOps
+
+  private val cap = 3L
+  // tiny vocab + low cap so shingles genuinely cross mid-stream
+  private val caseGen = for {
+    n <- Gen.chooseNum(6, 14)
+    texts <- Gen.listOfN(n, Gen.chooseNum(5, 10).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf((0 until 8).map(i => s"w$i")))
+        .map(_.mkString(" "))))
+    nb <- Gen.chooseNum(2, 4)
+    assign <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+    recapAfter <- Gen.listOfN(4, Gen.oneOf(true, false))
+  } yield (texts, assign.map(_ % nb), nb, recapAfter)
+
+  property("fold + cap-crossing recap equals the capped batch recompute") =
+    forAll(caseGen) { case (texts, assign, nb, recapAfter) =>
+      val sp = spark
+      import sp.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_recap")
+      val statePath = stateDir.toString
+      try {
+        (0 until nb).foreach { b =>
+          val rows = docs.zip(assign).collect { case (d, a) if a == b => d }
+          StreamOps.applyCcBatch(rows.toDF("doc_id", "text"), statePath,
+            b.toLong, maxDocFreq = Some(cap))
+          if (recapAfter(b)) StreamOps.recapCc(sp, statePath, cap)
+        }
+        StreamOps.recapCc(sp, statePath, cap)
+        val got = StreamOps.readCcState(sp, statePath)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val want = DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id",
+            "text", n = 3, threshold = 0.1, maxDocFreq = Some(cap))
+            .select("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        Prop(got == want) :|
+          s"texts=$texts assign=$assign recaps=$recapAfter got=$got want=$want"
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete()
+        }
+        rm(stateDir.toFile)
+      }
     }
 }
 
