@@ -277,22 +277,13 @@ case class VecDotExpr(left: Expression, right: Expression)
     }
     s
   }
+  // static call, not an inline loop: PQ/k-means/ADC projections bake
+  // dozens of vec_dot sites per method (one per centroid literal), and
+  // inlined loops push the generated method past the JVM's ~8 KB JIT
+  // ceiling into interpreted bytecode — the round-13 "JIT compile
+  // ceiling" note on pqEncode was exactly this. See VecDotLongExpr.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      s"""
-         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         double $s = 0.0;
-         for (int $i = 0; $i < $n; $i++) {
-           if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-             $s += $a.getDouble($i) * $b.getDouble($i);
-           }
-         }
-         ${ev.value} = $s;
-       """
-    })
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.VecRt.dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

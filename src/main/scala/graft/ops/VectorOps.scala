@@ -519,10 +519,15 @@ object VectorOps {
                             clusters: Int = 25, dims: Int = 32,
                             planes: Int = 8, tables: Int = 8): DataFrame = {
     val derived = clusteredGateVectors(df, id, clusters, dims)
+    // persist(), not eager localCheckpoint: same one-materialization
+    // reuse across the stats/re-rank branches, but lineage survives —
+    // an executor lost mid-query recomputes the partition instead of
+    // failing the query (the RankKernel doctrine; round-13 verdict
+    // flagged the non-replicated checkpoint blocks here)
     val base = withNorm(derived, "vec_id", "embedding", "vid", "v", "n")
-      .localCheckpoint(true) // one signature pipeline, reused 3×
-    val cand = lshCandidatePairs(base, planes, tables)
-      .localCheckpoint(true) // counted once, re-ranked once
+      .persist() // one signature pipeline, reused 3×
+    val cand = lshCandidatePairs(base, planes, tables, maxBucket = None)
+      .persist() // counted once, re-ranked once
     val stats = cand.agg(count(lit(1)).as("cand_pairs"))
       .crossJoin(base.agg(count(lit(1)).as("__n")))
       .select(col("cand_pairs"),
@@ -627,10 +632,11 @@ object VectorOps {
                          planes: Int = 8, tables: Int = 8,
                          window: Int = 40, panelN: Int = 100): DataFrame = {
     val derived = clusteredGateVectors(df, id, clusters, dims)
+    // persist(), not eager localCheckpoint — see knnGraphClusteredGate
     val base = withNorm(derived, "vec_id", "embedding", "vid", "v", "n")
-      .localCheckpoint(true) // one signature pipeline, reused 4×
+      .persist() // one signature pipeline, reused 4×
     val cand = sortedWindowCandidates(base, planes, tables, window)
-      .localCheckpoint(true) // counted once, re-ranked once, recalled once
+      .persist() // counted once, re-ranked once, recalled once
     val stats = cand.agg(count(lit(1)).as("cand_pairs"))
       .crossJoin(base.agg(count(lit(1)).as("__n")))
       .select(col("cand_pairs"),
@@ -640,7 +646,7 @@ object VectorOps {
       .select(least(col("query_id"), col("cand_id")).as("vec_a"),
         greatest(col("query_id"), col("cand_id")).as("vec_b"))
       .distinct() // both endpoints in-panel → one normalized pair
-      .localCheckpoint(true)
+      .persist()
     val rec = panelPairs.join(cand, Seq("vec_a", "vec_b"), "left_semi")
       .agg(count(lit(1)).as("recall_num"))
       .crossJoin(panelPairs.agg(count(lit(1)).as("recall_den")))
@@ -930,8 +936,14 @@ object VectorOps {
   def lshNearDupCappedGate(df: DataFrame, id: String, vec: String,
                            threshold: Double, planes: Int, tables: Int,
                            maxBucket: Int, panelPred: Column): DataFrame = {
-    val (cand, out, base) =
+    val (cand0, out0, base) =
       cappedNearDupParts(df, id, vec, threshold, planes, tables, maxBucket)
+    // persist (recompute-tolerant), not checkpoint: cand feeds the
+    // stats leg + the re-rank, out feeds the result + the recall leg —
+    // without reuse each gate leg re-derives the augmented corpus and
+    // the bucketing
+    val cand = cand0.persist()
+    val out = out0.persist()
     val stats = cand.agg(count(lit(1)).as("cand_pairs"))
       .crossJoin(base.agg(count(lit(1)).as("__n")))
       .select(col("cand_pairs"),
