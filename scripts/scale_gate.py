@@ -22,7 +22,9 @@ out = {
         "exact-duplicate observations do not move bucketed/FSM outputs. "
         "A WHOLESALE x10 document duplication degenerates the text family "
         "to empty agreement (every shingle crosses the global cap) - the "
-        "mixed storm keeps the caps binding with non-trivial outputs."),
+        "mixed storm keeps the caps binding with non-trivial outputs. "
+        "Round 14 also measured the series rows cell-IDENTICAL to their "
+        "clean-sf0.1 outputs (true duplication-insensitivity)."),
     "queries": report,
 }
 with open(sys.argv[2], "w") as f:
