@@ -892,6 +892,10 @@ object VectorOps {
                                  threshold: Double, planes: Int, tables: Int,
                                  maxBucket: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    // deliberately NOT persisted: caching the wide array<double>
+    // column costs more than recomputing the narrow derivation
+    // (measured 13.6 → 31.3 s at the 10× corpus with a persist here —
+    // InMemoryRelation array materialization dominates)
     val base = withNorm(df, id, vec, "vid", "v", "n")
     val cand = cappedBucketPairs(base, planes, tables, maxBucket)
     val va = base.select(col("vid").as("vec_a"), col("v").as("va"),
