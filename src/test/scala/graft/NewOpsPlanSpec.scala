@@ -353,6 +353,28 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected a single lineitem scan:\n$p")
   }
 
+  test("capped twins: rank-free bottomk cap in-plan, candidate join stays equi") {
+    // the round-14 bounded trio: the cap must be the mergeable
+    // bottomk aggregate (no full-bucket Window sort), and the only
+    // non-equi joins are the deliberate 1-row stats/recall broadcasts
+    // (the q_knn_clustered pattern). A Window reappearing in the
+    // candidate path would mean the cap regressed to the row_number
+    // funnel.
+    // (q_embed_groups_capped shares q_ann_neardup_capped's generator;
+    // its own plan is cut by the CC iteration's checkpoints)
+    for ((name, df) <- Seq(
+      "q_lsh_pairs_capped" -> DataQueries.lshPairsCapped(spark, sf),
+      "q_ann_neardup_capped" -> DataQueries.annNearDupCapped(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("bottomk_sample"),
+        s"$name lost the rank-free cap:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name planned a cartesian:\n${p.take(1500)}")
+      assert(!p.contains("Window"),
+        s"$name cap regressed to a window sort:\n${p.take(1500)}")
+    }
+  }
+
   test("hardNegativesLsh: bucket equi-join only — no corpus-fraction BNLJ") {
     val df = DataQueries.hardNegativesLsh(spark, sf)
     val p = plan(df)
