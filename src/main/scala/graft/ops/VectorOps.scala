@@ -584,31 +584,52 @@ object VectorOps {
         // segment order so a split storm clique stays ONE connected
         // block (AnnRecallSpec's union-find contract). Honest buckets
         // (m ≤ segTarget) get nseg=1 — byte-identical to the unsplit
-        // form. The bucket-count join broadcasts (≤ tables·2^planes
-        // rows), so the only bucket-keyed exchange is the window's own
-        // (tbl, bucket, seg) — bounded by segTarget per task.
+        // form — and the SPLIT DECISION is data-dependent planning
+        // done cheaply (the RankKernel collect-local pattern): one
+        // driver peek at the max bucket count, and a corpus where no
+        // bucket overflows gets EXACTLY the pre-segmentation plan (no
+        // count join, no representatives pass — the peek's identity
+        // branch is what the oracle's segmented arithmetic reduces to
+        // when every nseg = 1, so both plans hash-agree by
+        // construction). Measured: the always-segmented form taxed
+        // the sf0.1 gate +2.0 s for machinery the data never used.
         val cnts = bk.groupBy("tbl", "bucket").agg(count(lit(1)).as("__m"))
-        val bk2 = bk.join(broadcast(cnts), Seq("tbl", "bucket"))
-          .withColumn("__nseg",
-            expr(s"(__m + ${segTarget - 1}) div $segTarget"))
-          .withColumn("seg",
-            pmod(TextOps.h64(col("vid").cast("string")), col("__nseg")))
+        val maxBucketN = cnts.agg(max("__m")).head().getLong(0)
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("tbl", "bucket", "seg")
-          .orderBy(col("fp").asc, col("vid").asc)
-        val succ = (1 to window).map(j => lead(col("vid"), j).over(w))
-        val chain = bk2.select(col("vid"), array(succ: _*).as("nbrs"))
+        val (linked, stitchOpt) =
+          if (maxBucketN <= segTarget) {
+            val w = Window.partitionBy("tbl", "bucket")
+              .orderBy(col("fp").asc, col("vid").asc)
+            val succ = (1 to window).map(j => lead(col("vid"), j).over(w))
+            (bk.select(col("vid"), array(succ: _*).as("nbrs")), None)
+          } else {
+            // the bucket-count join broadcasts (≤ tables·2^planes
+            // rows), so the only bucket-keyed exchange is the window's
+            // own (tbl, bucket, seg) — bounded by segTarget per task
+            val bk2 = bk.join(broadcast(cnts), Seq("tbl", "bucket"))
+              .withColumn("__nseg",
+                expr(s"(__m + ${segTarget - 1}) div $segTarget"))
+              .withColumn("seg",
+                pmod(TextOps.h64(col("vid").cast("string")), col("__nseg")))
+            val w = Window.partitionBy("tbl", "bucket", "seg")
+              .orderBy(col("fp").asc, col("vid").asc)
+            val succ = (1 to window).map(j => lead(col("vid"), j).over(w))
+            val reps = bk2.groupBy("tbl", "bucket", "seg")
+              .agg(min(struct(col("fp"), col("vid"))).as("r"))
+              .select(col("tbl"), col("bucket"), col("seg"),
+                col("r.vid").as("vid"))
+            val wr = Window.partitionBy("tbl", "bucket")
+              .orderBy(col("seg").asc)
+            val stitch = reps
+              .withColumn("nxt", lead(col("vid"), 1).over(wr))
+              .filter(col("nxt").isNotNull)
+              .select(col("vid").as("va"), col("nxt").as("vb"))
+            (bk2.select(col("vid"), array(succ: _*).as("nbrs")), Some(stitch))
+          }
+        val chain = linked
           .select(col("vid").as("va"), explode(col("nbrs")).as("vb"))
           .filter(col("vb").isNotNull)
-        val reps = bk2.groupBy("tbl", "bucket", "seg")
-          .agg(min(struct(col("fp"), col("vid"))).as("r"))
-          .select(col("tbl"), col("bucket"), col("seg"), col("r.vid").as("vid"))
-        val wr = Window.partitionBy("tbl", "bucket").orderBy(col("seg").asc)
-        val stitch = reps
-          .withColumn("nxt", lead(col("vid"), 1).over(wr))
-          .filter(col("nxt").isNotNull)
-          .select(col("vid").as("va"), col("nxt").as("vb"))
-        chain.unionByName(stitch)
+        stitchOpt.fold(chain)(chain.unionByName(_))
           .select(least(col("va"), col("vb")).as("vec_a"),
             greatest(col("va"), col("vb")).as("vec_b"))
           .distinct() // tables overlap; the lex order varies per pass
