@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NullType, StructField, StructType}
+
+import scala.collection.mutable
 
 /** Skew-safe EXACT per-stratum ranking / running sums.
   *
@@ -17,8 +20,9 @@ import org.apache.spark.sql.functions._
   *      aggregate per (stratum, bucket): row count (+ mass sum) — a
   *      map-combined shuffle producing an O(#strata × buckets) table;
   *   2. running-sum that TINY table per stratum in bucket order to get
-  *      each bucket's row-rank / mass offset (a window over ≤ `buckets`
-  *      rows per stratum — trivially small by construction);
+  *      each bucket's row-rank / mass offset — computed ON THE DRIVER
+  *      from the collected aggregate (≤ `buckets` rows per stratum —
+  *      trivially small by construction, so no window, no exchange);
   *   3. broadcast the offset table back and rank/cumsum only WITHIN
   *      (stratum, bucket): `offset + intra-bucket row_number/cumsum`.
   *
@@ -43,11 +47,12 @@ import org.apache.spark.sql.functions._
   * exactly one level and the answer stays exact — a HASH of the tie
   * would spread the rows but lose the offset decomposition. Cells
   * containing nulls, or mixing NaN with numbers, never split. The
-  * split is DATA-DEPENDENT planning done cheaply: the tiny offset
-  * table is COLLECTED by ONE driver action and re-emitted as a
-  * driver-local relation — the split decision reads the in-memory
-  * rows for free, pass 1 + 2 run exactly once, and the fan-back
-  * broadcast ships driver memory instead of re-running the aggregate.
+  * split is DATA-DEPENDENT planning done cheaply: the pass-1 aggregate
+  * is COLLECTED by ONE driver action, the running offsets and the
+  * split decision are plain driver arithmetic over those in-memory
+  * rows (round 14 — the offset window and its exchange are gone from
+  * the collect job entirely), and the fan-back broadcast ships driver
+  * memory instead of re-running the aggregate.
   * With no oversized cell the emitted plan is exactly the pre-split
   * two-pass, zero extra corpus passes (and the broadcast carries only
   * the four offset columns, none of the split machinery); with one,
@@ -146,18 +151,103 @@ object RankKernel {
           min(col(tie)).as("__tmin"), max(col(tie)).as("__tmax")) ++
           massAggs): _*)
 
-    // pass 2: running offsets over the SMALL table — the only window
-    // partitioned by the bare stratum, over ≤ `buckets` rows/stratum.
-    // Bucket DESC mirrors score DESC.
-    val wRun = Window.partitionBy(stratum).orderBy(col("__bkt").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(stratum)
-    var off = tbl
-      .withColumn("__noff", sum("__bn").over(wRun) - col("__bn"))
-      .withColumn(cols.n, sum("__bn").over(wAll))
-    if (mass.isDefined) off = off
-      .withColumn("__moff", sum("__bm").over(wRun) - col("__bm"))
-      .withColumn(cols.m, sum("__bm").over(wAll))
+    // pass 2: running offsets over the SMALL table — ≤ `buckets` rows
+    // per stratum BY CONSTRUCTION, so it runs ON THE DRIVER (round 14,
+    // the r12 "fold the fast-path detection into pass 1" ask taken to
+    // its end): collect the aggregate directly and compute the running
+    // sums in plain arithmetic. The collect job now ENDS at the
+    // map-combined aggregate — the per-stratum offset window, its
+    // exchange and its sort are gone from the plan entirely — and the
+    // split-mode / prune expressions below fold over the resulting
+    // local relation without launching anything
+    // (ConvertToLocalRelation). Long counts wrap like non-ANSI SQL sum;
+    // mass sums arrive from pass 1 ALREADY WIDENED by Spark's sum()
+    // (long for every integral mass, double for floating — all current
+    // callers are long token counts), and the iteration order (bucket
+    // DESC inside each stratum) reproduces the window frame's addition
+    // order, so double rounding is bit-identical too. An exotic mass
+    // sum type (decimal) keeps the original tiny-table Spark window so
+    // SQL decimal arithmetic stays engine-exact. Bucket DESC mirrors
+    // score DESC.
+    val bmType: DataType =
+      if (mass.isDefined) tbl.schema("__bm").dataType else NullType
+    val driverPass2 =
+      mass.isEmpty || bmType == LongType || bmType == DoubleType
+    var off: DataFrame = if (driverPass2) {
+      val aggSchema = tbl.schema
+      val si = aggSchema.fieldIndex(stratum)
+      val bki = aggSchema.fieldIndex("__bkt")
+      val bni = aggSchema.fieldIndex("__bn")
+      val bmi = if (mass.isDefined) aggSchema.fieldIndex("__bm") else -1
+      // SQL sum semantics: nulls are skipped, an all-null run sums to
+      // null; the offset subtraction then null-propagates like `-` does
+      def plus(a: Any, b: Any): Any = (a, b) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x: java.lang.Long, y: java.lang.Long) =>
+          java.lang.Long.valueOf(x.longValue + y.longValue)
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          java.lang.Double.valueOf(x.doubleValue + y.doubleValue)
+      }
+      def minus(a: Any, b: Any): Any =
+        if (a == null || b == null) null
+        else (a, b) match {
+          case (x: java.lang.Long, y: java.lang.Long) =>
+            java.lang.Long.valueOf(x.longValue - y.longValue)
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            java.lang.Double.valueOf(x.doubleValue - y.doubleValue)
+        }
+      // boxed-value grouping matches Spark's group keys: the aggregate
+      // already merged NaN strata (and normalized -0.0), so each
+      // distinct collected stratum value IS one group
+      val groups = mutable.LinkedHashMap.empty[Any, mutable.ArrayBuffer[Row]]
+      tbl.collect().foreach { r =>
+        groups.getOrElseUpdate(r.get(si), mutable.ArrayBuffer.empty[Row]) += r
+      }
+      val local = new java.util.ArrayList[Row]()
+      groups.valuesIterator.foreach { rows =>
+        val sorted = rows.sortBy(r => -r.getInt(bki))
+        var totalN = 0L
+        var totalM: Any = null
+        sorted.foreach { r =>
+          totalN += r.getLong(bni)
+          if (bmi >= 0) totalM = plus(totalM, r.get(bmi))
+        }
+        var runN = 0L
+        var runM: Any = null
+        sorted.foreach { r =>
+          val bn = r.getLong(bni)
+          runN += bn
+          var vals = r.toSeq ++ Seq(java.lang.Long.valueOf(runN - bn),
+            java.lang.Long.valueOf(totalN))
+          if (bmi >= 0) {
+            val bm = r.get(bmi)
+            runM = plus(runM, bm)
+            vals = vals ++ Seq(minus(runM, bm), totalM)
+          }
+          local.add(Row.fromSeq(vals))
+        }
+      }
+      val offSchema = StructType(aggSchema.fields ++
+        (Seq(StructField("__noff", LongType, nullable = true),
+          StructField(cols.n, LongType, nullable = true)) ++
+          (if (mass.isDefined)
+            Seq(StructField("__moff", bmType, nullable = true),
+              StructField(cols.m, bmType, nullable = true))
+          else Nil)))
+      df.sparkSession.createDataFrame(local, offSchema)
+    } else {
+      val wRun = Window.partitionBy(stratum).orderBy(col("__bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(stratum)
+      var o = tbl
+        .withColumn("__noff", sum("__bn").over(wRun) - col("__bn"))
+        .withColumn(cols.n, sum("__bn").over(wAll))
+      if (mass.isDefined) o = o
+        .withColumn("__moff", sum("__bm").over(wRun) - col("__bm"))
+        .withColumn(cols.m, sum("__bm").over(wAll))
+      o
+    }
     // OVERSIZED-cell split modes (rows > atomBound, no null scores):
     //   1 — a single score ATOM: in-cell order is pure tie order, so a
     //       tie-range quantization decomposes rank offsets exactly;
