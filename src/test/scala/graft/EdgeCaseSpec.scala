@@ -327,6 +327,29 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("rank kernel: a NULL stratum is its own group, same as the naive window") {
+    // groupBy puts null keys in one group and window partitionBy does
+    // the same — the kernel's driver-side pass 2 (round 14) must keep
+    // that grouping when the collected stratum value is null
+    import graft.ops.RankKernel
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, "en", 0.9, 2L), (2L, null, 0.8, 3L), (3L, "en", 0.7, 1L),
+        (4L, null, 0.6, 5L), (5L, null, 0.95, 4L))
+      .toDF("doc_id", "lang", "q", "n_tok")
+    val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+    val naive = df
+      .withColumn("nr", row_number().over(w).cast("long"))
+      .withColumn("nc", sum("n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .select("doc_id", "nr", "nc")
+    val kern = RankKernel.withStratumRank(df, "lang", "q", "doc_id",
+        mass = Some("n_tok"))
+      .select(col("doc_id"), col("__rank").as("kr"), col("__cum_before").as("kc"))
+    val bad = naive.join(kern, Seq("doc_id"))
+      .filter(col("nr") =!= col("kr") || col("nc") =!= col("kc")).collect()
+    assert(bad.isEmpty, s"null-stratum divergence: ${bad.toSeq}")
+  }
+
   test("nfc dedup key: composed and decomposed re-encodes collapse; ASCII is identity") {
     val composed = "café menu"      // é as U+00E9
     val decomposed = "café menu"   // e + COMBINING ACUTE ACCENT
