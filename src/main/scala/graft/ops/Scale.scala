@@ -43,12 +43,14 @@ object Scale {
     * as long; the hash is of its canonical string form, so the DuckDB
     * oracle replays the kept set with the row_number spelling). */
   def boundedMembers(df: DataFrame, keyCols: Seq[String], idCol: String,
-                     cap: Int): DataFrame =
+                     cap: Int): DataFrame = {
+    require(cap > 0, s"boundedMembers: cap must be positive, got $cap")
     df.groupBy(keyCols.map(col): _*)
       .agg(call_function("bottomk_sample",
         TextOps.h64(col(idCol).cast("string")),
         col(idCol).cast("long"), lit(cap)).as("__keep"))
       .select(keyCols.map(col) :+ explode(col("__keep")).as(idCol): _*)
+  }
 
   /** Two-phase aggregation with salting: partial-aggregate on
     * (key, salt) — spreading a hot key over `saltBuckets` reducers —
