@@ -3997,8 +3997,14 @@ object DataQueries {
     def one(r: Int): DataFrame = {
       // rename by NAME: a positional toDF would silently mis-bind the
       // join keys if lshBands ever grew or reordered a column
-      val bands = DedupOps.lshBands(sig, k = 32, r = r)
-        .select(col("doc"), col("band"), col("bh"))
+      // explicit-count exchange before the band self-join: each config
+      // leg's expansion is quadratic in bucket membership, and AQE's
+      // map-output-sized coalescing ran each leg's expansion in ONE
+      // task (measured 0.8/0.5/0.3 s serial at sf0.1 — Scale doc)
+      val bands = graft.ops.Scale.fanoutRepartition(
+        DedupOps.lshBands(sig, k = 32, r = r)
+          .select(col("doc"), col("band"), col("bh")),
+        col("band"), col("bh"))
       val cand = bands.select(col("doc").as("da"), col("band"), col("bh"))
         .as("x").join(bands.select(col("doc").as("db"), col("band"), col("bh"))
           .as("y"), Seq("band", "bh"))

@@ -358,6 +358,11 @@ object DedupOps {
   def prefixJoin(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val arr = df.select(col(id).as("doc"),
       TextOps.shingleHashes(col(text), n).as("arr"))
+    // plain keyed repartition, NOT fanoutRepartition: rare-first
+    // prefixes collapse the pair fan-out BY DESIGN, so there is no
+    // expansion to protect — measured, the explicit-count exchange
+    // regressed this query 1.86→2.5 s at sf0.1 (extra tiny tasks
+    // across the freq/window stages)
     val sh = arr
       .select(col("doc"), size(col("arr")).as("sz"),
         explode_outer(col("arr")).as("s")) // outer: see jaccardPairs
@@ -415,10 +420,11 @@ object DedupOps {
         // one shuffle by shingle feeds BOTH the doc-frequency aggregate
         // (already clustered — no second exchange) and the filter join
         // back against it, so the scan→shingle→explode pipeline
-        // materializes once
-        val sh = arr.select(col("doc"), explode_outer(col("arr")).as("s"))
-          .filter(col("s").isNotNull)
-          .repartition(col("s"))
+        // materializes once; explicit-count so AQE cannot coalesce the
+        // quadratic pair expansion downstream (Scale.fanoutRepartition)
+        val sh = Scale.fanoutRepartition(
+          arr.select(col("doc"), explode_outer(col("arr")).as("s"))
+            .filter(col("s").isNotNull), col("s"))
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
         sh.join(freq.filter(col("df") <= cap).select("s"), Seq("s"))
           .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc")))
@@ -429,7 +435,7 @@ object DedupOps {
     // ReuseExchange computes the scan→tokenize→shingle→explode pipeline
     // once (without it, each side re-scans and re-fingerprints the
     // corpus — 2× the dominant cost at scale)
-    val byShingle = filtered.repartition(col("s"))
+    val byShingle = Scale.fanoutRepartition(filtered, col("s"))
     val a = byShingle.toDF("doc_a", "sz_a", "s")
     val b = byShingle.toDF("doc_b", "sz_b", "s")
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -538,6 +544,12 @@ object DedupOps {
         Scale.boundedMembers(lshBands(sigWide, k, r).select("doc", "band", "bh"),
           Seq("band", "bh"), "doc", cap).select("doc", "band", "bh")
       case None =>
+        // plain keyed repartition, NOT fanoutRepartition: measured at
+        // sf0.1 the explicit-count exchange REGRESSED this path 15-35%
+        // (q_edit_neardup 1.61→2.0 s) — 16-band MinHash buckets on the
+        // honest corpus are small, so the pair expansion AQE coalesces
+        // here is bounded by design and the extra tiny tasks are tax;
+        // the storm-scale path is the capped branch above
         lshBands(sigWide, k, r).repartition(col("band"), col("bh"))
     }
 

@@ -28,6 +28,31 @@ object Scale {
     * `maxBucket = None` explicitly. */
   val BucketCap: Option[Int] = Some(256)
 
+  /** Session shuffle parallelism (spark.sql.shuffle.partitions) — the
+    * cluster-sized reducer count, env-derived in GraftSession, never a
+    * local constant. */
+  def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Pin an exploding operator's reduce-side parallelism. AQE's
+    * partition coalescing sizes reducers by MAP-OUTPUT bytes, but a
+    * fan-out operator's OUTPUT is orders of magnitude larger than its
+    * input (a bucket self-join emits Σm² pairs from Σm rows; a window
+    * chain emits ×window rows), so on a small keyed input the whole
+    * quadratic expansion collapses into 1–3 serial tasks — measured at
+    * sf0.1: the SRP bucket self-join behind q_knn_graph_lsh ran its
+    * 2.8 s expansion in ONE task, and the same shape recurs at cluster
+    * scale whenever a filtered/sketched input feeds a fan-out join
+    * (guide §2.2: reducer count must track output, not input, bytes).
+    * A repartition with an EXPLICIT count (REPARTITION_BY_NUM) is
+    * exempt from AQE coalescing, so the expansion keeps cluster
+    * parallelism; the count follows spark.sql.shuffle.partitions, so
+    * it scales with the session, never a local[32] constant. Keyed
+    * identically on both self-join sides, the two exchanges still
+    * canonicalize to one (ReuseExchange materializes the input once). */
+  def fanoutRepartition(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(shufflePartitions(df), keys: _*)
+
   /** RANK-FREE bounded cap: keep at most `cap` members per key group,
     * chosen in deterministic (h64(id), id) order — equivalent to
     * `row_number() OVER (PARTITION BY keys ORDER BY h64(id), id) <= cap`

@@ -386,7 +386,13 @@ object VectorOps {
     val b = base.withColumn("ba", explode(sequence(lit(0), col("blk"))))
       .select(col("vid").as("id_b"), col("v").as("vb"), col("n").as("nb"),
         col("ba"), col("blk").as("bb"))
-    a.join(b, Seq("ba", "bb"))
+    // the even spread over B(B+1)/2 keys is this operator's whole
+    // point; pin it with an explicit-count exchange — planned from raw
+    // size estimates, the tiny-input join broadcasts one side and runs
+    // the O(n²) dot products in the SCAN's split count (measured: 2
+    // tasks carrying 5.3 s of CPU at sf0.1, the serialization this
+    // operator exists to avoid)
+    Scale.fanoutRepartition(a, col("ba"), col("bb")).join(b, Seq("ba", "bb"))
       .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
@@ -419,8 +425,12 @@ object VectorOps {
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
       .unionByName(pairs
         .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    // explicit-count exchange under the rank window: the pair set is
+    // ×2k the node count but small in BYTES, so AQE coalesces the
+    // window's exchange to one task and the whole rank runs serially
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
-    val top = dir.withColumn("rk", row_number().over(w))
+    val top = Scale.fanoutRepartition(dir, col("src"))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
     val rev = top.select(col("dst").as("src"), col("src").as("dst"),
       col("rk").as("rk_b"))
@@ -528,12 +538,21 @@ object VectorOps {
       .persist() // one signature pipeline, reused 3×
     val cand = lshCandidatePairs(base, planes, tables, maxBucket = None)
       .persist() // counted once, re-ranked once
-    val stats = cand.agg(count(lit(1)).as("cand_pairs"))
+    // collect-local diagnostics (the RankKernel pattern): as an eager
+    // broadcast subquery the 1-row stats aggregate raced the main job
+    // into materializing the persisted `cand` pipeline a second time
+    // (two concurrent jobs, block locks notwithstanding — measured as
+    // duplicate full-size stages in the capped twin). One sequential
+    // driver action materializes base+cand exactly once; the values
+    // re-attach as literals — identical columns, identical hash.
+    val statsRow = cand.agg(count(lit(1)).as("cand_pairs"))
       .crossJoin(base.agg(count(lit(1)).as("__n")))
       .select(col("cand_pairs"),
         ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
+      .head()
     mutualFromCandidates(base, cand, k)
-      .crossJoin(broadcast(stats))
+      .withColumn("cand_pairs", lit(statsRow.getLong(0)))
+      .withColumn("all_pairs", lit(statsRow.getLong(1)))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -658,22 +677,36 @@ object VectorOps {
       .persist() // one signature pipeline, reused 4×
     val cand = sortedWindowCandidates(base, planes, tables, window)
       .persist() // counted once, re-ranked once, recalled once
-    val stats = cand.agg(count(lit(1)).as("cand_pairs"))
+    // collect-local diagnostics (the RankKernel pattern): the two
+    // eager broadcast subqueries (stats, recall) launched CONCURRENT
+    // jobs that both hit the unmaterialized persisted `cand` and each
+    // computed the full pipeline — measured at sf0.1 as two identical
+    // 64-task stages of 18.7 s + 15.2 s executor time, about half the
+    // query. Sequential driver actions materialize base+cand once;
+    // the 1-row values re-attach as literals (same columns/hash).
+    val statsRow = cand.agg(count(lit(1)).as("cand_pairs"))
       .crossJoin(base.agg(count(lit(1)).as("__n")))
       .select(col("cand_pairs"),
         ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
+      .head()
     val panelPairs = cosineTopK(derived.filter(col("vec_id") < panelN),
         derived, "vec_id", "embedding", k)
       .select(least(col("query_id"), col("cand_id")).as("vec_a"),
         greatest(col("query_id"), col("cand_id")).as("vec_b"))
       .distinct() // both endpoints in-panel → one normalized pair
-      .persist()
-    val rec = panelPairs.join(cand, Seq("vec_a", "vec_b"), "left_semi")
-      .agg(count(lit(1)).as("recall_num"))
-      .crossJoin(panelPairs.agg(count(lit(1)).as("recall_den")))
+    // one pass over the panel: cand is distinct on (vec_a, vec_b), so
+    // a left join marks ≤1 hit per panel pair — count(__hit) ≡ the
+    // left_semi count, without the second panel materialization
+    val recRow = panelPairs
+      .join(cand.withColumn("__hit", lit(1)), Seq("vec_a", "vec_b"), "left")
+      .agg(count(col("__hit")).as("recall_num"),
+        count(lit(1)).as("recall_den"))
+      .head()
     mutualFromCandidates(base, cand, k)
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(rec))
+      .withColumn("cand_pairs", lit(statsRow.getLong(0)))
+      .withColumn("all_pairs", lit(statsRow.getLong(1)))
+      .withColumn("recall_num", lit(recRow.getLong(0)))
+      .withColumn("recall_den", lit(recRow.getLong(1)))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -818,8 +851,14 @@ object VectorOps {
 
   private def lshCandidatePairsExact(base: DataFrame, planes: Int,
                                      tables: Int): DataFrame = {
-    val bk = lshBucketsMulti(base, "vid", "v", planes, tables)
-      .repartition(col("tbl"), col("bucket"))
+    // fanoutRepartition, not repartition(col…): the self-join's output
+    // is quadratic in bucket size, so AQE's map-output-sized coalescing
+    // serialized the whole expansion into ONE task (measured 2.8 s of
+    // the 4.8 s q_knn_graph_lsh wall at sf0.1); an explicit-count
+    // exchange keeps the expansion cluster-parallel (Scale doc)
+    val bk = Scale.fanoutRepartition(
+      lshBucketsMulti(base, "vid", "v", planes, tables),
+      col("tbl"), col("bucket"))
     val a = bk.select(col("vid").as("id_a"), col("tbl").as("tbl_a"),
       col("bucket").as("bkt_a"))
     val b = bk.select(col("vid").as("id_b"), col("tbl").as("tbl_b"),
@@ -862,8 +901,11 @@ object VectorOps {
                               threshold: Double, planes: Int,
                               tables: Int): DataFrame = {
     val base = withNorm(df, id, vec, "vid", "v", "n")
-    val bk = lshBucketsMulti(base, "vid", "v", planes, tables)
-      .repartition(col("tbl"), col("bucket"))
+    // explicit-count exchange: see lshCandidatePairsExact (AQE would
+    // coalesce the quadratic bucket expansion into 1 task)
+    val bk = Scale.fanoutRepartition(
+      lshBucketsMulti(base, "vid", "v", planes, tables),
+      col("tbl"), col("bucket"))
     val a = bk.select(col("vid").as("id_a"), col("tbl").as("tbl_a"),
       col("bucket").as("bkt_a"))
     val b = bk.select(col("vid").as("id_b"), col("tbl").as("tbl_b"),
