@@ -1886,7 +1886,8 @@ object DataQueries {
       StructField("sum_abs", LongType, nullable = false),
       StructField("wsum_abs", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -1924,7 +1925,8 @@ object DataQueries {
       StructField("sum_abs", LongType, nullable = false),
       StructField("wsum_abs", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -1962,7 +1964,8 @@ object DataQueries {
       StructField("sum_abs", LongType, nullable = false),
       StructField("wsum_abs", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -1998,7 +2001,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("wsum_r", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2046,7 +2050,8 @@ object DataQueries {
       StructField("sum_abs", LongType, nullable = false),
       StructField("wsum_abs", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2124,7 +2129,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("wsum_r", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2171,7 +2177,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("wsum_r", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2226,7 +2233,8 @@ object DataQueries {
       StructField("wsum_r", LongType, nullable = false),
       StructField("within_band", BooleanType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2284,7 +2292,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("within_band", BooleanType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2349,7 +2358,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("wsum_r", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2403,7 +2413,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("within_band", BooleanType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2470,7 +2481,8 @@ object DataQueries {
       StructField("sum_b", LongType, nullable = false),
       StructField("within_band", BooleanType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2561,7 +2573,8 @@ object DataQueries {
       StructField("max_s", LongType, nullable = false),
       StructField("compressed", BooleanType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    Tables.documents(s, d).select(col("doc_id"))
+    Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2603,7 +2616,8 @@ object DataQueries {
       StructField("doc_id", LongType, nullable = false),
       StructField("dhash", StringType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    val hashed = Tables.documents(s, d).select(col("doc_id"))
+    val hashed = Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2665,7 +2679,8 @@ object DataQueries {
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
     implicit val enc = Encoders.row(media)
-    val df = Tables.documents(s, d).select(col("doc_id"))
+    val df = Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)
@@ -2703,7 +2718,8 @@ object DataQueries {
       StructField("doc_id", LongType, nullable = false),
       StructField("fp", LongType, nullable = false)))
     implicit val enc = Encoders.row(out)
-    val fps = Tables.documents(s, d).select(col("doc_id"))
+    val fps = Scale.fanoutRepartition(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .mapPartitions { rows =>
         rows.map { row =>
           val doc = row.getLong(0)

@@ -49,7 +49,17 @@ object Scale {
     * parallelism; the count follows spark.sql.shuffle.partitions, so
     * it scales with the session, never a local[32] constant. Keyed
     * identically on both self-join sides, the two exchanges still
-    * canonicalize to one (ReuseExchange materializes the input once). */
+    * canonicalize to one (ReuseExchange materializes the input once).
+    *
+    * The SAME lever applies to a CPU-heavy per-row KERNEL over a
+    * narrow projected row (the multimodal codec family: ids only,
+    * 8 B/row, then an encode∘decode costing ~ms/row): there the
+    * scan's split count — 1 task for a single small file — serializes
+    * a compute-bound stage, and the exchange ships only the key bytes,
+    * negligible at any scale next to the kernel (guide §8: move the
+    * lightweight proxy, spread the compute). Measured at sf0.1:
+    * q_jpeg_prog_features ran its entire 3.3 s of codec CPU in ONE
+    * scan task before this exchange. */
   def fanoutRepartition(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(shufflePartitions(df), keys: _*)
 
