@@ -331,9 +331,18 @@ object VectorOps {
     * stream by partition; per-query top-k is a window rank. Exact,
     * O(|Q|·|C|) dots — one per pair, norms precomputed. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, id: String,
-                 vec: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
-    val c = withNorm(candidates, id, vec, "cand_id", "cv", "cn")
+                 vec: String, k: Int, excludeSelf: Boolean = true): DataFrame =
+    cosineTopKPrepared(
+      withNorm(queries, id, vec, "query_id", "qv", "qn"),
+      withNorm(candidates, id, vec, "cand_id", "cv", "cn"), k, excludeSelf)
+
+  /** [[cosineTopK]] over ALREADY-prepared (id, vector, norm) frames —
+    * `q` as (query_id, qv, qn), `c` as (cand_id, cv, cn). Lets a gate
+    * query reuse its persisted normalized base instead of re-deriving
+    * the corpus on both sides of the panel leg (same expressions on
+    * the same values, bit-identical output). */
+  private def cosineTopKPrepared(q: DataFrame, c: DataFrame, k: Int,
+                                 excludeSelf: Boolean = true): DataFrame = {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -536,7 +545,11 @@ object VectorOps {
     // flagged the non-replicated checkpoint blocks here)
     val base = withNorm(derived, "vec_id", "embedding", "vid", "v", "n")
       .persist() // one signature pipeline, reused 3×
-    val cand = lshCandidatePairs(base, planes, tables, maxBucket = None)
+    // dims is this gate's own constructor constant — the vecDims
+    // head(1) probe would otherwise run one serial partition of the
+    // 64-md5-per-row derivation as its own job (measured ~0.5 s)
+    val cand = lshCandidatePairs(base, planes, tables, maxBucket = None,
+        dimsHint = Some(dims))
       .persist() // counted once, re-ranked once
     // collect-local diagnostics (the RankKernel pattern): as an eager
     // broadcast subquery the 1-row stats aggregate raced the main job
@@ -576,8 +589,10 @@ object VectorOps {
     * arithmetic is the engine-exact integer kind the oracle replays. */
   private[graft] def sortedWindowCandidates(base: DataFrame, planes: Int,
                                             tables: Int, window: Int,
-                                            segTarget: Int = 512): DataFrame =
-    vecDims(base, "v") match {
+                                            segTarget: Int = 512,
+                                            dimsHint: Option[Int] = None)
+      : DataFrame =
+    dimsHint.orElse(vecDims(base, "v")) match {
       case None =>
         base.select(col("vid").as("vec_a"), col("vid").as("vec_b")).limit(0)
       case Some(dims) =>
@@ -613,7 +628,13 @@ object VectorOps {
         // construction). Measured: the always-segmented form taxed
         // the sf0.1 gate +2.0 s for machinery the data never used.
         val cnts = bk.groupBy("tbl", "bucket").agg(count(lit(1)).as("__m"))
-        val maxBucketN = cnts.agg(max("__m")).head().getLong(0)
+        // null max ⇔ empty input (reachable with a dimsHint, which
+        // skips the emptiness-detecting vecDims probe): 0 takes the
+        // unsplit branch, whose window chain over zero rows is empty
+        val maxBucketN = {
+          val r = cnts.agg(max("__m")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
         import org.apache.spark.sql.expressions.Window
         val (linked, stitchOpt) =
           if (maxBucketN <= segTarget) {
@@ -675,7 +696,10 @@ object VectorOps {
     // persist(), not eager localCheckpoint — see knnGraphClusteredGate
     val base = withNorm(derived, "vec_id", "embedding", "vid", "v", "n")
       .persist() // one signature pipeline, reused 4×
-    val cand = sortedWindowCandidates(base, planes, tables, window)
+    // dims is the gate's constructor constant — skip the vecDims probe
+    // job (see knnGraphClusteredGate)
+    val cand = sortedWindowCandidates(base, planes, tables, window,
+        dimsHint = Some(dims))
       .persist() // counted once, re-ranked once, recalled once
     // collect-local diagnostics (the RankKernel pattern): the two
     // eager broadcast subqueries (stats, recall) launched CONCURRENT
@@ -689,8 +713,16 @@ object VectorOps {
       .select(col("cand_pairs"),
         ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("all_pairs"))
       .head()
-    val panelPairs = cosineTopK(derived.filter(col("vec_id") < panelN),
-        derived, "vec_id", "embedding", k)
+    // the exact panel leg reads the PERSISTED base on both sides
+    // (cosineTopKPrepared: same withNorm expressions over the same
+    // values, bit-identical cosines) — the cosineTopK(derived, …) form
+    // re-derived the 64-md5-per-row corpus twice more (measured: two
+    // extra full-size stages, 15.4 s + 11.2 s executor time at sf0.1)
+    val panelPairs = cosineTopKPrepared(
+        base.filter(col("vid") < panelN).select(col("vid").as("query_id"),
+          col("v").as("qv"), col("n").as("qn")),
+        base.select(col("vid").as("cand_id"), col("v").as("cv"),
+          col("n").as("cn")), k)
       .select(least(col("query_id"), col("cand_id")).as("vec_a"),
         greatest(col("query_id"), col("cand_id")).as("vec_b"))
       .distinct() // both endpoints in-panel → one normalized pair
@@ -843,21 +875,23 @@ object VectorOps {
     * points); `None` is the exact candidate set. */
   private[graft] def lshCandidatePairs(base: DataFrame, planes: Int,
                                        tables: Int,
-                                       maxBucket: Option[Int] = None): DataFrame =
+                                       maxBucket: Option[Int] = None,
+                                       dimsHint: Option[Int] = None): DataFrame =
     maxBucket match {
-      case Some(cap) => cappedBucketPairs(base, planes, tables, cap)
-      case None => lshCandidatePairsExact(base, planes, tables)
+      case Some(cap) => cappedBucketPairs(base, planes, tables, cap, dimsHint)
+      case None => lshCandidatePairsExact(base, planes, tables, dimsHint)
     }
 
   private def lshCandidatePairsExact(base: DataFrame, planes: Int,
-                                     tables: Int): DataFrame = {
+                                     tables: Int,
+                                     dimsHint: Option[Int] = None): DataFrame = {
     // fanoutRepartition, not repartition(col…): the self-join's output
     // is quadratic in bucket size, so AQE's map-output-sized coalescing
     // serialized the whole expansion into ONE task (measured 2.8 s of
     // the 4.8 s q_knn_graph_lsh wall at sf0.1); an explicit-count
     // exchange keeps the expansion cluster-parallel (Scale doc)
     val bk = Scale.fanoutRepartition(
-      lshBucketsMulti(base, "vid", "v", planes, tables),
+      lshBucketsMulti(base, "vid", "v", planes, tables, dimsHint),
       col("tbl"), col("bucket"))
     val a = bk.select(col("vid").as("id_a"), col("tbl").as("tbl_a"),
       col("bucket").as("bkt_a"))
@@ -980,9 +1014,10 @@ object VectorOps {
     * pre-shuffle on the bucket key would re-create the very funnel the
     * cap removes). */
   private def cappedBucketPairs(base: DataFrame, planes: Int, tables: Int,
-                                maxBucket: Int): DataFrame = {
+                                maxBucket: Int,
+                                dimsHint: Option[Int] = None): DataFrame = {
     val kept = Scale.boundedMembers(
-      lshBucketsMulti(base, "vid", "v", planes, tables),
+      lshBucketsMulti(base, "vid", "v", planes, tables, dimsHint),
       Seq("tbl", "bucket"), "vid", maxBucket)
     kept.select(col("vid").as("id_a"), col("tbl"), col("bucket"))
       .join(kept.select(col("vid").as("id_b"), col("tbl"), col("bucket")),
@@ -1077,8 +1112,8 @@ object VectorOps {
     * 1−(1−p^planes)^tables — the standard recall dial. One row per
     * (vector, table), built columnar and exploded — no regroup. */
   def lshBucketsMulti(df: DataFrame, id: String, vec: String, planes: Int,
-                      tables: Int): DataFrame =
-    vecDims(df, vec) match {
+                      tables: Int, dimsHint: Option[Int] = None): DataFrame =
+    dimsHint.orElse(vecDims(df, vec)) match {
       case None =>
         df.select(col(id).as("vid"), lit(0).as("tbl"), lit(0L).as("bucket"))
           .limit(0)
