@@ -234,7 +234,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    val prev = prevMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath))
+    // The prev-medians baseline is keyed by CORE COUNT: the driver's
+    // scaling sweep runs its low-core leg LAST, so the shared
+    // BENCH_LAST.json used to end a round holding 8-core medians and
+    // the next 32-core session blanket-triggered the >2x auto-rerun
+    // gate against them (round-14 verdict, What's wrong #5). A
+    // per-cpus sibling (BENCH_LAST_c<cpus>.json) is written alongside
+    // the contract file and preferred as the comparison baseline, so
+    // every sweep compares same-cpus vs same-cpus. SPARK_GRAFT_BENCH_PREV
+    // still overrides both when set.
+    val cpusPath = {
+      val dot = outPath.lastIndexOf('.')
+      if (dot > 0) outPath.substring(0, dot) + s"_c$cpus" + outPath.substring(dot)
+      else outPath + s"_c$cpus"
+    }
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(cpusPath))) cpusPath
+      else outPath)
+    val prev = prevMedians(prevPath)
     val loadStart = loadAvg()
     val spinStart = spinMs()
     val nThreads = try cpus.toInt catch { case _: Throwable =>
@@ -249,8 +266,7 @@ object Bench {
     // the session min is what the NEXT round inherits — inheriting the
     // effective min would ratchet downward across rounds forever.
     val host = hostName()
-    val spinAnchor = prevSpinBest(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath), nThreads, host)
+    val spinAnchor = prevSpinBest(prevPath, nThreads, host)
     var spinParBestSession = spinParStart
     def spinParBest: Double = math.min(spinParBestSession, spinAnchor)
     val spark = GraftSession.build(cpus)
@@ -443,9 +459,12 @@ object Bench {
     // byte-exact record (round-4 advice). Write-then-ATOMIC-rename: a
     // kill mid-write must never leave a truncated artifact where the
     // next round's prev-medians baseline should be.
-    try {
-      val out = java.nio.file.Paths.get(outPath)
-      val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+    // written to BOTH the contract path and the per-cpus sibling: the
+    // sibling is the round-over-round baseline for the NEXT sweep at
+    // this core count (see prevPath above)
+    for (p <- Seq(outPath, cpusPath).distinct) try {
+      val out = java.nio.file.Paths.get(p)
+      val tmp = java.nio.file.Paths.get(p + ".tmp")
       java.nio.file.Files.writeString(tmp, json + "\n")
       java.nio.file.Files.move(tmp, out,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
