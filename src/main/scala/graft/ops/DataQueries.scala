@@ -3449,6 +3449,22 @@ object DataQueries {
   def bpeTrainBatchedOf(docs: DataFrame, merges: Int,
                         maxBatch: Int): DataFrame = {
     val sp = docs.sparkSession
+    val wt = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val winners = bpeTrainWinners(wt, merges, maxBatch)
+    import sp.implicits._
+    winners.zipWithIndex
+      .map { case ((x, y, c), i) => ((i + 1).toLong, x, y, c) }
+      .toSeq.toDF("merge_rank", "x", "y", "cnt")
+  }
+
+  /** The batched trainer's iteration over an already-built `(w, wcnt)`
+    * word-frequency table, returning the winner list driver-side —
+    * shared by [[bpeTrainBatchedOf]] and [[bpeApply]] (which derives
+    * its word table from a persisted per-source count so the corpus is
+    * exploded exactly once per query). */
+  private[graft] def bpeTrainWinners(wt: DataFrame, merges: Int,
+      maxBatch: Int): Seq[(String, String, Long)] = {
     require(maxBatch >= 1 && merges >= 1, "bpeTrainBatched: bad sizes")
     // One row per distinct word: (wcnt, symbol array) — the ONLY
     // corpus-sized computation, one map-combined DataFrame aggregate.
@@ -3459,8 +3475,7 @@ object DataQueries {
     // paced by exactly that planning. The RDD loop is the documented
     // per-partition-imperative-logic exception: one takeOrdered job
     // per round, lineage truncated every 8 rounds.
-    val init = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val init = wt
       .select(col("wcnt"), filter(split(col("w"), ""), c => c =!= "").as("syms"))
     var state = init.rdd
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
@@ -3526,10 +3541,7 @@ object DataQueries {
       }
     }
     lastCached.unpersist(blocking = false)
-    import sp.implicits._
-    winners.take(merges).zipWithIndex
-      .map { case ((x, y, c), i) => ((i + 1).toLong, x, y, c) }
-      .toSeq.toDF("merge_rank", "x", "y", "cnt")
+    winners.take(merges).toSeq
   }
 
   /** Driver-side batch selection over the probed top pairs (sorted by
@@ -3588,18 +3600,33 @@ object DataQueries {
     * once for counts, never re-tokenized per merge. */
   def bpeApply(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
     val docs = Tables.documents(s, d)
-    val wt = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wcnt"))
-    var syms = bpeInitSyms(wt)
-    for (_ <- 1 to rounds) syms = bpeRoundStep(syms)._2
-    val perWord = syms.groupBy("w").agg(count(lit(1)).as("n_sym"))
+    // ONE corpus-scale pass: the per-(source, word) count is persisted
+    // and feeds both the trainer's word table and the final rollup —
+    // the previous shape exploded the corpus twice AND trained over
+    // the per-character (w, pos, sym) table with per-round eager
+    // localCheckpoints + three Window.partitionBy("w") passes, which
+    // the round-14 driver sweep measured at 9.91 s on 32 cores vs
+    // 0.80 s on 8 (per-round task dispatch over per-character rows
+    // degrades with width; guide §2.2). Training now runs the batched
+    // RDD trainer (pinned ≡ the sequential textbook trainer by
+    // BpeProps, same procedure q_bpe_train64 ships), and apply replays
+    // the rank-ordered rules as a broadcast-closure fold over the
+    // vocab-sized distinct words — the q_bpe_apply64 shape.
     val srcW = docs.select(col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-    srcW.join(perWord, Seq("w"))
-      .groupBy("source").agg(
+      .persist()
+    val wt = srcW.groupBy("w").agg(sum(col("cnt")).as("wcnt"))
+    val rules = bpeTrainWinners(wt, rounds, maxBatch = 8)
+      .map { case (x, y, _) => (x, y) }
+    val nSymAfter = udf { (w: String) =>
+      var syms: Array[String] = w.split("").filter(_.nonEmpty)
+      rules.foreach { case (x, y) => syms = bpeFoldOne(syms, x, y) }
+      syms.length.toLong
+    }
+    srcW.groupBy("source").agg(
         sum(col("cnt") * length(col("w"))).as("syms_before"),
-        sum(col("cnt") * col("n_sym")).as("syms_after"))
+        sum(col("cnt") * nSymAfter(col("w"))).as("syms_after"))
       .withColumn("compression_micro",
         expr("(syms_after * 1000000) div syms_before"))
       .orderBy("source")
@@ -4004,11 +4031,24 @@ object DataQueries {
     * (eager-checkpointed) and shared by all three configs. */
   def lshTuning(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sig = DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32)
-      .localCheckpoint(true)
-    val truth = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
-      maxDocFreq = None)
-      .select("doc_a", "doc_b").localCheckpoint(true)
+    // The two shared bases and the three config legs each run an EAGER
+    // localCheckpoint — five sequential driver-paced jobs. They are
+    // independent (legs share only the finished bases), so they now
+    // overlap from driver threads (guide §2.6 "overlap independent
+    // jobs": later jobs back-fill executors freed by the current job's
+    // tail). Same frames, same checkpoint contents — scheduling only.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sigF = Future(
+      DedupOps.minhashSigWide(docs, "doc_id", "text", k = 32)
+        .localCheckpoint(true))
+    val truthF = Future(
+      DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+          maxDocFreq = None)
+        .select("doc_a", "doc_b").localCheckpoint(true))
+    val sig = Await.result(sigF, Duration.Inf)
+    val truth = Await.result(truthF, Duration.Inf)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     def one(r: Int): DataFrame = {
       // rename by NAME: a positional toDF would silently mis-bind the
@@ -4035,7 +4075,10 @@ object DataQueries {
           col("n_candidates"), col("n_true"), col("n_captured"),
           round(col("n_captured") / col("n_true"), 6).as("recall"))
     }
-    one(1).unionByName(one(2)).unionByName(one(4)).orderBy("rows_per_band")
+    // the three legs' eager checkpoints overlap the same way (§2.6)
+    val legs = Seq(1, 2, 4).map(r => Future(one(r)))
+    legs.map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _).orderBy("rows_per_band")
   }
 
   /** Dedup-savings forecast: the near-dup family-size distribution
@@ -4517,10 +4560,11 @@ object DataQueries {
     * one shared spelling, so the DuckDB oracle replays the whole layout
     * bit-for-bit.
     *
-    * Scale note: the equal-size chunking here runs as one global
-    * row_number (calibration form at test scale); the production form
-    * is `repartitionByRange(zcol)` + sortWithinPartitions — identical
-    * file statistics, no global window. */
+    * Scale note: the equal-size chunking is the two-pass range-cell
+    * rank (per-cell counts → bounded offset table → per-cell
+    * row_number) — no corpus-sized window ever sorts on one task; a
+    * production rewrite would be `repartitionByRange(zcol)` +
+    * sortWithinPartitions with identical file statistics. */
   /** Morton interleave of 12 `user_id` bits with 8 `dayn` bits, as a
     * SQL expression string valid verbatim in BOTH engines (fully
     * parenthesized shifts/masks, integer ops only) — one spelling, two
@@ -4535,26 +4579,68 @@ object DataQueries {
     val ev = Tables.events(s, d).select(col("user_id"),
       col("event_id"),
       datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("dayn"))
-    val base = ev.withColumn("z", expr(mortonExpr))
-    // everything below stays a lazy plan: the row count rides the same
-    // single-partition window exchange the global rank already needs,
-    // and the probe box attaches as crossJoined 1-row aggregates (the
-    // house pattern from tfidf's __n / lmScore's __v)
-    def layout(name: String, orderCols: Column*): DataFrame =
-      base
-        .withColumn("rn", row_number().over(Window.orderBy(orderCols: _*)))
-        .withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
+    // Global rank WITHOUT a full-table single-partition window
+    // (round-14 verdict item 3: `row_number().over(Window.orderBy(...))`
+    // over the whole events table put the sort on ONE task, twice).
+    // RankKernel's two-pass offset pattern, inlined as a fully LAZY
+    // plan (the kernel's driver-collect form costs two extra actions
+    // per layout; zorder needs neither its prune nor its atom-split
+    // machinery): quantize the order key into 1024 order-preserving
+    // range cells, aggregate per-cell counts, running-offset that
+    // BOUNDED 1024-row table (its single-partition window is over the
+    // cell table, never the corpus — harmless at any scale), broadcast
+    // the offsets back and rank within cells. In-cell ordering uses the
+    // TRUE key columns, so cell-boundary rounding can only merge
+    // neighboring cells, never reorder rows: rank is exact. The scored
+    // base is checkpointed once (7 consumers: 2 layouts × (cells +
+    // fan-back) + bounds + box + inBox); key bounds for both layouts
+    // ride ONE collect-local 1-row gate (house pattern).
+    val base = ev.withColumn("z", expr(mortonExpr)).localCheckpoint(true)
+    // key bounds for BOTH layouts ride one collect-local 1-row gate
+    // (house pattern; re-attaching them lazily as a crossJoined
+    // broadcast aggregate was measured SLOWER — 1.6 s vs 1.16 s at
+    // sf0.1 — the per-row cell arithmetic loses constant folding and
+    // each layout pays the broadcast)
+    val bounds = base.agg(
+      min(col("event_id").cast("double")), max(col("event_id").cast("double")),
+      min(col("z").cast("double")), max(col("z").cast("double"))).head()
+    def layout(name: String, primary: Column, tie: Column,
+               loIdx: Int): DataFrame = {
+      val cells = 1024
+      val (lo, hi) =
+        if (bounds.isNullAt(loIdx)) (0.0, 0.0)
+        else (bounds.getDouble(loIdx), bounds.getDouble(loIdx + 1))
+      val span = math.max(hi - lo, 1.0)
+      val cell = least(greatest(
+          floor((primary.cast("double") - lit(lo)) / lit(span) * cells),
+          lit(0.0)), lit((cells - 1).toDouble)).cast("int")
+      val withCell = base.withColumn("__cell", cell)
+      // partitionBy(lit(1)): same single partition the ≤1024-row cell
+      // table needs anyway, but an EXPLICIT partition spec — the
+      // "No Partition Defined" warning only belongs on corpus windows
+      val wRun = Window.partitionBy(lit(1)).orderBy(col("__cell").asc)
+      val off = withCell.groupBy("__cell").agg(count(lit(1)).as("__cn"))
+        .withColumn("__off", sum("__cn").over(
+          wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__cn"))
+        .withColumn("__n", sum("__cn").over(
+          wRun.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select("__cell", "__off", "__n")
+      val wIn = Window.partitionBy("__cell").orderBy(primary.asc, tie.asc)
+      withCell.join(broadcast(off), Seq("__cell"))
+        .withColumn("rn", col("__off") + row_number().over(wIn))
         .withColumn("bucket", expr("((rn - 1) * 64) div __n"))
         .groupBy("bucket")
         .agg(min("user_id").as("mu"), max("user_id").as("xu"),
           min("dayn").as("md"), max("dayn").as("xd"),
           count(lit(1)).as("c"))
         .withColumn("layout", lit(name))
-    val naive = layout("arrival", col("event_id"))
-    val morton = layout("zorder", col("z"), col("event_id"))
-    val box = ev.agg(expr("max(user_id) div 4").as("uhi"))
-    val inBox = ev.crossJoin(broadcast(box))
+    }
+    val naive = layout("arrival", col("event_id"), col("event_id"), 0)
+    val morton = layout("zorder", col("z"), col("event_id"), 2)
+    val box = base.agg(expr("max(user_id) div 4").as("uhi"))
+    val inBox = base.crossJoin(broadcast(box))
       .filter(col("user_id") <= col("uhi") && col("dayn").between(5, 14))
       .agg(count(lit(1)).as("rows_in_box"))
     naive.unionByName(morton)

@@ -162,13 +162,28 @@ object Relational {
     * lift joins; the 1-row total broadcasts. */
   def basketPairs(spark: SparkSession, dir: String,
                   minSupport: Long = 3): DataFrame = {
+    // The distinct (order, part) basket table feeds FOUR consumers
+    // (the 1-row total, the per-item counts, and both sides of the
+    // pair self-join); as broadcast joins none of them shared an
+    // exchange, so the plan scanned lineitem + re-ran the distinct
+    // FIVE times (plans/r15/q_basket_pairs_before.txt: 5 Scan parquet
+    // nodes). One eager checkpoint materializes it once (guide §2.4 /
+    // §5 — reuse beats recompute at 4 consumers; same idiom as
+    // neardupEdges / lshTuning's sig+truth bases).
     val b = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true)
     val tot = b.agg(countDistinct(col("o")).as("n_orders"))
     val item = b.groupBy("p").agg(count(lit(1)).as("c"))
-    val pairs = b.as("a")
-      .join(b.as("bb"), col("a.o") === col("bb.o") && col("a.p") < col("bb.p"))
+    // explicit-count exchange before the basket self-join: the pair
+    // expansion is Σ|basket|² from Σ|basket| input rows, the fan-out
+    // shape AQE sizes by MAP-output bytes (guide §2.2; Scale doc) —
+    // keyed identically on both sides so ReuseExchange still
+    // materializes the shuffle once
+    val bo = Scale.fanoutRepartition(b, col("o"))
+    val pairs = bo.as("a")
+      .join(bo.as("bb"), col("a.o") === col("bb.o") && col("a.p") < col("bb.p"))
       .groupBy(col("a.p").as("pa"), col("bb.p").as("pb"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSupport)
