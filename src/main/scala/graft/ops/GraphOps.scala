@@ -56,6 +56,11 @@ object GraphOps {
     // whole upstream edge derivation (for the near-dup graph that is
     // the full Jaccard-pair pipeline): measured 2.5 s → 1.0 s for
     // q_pagerank at sf0.1.
+    // plain checkpoint, NOT compactCheckpoint: the deg-annotated edge
+    // table is the MAP SIDE of every iteration's rank join — coalescing
+    // it serialized that map work (measured 1.53 → 1.74-2.52 s at
+    // sf0.1/c32 when compacted; the byte-tracking helper is for
+    // node-sized iteration STATE, not for a table feeding heavy joins)
     val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
     val ids = nodes.select(col("id"))
     var ranks = ids.select(col("id"), lit(1000000L).as("r"))
@@ -89,6 +94,9 @@ object GraphOps {
   def triangles(s: SparkSession, d: String,
                 maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val docs = Tables.documents(s, d)
+    // plain checkpoint, NOT compactCheckpoint: e is the map side of the
+    // wedge and closing joins below — coalescing it serialized those
+    // joins (measured 1.36 → 1.50-1.57 s at sf0.1/c32 when compacted)
     val e = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint(true) // read three times below; pairs are tiny
@@ -143,7 +151,7 @@ object GraphOps {
         .join(survivors.withColumnRenamed("doc", "src"), Seq("src"))
         .join(survivors.withColumnRenamed("doc", "dst"), Seq("dst"))
         .groupBy("src").agg(count(lit(1)).as("deg"))
-      out = deg.filter(col("deg") >= k).localCheckpoint(true)
+      out = Scale.compactCheckpoint(deg.filter(col("deg") >= k))
       survivors = out.select(col("src").as("doc"))
     }
     out.select(col("src").as("doc"), col("deg"))
@@ -160,11 +168,11 @@ object GraphOps {
                                 maxDocFreq: Option[Long]): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDocFreq)
-    pairs.select(explode(array(
+    val sym = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
+    Scale.compactCheckpoint(sym)
   }
 
   /** k-core over the document near-dup graph (same edge set as
@@ -335,6 +343,11 @@ object GraphOps {
                 maxDocFreq: Option[Long] = Scale.DocFreqCap): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val edges = neardupEdges(s, d, maxDocFreq)
+    // Per-round EAGER checkpoints stay: a lazy rounds-deep chain was
+    // measured SLOWER at sf0.1/c32 (q_label_prop_capped 2.5 → 3.3 s,
+    // q_modularity 2.7 → 3.5 s in a same-window A/B) — ReuseExchange
+    // already dedups the repeated per-round subtrees, and the deep
+    // single job loses AQE's per-stage runtime re-planning.
     var labels = lpSeed(edges).localCheckpoint(true)
     for (_ <- 1 to rounds)
       labels = lpRound(edges, labels).localCheckpoint(true)
@@ -394,6 +407,11 @@ object GraphOps {
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val cc = DedupOps.connectedComponents(und)
       .select(col("node").as("id"), col("comp").as("community"))
+    // lp stays LAZY although read three times below: ReuseExchange
+    // dedups the repeated LPA subtrees, and a checkpoint here was
+    // measured SLOWER at sf0.1/c32 (q_modularity 2.7 → 3.5 s,
+    // same-window A/B) — the materialization job serializes what the
+    // final job runs as parallel shared stages.
     val lp = labelPropOf(deg.select("id"), edges, rounds)
       .select(col("id"), col("community"))
     def stats(part: DataFrame, scheme: String): DataFrame = {

@@ -63,6 +63,65 @@ object Scale {
   def fanoutRepartition(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(shufflePartitions(df), keys: _*)
 
+  /** Spread a narrow-split input across the session's cores before a
+    * CPU-heavy map chain (tokenize → shingle → explode, codec kernels):
+    * when the input's PLANNED partition count is below the session
+    * shuffle parallelism — one small parquet file plans as ONE scan
+    * task at test scale (guide §6, input splits), serializing the
+    * chain's whole CPU cost (measured: the two map stages feeding
+    * jaccardPairs' fanout exchanges ran ~0.5 s each in one task at
+    * sf0.1, ~1 s serial inside every graph-family query) — repartition
+    * by the unique row key so the chain runs wide. At cluster scale a
+    * corpus scan already has ≥ cores splits and this is a NO-OP; the
+    * gate reads plan metadata (file splits), never runs a job. */
+  def spreadNarrowScan(df: DataFrame, key: Column): DataFrame = {
+    val target = shufflePartitions(df)
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
+  /** Eager localCheckpoint whose MATERIALIZED byte size then drives the
+    * partition count every downstream stage schedules. An iterative
+    * loop's per-round state (labels, ranks, survivor sets, HLL register
+    * files) is checkpointed at the width of the stage that produced it —
+    * `shuffle.partitions`-many partitions regardless of bytes (explicit
+    * repartitions are AQE-exempt, and a checkpointed RDD is never
+    * re-coalesced) — so EVERY later round schedules `cpus` near-empty
+    * tasks per read. Measured at sf0.1 (q_label_prop_capped profile):
+    * 32-task stages with 6.5 s of summed task time but 1.1 s of CPU —
+    * pure dispatch — and the family runs FASTER at 8 cores than 32
+    * (driver c8/c32 ratios 0.33–0.48). Post-materialization we know the
+    * exact cached size (driver-side storage metadata, NO job), so
+    * coalesce — narrow, zero data movement — to ceil(bytes/target).
+    * At cluster scale bytes/target ≥ the session width and this is a
+    * NO-OP (guide §2.2: reducer count must track bytes, both ways).
+    * Target bytes per partition: `spark.graft.checkpoint.partition.mb`
+    * (default 32 MB of deserialized cache — a few hundred ms of
+    * downstream work per task). */
+  def compactCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    val targetBytes = df.sparkSession.conf
+      .get("spark.graft.checkpoint.partition.mb", "32").toLong << 20
+    // walk the narrow deserialization wrappers down to the persisted RDD
+    var r: org.apache.spark.rdd.RDD[_] = cp.rdd
+    var hops = 0
+    while (r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+           r.dependencies.nonEmpty && hops < 8) {
+      r = r.dependencies.head.rdd; hops += 1
+    }
+    val persistedId = r.id
+    df.sparkSession.sparkContext.getRDDStorageInfo
+      .find(_.id == persistedId) match {
+      case Some(i) =>
+        val bytes = i.memSize + i.diskSize
+        val cur = cp.rdd.getNumPartitions
+        val want = math.max(1L, math.min(cur.toLong,
+          (bytes + targetBytes - 1) / targetBytes)).toInt
+        if (want < cur) cp.coalesce(want) else cp
+      case None => cp // storage info not visible — keep the plain checkpoint
+    }
+  }
+
   /** RANK-FREE bounded cap: keep at most `cap` members per key group,
     * chosen in deterministic (h64(id), id) order — equivalent to
     * `row_number() OVER (PARTITION BY keys ORDER BY h64(id), id) <= cap`

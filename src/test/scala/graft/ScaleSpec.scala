@@ -255,6 +255,22 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("Window"), s"cap regressed to a window sort:\n$p")
   }
 
+  test("compactCheckpoint: contents identical, width tracks bytes") {
+    // a sub-MB frame checkpointed at the session's 32-way width must
+    // come back (a) row-identical and (b) coalesced to far fewer
+    // partitions — ceil(bytes / target) — so later iteration rounds
+    // stop scheduling `cpus` near-empty tasks per read (guide §2.2:
+    // reducer count must track bytes, both directions)
+    val wide = spark.range(10000)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("id").as("v"), (col("id") % 97).as("lbl"))
+    val cp = Scale.compactCheckpoint(wide)
+    assert(cp.rdd.getNumPartitions < wide.rdd.getNumPartitions,
+      s"tiny frame kept ${cp.rdd.getNumPartitions} partitions")
+    assert(cp.collect().map(_.toString).sorted
+      .sameElements(wide.collect().map(_.toString).sorted))
+  }
+
   test("IVF persisted-list probe equals the inline broadcast-join plan") {
     // one semantics, two physical paths: the bucketed state probe must
     // reproduce ivfTopK row-for-row (its construction already asserts
