@@ -430,10 +430,20 @@ object VectorOps {
     * on cosine break by neighbor id). */
   private def mutualTopK(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // symmetrize with ONE explode pass, not a self-union: the union's
+    // two branches each re-executed the upstream candidate re-rank
+    // (the exact-cosine join and its dot products — measured as two
+    // duplicate full-size stages, 11.5 s + 7.6 s executor time at
+    // sf0.1 inside q_knn_graph_capped's final job; the neardupEdges
+    // symmetrization note, applied here). explode_outer of a 2-element
+    // literal array is never null/empty, so no post-filter is needed.
     val dir = pairs
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
-      .unionByName(pairs
-        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+      .select(explode_outer(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cos").as("cos"))
     // explicit-count exchange under the rank window: the pair set is
     // ×2k the node count but small in BYTES, so AQE coalesces the
     // window's exchange to one task and the whole rank runs serially
@@ -441,14 +451,28 @@ object VectorOps {
     val top = Scale.fanoutRepartition(dir, col("src"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-    val rev = top.select(col("dst").as("src"), col("src").as("dst"),
-      col("rk").as("rk_b"))
-    top.join(rev, Seq("src", "dst"))
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
-        round(col("cos"), 6).as("cos"),
-        col("rk").cast("long").as("rank_a"),
-        col("rk_b").cast("long").as("rank_b"))
+    // mutuality as ONE aggregate over the ranked edges, not a
+    // top ⋈ reversed-top self-join: the join's two sides each re-read
+    // the full directed-pair exchange and re-ran the rank window
+    // (measured: two 57.8 MB shuffle reads + 9.4 s and 6.4 s of
+    // window CPU inside q_knn_graph's final job at sf0.1). Each
+    // directed edge appears exactly once in `dir`, so an undirected
+    // pair normalizes to ≤2 rows — both present ⟺ the edge is mutual;
+    // max() picks each direction's rank (the other row's slot is
+    // null), and cos is direction-independent (computed once upstream,
+    // exploded to both rows). The aggregate partial-combines map-side;
+    // the window runs ONCE.
+    top.select(least(col("src"), col("dst")).as("vec_a"),
+        greatest(col("src"), col("dst")).as("vec_b"), col("cos"),
+        when(col("src") < col("dst"), col("rk")).as("__rka"),
+        when(col("src") > col("dst"), col("rk")).as("__rkb"))
+      .groupBy("vec_a", "vec_b")
+      .agg(count(lit(1)).as("__n"), max(col("cos")).as("cos"),
+        max(col("__rka")).as("__rka"), max(col("__rkb")).as("__rkb"))
+      .filter(col("__n") === 2)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"),
+        col("__rka").cast("long").as("rank_a"),
+        col("__rkb").cast("long").as("rank_b"))
       .orderBy("vec_a", "vec_b")
   }
 
