@@ -752,17 +752,22 @@ object VectorOps {
       .distinct() // both endpoints in-panel → one normalized pair
     // one pass over the panel: cand is distinct on (vec_a, vec_b), so
     // a left join marks ≤1 hit per panel pair — count(__hit) ≡ the
-    // left_semi count, without the second panel materialization
-    val recRow = panelPairs
+    // left_semi count, without the second panel materialization.
+    // The recall aggregate rides the FINAL job as a broadcast 1-row
+    // crossJoin instead of its own sequential driver head(): statsRow
+    // above has already materialized base+cand, so the r14 race (two
+    // concurrent jobs both computing the unmaterialized persisted
+    // pipeline) cannot recur — the panel leg now reads cache and
+    // overlaps the main re-rank stages (guide §2.6), one driver
+    // round-trip fewer. Same columns, same values, same hash.
+    val recAgg = panelPairs
       .join(cand.withColumn("__hit", lit(1)), Seq("vec_a", "vec_b"), "left")
       .agg(count(col("__hit")).as("recall_num"),
         count(lit(1)).as("recall_den"))
-      .head()
     mutualFromCandidates(base, cand, k)
       .withColumn("cand_pairs", lit(statsRow.getLong(0)))
       .withColumn("all_pairs", lit(statsRow.getLong(1)))
-      .withColumn("recall_num", lit(recRow.getLong(0)))
-      .withColumn("recall_den", lit(recRow.getLong(1)))
+      .crossJoin(broadcast(recAgg))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -1070,6 +1075,14 @@ object VectorOps {
     // the bucketing
     val cand = cand0.persist()
     val out = out0.persist()
+    // The eager broadcast-subquery legs DO duplicate the persisted
+    // cand/out derivation (profiled: two sets of the corpus-derivation
+    // stages), but sequentializing them collect-local — the r14
+    // kNN-gate treatment — measured SLOWER here (q_ann_neardup_capped
+    // 2.16 → 3.34 s med at sf0.1/c32): the duplicates run concurrently
+    // on otherwise-idle cores, while the sequential form pays three
+    // driver round-trips and computes the brute panel twice. Kept
+    // parallel deliberately.
     val stats = cand.agg(count(lit(1)).as("cand_pairs"))
       .crossJoin(base.agg(count(lit(1)).as("__n")))
       .select(col("cand_pairs"),
