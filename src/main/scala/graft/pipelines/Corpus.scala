@@ -135,7 +135,19 @@ object Corpus {
     * maintainer. */
   private[graft] def pipelineAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = signalFrame(docs)
+    // spread the corpus across the session's parallelism BEFORE the
+    // signal projection: on a single-split local file the whole
+    // gopher+tokens+2×shingles+quality chain ran as ONE task (774 ms
+    // serial at sf0.1, the query's largest stage) feeding the base
+    // checkpoint. The exchange ships the raw (doc_id, lang, text) rows
+    // once — far smaller than the signal frame it unblocks — and at
+    // cluster scale a corpus scan already has ≥ cores splits, where
+    // AQE leaves this keyed exchange as the signal frame's natural
+    // width anyway.
+    val spread = docs.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+    val base = signalFrame(spread)
       .localCheckpoint(true)
 
     val s1 = base.filter(col("keep_gopher"))
