@@ -301,11 +301,11 @@ object SparkEntry {
     // (top-M non-interacting merges per Spark round, provably ≡ the
     // sequential trainer — see bpeTrainBatched); the oracle unrolls all
     // 64 sequential rounds (generated, MATERIALIZED CTEs)
-    "q_bpe_train64"       -> ((s, d) => DataQueries.bpeTrainBatched(s, d, 64, 8)),
+    "q_bpe_train64"       -> ((s, d) => DataQueries.bpeTrainBatched(s, d, 64, 16)),
     // apply leg of the 64-merge vocabulary: rank-ordered per-rule
     // replay over the word table (rules interact across ranks); the
     // oracle reuses the train64 CTE chain's final symbol table s64
-    "q_bpe_apply64"       -> ((s, d) => DataQueries.bpeApply64(s, d, 64, 8)),
+    "q_bpe_apply64"       -> ((s, d) => DataQueries.bpeApply64(s, d, 64, 16)),
     // ---- EVM log pipeline (SURVEY §2.1/§2.2/§2.3, §3.1 end-to-end) ----
     "q_evm_decode"        -> ((s, d) => {
       import graft.evm.LogPipeline

@@ -3480,7 +3480,22 @@ object DataQueries {
     var state = init.rdd
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
       .coalesce(8)
-    state.cache().count()
+    val vocabN = state.cache().count()
+    // SMALL-VOCAB fast path (the localComponents doctrine): training
+    // state is vocab-sized by design, and below this size the loop is
+    // not a distributed problem — ~60 rounds of cluster jobs cost
+    // ~60 ms of scheduler round-trip EACH (measured: q_bpe_train64
+    // spent its entire 2.7 s wall on per-round takeOrdered jobs over
+    // ~5 ms of data), while the textbook sequential trainer over a
+    // collected word table runs the same rounds in ~100 ms of driver
+    // CPU. The cap bounds driver memory and per-round scan cost
+    // (256k words ≈ a few MB); a production vocabulary above it keeps
+    // the distributed batched loop unchanged.
+    if (vocabN <= 262144L) {
+      val words = state.collect()
+      state.unpersist(blocking = false)
+      return localBpeWinners(words, merges)
+    }
     val winners = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val created = scala.collection.mutable.Set.empty[String]
     var exhausted = false
@@ -3542,6 +3557,62 @@ object DataQueries {
     }
     lastCached.unpersist(blocking = false)
     winners.take(merges).toSeq
+  }
+
+  /** Textbook sequential BPE trainer over a collected (wcnt, syms)
+    * word table — the small-vocab fast path of [[bpeTrainWinners]].
+    * Semantics are EXACTLY the distributed loop's ground truth (the
+    * reference both trainer forms are pinned equal to by BpeProps):
+    * per round, count overlapping adjacent pairs at every occurrence
+    * weighted by word count (get_stats), take the max by
+    * (count desc, x asc, y asc), merge left-to-right non-overlapping
+    * ([[bpeFoldOne]]). */
+  private[graft] def localBpeWinners(words: Array[(Long, Array[String])],
+      merges: Int): Seq[(String, String, Long)] = {
+    val state = words.map { case (c, syms) => (c, syms) }
+    val winners = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (winners.size < merges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < state.length) {
+        val (c, syms) = state(wi)
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey; val v = e.getValue
+          if (best == null || v > best._2 ||
+              (v == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2))))
+            best = (k, v)
+        }
+        val ((x, y), c) = best
+        winners += ((x, y, c))
+        wi = 0
+        while (wi < state.length) {
+          val (wc, syms) = state(wi)
+          // touch only words that can contain the pair
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == x && syms(i + 1) == y; i += 1
+          }
+          if (has) state(wi) = (wc, bpeFoldOne(syms, x, y))
+          wi += 1
+        }
+      }
+    }
+    winners.toSeq
   }
 
   /** Driver-side batch selection over the probed top pairs (sorted by
