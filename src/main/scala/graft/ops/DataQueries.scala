@@ -1232,14 +1232,23 @@ object DataQueries {
     // below consume — the whole-corpus kept set when capped, so base
     // pairs and probe pairs see one consistent universe and the fold
     // stays ≡ the (capped) full recompute
+    // ONE explicit by-shingle exchange shared by every consumer below
+    // (both base-pair sides, both probe-join sides, the capped size
+    // recount — up to five subtrees that each re-ran the whole
+    // scan→shingle→explode(→cap-join) chain without it; the
+    // jaccardPairs byShingle / windowedPairsOf pattern). The pair
+    // joins are keyed on s, so the shared exchange doubles as their
+    // required distribution; explicit-count keeps AQE off the
+    // quadratic pair expansion.
     val (sh, sizes) = maxDocFreq match {
       case Some(cap) =>
         val keep = shAll.groupBy("s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("s")
-        val fx = shAll.join(keep, Seq("s"))
+        val fx = Scale.fanoutRepartition(shAll.join(keep, Seq("s")), col("s"))
         (fx, fx.groupBy("doc").agg(count(lit(1)).as("sz")))
       case None =>
-        (shAll, arr.select(col("doc"), size(col("arr")).as("sz")))
+        (Scale.fanoutRepartition(shAll, col("s")),
+          arr.select(col("doc"), size(col("arr")).as("sz")))
     }
     // --- yesterday's state: components over the base corpus only.
     // Uncapped, the standalone jaccardPairs over base docs is the same
@@ -1367,16 +1376,26 @@ object DataQueries {
     // map-combined aggregate; the kept-key join re-partitions both
     // sides on the same (s, batch) key, so no key ever exceeds the cap
     // downstream of here
+    // ONE explicit (s, batch) exchange shared by every consumer below
+    // (ReuseExchange: the a-side, the replicated b-side and — capped —
+    // the size recount all read the SAME materialized shuffle). Without
+    // it each consumer re-ran the whole scan→tokenize→shingle→explode
+    // (→ cap-join) chain: profiled at sf0.1 as three serial map stages
+    // of 310–785 ms inside q_windowed_dedup_capped. Explicit-count
+    // (fanoutRepartition) so AQE cannot coalesce the quadratic pair
+    // expansion downstream — the jaccardPairs byShingle pattern.
     val (sh, sizes) = maxDocFreq match {
       case Some(cap) =>
         val keep = shAll.groupBy("s", "batch")
           .agg(count(lit(1)).as("__wdf"))
           .filter(col("__wdf") <= cap)
           .select("s", "batch")
-        val fx = shAll.join(keep, Seq("s", "batch"))
+        val fx = Scale.fanoutRepartition(
+          shAll.join(keep, Seq("s", "batch")), col("s"), col("batch"))
         (fx, fx.groupBy("doc").agg(count(lit(1)).as("sz")))
       case None =>
-        (shAll, arr.select(col("doc"), size(col("arr")).as("sz")))
+        (Scale.fanoutRepartition(shAll, col("s"), col("batch")),
+          arr.select(col("doc"), size(col("arr")).as("sz")))
     }
     // {b, b+1} replication on ONE side only, probe at its own bucket —
     // and each (pair, shingle) row is then unique by construction: a
